@@ -1,0 +1,316 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * TPC-H-shaped analytics over the test tables — the query surface the
+ * reference engine (Hudi tables queried via Spark SQL / Hive / Presto)
+ * serves. SURVEY.md §2.2. Each query has a DuckDB oracle in [[oracles]]
+ * with identical column aliases.
+ *
+ * Scale notes: dimension joins (region/nation/customer/supplier/part) are
+ * explicitly broadcast — at 100 TB the fact side (lineitem/orders/events)
+ * never reshuffles for them. Aggregations are declared with groupBy so
+ * Catalyst plans partial (map-side) aggregation before the exchange.
+ */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1: pricing summary report. Ref: hudi serves this via Spark SQL
+    * over snapshot reads; pure scan+agg, no join. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3: shipping priority — top 10 unshipped orders by revenue. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1996-03-15").cast("timestamp")
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-shaped: order priority checking via EXISTS (left-semi join). */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+    o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5: local supplier volume — 6-way join, customer and supplier in
+    * the same nation, one region. Dimensions broadcast; only the
+    * lineitem⋈orders join shuffles (co-partitioned on orderkey). */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+                          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6: forecast revenue change — selective scan, filters pushed to
+    * parquet. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q10: returned items — customers who returned goods, by lost
+    * revenue. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Top-k per group: 5 highest-revenue customers within each market
+    * segment (dense window rank, partial agg before the window shuffle). */
+  def qTopCustomers(s: SparkSession, d: String): DataFrame = {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("raw_rev"))
+    val c = Tables.customer(s, d)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("raw_rev").desc, col("c_custkey"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("raw_rev"), 2).as("revenue"), col("rnk"))
+      .orderBy(col("c_mktsegment"), col("rnk"))
+  }
+
+  /** Running total of order value per customer (window frame sum). */
+  def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** ROLLUP over nation × market segment. */
+  def qRollupSales(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    Tables.orders(s, d)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_sales"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+  }
+
+  /** Anti-join: customers with no pending ('P') order. */
+  def qAntiNoOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Skew-resilient join: salt the hot side, then aggregate. Results are
+    * identical to the plain join (oracle checks that); PlanSpec checks the
+    * salted exchange. At 100 TB this is the pattern for key-skewed facts
+    * when AQE skew handling isn't enough. */
+  def qSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val l = Tables.lineitem(s, d)
+      .withColumn("salt", (pmod(col("l_linenumber").cast("int"), lit(salts))))
+    val o = Tables.orders(s, d)
+      .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+           round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q_top_customers" -> (qTopCustomers _),
+    "q_running_total" -> (qRunningTotal _),
+    "q_rollup_sales" -> (qRollupSales _),
+    "q_anti_no_orders" -> (qAntiNoOrders _),
+    "q_skew_join" -> (qSkewJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q_top_customers" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, sum(o_totalprice) AS raw_rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_mktsegment, c_custkey, round(raw_rev, 2) AS revenue, rnk
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, raw_rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY raw_rev DESC, c_custkey) AS rnk
+        |  FROM customer JOIN per_cust ON c_custkey = o_custkey)
+        |WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS running_total
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rollup_sales" ->
+      """SELECT n_name, c_mktsegment,
+        |  round(sum(o_totalprice), 2) AS total_sales,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+    "q_anti_no_orders" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics (batch form of the streaming surface the reference
+ * ingests via its Flink/DeltaStreamer pipelines — see SURVEY.md §1). The
+ * streaming variants live in graft.streaming; these batch twins are what
+ * the DuckDB oracle can check.
+ */
+object EventQueries {
+  import AnalyticsQueries.Q
+
+  /** Daily event rollup: count + value by day and type. */
+  def qEventsDaily(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** Rank each user's events by recency; keep the latest 3. */
+  def qEventsUserRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Sessionization: a >30-minute gap starts a new session. Pure window
+    * composition (lag → gap flag → cumulative sum), no stateful shuffle
+    * beyond the single partitionBy(user) exchange. */
+  def qEventsSessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: each event matched to the user's most recent order at or
+    * before the event time (composed as join + window top-1; at scale this
+    * is a range-partitioned sort-merge the same shape Spark plans for
+    * equi-join + window). */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val o = Tables.orders(s, d)
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        when(col("o_totalprice").isNotNull, round(col("o_totalprice"), 2)).as("last_order_price"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q_events_daily" -> (qEventsDaily _),
+    "q_events_user_rank" -> (qEventsUserRank _),
+    "q_events_sessions" -> (qEventsSessions _),
+    "q_asof_join" -> (qAsofJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_events_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+    "q_events_user_rank" ->
+      """SELECT user_id, event_id, event_type, rn FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3
+        |ORDER BY user_id, rn""".stripMargin,
+    "q_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |        FROM events))
+        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, last_order_price FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    CASE WHEN o.o_totalprice IS NOT NULL
+        |         THEN round(o.o_totalprice, 2) END AS last_order_price,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin
+  )
+}

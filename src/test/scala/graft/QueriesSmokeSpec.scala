@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf = "/root/testdata/sf0.001"
+}
+
+class QueriesSmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is knowingly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh_topk",
+      "text_fingerprint", "mm_binary_meta")
+    assert(noOracle.subsetOf(rowsOnly), s"missing oracle for: $noOracle")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
