@@ -1,0 +1,770 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * A Graft table: the reference's lakehouse storage engine (Apache Hudi
+ * 0.12.0, ref: hudi-common/.../HoodieTableMetaClient.java + hudi-client)
+ * re-expressed as DataFrame transforms over parquet + a JSON timeline.
+ *
+ * Layout:
+ * {{{
+ *   <base>/.graft/table.json                     // TableConfig
+ *   <base>/.graft/timeline/<ts>.<action>.json    // completed instants
+ *   <base>/<partitionPath>/<fileId>_<ts>.parquet        // base file
+ *   <base>/<partitionPath>/log_<fileId>_<ts>.parquet    // MOR log file
+ * }}}
+ *
+ * Design-for-scale notes (vs the reference's per-record Java write path):
+ *  - every write/merge/compaction is a declarative DataFrame plan (goes
+ *    through Catalyst + whole-stage codegen; merges are columnar, not
+ *    row-by-row ExternalSpillableMap as in the reference's
+ *    HoodieMergeHandle);
+ *  - readers never list the filesystem: file slices resolve from commit
+ *    metadata only (the reference needs its metadata table for this);
+ *  - upsert tagging reads just the key column of candidate base files,
+ *    pruned by per-file key min/max recorded at commit time — the existing
+ *    table is never shuffled; with a bucket index, tagging is a pure
+ *    expression (no scan);
+ *  - a physical commit is one distributed staged write + O(#files touched)
+ *    metadata renames, same as the reference's commit protocol.
+ */
+object GraftTable {
+  val COMMIT  = "_graft_commit_time"
+  val KEY     = "_graft_record_key"
+  val PART    = "_graft_partition_path"
+  val FILE_ID = "_graft_file_id"
+  val DELETED = "_graft_deleted"
+  val metaFields: Seq[StructField] = Seq(
+    StructField(COMMIT, StringType), StructField(KEY, StringType),
+    StructField(PART, StringType), StructField(FILE_ID, StringType),
+    StructField(DELETED, BooleanType))
+  val metaCols: Seq[String] = metaFields.map(_.name)
+
+  def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    val dir = Paths.get(path, ".graft")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("table.json"), Json.mapper.writeValueAsBytes(Map(
+      "name" -> config.name, "tableType" -> config.tableType.name,
+      "keyFields" -> config.keyFields, "precombineField" -> config.precombineField,
+      "partitioning" -> (config.partitioning match {
+        case NonPartitioned => Map("kind" -> "none")
+        case PartitionByColumns(cs) => Map("kind" -> "columns", "cols" -> cs)
+        case PartitionByTimestamp(c, f) => Map("kind" -> "timestamp", "col" -> c, "format" -> f)
+      }),
+      "index" -> (config.index match {
+        case StatsIndex => Map("kind" -> "stats")
+        case BucketIndex(n) => Map("kind" -> "bucket", "buckets" -> n)
+      }),
+      "targetFileSizeRows" -> config.targetFileSizeRows)))
+    val t = new GraftTable(spark, path, config)
+    t.timeline.init()
+    t
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val raw = Json.mapper.readValue[Map[String, Any]](
+      Files.readAllBytes(Paths.get(path, ".graft", "table.json")))
+    def m(k: String) = raw(k).asInstanceOf[Map[String, Any]]
+    val part = m("partitioning")("kind") match {
+      case "none" => NonPartitioned
+      case "columns" => PartitionByColumns(m("partitioning")("cols").asInstanceOf[Seq[String]])
+      case "timestamp" => PartitionByTimestamp(
+        m("partitioning")("col").toString, m("partitioning")("format").toString)
+    }
+    val idx = m("index")("kind") match {
+      case "stats" => StatsIndex
+      case "bucket" => BucketIndex(m("index")("buckets").toString.toInt)
+    }
+    new GraftTable(spark, path, TableConfig(
+      raw("name").toString, TableType.of(raw("tableType").toString),
+      raw("keyFields").asInstanceOf[Seq[String]],
+      Option(raw.getOrElse("precombineField", null)).map(_.toString),
+      part, idx, raw("targetFileSizeRows").toString.toLong))
+  }
+
+  def exists(path: String): Boolean =
+    Files.exists(Paths.get(path, ".graft", "table.json"))
+
+  /** Drop a table directory (tests / temp tables). */
+  def drop(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+}
+
+/** A live file group version: base file(s) written at `baseInstant` plus the
+  * log files appended after it (ref: hudi HoodieFileGroup/FileSlice). */
+case class FileSlice(partition: String, fileId: String, baseInstant: String,
+    baseFiles: Seq[FileMeta], logs: Seq[(String, FileMeta)]) {
+  def totalRows: Long = baseFiles.map(_.rows).sum + logs.map(_._2.rows).sum
+}
+
+class GraftTable(val spark: SparkSession, val basePath: String, val config: TableConfig) {
+  import GraftTable._
+  val timeline = new Timeline(basePath)
+  private def dataActions = Set("commit", "deltacommit", "replacecommit")
+
+  // ----------------------------------------------------------------- schema
+
+  /** Data schema (no meta columns) as of an instant; evolves additively. */
+  def schemaAt(asOf: Option[String] = None): Option[StructType] = {
+    val sjs = timeline.metas(asOf).filter(m => m.schemaJson.nonEmpty)
+    sjs.lastOption.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+  }
+
+  private def mergeSchemas(old: Option[StructType], incoming: StructType): StructType = old match {
+    case None => incoming
+    case Some(o) =>
+      val byName = incoming.fields.map(f => f.name -> f).toMap
+      val kept = o.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(nf) if nf.dataType != f.dataType =>
+            StructField(f.name, widen(f.dataType, nf.dataType), nullable = true)
+          case _ => f
+        }
+      }
+      val added = incoming.fields.filterNot(f => o.fieldNames.contains(f.name))
+      StructType(kept ++ added)
+  }
+
+  private def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (IntegerType, LongType) | (LongType, IntegerType) => LongType
+    case (FloatType, DoubleType) | (DoubleType, FloatType) => DoubleType
+    case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case _ if a == b => a
+    case _ => StringType
+  }
+
+  private def conform(df: DataFrame, target: StructType): DataFrame =
+    df.select(target.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+
+  // ------------------------------------------------------------ file slices
+
+  /** Resolve live file slices from commit metadata alone (no FS listing). */
+  def slices(asOf: Option[String] = None): Seq[FileSlice] = {
+    val ms = timeline.metas(asOf).filter(m => dataActions(m.action))
+    val replacedAt = mutable.Map[(String, String), String]()
+    for (m <- ms if m.replaced.nonEmpty; r <- m.replaced) {
+      val Array(p, f) = r.split('|')
+      replacedAt((p, f)) = m.instant
+    }
+    val bases = mutable.Map[(String, String), (String, mutable.Buffer[FileMeta])]()
+    val logs = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
+    for (m <- ms; f <- m.files) {
+      val k = (f.partition, f.fileId)
+      if (f.isLog) logs.getOrElseUpdate(k, mutable.Buffer()) += ((m.instant, f))
+      else bases.get(k) match {
+        case Some((i, buf)) if i == m.instant => buf += f
+        case Some((i, _)) if i > m.instant => // older base, superseded
+        case _ => bases(k) = (m.instant, mutable.Buffer(f))
+      }
+    }
+    bases.iterator.flatMap { case ((p, fid), (bi, bfs)) =>
+      if (replacedAt.get((p, fid)).exists(_ > bi)) None
+      else Some(FileSlice(p, fid, bi,
+        bfs.toSeq, logs.getOrElse((p, fid), Nil).filter(_._1 > bi).sortBy(_._1).toSeq))
+    }.toSeq.sortBy(s => (s.partition, s.fileId))
+  }
+
+  private def fullSchema(data: StructType): StructType = StructType(metaFields ++ data.fields)
+
+  /** Read a set of files, conforming each commit-epoch schema to `target`. */
+  private def readConformed(files: Seq[(FileMeta, String)], target: StructType): DataFrame = {
+    val schemaOf: Map[String, String] = { // instant -> schemaJson (carried forward)
+      var last = ""
+      timeline.metas(None).map { m =>
+        if (m.schemaJson.nonEmpty) last = m.schemaJson
+        m.instant -> last
+      }.toMap
+    }
+    val tgt = fullSchema(target)
+    val groups = files.groupBy { case (_, instant) => schemaOf.getOrElse(instant, "") }
+    val dfs = groups.toSeq.map { case (sj, fs) =>
+      val fileSchema =
+        if (sj.isEmpty) tgt
+        else fullSchema(DataType.fromJson(sj).asInstanceOf[StructType])
+      val paths = fs.map { case (f, _) => s"$basePath/${f.path}" }
+      conform(spark.read.schema(fileSchema).parquet(paths: _*), tgt)
+    }
+    if (dfs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgt)
+    else dfs.reduce(_ unionByName _)
+  }
+
+  // ------------------------------------------------------------- write path
+
+  private def withMeta(raw: DataFrame, instant: String): DataFrame = {
+    val d = if (raw.columns.contains(DELETED)) raw else raw.withColumn(DELETED, lit(false))
+    d.withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+      .withColumn(COMMIT, lit(instant))
+  }
+
+  /** Within-batch precombine: highest ordering-field value wins per key
+    * (ref: OverwriteWithLatestAvroPayload.preCombine). */
+  private def precombine(df: DataFrame): DataFrame = config.precombineField match {
+    case None => df
+    case Some(pc) =>
+      val w = Window.partitionBy(col(PART), col(KEY))
+        .orderBy(col(pc).desc_nulls_last, col(DELETED).asc)
+      df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+  }
+
+  /** Tag each record with the fileId of the file group currently holding its
+    * key (null = insert). Stats index: key-column scan of candidate files
+    * only. Bucket index: pure expression. */
+  private def tag(df: DataFrame, cur: Seq[FileSlice]): DataFrame = config.index match {
+    case BucketIndex(n) =>
+      if (cur.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
+      df.withColumn("_g_fid", format_string("b%05d", pmod(hash(col(KEY)), lit(n))))
+        .withColumn("_g_fid",
+          // only groups that physically exist count as "existing"
+          when(concat_ws("|", col(PART), col("_g_fid"))
+            .isin(cur.map(s => s"${s.partition}|${s.fileId}"): _*), col("_g_fid")))
+    case StatsIndex =>
+      if (cur.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
+      val ranges = df.groupBy(col(PART))
+        .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
+        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      val cands = cur.filter { s =>
+        ranges.get(s.partition).exists { case (mn, mx) =>
+          s.baseFiles.exists(b => b.keyMin <= mx && b.keyMax >= mn)
+        }
+      }
+      if (cands.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
+      val data = schemaAt(None).getOrElse(new StructType())
+      val existing = readConformed(
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+        .select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"))
+      df.join(existing, Seq(KEY, PART), "left")
+  }
+
+  /** Assign file groups to untagged (insert) rows: bin-pack into an
+    * under-sized existing group per partition, else open hash-assigned new
+    * groups sized by targetFileSizeRows. Driver work is metadata-sized
+    * (one row per touched partition), the assignment itself is a broadcast
+    * join + expression. */
+  private def assignInserts(tagged: DataFrame, cur: Seq[FileSlice], instant: String,
+      allowBinpack: Boolean): DataFrame = {
+    config.index match {
+      case BucketIndex(n) =>
+        // bucket tables: inserts land in their deterministic bucket so that
+        // future tagging stays a pure expression
+        return tagged.withColumn(FILE_ID, coalesce(col("_g_fid"),
+          format_string("b%05d", pmod(hash(col(KEY)), lit(n))))).drop("_g_fid")
+      case _ =>
+    }
+    val counts = tagged.filter(col("_g_fid").isNull)
+      .groupBy(col(PART)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return tagged.withColumn(FILE_ID, col("_g_fid")).drop("_g_fid")
+    val target = config.targetFileSizeRows
+    val plan = counts.map { case (p, n) =>
+      val small = cur.filter(s => s.partition == p && s.totalRows < target / 2)
+        .sortBy(_.totalRows).headOption
+      small match {
+        case Some(s) if allowBinpack && s.totalRows + n <= (target * 3) / 2 =>
+          (p, s.fileId, 1)
+        case _ => (p, null: String, math.max(1, math.ceil(n.toDouble / target).toInt))
+      }
+    }.toSeq
+    val planDf = spark.createDataFrame(plan).toDF(PART, "_g_pack", "_g_new")
+    tagged.join(broadcast(planDf), Seq(PART), "left")
+      .withColumn(FILE_ID, coalesce(col("_g_fid"), col("_g_pack"),
+        format_string(s"g$instant-%05d", pmod(hash(col(KEY)), col("_g_new")))))
+      .drop("_g_fid", "_g_pack", "_g_new")
+  }
+
+  /** Distributed staged write: repartition by (partition, fileId) so each
+    * file group is written by exactly one task, key-sorted within the file;
+    * then O(#files) metadata renames into place. `logGroups` names the
+    * (partition|fileId) groups whose output is a MOR log file. */
+  private def stageWrite(out: DataFrame, instant: String,
+      logGroups: Set[String]): Seq[FileMeta] = {
+    val staging = Paths.get(basePath, ".graft", s"staging_$instant")
+    out.withColumn("_gp", col(PART)).withColumn("_gf", col(FILE_ID))
+      .repartition(col(PART), col(FILE_ID))
+      .sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
+      .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
+      .parquet(staging.toString)
+    val moved = mutable.Buffer[(String, String, String)]() // (relPath, partition, fileId)
+    def dec(s: String): String = {
+      val v = java.net.URLDecoder.decode(s, "UTF-8")
+      if (v == "__HIVE_DEFAULT_PARTITION__") "" else v
+    }
+    Files.list(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("_gp=")).foreach { pDir =>
+        val partition = dec(pDir.getFileName.toString.stripPrefix("_gp="))
+        Files.list(pDir).iterator().asScala
+          .filter(f => f.getFileName.toString.startsWith("_gf=")).foreach { fDir =>
+            val fid = dec(fDir.getFileName.toString.stripPrefix("_gf="))
+            val parts = Files.list(fDir).iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+            val isLog = logGroups.contains(s"$partition|$fid")
+            parts.zipWithIndex.foreach { case (src, i) =>
+              val sfx = if (parts.size > 1) s"_$i" else ""
+              val name = (if (isLog) s"log_$fid" else fid) + s"_$instant$sfx.parquet"
+              val destDir = if (partition.isEmpty) Paths.get(basePath)
+                            else Paths.get(basePath, partition)
+              Files.createDirectories(destDir)
+              Files.move(src, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+              val rel = if (partition.isEmpty) name else s"$partition/$name"
+              moved += ((rel, partition, fid))
+            }
+          }
+      }
+    GraftTable.drop(staging.toString)
+    if (moved.isEmpty) return Nil
+    // one column-pruned pass over the freshly written files for stats
+    val paths = moved.toSeq.map { case (rel, _, _) => s"$basePath/$rel" }
+    val statCols = out.schema.fields
+      .filter(f => !metaCols.contains(f.name) && isStatType(f.dataType))
+      .map(_.name).toSeq
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("_n"), min(col(KEY)).as("_kmin"), max(col(KEY)).as("_kmax")) ++
+        statCols.flatMap(c => Seq(
+          min(col(c)).cast(StringType).as(s"_min_$c"),
+          max(col(c)).cast(StringType).as(s"_max_$c")))
+    val statsDf = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("_f"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stats = statsDf.collect().map { r =>
+      val f = r.getString(0)
+      f -> (r.getLong(1), Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""),
+        statCols.map(c => c -> Array(
+          Option(r.getAs[String](s"_min_$c")).getOrElse(""),
+          Option(r.getAs[String](s"_max_$c")).getOrElse(""))).toMap)
+    }.toMap
+    moved.toSeq.map { case (rel, partition, fid) =>
+      val st = stats.find { case (k, _) => k.endsWith("/" + rel.split('/').last) }.map(_._2)
+        .getOrElse((0L, "", "", Map.empty[String, Array[String]]))
+      FileMeta(rel, fid, partition, st._1, isLog = logGroups.contains(s"$partition|$fid"),
+        keyMin = st._2, keyMax = st._3, colStats = st._4)
+    }
+  }
+
+  private def isStatType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  // ------------------------------------------------------------ operations
+
+  /** Fast append: no tagging, no precombine — the reference's bulk_insert. */
+  def bulkInsert(df: DataFrame): String = writeBatch(df, "bulk_insert")
+
+  /** Insert with precombine dedup and small-file bin-packing; does not
+    * check for existing keys (reference `insert` semantics). */
+  def insert(df: DataFrame): String = writeBatch(df, "insert")
+
+  /** Record-level upsert: update-in-place by key, insert new keys. */
+  def upsert(df: DataFrame): String = writeBatch(df, "upsert")
+
+  /** Record-level delete: df must contain the key (+ partition) columns. */
+  def delete(df: DataFrame): String =
+    writeBatch(df.withColumn(DELETED, lit(true)), "delete")
+
+  def writeBatch(raw: DataFrame, op: String): String = {
+    val mor = config.tableType == MergeOnRead
+    val taggingOps = Set("upsert", "delete", "merge")
+    val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
+    val instant = timeline.startInstant(action)
+    try {
+      val cur = slices(None)
+      val oldSchema = schemaAt(None)
+      val keyed = withMeta(raw, instant)
+      val batch0 = if (op == "bulk_insert") keyed else precombine(keyed)
+      val dataSchema = StructType(batch0.schema.fields.filterNot(f => metaCols.contains(f.name)))
+      val merged = mergeSchemas(oldSchema, dataSchema)
+      val batch1 = conform(batch0, fullSchema(merged))
+
+      val (out, logGroups, touched) =
+        if (!taggingOps(op)) {
+          val assigned = assignInserts(batch1.withColumn("_g_fid", lit(null).cast(StringType)),
+            cur, instant, allowBinpack = op != "bulk_insert")
+          val packTargets = cur.filter(s => assignTargets(assigned).contains(s.partition + "|" + s.fileId))
+          // bin-packed groups must be rewritten (old rows + new rows)
+          val withOld =
+            if (packTargets.isEmpty) assigned.filter(!col(DELETED))
+            else readSliceRows(packTargets, merged).unionByName(assigned.filter(!col(DELETED)))
+          (withOld, Set.empty[String], packTargets.map(s => s.partition + "|" + s.fileId).toSet)
+        } else {
+          val tagged = tag(batch1, cur)
+          val assigned = assignInserts(tagged, cur, instant, allowBinpack = !mor)
+          val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
+          val touchedExisting = assignTargets(assigned).filter(curByKey.contains)
+          if (mor) {
+            // updates/deletes -> log files of their group; inserts -> new base
+            // groups. Deletes of keys that don't exist are dropped (they'd
+            // otherwise create base files holding only tombstones).
+            val cleaned = assigned.filter(
+              concat_ws("|", col(PART), col(FILE_ID))
+                .isin(touchedExisting.toSeq: _*) || !col(DELETED))
+            (cleaned, touchedExisting, touchedExisting)
+          } else {
+            val affected = touchedExisting.toSeq.flatMap(curByKey.get)
+            val oldRows =
+              if (affected.isEmpty) None
+              else Some(readSliceRows(affected, merged)
+                .join(assigned.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_anti"))
+            val newRows = assigned.filter(!col(DELETED))
+            (oldRows.map(_.unionByName(newRows)).getOrElse(newRows), Set.empty[String], touchedExisting)
+          }
+        }
+      val files = stageWrite(out, instant, logGroups)
+      // a touched group that produced no file (all of its rows deleted) is
+      // dead — mark it replaced so the old slice stops resolving
+      val written = files.map(f => s"${f.partition}|${f.fileId}").toSet
+      timeline.complete(CommitMeta(instant, action, op,
+        schemaJson = merged.json, files = files,
+        replaced = (touched -- written).toSeq))
+      instant
+    } catch { case e: Throwable => timeline.abort(instant, action); throw e }
+  }
+
+  private def assignTargets(assigned: DataFrame): Set[String] =
+    assigned.select(concat_ws("|", col(PART), col(FILE_ID))).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Merged rows of the given slices (base ∪ logs, latest version per key). */
+  private def readSliceRows(ss: Seq[FileSlice], data: StructType): DataFrame = {
+    val bases = ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant))
+    val logsF = ss.flatMap(_.logs.map { case (i, f) => f -> i })
+    val b = readConformed(bases, data)
+    if (logsF.isEmpty) b
+    else mergeLatest(b.unionByName(readConformed(logsF, data)))
+  }
+
+  /** Latest-wins merge across base+log rows of the same keys. */
+  private def mergeLatest(u: DataFrame): DataFrame = {
+    val ord = Seq(col(COMMIT).desc) ++
+      config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq
+    val w = Window.partitionBy(col(PART), col(KEY)).orderBy(ord: _*)
+    u.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
+  }
+
+  /** Partition-level overwrite (replacecommit): partitions present in df are
+    * replaced wholesale; others untouched. Ref: insert_overwrite. */
+  def insertOverwrite(df: DataFrame): String = replaceWrite(df, wholeTable = false)
+
+  /** Replace the whole table's contents. Ref: insert_overwrite_table. */
+  def insertOverwriteTable(df: DataFrame): String = replaceWrite(df, wholeTable = true)
+
+  private def replaceWrite(raw: DataFrame, wholeTable: Boolean): String = {
+    val instant = timeline.startInstant("replacecommit")
+    try {
+      val cur = slices(None)
+      val keyed = precombine(withMeta(raw, instant))
+      val dataSchema = StructType(keyed.schema.fields.filterNot(f => metaCols.contains(f.name)))
+      val merged = mergeSchemas(schemaAt(None), dataSchema)
+      val batch = conform(keyed, fullSchema(merged)).filter(!col(DELETED))
+      val parts: Set[String] =
+        if (wholeTable) cur.map(_.partition).toSet
+        else batch.select(col(PART)).distinct().collect().map(_.getString(0)).toSet
+      val replaced = cur.filter(s => parts.contains(s.partition))
+        .map(s => s"${s.partition}|${s.fileId}")
+      val assigned = assignInserts(batch.withColumn("_g_fid", lit(null).cast(StringType)),
+        Nil, instant, allowBinpack = false)
+      val files = stageWrite(assigned, instant, Set.empty)
+      timeline.complete(CommitMeta(instant, "replacecommit",
+        if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
+        schemaJson = merged.json, files = files, replaced = replaced))
+      instant
+    } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
+  }
+
+  /** Drop whole partitions (replacecommit with no new files). */
+  def deletePartitions(partitionPaths: Seq[String]): String = {
+    val instant = timeline.startInstant("replacecommit")
+    try {
+      val replaced = slices(None).filter(s => partitionPaths.contains(s.partition))
+        .map(s => s"${s.partition}|${s.fileId}")
+      timeline.complete(CommitMeta(instant, "replacecommit", "delete_partition",
+        schemaJson = schemaAt(None).map(_.json).getOrElse(""), replaced = replaced))
+      instant
+    } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
+  }
+
+  /**
+   * MERGE INTO semantics (ref: MergeIntoHoodieTableCommand.scala): rows of
+   * `source` matched against existing keys; matched+deleteCond → delete,
+   * matched+updateCond → update, unmatched+insertCond → insert.
+   * Conditions default to always-true.
+   */
+  def mergeInto(source: DataFrame, updateCond: Column = lit(true),
+      deleteCond: Column = lit(false), insertCond: Column = lit(true)): String = {
+    val keyed = source
+      .withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+    val existing = existingKeys().withColumn("_g_m", lit(true))
+    val m = keyed.join(existing, Seq(KEY, PART), "left")
+    val toDelete = m.filter(col("_g_m") && deleteCond).withColumn(DELETED, lit(true))
+    val toUpdate = m.filter(col("_g_m") && !deleteCond && updateCond)
+      .withColumn(DELETED, lit(false))
+    val toInsert = m.filter(col("_g_m").isNull && insertCond)
+      .withColumn(DELETED, lit(false))
+    val batch = toDelete.unionByName(toUpdate).unionByName(toInsert)
+      .drop("_g_m", KEY, PART)
+    writeBatch(batch, "merge")
+  }
+
+  /** Distinct (key, partition) currently in the table — key-column scan of
+    * base files only (inserts always have a base-file home). */
+  private def existingKeys(): DataFrame = {
+    val data = schemaAt(None).getOrElse(new StructType())
+    val cur = slices(None)
+    readConformed(cur.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      .select(col(KEY), col(PART)).distinct()
+  }
+
+  // ----------------------------------------------------------------- reads
+
+  /** Snapshot query: latest version of every record (ref: QUERY_TYPE
+    * snapshot). `asOf` = time travel; `partitionPred` prunes partitions
+    * before any file is read. */
+  def snapshot(asOf: Option[String] = None,
+      partitionPred: String => Boolean = _ => true): DataFrame = {
+    val data = schemaAt(asOf).getOrElse(new StructType())
+    val ss = slices(asOf).filter(s => partitionPred(s.partition))
+    val (logged, plain) = ss.partition(_.logs.nonEmpty)
+    val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+    val all = if (logged.isEmpty) plainDf else {
+      // merge window runs only over file groups that actually have logs
+      val b = readConformed(logged.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      val l = readConformed(logged.flatMap(_.logs.map { case (i, f) => f -> i }), data)
+      plainDf.unionByName(mergeLatest(b.unionByName(l)))
+    }
+    all.filter(!col(DELETED)).drop(FILE_ID, DELETED)
+  }
+
+  /** Read-optimized query: base files only, no log merge (ref: QUERY_TYPE
+    * read_optimized). */
+  def readOptimized(asOf: Option[String] = None): DataFrame = {
+    val data = schemaAt(asOf).getOrElse(new StructType())
+    readConformed(slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      .filter(!col(DELETED)).drop(FILE_ID, DELETED)
+  }
+
+  /** Incremental query: latest state of records changed in (from, to]
+    * (ref: QUERY_TYPE incremental + BEGIN_INSTANTTIME). Scans only files
+    * committed in the range. */
+  def incremental(fromExclusive: String, toInclusive: Option[String] = None): DataFrame = {
+    val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
+    val data = schemaAt(Some(to)).getOrElse(new StructType())
+    val ms = timeline.metas(Some(to))
+      .filter(m => dataActions(m.action) && m.instant > fromExclusive)
+    val files = ms.flatMap(m => m.files.map(_ -> m.instant))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        fullSchema(data)).drop(FILE_ID, DELETED)
+    mergeLatest(readConformed(files, data)
+      .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to))
+      .filter(!col(DELETED)).drop(FILE_ID, DELETED)
+  }
+
+  /** Snapshot pruned by recorded per-file column stats: only file slices
+    * whose [min,max] for `column` intersects [lo,hi] are read (the
+    * reference's column-stats index / data skipping). */
+  def snapshotPruned(column: String, lo: String, hi: String): DataFrame = {
+    val data = schemaAt(None).getOrElse(new StructType())
+    val numeric = data.fields.find(_.name == column).exists(_.dataType.isInstanceOf[NumericType])
+    def le(a: String, b: String): Boolean =
+      if (a.isEmpty || b.isEmpty) true
+      else if (numeric) a.toDouble <= b.toDouble
+      else a <= b
+    val ss = slices(None).filter { s =>
+      s.logs.nonEmpty || s.baseFiles.exists { b =>
+        b.colStats.get(column) match {
+          case Some(Array(mn, mx)) => le(mn, hi) && le(lo, mx)
+          case _ => true
+        }
+      }
+    }
+    val (logged, plain) = ss.partition(_.logs.nonEmpty)
+    val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+    val all = if (logged.isEmpty) plainDf else {
+      val b = readConformed(logged.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      val l = readConformed(logged.flatMap(_.logs.map { case (i, f) => f -> i }), data)
+      plainDf.unionByName(mergeLatest(b.unionByName(l)))
+    }
+    all.filter(!col(DELETED)).drop(FILE_ID, DELETED)
+  }
+
+  // -------------------------------------------------------- table services
+
+  /** Compaction: fold each log-bearing file group's logs into a new base
+    * slice (ref: HoodieCompactor). Per-group rewrites are independent —
+    * one distributed job, embarrassingly parallel. */
+  def compact(): Option[String] = {
+    val todo = slices(None).filter(_.logs.nonEmpty)
+    if (todo.isEmpty) return None
+    val instant = timeline.startInstant("commit")
+    try {
+      val data = schemaAt(None).getOrElse(new StructType())
+      val merged = readSliceRows(todo, data).filter(!col(DELETED))
+      val files = stageWrite(merged, instant, Set.empty)
+      timeline.complete(CommitMeta(instant, "commit", "compact",
+        schemaJson = data.json, files = files))
+      Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
+  }
+
+  /** Clustering (ref: RunClusteringProcedure): rewrite the table's live data
+    * into range-partitioned, sorted file groups — linear sort or Z-order —
+    * via a replacecommit. Original commit times are preserved per row, so
+    * incremental reads are unaffected. */
+  def cluster(sortCols: Seq[String], zorder: Boolean = false): String = {
+    val instant = timeline.startInstant("replacecommit")
+    try {
+      val cur = slices(None)
+      val data = schemaAt(None).getOrElse(new StructType())
+      val rows = readSliceRows(cur, data).filter(!col(DELETED))
+      val totalRows = cur.map(_.totalRows).sum
+      val nGroups = math.max(1, math.ceil(totalRows.toDouble / config.targetFileSizeRows).toInt)
+      val layoutCol: Column =
+        if (!zorder || sortCols.size < 2) struct(sortCols.map(col): _*)
+        else ZOrder.zvalue(rows, sortCols.take(2))
+      val arranged = rows.withColumn("_g_z", layoutCol)
+        .repartitionByRange(nGroups, col(PART), col("_g_z"))
+        .sortWithinPartitions(col(PART), col("_g_z"))
+        .withColumn(FILE_ID, format_string(s"c$instant-%05d", spark_partition_id()))
+        .drop("_g_z")
+      val files = stageWrite(arranged, instant, Set.empty)
+      timeline.complete(CommitMeta(instant, "replacecommit", "cluster",
+        schemaJson = data.json, files = files,
+        replaced = cur.map(s => s"${s.partition}|${s.fileId}")))
+      instant
+    } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
+  }
+
+  /** Cleaning (ref: RunCleanProcedure, KEEP_LATEST_FILE_VERSIONS): per file
+    * group keep the latest `retainVersions` base slices (+ live logs),
+    * physically delete older files. */
+  def clean(retainVersions: Int = 1): String = {
+    val instant = timeline.startInstant("clean")
+    try {
+      val ms = timeline.metas(None).filter(m => dataActions(m.action))
+      val byGroup = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
+      for (m <- ms; f <- m.files) byGroup.getOrElseUpdate((f.partition, f.fileId),
+        mutable.Buffer()) += ((m.instant, f))
+      val live = slices(None).map(s => (s.partition, s.fileId) -> s).toMap
+      val doomed = mutable.Buffer[String]()
+      for (((p, fid), files) <- byGroup) {
+        val baseInstants = files.filter(!_._2.isLog).map(_._1).distinct.sorted.reverse
+        val keep = baseInstants.take(retainVersions).toSet
+        val liveLogs = live.get((p, fid)).map(_.logs.map(_._2.path).toSet).getOrElse(Set.empty)
+        for ((i, f) <- files)
+          if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
+            doomed += f.path
+      }
+      doomed.foreach(rel => Files.deleteIfExists(Paths.get(basePath, rel)))
+      timeline.complete(CommitMeta(instant, "clean", "clean", deletedPaths = doomed.toSeq))
+      instant
+    } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
+  }
+
+  /** Roll back the most recent data commit: delete its files, drop the
+    * instant (ref: RollbackToInstantTimeProcedure). */
+  def rollback(): Option[String] = {
+    val ms = timeline.metas(None)
+    val dataMs = ms.filter(m => dataActions(m.action))
+    if (dataMs.isEmpty) return None
+    val target = dataMs.last
+    require(!ms.exists(m => m.action == "clean" && m.instant > target.instant),
+      s"cannot rollback ${target.instant}: a later clean removed needed files")
+    target.files.foreach(f => Files.deleteIfExists(Paths.get(basePath, f.path)))
+    timeline.remove(target.instant, target.action)
+    val instant = timeline.startInstant("rollback")
+    timeline.complete(CommitMeta(instant, "rollback", "rollback",
+      deletedPaths = target.files.map(_.path),
+      extra = Map("rolledBack" -> target.instant)))
+    Some(target.instant)
+  }
+
+  /** Savepoint the current latest instant (ref: CreateSavepointProcedure). */
+  def savepoint(): String = {
+    val saved = timeline.metas(None).filter(m => dataActions(m.action)).last.instant
+    val instant = timeline.startInstant("savepoint")
+    timeline.complete(CommitMeta(instant, "savepoint", "savepoint",
+      extra = Map("saved" -> saved)))
+    saved
+  }
+
+  /** Restore to a savepointed instant by rolling back newer commits. */
+  def restore(savedInstant: String): Unit = {
+    var more = true
+    while (more) {
+      val newer = timeline.metas(None)
+        .filter(m => dataActions(m.action) && m.instant > savedInstant)
+      if (newer.isEmpty) more = false else rollback()
+    }
+  }
+
+  // -------------------------------------------------------- introspection
+
+  /** show_commits (ref: ShowCommitsProcedure). */
+  def showCommits(): DataFrame = {
+    import spark.implicits._
+    timeline.metas(None).map(m => (m.instant, m.action, m.operation,
+      m.files.size, m.files.map(_.rows).sum, m.replaced.size))
+      .toDF("instant", "action", "operation", "n_files", "rows_written", "n_replaced")
+  }
+
+  /** show_fsview_all (ref: ShowFileSystemViewProcedure). */
+  def showFileSystemView(): DataFrame = {
+    import spark.implicits._
+    slices(None).map(s => (s.partition, s.fileId, s.baseInstant,
+      s.baseFiles.size, s.logs.size, s.totalRows))
+      .toDF("partition", "file_id", "base_instant", "n_base_files", "n_logs", "rows")
+  }
+
+  def showPartitions(): DataFrame = {
+    import spark.implicits._
+    slices(None).map(_.partition).distinct.sorted.toDF("partition")
+  }
+
+  /** Write-amplification stat (ref: StatsWriteAmplificationProcedure):
+    * total rows written across commits / rows in latest snapshot. */
+  def statsWriteAmplification(): Double = {
+    val written = timeline.metas(None).filter(m => dataActions(m.action))
+      .flatMap(_.files).map(_.rows).sum.toDouble
+    val liveRows = slices(None).map(_.totalRows).sum.toDouble
+    if (liveRows == 0) 0.0 else written / liveRows
+  }
+}
+
+/** Z-order (Morton) interleave of two columns, built from plain Column
+  * bit-ops so it stays inside whole-stage codegen. Values are min/max
+  * normalized to 16-bit ranks (two scalar aggregates), then bit-spread. */
+object ZOrder {
+  private def spread(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x33333333L))
+    v = (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x55555555L))
+    v
+  }
+
+  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
+    val Seq(a, b) = cols
+    val r = df.agg(min(col(a)).cast("double").as("amn"), max(col(a)).cast("double").as("amx"),
+      min(col(b)).cast("double").as("bmn"), max(col(b)).cast("double").as("bmx")).collect()(0)
+    def norm(c: String, mn: Double, mx: Double): Column =
+      if (mx <= mn) lit(0L)
+      else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
+    spread(norm(a, r.getDouble(0), r.getDouble(1)))
+      .bitwiseOR(shiftleft(spread(norm(b, r.getDouble(2), r.getDouble(3))), 1))
+  }
+}

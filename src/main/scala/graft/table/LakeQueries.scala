@@ -1,12 +1,259 @@
 package graft.table
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Oracle-checked queries exercising the Graft lakehouse engine end-to-end
-  * (write a physical table, run table services, read it back). Filled in as
-  * SURVEY.md §2.1 lands. */
+/**
+ * Oracle-checked queries exercising the Graft lakehouse engine end-to-end:
+ * each one physically writes a Graft table to a scratch dir, runs write
+ * operations + table services against it, and reads it back. The DuckDB
+ * oracle states the same semantics in SQL over the raw input tables, so the
+ * whole engine (timeline, staged writes, tagging, merge, compaction) is
+ * inside the checked path. SURVEY.md §2.1.
+ *
+ * All value transforms are exact in IEEE double arithmetic (x*2, x+100) so
+ * results are bit-identical to the oracle with no rounding tolerance needed.
+ */
 object LakeQueries {
   type Q = (SparkSession, String) => DataFrame
-  val all: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private def scratch(name: String, sfDir: String): String = {
+    val safe = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_lake/${name}_$safe"
+    GraftTable.drop(p)
+    p
+  }
+
+  private def ordersCfg(tableType: TableType, pc: String = "o_totalprice") =
+    TableConfig("orders_lake", tableType, keyFields = Seq("o_orderkey"),
+      precombineField = Some(pc),
+      partitioning = PartitionByColumns(Seq("o_orderstatus")),
+      targetFileSizeRows = 50000)
+
+  private val outCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    col("o_totalprice"),
+    date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+    col("o_orderpriority"))
+
+  private def out(df: DataFrame): DataFrame =
+    df.select(outCols: _*).orderBy(col("o_orderkey"))
+
+  private val oracleCols =
+    """o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority""".stripMargin
+
+  /** COW upsert: updates double the price of every 10th order and add new
+    * orders with shifted keys; snapshot must reflect both. */
+  def lakeUpsertSnapshot(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("upsert", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("UPDATED"))
+    val news = orders.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    t.upsert(updates.unionByName(news))
+    out(t.snapshot())
+  }
+
+  /** COW delete by key. */
+  def lakeDeleteKeys(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("delete", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.delete(orders.filter(col("o_orderkey") % 7 === 0))
+    out(t.snapshot())
+  }
+
+  /** Partition-level insert_overwrite via replacecommit. */
+  def lakeInsertOverwrite(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("overwrite", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    val replacement = orders.filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+    t.insertOverwrite(replacement)
+    out(t.snapshot())
+  }
+
+  /** Incremental pull: only records changed after the first commit. */
+  def lakeIncremental(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("incr", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    val c1 = t.bulkInsert(orders.filter(col("o_orderkey") % 10 =!= 0))
+    val news = orders.filter(col("o_orderkey") % 10 === 0)
+    val updates = orders.filter(col("o_orderkey") % 20 === 5)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.upsert(news.unionByName(updates))
+    out(t.incremental(c1))
+  }
+
+  /** Time travel: snapshot as of the first commit ignores later changes. */
+  def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("tt", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    val c1 = t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", lit(0.0)))
+    t.delete(orders.filter(col("o_orderkey") % 5 === 0))
+    out(t.snapshot(asOf = Some(c1)))
+  }
+
+  /** MERGE INTO: matched+%5 delete, matched+%2 update, unmatched insert. */
+  def lakeMergeInto(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("merge", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    val shifted = orders.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val source = orders.unionByName(shifted)
+      .withColumn("o_orderpriority", lit("MERGED"))
+    t.mergeInto(source,
+      updateCond = col("o_orderkey") % 2 === 0,
+      deleteCond = col("o_orderkey") % 5 === 0,
+      insertCond = lit(true))
+    out(t.snapshot())
+  }
+
+  /** MOR snapshot: two rounds of log updates, latest wins, no compaction. */
+  def lakeMorSnapshot(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("mor", d), ordersCfg(MergeOnRead))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.upsert(orders.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 4))
+    out(t.snapshot())
+  }
+
+  /** MOR read-optimized: log updates invisible until compaction. */
+  def lakeReadOptimized(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("ro", d), ordersCfg(MergeOnRead))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(0.0)))
+    out(t.readOptimized())
+  }
+
+  /** Compaction folds logs into base files; read-optimized then sees the
+    * merged data. */
+  def lakeCompaction(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("compact", d), ordersCfg(MergeOnRead))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.delete(orders.filter(col("o_orderkey") % 11 === 0))
+    t.compact()
+    out(t.readOptimized())
+  }
+
+  /** Within-batch precombine: the row with the later ordering value wins. */
+  def lakeDedupPrecombine(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("precombine", d),
+      ordersCfg(CopyOnWrite, pc = "o_orderdate"))
+    val orders = Tables.orders(s, d)
+    val early = orders.withColumn("o_totalprice", lit(1.0))
+    val late = orders
+      .withColumn("o_orderdate", col("o_orderdate") + expr("INTERVAL 1 DAY"))
+      .withColumn("o_totalprice", lit(2.0))
+    t.upsert(early.unionByName(late))
+    out(t.snapshot())
+  }
+
+  val all: Map[String, Q] = Map(
+    "lake_upsert_snapshot" -> (lakeUpsertSnapshot _),
+    "lake_delete_keys" -> (lakeDeleteKeys _),
+    "lake_insert_overwrite" -> (lakeInsertOverwrite _),
+    "lake_incremental" -> (lakeIncremental _),
+    "lake_time_travel" -> (lakeTimeTravel _),
+    "lake_merge_into" -> (lakeMergeInto _),
+    "lake_mor_snapshot" -> (lakeMorSnapshot _),
+    "lake_read_optimized" -> (lakeReadOptimized _),
+    "lake_compaction" -> (lakeCompaction _),
+    "lake_dedup_precombine" -> (lakeDedupPrecombine _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lake_upsert_snapshot" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |         o_orderdate, 'UPDATED'
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 100 = 7)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_delete_keys" ->
+      s"""SELECT $oracleCols FROM orders
+         |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "lake_insert_overwrite" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus <> 'P'
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'P')
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_incremental" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 20 = 5)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_time_travel" ->
+      s"""SELECT $oracleCols FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_merge_into" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate,
+         |         CASE WHEN o_orderkey % 2 = 0 THEN 'MERGED'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, 'MERGED'
+         |  FROM orders WHERE o_orderkey % 50 = 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_mor_snapshot" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice * 4
+         |              WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_read_optimized" ->
+      s"""SELECT $oracleCols FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_compaction" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 11 <> 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_dedup_precombine" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, 2.0 AS o_totalprice,
+         |  strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS orderdate,
+         |  o_orderpriority
+         |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
 }

@@ -1,0 +1,80 @@
+package graft.table
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Table type, mirroring the reference's COPY_ON_WRITE / MERGE_ON_READ
+  * (ref: hudi-common/src/main/java/org/apache/hudi/common/model/HoodieTableType.java). */
+sealed trait TableType { def name: String }
+case object CopyOnWrite extends TableType { val name = "cow" }
+case object MergeOnRead extends TableType { val name = "mor" }
+object TableType {
+  def of(s: String): TableType = s match {
+    case "cow" => CopyOnWrite
+    case "mor" => MergeOnRead
+    case other => throw new IllegalArgumentException(s"unknown table type $other")
+  }
+}
+
+/** Partitioning spec — the reference's key generators
+  * (ref: hudi-common/src/main/java/org/apache/hudi/keygen package):
+  * non-partitioned, simple/complex column, timestamp-based. */
+sealed trait PartitionSpec {
+  /** Column expression producing the hive-style partition path string. */
+  def pathExpr: Column
+  def columns: Seq[String]
+}
+case object NonPartitioned extends PartitionSpec {
+  val pathExpr: Column = lit("")
+  val columns: Seq[String] = Nil
+}
+/** Hive-style `col=val/col2=val2` from one or more columns. */
+case class PartitionByColumns(cols: Seq[String]) extends PartitionSpec {
+  def pathExpr: Column =
+    concat_ws("/", cols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+  def columns: Seq[String] = cols
+}
+/** Timestamp-based keygen: partition by a formatted time column,
+  * e.g. `dt=2024-01-30`. */
+case class PartitionByTimestamp(tsCol: String, format: String = "yyyy-MM-dd")
+    extends PartitionSpec {
+  def pathExpr: Column = concat(lit("dt="), date_format(col(tsCol), format))
+  def columns: Seq[String] = Seq(tsCol)
+}
+
+/** Upsert index strategy (ref: hudi-client-common .../index/HoodieIndex.java):
+  *  - [[StatsIndex]] ~ SIMPLE/BLOOM: scan the key column of candidate base
+  *    files (pruned by per-file key min/max recorded at commit time) and join
+  *    against the incoming batch. The existing table is never reshuffled.
+  *  - [[BucketIndex]] ~ BUCKET: fileId = hash(key) % buckets, per partition;
+  *    tagging is a pure expression, no lookup at all — the 100 TB path.
+  */
+sealed trait IndexType
+case object StatsIndex extends IndexType
+case class BucketIndex(buckets: Int) extends IndexType
+
+/**
+ * Graft table configuration, persisted as `<base>/.graft/table.json`.
+ *
+ * @param keyFields       record key column(s) (complex key when >1)
+ * @param precombineField ordering field: within one batch the record with the
+ *                        highest value wins (ref: HoodieRecordPayload
+ *                        preCombine semantics)
+ * @param targetFileSizeRows target rows per base file; inserts bin-pack into
+ *                        under-sized file groups before opening new ones
+ */
+case class TableConfig(
+    name: String,
+    tableType: TableType,
+    keyFields: Seq[String],
+    precombineField: Option[String] = None,
+    partitioning: PartitionSpec = NonPartitioned,
+    index: IndexType = StatsIndex,
+    targetFileSizeRows: Long = 1000000L) {
+
+  /** Record key expression: single col as string, or `f1:v1,f2:v2` for
+    * complex keys (mirrors ComplexAvroKeyGenerator output shape). */
+  def keyExpr: Column =
+    if (keyFields.size == 1) col(keyFields.head).cast("string")
+    else concat_ws(",", keyFields.map(f => concat(lit(f + ":"), col(f).cast("string"))): _*)
+}

@@ -1,0 +1,119 @@
+package graft.table
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.{ClassTagExtensions, DefaultScalaModule}
+
+/** Per-file metadata recorded in a commit (path relative to table base).
+  * keyMin/keyMax power stats-index candidate pruning on upsert and file
+  * skipping on read (the reference's column-stats / bloom metadata,
+  * ref: hudi-common .../metadata/HoodieTableMetadata.java). */
+case class FileMeta(
+    path: String,
+    fileId: String,
+    partition: String,
+    rows: Long,
+    isLog: Boolean = false,
+    keyMin: String = "",
+    keyMax: String = "",
+    colStats: Map[String, Array[String]] = Map.empty)
+
+/** One timeline instant's metadata (ref: hudi-common
+  * .../table/timeline/HoodieInstant.java + HoodieCommitMetadata.java).
+  * Actions: commit (COW write / compaction result), deltacommit (MOR write),
+  * replacecommit (insert_overwrite / clustering / delete_partition),
+  * clean, rollback, savepoint. */
+case class CommitMeta(
+    instant: String,
+    action: String,
+    operation: String,
+    schemaJson: String = "",
+    files: Seq[FileMeta] = Nil,
+    replaced: Seq[String] = Nil, // fileIds no longer live after this instant
+    deletedPaths: Seq[String] = Nil, // physical deletions (clean/rollback)
+    extra: Map[String, String] = Map.empty)
+
+object Json {
+  val mapper: ObjectMapper with ClassTagExtensions =
+    new ObjectMapper() with ClassTagExtensions
+  mapper.registerModule(DefaultScalaModule)
+  mapper.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+}
+
+/**
+ * The commit timeline: ordered instants under `<base>/.graft/timeline`.
+ * Completed instant = `<instant>.<action>.json` (atomic move from a
+ * `.inflight` file); an instant is invisible to readers until completed.
+ * This is the ACID story of the reference re-expressed on a filesystem:
+ * readers resolve file slices only from completed instants, so writes are
+ * snapshot-isolated without locks.
+ */
+class Timeline(baseDir: String) {
+  val dir: Path = Paths.get(baseDir, ".graft", "timeline")
+
+  def init(): Unit = Files.createDirectories(dir)
+
+  private def listNames(): Seq[String] =
+    if (!Files.exists(dir)) Nil
+    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+
+  def completed(): Seq[(String, String)] = // (instant, action) sorted by instant
+    listNames().filter(_.endsWith(".json")).map { n =>
+      val parts = n.stripSuffix(".json").split('.')
+      (parts(0), parts(1))
+    }.sortBy(_._1)
+
+  def latestInstant(): Option[String] = {
+    val all = listNames().map(_.split('.')(0))
+    if (all.isEmpty) None else Some(all.max)
+  }
+
+  /** Allocate a new, strictly increasing instant and atomically claim it via
+    * an exclusive inflight-file create (optimistic concurrency: two writers
+    * can never claim the same instant). */
+  def startInstant(action: String): String = {
+    var ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+    val last = latestInstant()
+    if (last.exists(_ >= ts)) ts = incr(last.get)
+    var claimed = false
+    while (!claimed) {
+      try {
+        Files.createFile(dir.resolve(s"$ts.$action.inflight"))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ts = incr(ts)
+      }
+    }
+    ts
+  }
+
+  private def incr(s: String): String = (BigInt(s) + 1).toString
+
+  def complete(meta: CommitMeta): Unit = {
+    val tmp = dir.resolve(s"${meta.instant}.${meta.action}.tmp")
+    Files.write(tmp, Json.mapper.writeValueAsBytes(meta),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, dir.resolve(s"${meta.instant}.${meta.action}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.deleteIfExists(dir.resolve(s"${meta.instant}.${meta.action}.inflight"))
+  }
+
+  def abort(instant: String, action: String): Unit =
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
+
+  def read(instant: String, action: String): CommitMeta =
+    Json.mapper.readValue[CommitMeta](
+      Files.readAllBytes(dir.resolve(s"$instant.$action.json")))
+
+  /** All completed metas in instant order, optionally up to `asOf`
+    * (inclusive) — the time-travel boundary. */
+  def metas(asOf: Option[String] = None): Seq[CommitMeta] =
+    completed()
+      .filter { case (i, _) => asOf.forall(i <= _) }
+      .map { case (i, a) => read(i, a) }
+
+  def remove(instant: String, action: String): Unit =
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
+}

@@ -1,0 +1,307 @@
+package graft.table
+
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftTableSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_spec_").toString
+
+  private def orders: DataFrame = Tables.orders(spark, sf)
+
+  private def ordersTable(tableType: TableType, dir: String,
+      index: IndexType = StatsIndex): GraftTable =
+    GraftTable.create(spark, dir, TableConfig("orders_t", tableType,
+      keyFields = Seq("o_orderkey"), precombineField = Some("o_totalprice"),
+      partitioning = PartitionByColumns(Seq("o_orderstatus")),
+      index = index, targetFileSizeRows = 400))
+
+  private def keys(df: DataFrame): Set[Long] =
+    df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+  test("cow: bulk insert + snapshot round-trips") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(keys(snap) === keys(orders))
+    // meta columns present, data columns intact
+    assert(snap.columns.contains(GraftTable.COMMIT))
+    assert(orders.columns.forall(snap.columns.contains))
+    GraftTable.drop(dir)
+  }
+
+  test("cow: upsert updates existing keys, inserts new, preserves commit time of untouched rows") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    val c1 = t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+    val news = orders.filter(col("o_orderkey") % 100 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000)
+    val c2 = t.upsert(updates.unionByName(news))
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count() + news.count())
+    val doubled = snap.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 1000000)
+    val orig = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 2, 2).as("exp"))
+    assert(doubled.join(orig, "o_orderkey")
+      .filter(abs(col("o_totalprice") - col("exp")) > 0.001).count() === 0)
+    // untouched rows keep their original commit time
+    val untouched = snap.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") < 1000000)
+    assert(untouched.filter(col(GraftTable.COMMIT) =!= c1).count() === 0)
+    assert(snap.filter(col(GraftTable.COMMIT) === c2).count()
+      === updates.count() + news.count())
+    GraftTable.drop(dir)
+  }
+
+  test("cow: delete removes keys; deleting everything in a group kills the group") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.delete(orders.filter(col("o_orderkey") % 7 === 0))
+    val snap = t.snapshot()
+    assert(keys(snap) === keys(orders.filter(col("o_orderkey") % 7 =!= 0)))
+    // now delete an entire partition's rows record-by-record
+    t.delete(orders.filter(col("o_orderstatus") === "P"))
+    assert(t.snapshot().filter(col("o_orderstatus") === "P").count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("time travel and incremental") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    val c1 = t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED"))
+    val c2 = t.upsert(updates)
+    // time travel to c1 sees the original data
+    val tt = t.snapshot(asOf = Some(c1))
+    assert(tt.filter(col("o_orderpriority") === "0-UPDATED").count() === 0)
+    assert(tt.count() === orders.count())
+    // incremental (c1, c2] sees exactly the changed rows
+    val inc = t.incremental(c1, Some(c2))
+    assert(inc.count() === updates.count())
+    assert(inc.filter(col("o_orderpriority") =!= "0-UPDATED").count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("insert_overwrite replaces only touched partitions; delete_partition; overwrite table") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val replacement = orders.filter(col("o_orderstatus") === "P")
+      .withColumn("o_totalprice", lit(1.0)).limit(100)
+    t.insertOverwrite(replacement)
+    val snap = t.snapshot()
+    assert(snap.filter(col("o_orderstatus") === "P").count() === 100)
+    assert(snap.filter(col("o_orderstatus") === "O").count()
+      === orders.filter(col("o_orderstatus") === "O").count())
+    t.deletePartitions(Seq("o_orderstatus=F"))
+    assert(t.snapshot().filter(col("o_orderstatus") === "F").count() === 0)
+    t.insertOverwriteTable(orders.limit(10))
+    assert(t.snapshot().count() === 10)
+    GraftTable.drop(dir)
+  }
+
+  test("mor: upsert goes to logs; read-optimized skips them until compaction") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED"))
+    t.upsert(updates)
+    // deltacommit wrote logs
+    assert(t.slices(None).exists(_.logs.nonEmpty))
+    // snapshot merges, read-optimized does not
+    assert(t.snapshot().filter(col("o_orderpriority") === "0-UPDATED").count()
+      === updates.count())
+    assert(t.readOptimized().filter(col("o_orderpriority") === "0-UPDATED").count() === 0)
+    assert(t.snapshot().count() === orders.count())
+    // MOR delete via log tombstone
+    t.delete(orders.filter(col("o_orderkey") % 13 === 0))
+    assert(t.snapshot().filter(col("o_orderkey") % 13 === 0).count() === 0)
+    // compaction folds logs into new bases
+    val Some(_) = t.compact(): @unchecked
+    assert(t.slices(None).forall(_.logs.isEmpty))
+    assert(t.readOptimized().filter(col("o_orderpriority") === "0-UPDATED").count()
+      === updates.filter(col("o_orderkey") % 13 =!= 0).count())
+    assert(t.snapshot().filter(col("o_orderkey") % 13 === 0).count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("precombine: highest ordering value wins within a batch") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    val low = orders.limit(50).withColumn("o_totalprice", lit(1.0))
+    val high = orders.limit(50).withColumn("o_totalprice", lit(999.0))
+    t.upsert(low.unionByName(high))
+    val snap = t.snapshot()
+    assert(snap.count() === 50)
+    assert(snap.filter(col("o_totalprice") =!= 999.0).count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("mergeInto: matched update / matched delete / unmatched insert") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders.filter(col("o_orderkey") < 1000))
+    val source = orders
+      .withColumn("o_orderpriority", lit("MERGED"))
+    t.mergeInto(source,
+      updateCond = col("o_orderkey") % 2 === 0,
+      deleteCond = col("o_orderkey") % 5 === 0,
+      insertCond = col("o_orderkey") >= 1000)
+    val snap = t.snapshot().cache()
+    // deleted: matched keys divisible by 5
+    assert(snap.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 5 === 0).count() === 0)
+    // updated: matched even keys (not %5)
+    val updated = snap.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 2 === 0
+      && col("o_orderkey") % 5 =!= 0)
+    assert(updated.filter(col("o_orderpriority") =!= "MERGED").count() === 0)
+    // untouched: matched odd keys keep original priority
+    val untouched = snap.filter(col("o_orderkey") < 1000 && col("o_orderkey") % 2 =!= 0
+      && col("o_orderkey") % 5 =!= 0)
+    assert(untouched.filter(col("o_orderpriority") === "MERGED").count() === 0)
+    // inserted: all keys >= 1000
+    assert(snap.filter(col("o_orderkey") >= 1000).count()
+      === orders.filter(col("o_orderkey") >= 1000).count())
+    snap.unpersist()
+    GraftTable.drop(dir)
+  }
+
+  test("clustering: layout rewrite preserves data and commit times; z-order works") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    val c1 = t.bulkInsert(orders)
+    val before = t.snapshot().select("o_orderkey", "o_totalprice").collect().toSet
+    t.cluster(Seq("o_orderdate"))
+    assert(t.snapshot().select("o_orderkey", "o_totalprice").collect().toSet === before)
+    // commit times preserved -> incremental from c1 is still empty
+    assert(t.incremental(c1).count() === 0)
+    t.cluster(Seq("o_orderkey", "o_custkey"), zorder = true)
+    assert(t.snapshot().select("o_orderkey", "o_totalprice").collect().toSet === before)
+    GraftTable.drop(dir)
+  }
+
+  test("clean removes superseded file slices but keeps the live snapshot") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0).withColumn("o_totalprice", lit(5.0)))
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 1).withColumn("o_totalprice", lit(6.0)))
+    val rowsBefore = t.snapshot().count()
+    t.clean(retainVersions = 1)
+    assert(t.snapshot().count() === rowsBefore)
+    // physical files: only live slices remain
+    val live = t.slices(None).flatMap(s => s.baseFiles ++ s.logs.map(_._2)).map(_.path).toSet
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    val dataFiles = onDisk.asScala.filter(p => p.toString.endsWith(".parquet"))
+      .map(p => java.nio.file.Paths.get(dir).relativize(p).toString).toSet
+    assert(dataFiles === live)
+    GraftTable.drop(dir)
+  }
+
+  test("rollback undoes the last commit; savepoint/restore rewinds") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val saved = t.savepoint()
+    t.upsert(orders.limit(20).withColumn("o_orderpriority", lit("X")))
+    assert(t.snapshot().filter(col("o_orderpriority") === "X").count() === 20)
+    t.rollback()
+    assert(t.snapshot().filter(col("o_orderpriority") === "X").count() === 0)
+    t.upsert(orders.limit(10).withColumn("o_orderpriority", lit("Y")))
+    t.upsert(orders.limit(10).withColumn("o_orderpriority", lit("Z")))
+    t.restore(saved)
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderpriority").isin("X", "Y", "Z")).count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("key generators: complex key and timestamp partitioning") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("li", CopyOnWrite,
+      keyFields = Seq("l_orderkey", "l_linenumber"),
+      precombineField = Some("l_extendedprice"),
+      partitioning = PartitionByTimestamp("l_shipdate", "yyyy-MM"),
+      targetFileSizeRows = 2000))
+    val li = Tables.lineitem(spark, sf)
+    t.bulkInsert(li)
+    assert(t.snapshot().count() === li.count())
+    assert(t.showPartitions().collect().map(_.getString(0)).forall(_.startsWith("dt=")))
+    // upsert one specific line item by its compound key
+    val one = li.filter(col("l_orderkey") === li.select(min("l_orderkey")).collect()(0).getLong(0))
+      .limit(1).withColumn("l_quantity", lit(77.0))
+    t.upsert(one)
+    assert(t.snapshot().filter(col("l_quantity") === 77.0).count() === 1)
+    assert(t.snapshot().count() === li.count())
+    GraftTable.drop(dir)
+  }
+
+  test("bucket index: expression-only tagging upserts correctly") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir, index = BucketIndex(8))
+    t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderpriority", lit("B-UPD"))
+    t.upsert(updates)
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderpriority") === "B-UPD").count() === updates.count())
+    // all file ids are bucket-shaped
+    assert(t.slices(None).forall(_.fileId.matches("b\\d{5}")))
+    GraftTable.drop(dir)
+  }
+
+  test("schema evolution: new column appears, old rows read as null") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders.filter(col("o_orderkey") % 2 === 0))
+    val withNew = orders.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_channel", lit("web"))
+    t.upsert(withNew)
+    val snap = t.snapshot()
+    assert(snap.columns.contains("o_channel"))
+    assert(snap.filter(col("o_channel") === "web").count()
+      === orders.filter(col("o_orderkey") % 2 === 1).count())
+    assert(snap.filter(col("o_channel").isNull).count()
+      === orders.filter(col("o_orderkey") % 2 === 0).count())
+    GraftTable.drop(dir)
+  }
+
+  test("column-stats pruning: snapshotPruned reads matching slices only") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("o2", CopyOnWrite,
+      keyFields = Seq("o_orderkey"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 200))
+    t.bulkInsert(orders)
+    t.cluster(Seq("o_orderkey"))  // sort by key so file ranges are disjoint
+    val lo = "100"; val hi = "200"
+    val pruned = t.snapshotPruned("o_orderkey", lo, hi)
+      .filter(col("o_orderkey").between(100, 200))
+    val full = t.snapshot().filter(col("o_orderkey").between(100, 200))
+    assert(pruned.count() === full.count())
+    GraftTable.drop(dir)
+  }
+
+  test("introspection: commits, fsview, partitions, write amplification") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.limit(30).withColumn("o_totalprice", lit(2.0)))
+    assert(t.showCommits().count() === 2)
+    assert(t.showFileSystemView().count() > 0)
+    assert(t.showPartitions().count() === 3)
+    assert(t.statsWriteAmplification() >= 1.0)
+    GraftTable.drop(dir)
+  }
+}
