@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis building blocks for training-data pipelines (SURVEY.md
+ * §2.3), all composed from codegen'd built-ins so they run inside
+ * whole-stage codegen. Every function has an exact DuckDB-SQL twin
+ * (regex semantics shared between Java regex and RE2 for the patterns
+ * used here), which is what makes the oracle checks possible.
+ */
+object TextFunctions {
+
+  /** Whitespace-separated token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish pre-tokenization count: words / numbers / single punctuation,
+    * the usual first split before byte-pair merging. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in", "to")
+
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+
+  /** Quality signals: doc length, word stats, punctuation + stopword
+    * ratios, and a coarse keep/drop flag — the Gopher-rules shape of
+    * corpus filtering. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val nWords = wsTokenCount(text)
+    val nPunct = punctCount(text)
+    val nStop = stopwordCount(text)
+    val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
+      nWords.cast("double")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "mean_word_len" -> meanWordLen,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio,
+      "keep" -> (nWords >= 10 && nWords <= 100000 &&
+        meanWordLen >= 2.0 && meanWordLen <= 12.0 && punctRatio <= 0.2).cast("int"))
+  }
+
+  /** Language-ID heuristic: stopword-marker counts per language, CJK by
+    * codepoint class; highest score wins (en on ties). */
+  def langIdColumns(text: Column): (Seq[(String, Column)], Column) = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+    val sEn = cnt("\\b(the|and|of|is|was)\\b")
+    val sDe = cnt("\\b(der|die|das|und|ist)\\b")
+    val sFr = cnt("\\b(le|la|les|et|est)\\b")
+    val sEs = cnt("\\b(el|los|las|es|y)\\b")
+    // \x{...} form: valid in both Java regex (Spark) and RE2 (DuckDB)
+    val sZh = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val pred = when(sZh > 0, "zh")
+      .when(sDe > sEn && sDe >= sFr && sDe >= sEs, "de")
+      .when(sFr > sEn && sFr >= sEs, "fr")
+      .when(sEs > sEn, "es")
+      .when(sEn > 0, "en")
+      .otherwise("unknown")
+    (Seq("s_en" -> sEn, "s_de" -> sDe, "s_fr" -> sFr, "s_es" -> sEs, "s_zh" -> sZh), pred)
+  }
+
+  /** DuckDB twins of the above, shared by the oracle SQL strings. */
+  object sql {
+    def cnt(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
+    val wsTokens = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val bpeTokens = cnt("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+    val punct = cnt("text", "[^A-Za-z0-9\\s]")
+    val stop = cnt("lower(text)", "\\b(" + stopwords.mkString("|") + ")\\b")
+  }
+}

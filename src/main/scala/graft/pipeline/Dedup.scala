@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus deduplication operators (SURVEY.md §2.3). Everything is a
+ * DataFrame transform; the only shuffles are the groupBy/join keys each
+ * algorithm inherently needs (shingle, band bucket, simhash chunk), which
+ * is what makes them run at corpus scale — no pairwise O(n²) work except
+ * inside a candidate bucket.
+ */
+object Dedup {
+
+  /** Exact dedup on content hash: keep the lowest id per md5(text). */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    docs.withColumn("_h", md5(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_h", "_rn")
+  }
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val sh = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    ).otherwise(array())
+    docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /** All pairs with shingle-Jaccard ≥ tau. Exact: the join key is the
+    * shingle, so only documents sharing a shingle ever meet. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: numHashes independent permutations approximated by
+    * xxhash64(shingleHash, i); signature element i = min over shingles. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = shingles(docs, n, idCol, textCol)
+      .withColumn("_h", xxhash64(col("shingle")))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("_h"), lit(i))).as(s"_m$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /**
+   * MinHash + LSH banding: split the signature into `bands`, hash each band
+   * to a bucket, candidate pairs collide in ≥1 bucket, then verify with the
+   * exact Jaccard of the candidates only. At corpus scale the band-bucket
+   * groupBy is the only global shuffle; candidate verification touches a
+   * vanishing fraction of all pairs.
+   */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
+    val banded = sig.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1).cast("string")): _*))): _*))
+      .as(Seq("band", "bucket")))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")).distinct()
+    // verify candidates against exact jaccard
+    jaccardPairs(docs, n, tau, idCol, textCol).as("j")
+      .join(cands, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash over word hashes: bit b of the hash is the sign of the
+    * sum of ±1 votes from each word's hash bit. */
+  def simhash64(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .withColumn("_h", xxhash64(col("w")))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b"))
+    val agged = words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val hashExpr = (0 until 64).map(b =>
+      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a + b)
+    agged.select(col(idCol), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: LSH on 8×8-bit chunks (by pigeonhole, any pair
+    * within hamming distance ≤ 7 must agree on at least one chunk; wider
+    * distances are still usually caught), verified with
+    * bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = simhash64(docs, idCol, textCol)
+    val chunked = sh.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 8).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*))
+      .as(Seq("chunk", "val")))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ tau. Brute-force baseline — the
+    * scale path buckets by LSH first (see Similarity.lshTopK). */
+  def embeddingPairs(vecs: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"))
+  }
+}

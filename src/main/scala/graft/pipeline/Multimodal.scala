@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed metadata extracted from a media payload. */
+case class MediaMeta(doc_id: Long, byte_len: Long, format: String,
+    width: Int, height: Int, channels: Int, checksum: Long)
+
+/**
+ * Multimodal column plumbing (SURVEY.md §2.3): media as opaque `binary`
+ * columns + typed metadata, with decode running batched per partition.
+ * The Spark side — schema, partition-preserving mapPartitions, binary
+ * transport — is real; the codec itself is a STUB (no image/audio libs in
+ * this container): `fakeDecode` derives deterministic dimensions from the
+ * bytes where a real deployment would call the actual decoder.
+ */
+object Multimodal {
+
+  /** Attach a binary payload column (here: utf-8 bytes of the text stand in
+    * for image bytes) plus a claimed format from the source field. */
+  def attachPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"),
+      concat(lit("img/"), col("source")).as("format"))
+
+  /**
+   * STUB decoder — replace the body with the real codec call.
+   * Deterministic pure function of the payload so tests are stable.
+   */
+  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    var crc = 0L
+    var i = 0
+    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
+    val width = 64 + math.floorMod(crc, 448).toInt
+    val height = 64 + math.floorMod(crc >> 16, 448).toInt
+    (width, height, 3, crc)
+  }
+
+  /** Batched per-partition decode: one iterator pass, no per-row task
+    * overhead, executor-local — the shape a real decode (or a Pandas-UDF
+    * equivalent in PySpark) needs at scale. */
+  def decodeMeta(withPayload: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"), col("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, fmt) =>
+          val (w, h, c, crc) = fakeDecode(bytes)
+          MediaMeta(id, bytes.length.toLong, fmt, w, h, c, crc)
+        }
+      }
+  }
+
+  /** Deterministic frame sampling stub over a "video" payload: pick every
+    * `stride`-th byte offset as a frame marker — exercises the explode /
+    * one-to-many shape of real frame extraction. */
+  def sampleFrames(withPayload: DataFrame, stride: Int = 64): DataFrame =
+    withPayload.select(col("doc_id"),
+      posexplode(sequence(lit(0), greatest(length(col("payload")) - 1, lit(0)), lit(stride)))
+        .as(Seq("frame_idx", "byte_offset")))
+}

@@ -1,11 +1,216 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.{RollingFingerprint, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** LLM-training-data pipeline operators (SURVEY.md §2.3): dedup, similarity
-  * search, text analysis, multimodal plumbing. */
+/**
+ * LLM-training-data pipeline operators (SURVEY.md §2.3) as oracle-checked
+ * queries: dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+ * embedding), similarity search (brute force + LSH ANN), text analysis
+ * (tokens, quality, language ID, fingerprints), multimodal binary columns.
+ *
+ * The corpus has no natural duplicates, so dedup queries augment it with
+ * deterministic near-duplicate copies (id + 10000) — the operators then
+ * have real work to do and the oracle states the expected collapse.
+ */
 object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
-  val all: Map[String, Q] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** documents ∪ exact copies with shifted ids. */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 10000))
+  }
+
+  /** documents ∪ near-duplicate copies (two extra tokens appended). */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra"))))
+  }
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docsWithDups(s, d))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(docsWithNearDups(s, d), n = 3, tau = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(docsWithNearDups(s, d), n = 3, numHashes = 32,
+      bands = 8, tau = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearDups(s, d), maxHamming = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
+    val v = Tables.embeddings(s, d)
+    v.unionByName(v.withColumn("vec_id", col("vec_id") + 100000))
+  }
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(vecsWithDups(s, d), tau = 0.95)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def annCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.lshTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+      TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+      TextFunctions.punctCount(col("text")).as("punct_tokens"))
+      .orderBy(col("doc_id"))
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val cols = TextFunctions.qualityColumns(col("text"))
+      .map { case (name, c) => c.as(name) }
+    Tables.documents(s, d).select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+  }
+
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val (scores, pred) = TextFunctions.langIdColumns(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id") +: (scores.map { case (n, c) => c.as(n) } :+ pred.as("pred_lang")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.decodeMeta(Multimodal.attachPayload(Tables.documents(s, d)))
+      .toDF().orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "ann_cosine_topk" -> (annCosineTopk _),
+    "ann_lsh_topk" -> (annLshTopk _),
+    "text_tokens" -> (textTokens _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_binary_meta" -> (mmBinaryMeta _)
+  )
+
+  import TextFunctions.{sql => T}
+
+  /** Double-precision cosine in DuckDB (bit-compatible with
+    * VectorFunctions.cosine's sequential double fold). */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), x -> x[1]::DOUBLE * x[2]::DOUBLE)) /
+       | (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE))) *
+       |  sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, text, lang, source FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 10000, text, lang, source FROM documents))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM all_docs),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH all_vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+         |WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sims AS (
+         |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+         |  FROM q JOIN c ON query_id <> neighbor_id)
+         |SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM sims)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id, ${T.wsTokens} AS ws_tokens, ${T.bpeTokens} AS bpe_tokens,
+         |  ${T.punct} AS punct_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_chars, n_words, mean_word_len, stop_ratio, punct_ratio,
+         |  CASE WHEN n_words >= 10 AND n_words <= 100000
+         |        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+         |        AND punct_ratio <= 0.2 THEN 1 ELSE 0 END AS keep
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars, ${T.wsTokens} AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+         |      / (${T.wsTokens})::DOUBLE AS mean_word_len,
+         |    (${T.stop})::DOUBLE / (${T.wsTokens})::DOUBLE AS stop_ratio,
+         |    (${T.punct})::DOUBLE / length(text)::DOUBLE AS punct_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+         |  CASE WHEN s_zh > 0 THEN 'zh'
+         |       WHEN s_de > s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr > s_en AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_es > s_en THEN 'es'
+         |       WHEN s_en > 0 THEN 'en'
+         |       ELSE 'unknown' END AS pred_lang
+         |FROM (
+         |  SELECT doc_id,
+         |    ${T.cnt("lower(text)", "\\b(the|and|of|is|was)\\b")} AS s_en,
+         |    ${T.cnt("lower(text)", "\\b(der|die|das|und|ist)\\b")} AS s_de,
+         |    ${T.cnt("lower(text)", "\\b(le|la|les|et|est)\\b")} AS s_fr,
+         |    ${T.cnt("lower(text)", "\\b(el|los|las|es|y)\\b")} AS s_es,
+         |    ${T.cnt("text", "[\\x{4e00}-\\x{9fff}]")} AS s_zh
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (SURVEY.md §2.3).
+ * Brute-force top-k is the exactness baseline (query side broadcast, one
+ * pass over the corpus, per-query heap via window); LSH bucketing is the
+ * 100 TB path — candidates shrink to same-bucket vectors, recall traded
+ * via the number of hash tables.
+ */
+object Similarity {
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (self-pairs excluded). Queries are broadcast; the corpus is
+    * scanned once — the plan a 1000-executor cluster wants. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  /** Approximate top-k via random-hyperplane LSH with `tables` independent
+    * hash tables: candidates = vectors sharing a bucket with the query in
+    * any table, ranked by exact cosine. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(
+        array((0 until tables).map(t => lshBucket(col(vecCol), planes, t * 1000)): _*))
+        .as(Seq("table", "bucket")))
+    val qb = bucketed(queries, "query_id", "q_vec")
+    val cb = bucketed(corpus, "neighbor_id", "c_vec")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cands.withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/**
+ * Column ⇄ Expression bridge for Spark 4, where the conversion helpers are
+ * `private[sql]`. Lives under org.apache.spark.sql so custom Catalyst
+ * expressions (graft.functions.*) can surface as user-facing Columns — the
+ * standard pattern for Spark extension libraries.
+ */
+object ColumnBridge {
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+}

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import graft.{Tables, TestSpark}
+import graft.functions.RollingFingerprint
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Oracles for the non-SQL-expressible pipeline operators: LSH recall
+  * against brute force, minhash/simhash candidate quality vs exact
+  * Jaccard, fingerprint stability, multimodal decode plumbing. */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def nearDupDocs = {
+    val docs = Tables.documents(spark, sf)
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra"))))
+  }
+
+  test("minhash-LSH finds the same pairs as exact jaccard at tau=0.5") {
+    // verification step makes LSH precision exact; recall depends on banding.
+    val exact = Dedup.jaccardPairs(nearDupDocs, n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(nearDupDocs, n = 3, numHashes = 32, bands = 8, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH must not produce false positives after verification")
+    // planted near-dups have jaccard ~0.95+ -> banding must catch nearly all
+    val planted = exact.filter { case (a, b) => b == a + 10000 }
+    val recalled = planted.intersect(lsh)
+    assert(recalled.size >= (planted.size * 0.95).toInt,
+      s"recall ${recalled.size}/${planted.size} too low")
+  }
+
+  test("simhash: near-identical docs collide within small hamming distance") {
+    val pairs = Dedup.simhashPairs(nearDupDocs, maxHamming = 10)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docsCount = Tables.documents(spark, sf).count()
+    val planted = (0L until docsCount).map(i => (i, i + 10000)).toSet
+    val found = planted.intersect(pairs)
+    assert(found.size >= (planted.size * 0.9).toInt,
+      s"simhash found only ${found.size}/${planted.size} planted near-dups")
+  }
+
+  test("lsh ANN recall@5 against brute force") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, f"ANN recall@5 $recall%.2f below floor")
+  }
+
+  test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 === fp2)
+    // identical content -> identical fingerprint even with different ids
+    val dupFp = docs.withColumn("doc_id", col("doc_id") + 500)
+      .select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0) - 500) -> r.getLong(1)).toMap
+    assert(dupFp === fp1)
+    // direct eval matches the codegen'd path
+    val s = "the quick brown fox jumps over the lazy dog"
+    import spark.implicits._
+    val viaSpark = Seq(s).toDF("text")
+      .select(RollingFingerprint(col("text"), 16)).collect()(0).getLong(0)
+    assert(viaSpark === graft.functions.RollingFingerprint.eval(s, 16))
+  }
+
+  test("multimodal: binary payload decodes to deterministic typed metadata") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val docs = Tables.documents(spark, sf)
+    val meta = Multimodal.decodeMeta(Multimodal.attachPayload(docs))
+    val rows = meta.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(m => m.width >= 64 && m.width < 512))
+    assert(rows.forall(m => m.height >= 64 && m.height < 512))
+    assert(rows.forall(m => m.byte_len > 0 && m.channels == 3))
+    assert(rows.forall(m => m.format.startsWith("img/")))
+    // byte_len equals utf-8 length of the text it came from
+    val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(m => m.byte_len === lens(m.doc_id)))
+    // frame sampling explodes deterministically
+    val frames = Multimodal.sampleFrames(Multimodal.attachPayload(docs), 64)
+    assert(frames.count() > docs.count())
+  }
+
+  test("quality flags make sense on the corpus") {
+    val q = PipelineQueries.textQuality(spark, sf)
+    assert(q.filter(col("keep") === 1).count() > 0)
+    assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
+  }
+}
