@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** A typed event row for streaming pipelines over the events table shape. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Accumulating session state for stateful sessionization. */
+case class SessionAcc(startMs: Long, lastMs: Long, n: Int, total: Double)
+
+/** An emitted user session. */
+case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+    end_ts: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+/**
+ * Structured-Streaming surface (SURVEY.md §2.4) — the Spark-first
+ * re-expression of the reference's streaming ingest (its Flink streamer /
+ * DeltaStreamer, ref: hudi-flink-datasource/.../HoodieFlinkStreamerWithApollo,
+ * hudi-utilities deltastreamer): stream → exactly-once upsert into a table,
+ * windowed aggregation with watermarks, stateful sessionization, and an
+ * incremental commit feed (the "streaming read a table" direction).
+ */
+object GraftStreaming {
+
+  /**
+   * Exactly-once foreachBatch upsert sink: the micro-batch id is recorded in
+   * the commit metadata; a replayed batch (failure/retry) finds its id
+   * already committed and becomes a no-op — the same batchId⇒instant
+   * idempotency the reference's streaming sink keeps
+   * (ref: HoodieStreamingSink.scala canSkipBatch/latestCommittedBatchId).
+   */
+  def upsertSink(t: GraftTable)(batch: DataFrame, batchId: Long): Unit = {
+    val done = t.timeline.metas(None)
+      .exists(_.extra.get("streamBatchId").contains(batchId.toString))
+    if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> batchId.toString))
+  }
+
+  /** Start a streaming upsert into a Graft table. */
+  def writeStreamTo(df: DataFrame, t: GraftTable, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => upsertSink(t)(b, id))
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Watermarked sliding-window aggregation over an event stream. */
+  def windowedEventStats(events: DataFrame, watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
+  /**
+   * Stateful sessionization: a >gap pause closes a user's session
+   * (flatMapGroupsWithState + event-time timeout). State per user is one
+   * small struct — memory scales with active users, not events.
+   */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    def emit(uid: Long, a: SessionAcc): Session =
+      Session(uid, new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.lastMs),
+        a.n, a.total)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(uid, s))
+          } else {
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = scala.collection.mutable.Buffer[Session]()
+            var acc = state.getOption
+            for (e <- evs) {
+              val ms = e.ts.getTime
+              acc = acc match {
+                case Some(a) if ms - a.lastMs <= gapSeconds * 1000 =>
+                  Some(SessionAcc(a.startMs, ms, a.n + 1, a.total + e.value))
+                case Some(a) =>
+                  out += emit(uid, a)
+                  Some(SessionAcc(ms, ms, 1, e.value))
+                case None => Some(SessionAcc(ms, ms, 1, e.value))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.lastMs + gapSeconds * 1000)
+            }
+            out.iterator
+          }
+      }
+  }
+}
+
+/**
+ * Incremental commit feed: poll a Graft table for commits newer than the
+ * last seen instant and get just the changed records — the reference's
+ * incremental-query-as-stream-source pattern (ref: DeltaSync reading
+ * QUERY_TYPE_INCREMENTAL from an upstream table). Each poll scans only the
+ * files added by the new commits.
+ */
+class CommitFeed(t: GraftTable, startFrom: Option[String] = None) {
+  private var last: String = startFrom.getOrElse("0")
+  def lastSeen: String = last
+
+  def poll(): Option[(String, DataFrame)] =
+    t.latestDataInstant.filter(_ > last).map { l =>
+      val df = t.incremental(last, Some(l))
+      last = l
+      (l, df)
+    }
+}

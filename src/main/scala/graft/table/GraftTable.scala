@@ -100,6 +100,10 @@ object GraftTable {
   }
 }
 
+/** Optimistic-concurrency conflict (ref: hudi ConcurrentModificationException
+  * from SimpleConcurrentFileWritesConflictResolutionStrategy). */
+class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** A live file group version: base file(s) written at `baseInstant` plus the
   * log files appended after it (ref: hudi HoodieFileGroup/FileSlice). */
 case class FileSlice(partition: String, fileId: String, baseInstant: String,
@@ -164,11 +168,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val logs = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
     for (m <- ms; f <- m.files) {
       val k = (f.partition, f.fileId)
-      if (f.isLog) logs.getOrElseUpdate(k, mutable.Buffer()) += ((m.instant, f))
+      // checkpoint commits re-record archived files under their original instant
+      val eff = if (f.origInstant.nonEmpty) f.origInstant else m.instant
+      if (f.isLog) logs.getOrElseUpdate(k, mutable.Buffer()) += ((eff, f))
       else bases.get(k) match {
-        case Some((i, buf)) if i == m.instant => buf += f
-        case Some((i, _)) if i > m.instant => // older base, superseded
-        case _ => bases(k) = (m.instant, mutable.Buffer(f))
+        case Some((i, buf)) if i == eff => buf += f
+        case Some((i, _)) if i > eff => // older base, superseded
+        case _ => bases(k) = (eff, mutable.Buffer(f))
       }
     }
     bases.iterator.flatMap { case ((p, fid), (bi, bfs)) =>
@@ -375,10 +381,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def delete(df: DataFrame): String =
     writeBatch(df.withColumn(DELETED, lit(true)), "delete")
 
-  def writeBatch(raw: DataFrame, op: String): String = {
+  def writeBatch(raw: DataFrame, op: String,
+      extra: Map[String, String] = Map.empty): String = {
     val mor = config.tableType == MergeOnRead
     val taggingOps = Set("upsert", "delete", "merge")
     val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant(action)
     try {
       val cur = slices(None)
@@ -423,12 +431,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           }
         }
       val files = stageWrite(out, instant, logGroups)
+      // optimistic concurrency (ref: hudi SimpleConcurrentFileWritesConflict
+      // ResolutionStrategy): fail if a commit completed since we started
+      // touches any of the same file groups
+      if (detectConflict(startLatest, touched))
+        throw new ConcurrentWriteException(
+          s"instant $instant conflicts with a commit completed after $startLatest")
       // a touched group that produced no file (all of its rows deleted) is
       // dead — mark it replaced so the old slice stops resolving
       val written = files.map(f => s"${f.partition}|${f.fileId}").toSet
       timeline.complete(CommitMeta(instant, action, op,
         schemaJson = merged.json, files = files,
-        replaced = (touched -- written).toSeq))
+        replaced = (touched -- written).toSeq, extra = extra))
       instant
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }
   }
@@ -681,6 +695,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val dataMs = ms.filter(m => dataActions(m.action))
     if (dataMs.isEmpty) return None
     val target = dataMs.last
+    require(target.operation != "checkpoint",
+      "cannot rollback an archival checkpoint: its files belong to older commits")
     require(!ms.exists(m => m.action == "clean" && m.instant > target.instant),
       s"cannot rollback ${target.instant}: a later clean removed needed files")
     target.files.foreach(f => Files.deleteIfExists(Paths.get(basePath, f.path)))
@@ -709,6 +725,46 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         .filter(m => dataActions(m.action) && m.instant > savedInstant)
       if (newer.isEmpty) more = false else rollback()
     }
+  }
+
+  def latestDataInstant: Option[String] =
+    timeline.metas(None).filter(m => dataActions(m.action)).lastOption.map(_.instant)
+
+  /** True if a data commit after `sinceExclusive` touches any of `groups`
+    * ("partition|fileId" keys) — the optimistic-concurrency conflict test. */
+  def detectConflict(sinceExclusive: String, groups: Set[String]): Boolean =
+    groups.nonEmpty && timeline.metas(None).exists(m =>
+      dataActions(m.action) && m.instant > sinceExclusive &&
+        (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
+          .exists(groups.contains))
+
+  /**
+   * Archive old timeline instants (ref: HoodieTimelineArchiver): data
+   * commits beyond the newest `keepLast` are folded into one checkpoint
+   * commit that re-records their still-live files (under their original
+   * instants), then moved to `.graft/timeline/archive`. Readers keep
+   * working from the compact active timeline; time travel earlier than the
+   * archival boundary is no longer possible (as in the reference).
+   */
+  def archive(keepLast: Int = 10): Int = {
+    val ms = timeline.metas(None).filter(m => dataActions(m.action))
+    if (ms.size <= keepLast) return 0
+    val toArchive = ms.dropRight(keepLast)
+    val archivedSet = toArchive.map(_.instant).toSet
+    val live = slices(None)
+    val carry =
+      live.flatMap(s => if (archivedSet(s.baseInstant))
+        s.baseFiles.map(f => if (f.origInstant.isEmpty) f.copy(origInstant = s.baseInstant) else f)
+      else Nil) ++
+      live.flatMap(_.logs.filter(l => archivedSet(l._1))
+        .map { case (i, f) => if (f.origInstant.isEmpty) f.copy(origInstant = i) else f })
+    val instant = timeline.startInstant("commit")
+    timeline.complete(CommitMeta(instant, "commit", "checkpoint",
+      schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
+      extra = Map("archivedFrom" -> toArchive.head.instant,
+        "archivedTo" -> toArchive.last.instant)))
+    toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
+    toArchive.size
   }
 
   // -------------------------------------------------------- introspection

@@ -17,7 +17,10 @@ case class FileMeta(
     isLog: Boolean = false,
     keyMin: String = "",
     keyMax: String = "",
-    colStats: Map[String, Array[String]] = Map.empty)
+    colStats: Map[String, Array[String]] = Map.empty,
+    // set when a checkpoint commit re-records a file written at an earlier,
+    // now-archived instant: slice resolution uses this original instant
+    origInstant: String = "")
 
 /** One timeline instant's metadata (ref: hudi-common
   * .../table/timeline/HoodieInstant.java + HoodieCommitMetadata.java).
@@ -56,7 +59,9 @@ class Timeline(baseDir: String) {
 
   private def listNames(): Seq[String] =
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map(_.getFileName.toString).toSeq
 
   def completed(): Seq[(String, String)] = // (instant, action) sorted by instant
     listNames().filter(_.endsWith(".json")).map { n =>
@@ -116,4 +121,20 @@ class Timeline(baseDir: String) {
 
   def remove(instant: String, action: String): Unit =
     Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
+
+  /** Move a completed instant into the archive dir (no longer part of the
+    * active timeline; its live files must have been checkpointed first). */
+  def archiveInstant(instant: String, action: String): Unit = {
+    val arch = dir.resolve("archive")
+    Files.createDirectories(arch)
+    Files.move(dir.resolve(s"$instant.$action.json"),
+      arch.resolve(s"$instant.$action.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def archivedInstants(): Seq[String] = {
+    val arch = dir.resolve("archive")
+    if (!Files.exists(arch)) Nil
+    else Files.list(arch).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.split('.')(0)).toSeq.sorted
+  }
 }

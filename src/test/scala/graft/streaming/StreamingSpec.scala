@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.TestSpark
+import graft.table._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  private def eventsTable(dir: String): GraftTable =
+    GraftTable.create(spark, dir, TableConfig("ev", CopyOnWrite,
+      keyFields = Seq("event_id"), precombineField = Some("value"),
+      partitioning = PartitionByColumns(Seq("event_type"))))
+
+  test("streaming upsert sink: exactly-once by batch id, updates visible per batch") {
+    val dir = Files.createTempDirectory("graft_stream_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val t = eventsTable(dir)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = GraftStreaming.writeStreamTo(mem.toDF(), t, ckpt)
+    mem.addData(Event(1, ts(0), 10, "click", 1.0), Event(2, ts(1), 10, "view", 2.0))
+    q.processAllAvailable()
+    assert(t.snapshot().count() === 2)
+    // second micro-batch updates key 1 and inserts key 3
+    mem.addData(Event(1, ts(2), 10, "click", 9.0), Event(3, ts(3), 11, "error", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val snap = t.snapshot()
+    assert(snap.count() === 3)
+    assert(snap.filter(col("event_id") === 1).select("value").collect()(0).getDouble(0) === 9.0)
+    // replayed batch id is a no-op (exactly-once)
+    val commitsBefore = t.showCommits().count()
+    GraftStreaming.upsertSink(t)(
+      Seq(Event(1, ts(2), 10, "click", 9.0)).toDF(), batchId = 1L)
+    assert(t.showCommits().count() === commitsBefore)
+    GraftTable.drop(dir); GraftTable.drop(ckpt)
+  }
+
+  test("windowed aggregation with watermark over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = GraftStreaming.windowedEventStats(mem.toDF(), "10 minutes", "1 hour")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(61), 1, "view", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out").collect()
+    assert(rows.length === 2) // two (window, type) groups
+    val click = spark.table("win_out").filter(col("event_type") === "click").collect()(0)
+    assert(click.getAs[Long]("n_events") === 2)
+    assert(click.getAs[Double]("total_value") === 3.0)
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = GraftStreaming.sessionize(mem.toDS(), gapSeconds = 1800, "1 minute")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // session 1: two events 5 min apart; then a 2h gap in the next batch
+    mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(125), 7, "click", 4.0)) // closes the first session
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(300), 8, "view", 1.0)) // advances watermark far; times out session 2
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").orderBy("start_ts").collect()
+    assert(out.length >= 2)
+    assert(out(0).getAs[Long]("user_id") === 7)
+    assert(out(0).getAs[Int]("n_events") === 2)
+    assert(out(0).getAs[Double]("total_value") === 3.0)
+    assert(out(1).getAs[Int]("n_events") === 1)
+  }
+
+  test("commit feed: polls only new commits' changes") {
+    val dir = Files.createTempDirectory("graft_feed_").toString
+    val t = eventsTable(dir)
+    val e1 = Seq(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0)).toDF()
+    t.bulkInsert(e1)
+    val feed = new CommitFeed(t)
+    val first = feed.poll()
+    assert(first.nonEmpty && first.get._2.count() === 2)
+    assert(feed.poll().isEmpty) // nothing new
+    t.upsert(Seq(Event(2, ts(9), 1, "view", 7.0), Event(5, ts(4), 2, "click", 1.0)).toDF())
+    val second = feed.poll()
+    assert(second.nonEmpty)
+    val changed = second.get._2
+    assert(changed.count() === 2)
+    assert(changed.filter(col("event_id") === 2).select("value").collect()(0).getDouble(0) === 7.0)
+    assert(feed.poll().isEmpty)
+    GraftTable.drop(dir)
+  }
+
+  test("archival: old instants fold into a checkpoint, reads keep working") {
+    val dir = Files.createTempDirectory("graft_arch_").toString
+    val t = eventsTable(dir)
+    for (i <- 1 to 6)
+      t.upsert(Seq(Event(i.toLong, ts(i), 1, "click", i.toDouble)).toDF())
+    val before = t.snapshot().count()
+    val archived = t.archive(keepLast = 2)
+    assert(archived === 4)
+    assert(t.timeline.archivedInstants().size === 4)
+    assert(t.snapshot().count() === before)
+    // still updatable after archival
+    t.upsert(Seq(Event(1, ts(99), 1, "click", 42.0)).toDF())
+    assert(t.snapshot().filter(col("event_id") === 1)
+      .select("value").collect()(0).getDouble(0) === 42.0)
+    GraftTable.drop(dir)
+  }
+
+  test("optimistic concurrency: overlapping commit since start is detected") {
+    val dir = Files.createTempDirectory("graft_occ_").toString
+    val t = eventsTable(dir)
+    val c1 = t.bulkInsert(Seq(Event(1, ts(0), 1, "click", 1.0)).toDF())
+    val groups = t.slices(None).map(s => s"${s.partition}|${s.fileId}").toSet
+    // a commit after c1 touching the same group is a conflict...
+    t.upsert(Seq(Event(1, ts(1), 1, "click", 2.0)).toDF())
+    assert(t.detectConflict(c1, groups))
+    // ...but disjoint groups are not
+    assert(!t.detectConflict(c1, Set("event_type=purchase|b99999")))
+    GraftTable.drop(dir)
+  }
+}
