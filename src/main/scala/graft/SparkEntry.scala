@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full lakehouse write→upsert→snapshot cycle on sf0.001;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    operators.AnalyticsQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    table.LakeQueries.lakeUpsertSnapshot(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

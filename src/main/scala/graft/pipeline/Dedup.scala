@@ -34,10 +34,15 @@ object Dedup {
   }
 
   /** All pairs with shingle-Jaccard ≥ tau. Exact: the join key is the
-    * shingle, so only documents sharing a shingle ever meet. */
+    * shingle (as a 64-bit hash — long joins shuffle a fraction of the
+    * bytes of string joins; collision odds are ~|shingles|²/2⁶⁴), so only
+    * documents sharing a shingle ever meet. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol).cache()
+    // cached: consumed by the sizes agg and both join sides
+    val sh = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -75,7 +80,15 @@ object Dedup {
       bands: Int = 8, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, n, numHashes, idCol, textCol)
+    // one cached shingle-hash frame feeds the signatures AND the
+    // candidate verification — shingling runs once
+    val sh = shingles(docs, n, idCol, textCol)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
+    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
     val banded = sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", (0 until rows).map(r =>
@@ -85,9 +98,20 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b")).distinct()
-    // verify candidates against exact jaccard
-    jaccardPairs(docs, n, tau, idCol, textCol).as("j")
-      .join(cands, Seq("id_a", "id_b"), "left_semi")
+    // exact-Jaccard verification restricted to the candidate pairs — the
+    // whole point of LSH: never compute all-pairs similarity
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val common = cands
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** 64-bit SimHash over word hashes: bit b of the hash is the sign of the
@@ -130,10 +154,15 @@ object Dedup {
     * scale path buckets by LSH first (see Similarity.lshTopK). */
   def embeddingPairs(vecs: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.functions.VectorExprs._
+    // norms once per vector, native codegen dot per pair — the O(n²) inner
+    // loop never allocates
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      normF(col(vecCol)).as("n_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      normF(col(vecCol)).as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", VectorFunctions.cosine(col("v_a"), col("v_b")))
+      .withColumn("sim", dotF(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"))
   }

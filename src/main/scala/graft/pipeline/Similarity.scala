@@ -19,12 +19,15 @@ object Similarity {
     * scanned once — the plan a 1000-executor cluster wants. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    import graft.functions.VectorExprs._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      normF(col(vecCol)).as("n_q"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      normF(col(vecCol)).as("n_c"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) / (col("n_q") * col("n_c")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -48,7 +51,10 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+    import graft.functions.VectorExprs._
+    cands
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (normF(col("q_vec")) * normF(col("c_vec"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))

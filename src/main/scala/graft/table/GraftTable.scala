@@ -397,9 +397,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val merged = mergeSchemas(oldSchema, dataSchema)
       val batch1 = conform(batch0, fullSchema(merged))
 
+      // the batch is reused by several jobs (insert counts, touched-group
+      // collection, the staged write, COW anti-joins) — cache it so the
+      // precombine window and tagging join run once, not per job
+      val pinned = mutable.Buffer[DataFrame]()
+      def pin(df: DataFrame): DataFrame = {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += df
+        df
+      }
+      try {
+      val cached = pin(batch1)
       val (out, logGroups, touched) =
         if (!taggingOps(op)) {
-          val assigned = assignInserts(batch1.withColumn("_g_fid", lit(null).cast(StringType)),
+          val assigned = assignInserts(cached.withColumn("_g_fid", lit(null).cast(StringType)),
             cur, instant, allowBinpack = op != "bulk_insert")
           val packTargets = cur.filter(s => assignTargets(assigned).contains(s.partition + "|" + s.fileId))
           // bin-packed groups must be rewritten (old rows + new rows)
@@ -408,7 +419,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             else readSliceRows(packTargets, merged).unionByName(assigned.filter(!col(DELETED)))
           (withOld, Set.empty[String], packTargets.map(s => s.partition + "|" + s.fileId).toSet)
         } else {
-          val tagged = tag(batch1, cur)
+          val tagged = pin(tag(cached, cur))
           val assigned = assignInserts(tagged, cur, instant, allowBinpack = !mor)
           val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
           val touchedExisting = assignTargets(assigned).filter(curByKey.contains)
@@ -444,6 +455,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         schemaJson = merged.json, files = files,
         replaced = (touched -- written).toSeq, extra = extra))
       instant
+      } finally pinned.foreach(_.unpersist(blocking = false))
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }
   }
 

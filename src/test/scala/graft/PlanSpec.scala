@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-quality gates (SURVEY.md §6): these assertions pin the physical
+ * plans we want at 100 TB — filters pushed into the parquet scan, column
+ * pruning, dimension joins broadcast, partial aggregation before the
+ * exchange, whole-stage codegen on the hot paths. A regression that turns
+ * a broadcast join into a shuffle join or loses pushdown fails here even
+ * though results stay correct.
+ */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** "Found N WholeStageCodegen subtrees" + the generated code itself. */
+  private def codegenPlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+
+  test("q6: selective filters are pushed to the parquet scan") {
+    val p = plan(operators.AnalyticsQueries.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_discount"), "discount filter not pushed")
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual(l_shipdate"),
+      "shipdate filter not pushed:\n" + p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+  }
+
+  test("q6: column pruning — scan reads only the columns the query needs") {
+    val p = plan(operators.AnalyticsQueries.q6ForecastRevenue(spark, sf))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_returnflag"), s"scan reads unneeded column: $readSchema")
+    assert(readSchema.contains("l_extendedprice"))
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = plan(operators.AnalyticsQueries.q5LocalSupplier(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins for dimensions")
+    // only the lineitem⋈orders join may shuffle
+    val shuffleJoins = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(shuffleJoins <= 1, s"too many shuffle joins ($shuffleJoins):\n$p")
+  }
+
+  test("q1: partial aggregation before the exchange, inside codegen") {
+    val df = operators.AnalyticsQueries.q1PricingSummary(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate, got $aggs")
+    assert(codegenPlan(df).contains("WholeStageCodegen"), "aggregation fell out of codegen")
+  }
+
+  test("graft snapshot read is a plain pushdown-capable parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_").toString
+    val t = table.GraftTable.create(spark, dir, table.TableConfig("p", table.CopyOnWrite,
+      Seq("o_orderkey"), Some("o_totalprice"),
+      table.PartitionByColumns(Seq("o_orderstatus"))))
+    t.bulkInsert(Tables.orders(spark, sf))
+    val q = t.snapshot().filter(org.apache.spark.sql.functions.col("o_orderkey") === 42)
+    val p = plan(q)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderkey,42)"),
+      "key filter must reach the parquet scan of a graft table:\n" +
+        p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    // a COW snapshot with no logs must not shuffle at all
+    assert(!p.contains("Exchange"), "COW snapshot read introduced a shuffle:\n" + p)
+    table.GraftTable.drop(dir)
+  }
+
+  test("native vector kernels stay in whole-stage codegen") {
+    // the similarity plan uses the native expression, not zip_with HOFs
+    val q = pipeline.PipelineQueries.annCosineTopk(spark, sf)
+    val p = plan(q).toLowerCase
+    assert(p.contains("floatdotexpr"), "similarity should use the native FloatDot kernel")
+    assert(!p.contains("zip_with"))
+    // and the kernel itself compiles into a whole-stage-codegen loop
+    import org.apache.spark.sql.functions.col
+    val simple = Tables.embeddings(spark, sf).select(
+      graft.functions.VectorExprs.dotF(col("embedding"), col("embedding")).as("d"))
+    val cg = codegenPlan(simple)
+    assert(cg.contains("WholeStageCodegen"), cg.take(500))
+    assert(cg.contains(".getFloat("), "FloatDot loop not inlined:\n" + cg.take(1000))
+  }
+}
