@@ -12,6 +12,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.AnalyticsQueries.all ++
+    operators.AnalyticsQueries2.all ++
     operators.EventQueries.all ++
     table.LakeQueries.all ++
     pipeline.PipelineQueries.all
@@ -20,6 +21,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.AnalyticsQueries.oracles ++
+    operators.AnalyticsQueries2.oracles ++
     operators.EventQueries.oracles ++
     table.LakeQueries.oracles ++
     pipeline.PipelineQueries.oracles
