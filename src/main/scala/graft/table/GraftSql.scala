@@ -1,0 +1,60 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's Spark-SQL DML surface as a typed API
+ * (ref: hudi-spark-datasource/hudi-spark/.../command/UpdateHoodieTableCommand
+ * .scala, DeleteHoodieTableCommand.scala, CreateHoodieTableAsSelectCommand
+ * .scala): UPDATE ... SET ... WHERE, DELETE WHERE, CTAS. Each routes through
+ * the table's normal upsert/delete write path, so indexes, precombine,
+ * services and the timeline all apply.
+ */
+object GraftSql {
+
+  /** UPDATE t SET <assignments> WHERE <cond>: reads only the rows matching
+    * the predicate (partition + stats pruning apply via the snapshot scan's
+    * pushed filters), applies the assignments, upserts them back. */
+  def update(t: GraftTable, assignments: Map[String, Column], where: Column): String = {
+    val matched = t.snapshot().filter(where)
+    val updated = assignments.foldLeft(matched) { case (df, (c, expr)) =>
+      df.withColumn(c, expr)
+    }
+    t.upsert(updated.drop(GraftTable.COMMIT, GraftTable.KEY, GraftTable.PART))
+  }
+
+  /** DELETE FROM t WHERE <cond>. */
+  def deleteWhere(t: GraftTable, where: Column): String = {
+    val doomed = t.snapshot().filter(where)
+      .drop(GraftTable.COMMIT, GraftTable.KEY, GraftTable.PART)
+    t.delete(doomed)
+  }
+
+  /** CREATE TABLE ... AS SELECT: create a table from a query result. */
+  def createTableAsSelect(spark: SparkSession, path: String,
+      config: TableConfig, query: DataFrame): GraftTable = {
+    val t = GraftTable.create(spark, path, config)
+    t.bulkInsert(query)
+    t
+  }
+
+  /** show_savepoints (ref: ShowSavepointsProcedure). */
+  def showSavepoints(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.metas(None).filter(_.action == "savepoint")
+      .map(m => (m.instant, m.extra.getOrElse("saved", "")))
+      .toDF("savepoint_instant", "saved_data_instant")
+  }
+
+  /** commits_compare (ref: CommitsCompareProcedure): instants present in
+    * one table's timeline but not the other's. */
+  def commitsCompare(a: GraftTable, b: GraftTable): DataFrame = {
+    import a.spark.implicits._
+    val ai = a.timeline.completed().map(_._1).toSet
+    val bi = b.timeline.completed().map(_._1).toSet
+    ((ai -- bi).toSeq.sorted.map(i => (i, "only_left")) ++
+      (bi -- ai).toSeq.sorted.map(i => (i, "only_right")))
+      .toDF("instant", "presence")
+  }
+}
