@@ -261,22 +261,25 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * groups sized by targetFileSizeRows. Driver work is metadata-sized
     * (one row per touched partition), the assignment itself is a broadcast
     * join + expression. */
+  /** @param insertCounts inserts per partition (pre-collected, so this adds
+    *                      no Spark job)
+    * @return the assigned frame and the existing "partition|fileId" groups
+    *         chosen as bin-pack targets (they must be rewritten) */
   private def assignInserts(tagged: DataFrame, cur: Seq[FileSlice], instant: String,
-      allowBinpack: Boolean): DataFrame = {
+      allowBinpack: Boolean, insertCounts: Map[String, Long]): (DataFrame, Set[String]) = {
     config.index match {
       case BucketIndex(n) =>
         // bucket tables: inserts land in their deterministic bucket so that
         // future tagging stays a pure expression
-        return tagged.withColumn(FILE_ID, coalesce(col("_g_fid"),
-          format_string("b%05d", pmod(hash(col(KEY)), lit(n))))).drop("_g_fid")
+        return (tagged.withColumn(FILE_ID, coalesce(col("_g_fid"),
+          format_string("b%05d", pmod(hash(col(KEY)), lit(n))))).drop("_g_fid"),
+          Set.empty)
       case _ =>
     }
-    val counts = tagged.filter(col("_g_fid").isNull)
-      .groupBy(col(PART)).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) return tagged.withColumn(FILE_ID, col("_g_fid")).drop("_g_fid")
+    if (insertCounts.isEmpty)
+      return (tagged.withColumn(FILE_ID, col("_g_fid")).drop("_g_fid"), Set.empty)
     val target = config.targetFileSizeRows
-    val plan = counts.map { case (p, n) =>
+    val plan = insertCounts.map { case (p, n) =>
       val small = cur.filter(s => s.partition == p && s.totalRows < target / 2)
         .sortBy(_.totalRows).headOption
       small match {
@@ -286,10 +289,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       }
     }.toSeq
     val planDf = spark.createDataFrame(plan).toDF(PART, "_g_pack", "_g_new")
-    tagged.join(broadcast(planDf), Seq(PART), "left")
+    val assigned = tagged.join(broadcast(planDf), Seq(PART), "left")
       .withColumn(FILE_ID, coalesce(col("_g_fid"), col("_g_pack"),
         format_string(s"g$instant-%05d", pmod(hash(col(KEY)), col("_g_new")))))
       .drop("_g_fid", "_g_pack", "_g_new")
+    (assigned, plan.collect { case (p, pack, _) if pack != null => s"$p|$pack" }.toSet)
   }
 
   /** Distributed staged write: repartition by (partition, fileId) so each
@@ -408,21 +412,32 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       }
       try {
       val cached = pin(batch1)
+      val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
       val (out, logGroups, touched) =
         if (!taggingOps(op)) {
-          val assigned = assignInserts(cached.withColumn("_g_fid", lit(null).cast(StringType)),
-            cur, instant, allowBinpack = op != "bulk_insert")
-          val packTargets = cur.filter(s => assignTargets(assigned).contains(s.partition + "|" + s.fileId))
+          val withFid = cached.withColumn("_g_fid", lit(null).cast(StringType))
+          // one metadata-sized collect: inserts per partition
+          val insertCounts = cached.groupBy(col(PART)).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          val (assigned, packKeys) = assignInserts(withFid, cur, instant,
+            allowBinpack = op != "bulk_insert", insertCounts)
+          val packTargets = packKeys.toSeq.flatMap(curByKey.get)
           // bin-packed groups must be rewritten (old rows + new rows)
           val withOld =
             if (packTargets.isEmpty) assigned.filter(!col(DELETED))
             else readSliceRows(packTargets, merged).unionByName(assigned.filter(!col(DELETED)))
-          (withOld, Set.empty[String], packTargets.map(s => s.partition + "|" + s.fileId).toSet)
+          (withOld, Set.empty[String], packKeys)
         } else {
           val tagged = pin(tag(cached, cur))
-          val assigned = assignInserts(tagged, cur, instant, allowBinpack = !mor)
-          val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
-          val touchedExisting = assignTargets(assigned).filter(curByKey.contains)
+          // one metadata-sized collect for the whole write: rows per
+          // (partition, tagged group); null group = insert
+          val groupCounts = tagged.groupBy(col(PART), col("_g_fid")).count().collect()
+            .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+          val insertCounts = groupCounts.collect { case (p, None, n) => p -> n }.toMap
+          val (assigned, packKeys) = assignInserts(tagged, cur, instant,
+            allowBinpack = !mor, insertCounts)
+          val touchedExisting = (groupCounts.collect { case (p, Some(f), _) => s"$p|$f" }
+            .toSet ++ packKeys).filter(curByKey.contains)
           if (mor) {
             // updates/deletes -> log files of their group; inserts -> new base
             // groups. Deletes of keys that don't exist are dropped (they'd
@@ -459,10 +474,6 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }
   }
 
-  private def assignTargets(assigned: DataFrame): Set[String] =
-    assigned.select(concat_ws("|", col(PART), col(FILE_ID))).distinct()
-      .collect().map(_.getString(0)).toSet
-
   /** Merged rows of the given slices (base ∪ logs, latest version per key). */
   private def readSliceRows(ss: Seq[FileSlice], data: StructType): DataFrame = {
     val bases = ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant))
@@ -495,13 +506,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val dataSchema = StructType(keyed.schema.fields.filterNot(f => metaCols.contains(f.name)))
       val merged = mergeSchemas(schemaAt(None), dataSchema)
       val batch = conform(keyed, fullSchema(merged)).filter(!col(DELETED))
+      // one collect: per-partition counts double as the touched-partition set
+      val counts = batch.groupBy(col(PART)).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
       val parts: Set[String] =
-        if (wholeTable) cur.map(_.partition).toSet
-        else batch.select(col(PART)).distinct().collect().map(_.getString(0)).toSet
+        if (wholeTable) cur.map(_.partition).toSet else counts.keySet
       val replaced = cur.filter(s => parts.contains(s.partition))
         .map(s => s"${s.partition}|${s.fileId}")
-      val assigned = assignInserts(batch.withColumn("_g_fid", lit(null).cast(StringType)),
-        Nil, instant, allowBinpack = false)
+      val (assigned, _) = assignInserts(
+        batch.withColumn("_g_fid", lit(null).cast(StringType)),
+        Nil, instant, allowBinpack = false, counts)
       val files = stageWrite(assigned, instant, Set.empty)
       timeline.complete(CommitMeta(instant, "replacecommit",
         if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
@@ -739,16 +753,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
   }
 
-  def latestDataInstant: Option[String] =
+  def latestDataInstant: Option[String] = {
+    timeline.refresh() // must observe other writers' commits
     timeline.metas(None).filter(m => dataActions(m.action)).lastOption.map(_.instant)
+  }
 
   /** True if a data commit after `sinceExclusive` touches any of `groups`
     * ("partition|fileId" keys) — the optimistic-concurrency conflict test. */
-  def detectConflict(sinceExclusive: String, groups: Set[String]): Boolean =
+  def detectConflict(sinceExclusive: String, groups: Set[String]): Boolean = {
+    timeline.refresh() // must observe other writers' commits
     groups.nonEmpty && timeline.metas(None).exists(m =>
       dataActions(m.action) && m.instant > sinceExclusive &&
         (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
           .exists(groups.contains))
+  }
 
   /**
    * Archive old timeline instants (ref: HoodieTimelineArchiver): data

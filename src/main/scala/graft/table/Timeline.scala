@@ -55,6 +55,15 @@ object Json {
 class Timeline(baseDir: String) {
   val dir: Path = Paths.get(baseDir, ".graft", "timeline")
 
+  // completed instants and their metadata are immutable once written, so
+  // they memoize safely; the listing itself is invalidated on every
+  // mutation through this instance, and callers that must see other
+  // writers' commits (conflict detection) call refresh() first
+  private var listingCache: Option[Seq[(String, String)]] = None
+  private val metaCache = scala.collection.mutable.Map[(String, String), CommitMeta]()
+
+  def refresh(): Unit = listingCache = None
+
   def init(): Unit = Files.createDirectories(dir)
 
   private def listNames(): Seq[String] =
@@ -63,11 +72,16 @@ class Timeline(baseDir: String) {
       .filter(Files.isRegularFile(_))
       .map(_.getFileName.toString).toSeq
 
-  def completed(): Seq[(String, String)] = // (instant, action) sorted by instant
-    listNames().filter(_.endsWith(".json")).map { n =>
-      val parts = n.stripSuffix(".json").split('.')
-      (parts(0), parts(1))
-    }.sortBy(_._1)
+  def completed(): Seq[(String, String)] = listingCache match { // sorted (instant, action)
+    case Some(c) => c
+    case None =>
+      val c = listNames().filter(_.endsWith(".json")).map { n =>
+        val parts = n.stripSuffix(".json").split('.')
+        (parts(0), parts(1))
+      }.sortBy(_._1)
+      listingCache = Some(c)
+      c
+  }
 
   def latestInstant(): Option[String] = {
     val all = listNames().map(_.split('.')(0))
@@ -103,14 +117,17 @@ class Timeline(baseDir: String) {
     Files.move(tmp, dir.resolve(s"${meta.instant}.${meta.action}.json"),
       StandardCopyOption.ATOMIC_MOVE)
     Files.deleteIfExists(dir.resolve(s"${meta.instant}.${meta.action}.inflight"))
+    metaCache((meta.instant, meta.action)) = meta
+    refresh()
   }
 
   def abort(instant: String, action: String): Unit =
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
 
   def read(instant: String, action: String): CommitMeta =
-    Json.mapper.readValue[CommitMeta](
-      Files.readAllBytes(dir.resolve(s"$instant.$action.json")))
+    metaCache.getOrElseUpdate((instant, action),
+      Json.mapper.readValue[CommitMeta](
+        Files.readAllBytes(dir.resolve(s"$instant.$action.json"))))
 
   /** All completed metas in instant order, optionally up to `asOf`
     * (inclusive) — the time-travel boundary. */
@@ -119,8 +136,11 @@ class Timeline(baseDir: String) {
       .filter { case (i, _) => asOf.forall(i <= _) }
       .map { case (i, a) => read(i, a) }
 
-  def remove(instant: String, action: String): Unit =
+  def remove(instant: String, action: String): Unit = {
     Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
+    metaCache.remove((instant, action))
+    refresh()
+  }
 
   /** Move a completed instant into the archive dir (no longer part of the
     * active timeline; its live files must have been checkpointed first). */
@@ -129,6 +149,8 @@ class Timeline(baseDir: String) {
     Files.createDirectories(arch)
     Files.move(dir.resolve(s"$instant.$action.json"),
       arch.resolve(s"$instant.$action.json"), StandardCopyOption.ATOMIC_MOVE)
+    metaCache.remove((instant, action))
+    refresh()
   }
 
   def archivedInstants(): Seq[String] = {
