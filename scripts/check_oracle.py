@@ -42,7 +42,10 @@ def main(sf_dir, out_dir):
                 try:
                     if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                         import numpy as np
-                        bad = ~(np.isclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9) | (a.isna() & b.isna()))
+                        # zero tolerance: queries are designed to be bit-exact
+                        # vs the oracle (sequential folds, exact transforms,
+                        # floor-based rounding)
+                        bad = ~(np.isclose(a.astype(float), b.astype(float), rtol=0, atol=0) | (a.isna() & b.isna()))
                     else:
                         bad = ~((a == b) | (a.isna() & b.isna()))
                 except Exception as e:

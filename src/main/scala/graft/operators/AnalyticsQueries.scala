@@ -26,13 +26,13 @@ object AnalyticsQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        Exact.rnd(sum(col("l_quantity")), 2).as("sum_qty"),
+        Exact.rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        Exact.rnd(avg(col("l_quantity")), 4).as("avg_qty"),
+        Exact.rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
+        Exact.rnd(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -45,7 +45,7 @@ object AnalyticsQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -84,7 +84,7 @@ object AnalyticsQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -96,7 +96,7 @@ object AnalyticsQueries {
               col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(Exact.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
 
   /** TPC-H Q10: returned items — customers who returned goods, by lost
     * revenue. */
@@ -111,7 +111,7 @@ object AnalyticsQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -129,7 +129,7 @@ object AnalyticsQueries {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("c_mktsegment"), col("c_custkey"),
-        round(col("raw_rev"), 2).as("revenue"), col("rnk"))
+        Exact.rnd(col("raw_rev"), 2).as("revenue"), col("rnk"))
       .orderBy(col("c_mktsegment"), col("rnk"))
   }
 
@@ -139,7 +139,7 @@ object AnalyticsQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
-      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("running_total", Exact.rnd(sum(col("o_totalprice")).over(w), 2))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("running_total"))
@@ -154,7 +154,7 @@ object AnalyticsQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total_sales"),
+      .agg(Exact.rnd(sum(col("o_totalprice")), 2).as("total_sales"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
@@ -181,7 +181,7 @@ object AnalyticsQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
-           round(sum(col("l_extendedprice")), 2).as("total_price"))
+           Exact.rnd(sum(col("l_extendedprice")), 2).as("total_price"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -202,13 +202,13 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+        |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
+        |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |  floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
+        |  floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -217,7 +217,7 @@ object AnalyticsQueries {
     "q3_shipping_priority" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -238,7 +238,7 @@ object AnalyticsQueries {
         |ORDER BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -251,7 +251,7 @@ object AnalyticsQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -259,7 +259,7 @@ object AnalyticsQueries {
         |  AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -274,7 +274,7 @@ object AnalyticsQueries {
       """WITH per_cust AS (
         |  SELECT o_custkey, sum(o_totalprice) AS raw_rev
         |  FROM orders GROUP BY o_custkey)
-        |SELECT c_mktsegment, c_custkey, round(raw_rev, 2) AS revenue, rnk
+        |SELECT c_mktsegment, c_custkey, floor((raw_rev) * 100 + 0.5) / 100 AS revenue, rnk
         |FROM (
         |  SELECT c_mktsegment, c_custkey, raw_rev,
         |    row_number() OVER (PARTITION BY c_mktsegment
@@ -285,15 +285,15 @@ object AnalyticsQueries {
     "q_running_total" ->
       """SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  round(sum(o_totalprice) OVER (
+        |  floor((sum(o_totalprice) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
         |    AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup_sales" ->
       """SELECT n_name, c_mktsegment,
-        |  round(sum(o_totalprice), 2) AS total_sales,
+        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_sales,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -308,7 +308,7 @@ object AnalyticsQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderstatus, count(*) AS n_items,
-        |  round(sum(l_extendedprice), 2) AS total_price
+        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin

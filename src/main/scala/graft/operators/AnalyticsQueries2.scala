@@ -44,9 +44,7 @@ object AnalyticsQueries2 {
       .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
       .withColumn("o_year", year(col("o_orderdate")))
     joined.groupBy(col("o_year"))
-      .agg(round(
-        sum(when(col("n_name") === "CHINA", col("volume")).otherwise(0.0)) / sum(col("volume")),
-        6).as("mkt_share"))
+      .agg(Exact.rnd(sum(when(col("n_name") === "CHINA", col("volume")).otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -81,11 +79,9 @@ object AnalyticsQueries2 {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-      .agg(round(
-        sum(when(col("p_type") === "PROMO",
+      .agg(Exact.rnd(sum(when(col("p_type") === "PROMO",
           col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
-        6).as("promo_revenue"))
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("promo_revenue"))
 
   /** Q18: large-volume customers — orders whose total quantity exceeds a
     * threshold (join back after a having-style aggregate). */
@@ -98,7 +94,7 @@ object AnalyticsQueries2 {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        round(col("total_qty"), 2).as("total_qty"))
+        Exact.rnd(col("total_qty"), 2).as("total_qty"))
       .orderBy(col("total_qty").desc, col("o_orderkey"))
       .limit(50)
   }
@@ -114,7 +110,7 @@ object AnalyticsQueries2 {
         (col("p_brand") === "Brand#19" && col("l_quantity").between(10, 30) &&
           col("p_size").between(1, 25)) ||
         (col("p_brand") === "Brand#5" && col("l_quantity").between(20, 40)))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
 
   /** Q22-shaped: wealthy customers (above-average balance) with no orders —
     * scalar subquery + anti join. */
@@ -126,7 +122,7 @@ object AnalyticsQueries2 {
     c.filter(col("c_acctbal") > avgBal)
       .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"), Exact.rnd(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -158,9 +154,9 @@ object AnalyticsQueries2 {
         |ORDER BY cust_nation, supp_nation, l_year""".stripMargin,
     "q8_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
-        |  round(sum(CASE WHEN n_name = 'CHINA'
+        |  floor((sum(CASE WHEN n_name = 'CHINA'
         |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |        / sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000 AS mkt_share
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -184,17 +180,17 @@ object AnalyticsQueries2 {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q14_promo_revenue" ->
-      """SELECT round(
-        |  sum(CASE WHEN p_type = 'PROMO'
-        |           THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+      """SELECT floor((sum(CASE WHEN p_type = 'PROMO'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+        |  / sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000
+        |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_custkey, c_name, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  round(total_qty, 2) AS total_qty
+        |  floor((total_qty) * 100 + 0.5) / 100 AS total_qty
         |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
         |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) t
         |JOIN orders ON t.l_orderkey = o_orderkey
@@ -202,7 +198,7 @@ object AnalyticsQueries2 {
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 50""".stripMargin,
     "q19_disjunctive" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20
         |       AND p_size BETWEEN 1 AND 10)
@@ -211,7 +207,7 @@ object AnalyticsQueries2 {
         |   OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q22_sales_opportunity" ->
       """SELECT c_mktsegment, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders

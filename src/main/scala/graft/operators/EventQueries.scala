@@ -18,7 +18,7 @@ object EventQueries {
   def qEventsDaily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), Exact.rnd(sum(col("value")), 2).as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** Rank each user's events by recency; keep the latest 3. */
@@ -60,7 +60,7 @@ object EventQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
-        when(col("o_totalprice").isNotNull, round(col("o_totalprice"), 2)).as("last_order_price"))
+        when(col("o_totalprice").isNotNull, Exact.rnd(col("o_totalprice"), 2)).as("last_order_price"))
       .orderBy(col("event_id"))
   }
 
@@ -74,7 +74,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q_events_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,
@@ -100,7 +100,7 @@ object EventQueries {
       """SELECT event_id, user_id, o_orderkey, last_order_price FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
         |    CASE WHEN o.o_totalprice IS NOT NULL
-        |         THEN round(o.o_totalprice, 2) END AS last_order_price,
+        |         THEN floor((o.o_totalprice) * 100 + 0.5) / 100 END AS last_order_price,
         |    row_number() OVER (PARTITION BY e.event_id
         |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e
