@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native shingling kernel: text → distinct 64-bit hashes of its word
+ * n-grams, in one pass with no intermediate strings. The composed
+ * equivalent (split → transform/sequence → concat_ws → array_distinct →
+ * xxhash64) allocates a token array plus one string per shingle per row and
+ * dominated every dedup query's runtime; this emits the hash of each
+ * n-gram window directly from word hashes.
+ */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.eval(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.eval($c.toString(), $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ShingleHashes {
+  private final val P = 0x100000001b3L // FNV prime
+
+  /** splitmix64 finalizer — decorrelates the word-combination hash. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def eval(s: String, n: Int): ArrayData = {
+    // hash each whitespace-separated word (FNV-1a), streaming
+    val wordHashes = new java.util.ArrayList[java.lang.Long](64)
+    var h = 0xcbf29ce484222325L
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inWord) { wordHashes.add(h); h = 0xcbf29ce484222325L; inWord = false }
+      } else {
+        h = (h ^ c) * P
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) wordHashes.add(h)
+    val w = wordHashes.size()
+    if (w < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.HashSet[java.lang.Long](w * 2)
+    val out = new java.util.ArrayList[java.lang.Long](w)
+    var j = 0
+    while (j + n <= w) {
+      var g = 0L
+      var k = 0
+      while (k < n) { g = g * 0x9E3779B1L + wordHashes.get(j + k); k += 1 }
+      val m = mix(g)
+      if (seen.add(m)) out.add(m)
+      j += 1
+    }
+    val arr = new Array[Long](out.size())
+    var t = 0
+    while (t < arr.length) { arr(t) = out.get(t); t += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Column API: distinct hashed word n-gram shingles. */
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), n))
+}

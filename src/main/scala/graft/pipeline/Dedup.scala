@@ -33,6 +33,14 @@ object Dedup {
     docs.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
   }
 
+  /** Distinct hashed word n-gram shingles per document via the native
+    * one-pass kernel (graft.functions.ShingleHashes) — no intermediate
+    * token arrays or shingle strings. */
+  def shingleHashes(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
+
   /** All pairs with shingle-Jaccard ≥ tau. Exact: the join key is the
     * shingle (as a 64-bit hash — long joins shuffle a fraction of the
     * bytes of string joins; collision odds are ~|shingles|²/2⁶⁴), so only
@@ -40,8 +48,7 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // cached: consumed by the sizes agg and both join sides
-    val sh = shingles(docs, n, idCol, textCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -82,8 +89,7 @@ object Dedup {
     val rows = numHashes / bands
     // one cached shingle-hash frame feeds the signatures AND the
     // candidate verification — shingling runs once
-    val sh = shingles(docs, n, idCol, textCol)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val sh = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
@@ -114,21 +120,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word hashes: bit b of the hash is the sign of the
-    * sum of ±1 votes from each word's hash bit. */
+  /** 64-bit SimHash per document via the native one-pass kernel
+    * (graft.functions.Simhash64): bit b of the hash is the sign of the sum
+    * of ±1 votes from each word's hash bit. */
   def simhash64(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("w"))
-      .withColumn("_h", xxhash64(col("w")))
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("_h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$b"))
-    val agged = words.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val hashExpr = (0 until 64).map(b =>
-      when(col(s"_b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a + b)
-    agged.select(col(idCol), hashExpr.as("simhash"))
-  }
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), graft.functions.Simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs: LSH on 8×8-bit chunks (by pigeonhole, any pair
     * within hamming distance ≤ 7 must agree on at least one chunk; wider
