@@ -308,11 +308,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
       .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
       .parquet(staging.toString)
-    val moved = mutable.Buffer[(String, String, String)]() // (relPath, partition, fileId)
     def dec(s: String): String = {
       val v = java.net.URLDecoder.decode(s, "UTF-8")
       if (v == "__HIVE_DEFAULT_PARTITION__") "" else v
     }
+    // plan all renames, then execute them concurrently: at large file counts
+    // the commit cost is these metadata ops, and they are independent
+    val planned = mutable.Buffer[(Path, Path, String, String, String)]()
     Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_gp=")).foreach { pDir =>
         val partition = dec(pDir.getFileName.toString.stripPrefix("_gp="))
@@ -328,12 +330,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
               val destDir = if (partition.isEmpty) Paths.get(basePath)
                             else Paths.get(basePath, partition)
               Files.createDirectories(destDir)
-              Files.move(src, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
               val rel = if (partition.isEmpty) name else s"$partition/$name"
-              moved += ((rel, partition, fid))
+              planned += ((src, destDir.resolve(name), rel, partition, fid))
             }
           }
       }
+    import scala.collection.parallel.CollectionConverters._
+    val moved = planned.toSeq.par.map { case (src, dest, rel, partition, fid) =>
+      Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
+      (rel, partition, fid)
+    }.seq
     GraftTable.drop(staging.toString)
     if (moved.isEmpty) return Nil
     // one column-pruned pass over the freshly written files for stats
@@ -819,6 +825,30 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     import spark.implicits._
     slices(None).map(_.partition).distinct.sorted.toDF("partition")
   }
+
+  /** Persist the live file listing + per-file column stats as a parquet
+    * metadata table (ref: hudi metadata table `files` + `column_stats`
+    * partitions) under `.graft/metadata/files` — queryable by any engine,
+    * no timeline parsing needed. */
+  def syncMetadataTable(): String = {
+    import spark.implicits._
+    val rows = slices(None).flatMap { s =>
+      (s.baseFiles.map(f => (f, s.baseInstant)) ++ s.logs.map { case (i, f) => (f, i) })
+        .map { case (f, inst) =>
+          (s.partition, s.fileId, inst, f.path, f.rows, f.isLog, f.keyMin, f.keyMax,
+            f.colStats.map { case (c, mm) => c -> (mm(0) + ".." + mm(1)) })
+        }
+    }
+    val dest = s"$basePath/.graft/metadata/files"
+    rows.toDF("partition", "file_id", "instant", "path", "rows", "is_log",
+      "key_min", "key_max", "col_stats")
+      .coalesce(1).write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  /** Read the persisted metadata table. */
+  def metadataTable(): DataFrame =
+    spark.read.parquet(s"$basePath/.graft/metadata/files")
 
   /** Write-amplification stat (ref: StatsWriteAmplificationProcedure):
     * total rows written across commits / rows in latest snapshot. */

@@ -302,6 +302,11 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.showFileSystemView().count() > 0)
     assert(t.showPartitions().count() === 3)
     assert(t.statsWriteAmplification() >= 1.0)
+    // metadata table round-trips the live file view as parquet
+    t.syncMetadataTable()
+    val md = t.metadataTable()
+    assert(md.count() === t.slices(None).map(s => s.baseFiles.size + s.logs.size).sum)
+    assert(md.columns.contains("key_min") && md.columns.contains("col_stats"))
     GraftTable.drop(dir)
   }
 }
