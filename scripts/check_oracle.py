@@ -33,7 +33,15 @@ def main(sf_dir, out_dir):
         g, w = norm(got), norm(want)
         ok = list(g.columns) == list(w.columns) and len(g) == len(w)
         detail = ""
-        if not ok:
+        if ok:
+            # dtype kind divergence (e.g. DuckDB HUGEINT -> float64 vs Spark
+            # int64) would change value reprs on the driver side — fail it
+            for c in g.columns:
+                if g[c].dtype.kind != w[c].dtype.kind and {g[c].dtype.kind, w[c].dtype.kind} != {'i', 'u'}:
+                    ok = False
+                    detail = f"dtype kind mismatch col {c}: {g[c].dtype} vs {w[c].dtype}"
+                    break
+        if not ok and not detail:
             detail = f"cols {list(g.columns)} vs {list(w.columns)}; rows {len(g)} vs {len(w)}"
         else:
             import pandas as pd

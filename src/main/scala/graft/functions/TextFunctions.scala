@@ -13,27 +13,28 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace-separated token count. */
-  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
 
   /** BPE-ish pre-tokenization count: words / numbers / single punctuation,
     * the usual first split before byte-pair merging. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
   private val stopwords = Seq("the", "a", "of", "and", "in", "to")
 
   def stopwordCount(text: Column): Column =
     size(regexp_extract_all(lower(text),
-      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0)))
+      lit("\\b(" + stopwords.mkString("|") + ")\\b"), lit(0))).cast("long")
 
   /** Quality signals: doc length, word stats, punctuation + stopword
     * ratios, and a coarse keep/drop flag — the Gopher-rules shape of
     * corpus filtering. */
   def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val nChars = length(text)
+    val nChars = length(text).cast("long")
     val nWords = wsTokenCount(text)
     val nPunct = punctCount(text)
     val nStop = stopwordCount(text)
@@ -55,13 +56,13 @@ object TextFunctions {
     * codepoint class; highest score wins (en on ties). */
   def langIdColumns(text: Column): (Seq[(String, Column)], Column) = {
     def cnt(pat: String): Column =
-      size(regexp_extract_all(lower(text), lit(pat), lit(0)))
+      size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast("long")
     val sEn = cnt("\\b(the|and|of|is|was)\\b")
     val sDe = cnt("\\b(der|die|das|und|ist)\\b")
     val sFr = cnt("\\b(le|la|les|et|est)\\b")
     val sEs = cnt("\\b(el|los|las|es|y)\\b")
     // \x{...} form: valid in both Java regex (Spark) and RE2 (DuckDB)
-    val sZh = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+    val sZh = size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0))).cast("long")
     val pred = when(sZh > 0, "zh")
       .when(sDe > sEn && sDe >= sFr && sDe >= sEs, "de")
       .when(sFr > sEn && sFr >= sEs, "fr")

@@ -126,7 +126,7 @@ object AnalyticsQueries {
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("raw_rev").desc, col("c_custkey"))
     c.join(perCust, col("c_custkey") === col("o_custkey"))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("c_mktsegment"), col("c_custkey"),
         Exact.rnd(col("raw_rev"), 2).as("revenue"), col("rnk"))

@@ -22,7 +22,7 @@ object AnalyticsQueries2 {
       .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
       .filter(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"),
-        year(col("l_shipdate")).as("l_year"))
+        year(col("l_shipdate")).cast("long").as("l_year"))
       // exact integer-cents arithmetic: the per-group sums here land exactly
       // on .xx5 often enough that float rounding ties diverge between
       // engines; summing (price·100)·(100−disc·100) as integers is
@@ -42,7 +42,7 @@ object AnalyticsQueries2 {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("o_year", year(col("o_orderdate")).cast("long"))
     joined.groupBy(col("o_year"))
       .agg(Exact.rnd(sum(when(col("n_name") === "CHINA", col("volume")).otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"))
       .orderBy(col("o_year"))
@@ -166,10 +166,10 @@ object AnalyticsQueries2 {
         |GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q12_quantity_class" ->
       """SELECT CASE WHEN l_quantity >= 40 THEN 'heavy' ELSE 'light' END AS qty_class,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-        |    AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-        |    AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY qty_class""".stripMargin,
     "q13_cust_distribution" ->

@@ -26,7 +26,7 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").desc, col("event_id").desc)
     Tables.events(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("user_id"), col("event_id"), col("event_type"), col("rn"))
       .orderBy(col("user_id"), col("rn"))
@@ -94,7 +94,7 @@ object EventQueries {
         |  FROM (SELECT user_id, ts,
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))
-        |SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, last_order_price FROM (

@@ -28,7 +28,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) / (col("n_q") * col("n_c")))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
@@ -55,7 +55,7 @@ object Similarity {
     cands
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
         (normF(col("q_vec")) * normF(col("c_vec"))))
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
