@@ -13,6 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.AnalyticsQueries.all ++
     operators.AnalyticsQueries2.all ++
+    operators.AnalyticsQueries3.all ++
     operators.EventQueries.all ++
     table.LakeQueries.all ++
     pipeline.PipelineQueries.all
@@ -22,6 +23,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.AnalyticsQueries.oracles ++
     operators.AnalyticsQueries2.oracles ++
+    operators.AnalyticsQueries3.oracles ++
     operators.EventQueries.oracles ++
     table.LakeQueries.oracles ++
     pipeline.PipelineQueries.oracles

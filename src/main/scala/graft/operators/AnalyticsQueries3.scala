@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third batch: the correlated-subquery / having-on-scalar TPC-H shapes
+  * (Q2/Q11/Q15/Q16/Q17/Q21 adapted), same conventions as
+  * [[AnalyticsQueries]]. */
+object AnalyticsQueries3 {
+  import AnalyticsQueries.Q
+
+  /** Q2-shaped: cheapest part per type (min-per-group + join back, the
+    * correlated-min shape). */
+  def q2CheapestPart(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val mins = p.groupBy(col("p_type")).agg(min(col("p_retailprice")).as("min_price"))
+    p.join(broadcast(mins), Seq("p_type"))
+      .filter(col("p_retailprice") === col("min_price"))
+      .select(col("p_type"), col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_type"), col("p_partkey"))
+  }
+
+  /** Q11-shaped: parts whose revenue exceeds a fraction of total revenue
+    * (HAVING against a scalar subquery). */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
+    val threshold = li
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .collect()(0).getDouble(0) * 0.0008
+    perPart.filter(col("value") > threshold)
+      .select(col("l_partkey"), Exact.rnd(col("value"), 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q15-shaped: the top-revenue supplier(s) over a window (max scalar
+    * subquery, ties kept). */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+    val best = rev.agg(max(col("total_rev"))).collect()(0).getDouble(0)
+    rev.filter(col("total_rev") === best)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), Exact.rnd(col("total_rev"), 2).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Q16-shaped: distinct suppliers serving each (brand, type). */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+
+  /** Q17-shaped: revenue from small-quantity orders of each part —
+    * lineitems below half the part's average quantity (correlated avg). */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val avgQty = li.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
+    li.join(avgQty, Seq("l_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(Exact.rnd(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q21-shaped: suppliers that were the sole supplier on a finished
+    * order (EXISTS + NOT EXISTS combination). */
+  def q21SoleSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val perOrderSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val w = Window.partitionBy(col("l_orderkey"))
+    val sole = perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("n_supp") === 1)
+    sole.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q2_cheapest_part" -> (q2CheapestPart _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q21_sole_supplier" -> (q21SoleSupplier _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q2_cheapest_part" ->
+      """SELECT p_type, p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_type = part.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    "q11_important_parts" ->
+      """SELECT l_partkey,
+        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS value
+        |FROM lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_extendedprice * (1 - l_discount)) >
+        |  (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0008 FROM lineitem)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  floor((total_rev) * 100 + 0.5) / 100 AS total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+        |FROM lineitem l1
+        |JOIN (SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l1.l_partkey = a.l_partkey
+        |WHERE l1.l_quantity < a.half_avg""".stripMargin,
+    "q21_sole_supplier" ->
+      """WITH po AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |sole AS (
+        |  SELECT l_orderkey, l_suppkey FROM po
+        |  WHERE NOT EXISTS (SELECT 1 FROM po p2
+        |                    WHERE p2.l_orderkey = po.l_orderkey
+        |                      AND p2.l_suppkey <> po.l_suppkey))
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin
+  )
+}
