@@ -652,8 +652,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   /** Compaction: fold each log-bearing file group's logs into a new base
     * slice (ref: HoodieCompactor). Per-group rewrites are independent —
     * one distributed job, embarrassingly parallel. */
-  def compact(): Option[String] = {
-    val todo = slices(None).filter(_.logs.nonEmpty)
+  def compact(partitionPred: String => Boolean = _ => true): Option[String] = {
+    val todo = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("commit")
     try {
@@ -670,10 +670,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * into range-partitioned, sorted file groups — linear sort or Z-order —
     * via a replacecommit. Original commit times are preserved per row, so
     * incremental reads are unaffected. */
-  def cluster(sortCols: Seq[String], zorder: Boolean = false): String = {
+  def cluster(sortCols: Seq[String], zorder: Boolean = false,
+      partitionPred: String => Boolean = _ => true): String = {
     val instant = timeline.startInstant("replacecommit")
     try {
-      val cur = slices(None)
+      val cur = slices(None).filter(s => partitionPred(s.partition))
       val data = schemaAt(None).getOrElse(new StructType())
       val rows = readSliceRows(cur, data).filter(!col(DELETED))
       val totalRows = cur.map(_.totalRows).sum

@@ -187,6 +187,13 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.incremental(c1).count() === 0)
     t.cluster(Seq("o_orderkey", "o_custkey"), zorder = true)
     assert(t.snapshot().select("o_orderkey", "o_totalprice").collect().toSet === before)
+    // partition-scoped clustering touches only the selected partition
+    val beforeIds = t.slices(None).map(s => (s.partition, s.fileId)).toSet
+    t.cluster(Seq("o_orderkey"), partitionPred = _ == "o_orderstatus=P")
+    val afterIds = t.slices(None).map(s => (s.partition, s.fileId)).toSet
+    assert((beforeIds -- afterIds).forall(_._1 == "o_orderstatus=P"),
+      "non-selected partitions must keep their file groups")
+    assert(t.snapshot().select("o_orderkey", "o_totalprice").collect().toSet === before)
     GraftTable.drop(dir)
   }
 
