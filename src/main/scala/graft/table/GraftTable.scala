@@ -116,6 +116,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   val timeline = new Timeline(basePath)
   private def dataActions = Set("commit", "deltacommit", "replacecommit")
 
+  /** Commit-time lock (ref: hudi lock-provider). Swappable: file-based by
+    * default (multi-process safe); tests / single-JVM pipelines can install
+    * InProcessLockProvider; a cluster deployment would install a
+    * ZooKeeper/DynamoDB-style provider. */
+  @volatile var lockProvider: LockProvider = new FileLockProvider(basePath)
+
+  /** Conflict-check and complete atomically: the lock closes the race where
+    * two writers both pass detectConflict and then both commit. */
+  private def commitGuarded(startLatest: String, groups: Set[String],
+      partitions: Set[String], meta: CommitMeta, anyCommit: Boolean = false): Unit =
+    lockProvider.withLock {
+      if (detectConflict(startLatest, groups, partitions, anyCommit))
+        throw new ConcurrentWriteException(
+          s"instant ${meta.instant} conflicts with a commit completed after $startLatest")
+      timeline.complete(meta)
+    }
+
   // ----------------------------------------------------------------- schema
 
   /** Data schema (no meta columns) as of an instant; evolves additively. */
@@ -355,16 +372,26 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val statsDf = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("_f"))
       .agg(aggs.head, aggs.tail: _*)
+    // key stats by the table-relative path: fileIds (and so basenames) repeat
+    // across partitions within one commit (b%05d, g<instant>-%05d, …), so a
+    // basename match would cross-contaminate stats between partitions
+    val absBase = Paths.get(basePath).toAbsolutePath.normalize.toString
+    def relOf(uri: String): String = {
+      val p = try new java.net.URI(uri).getPath
+              catch { case _: Exception => uri.stripPrefix("file:") }
+      Paths.get(p).toAbsolutePath.normalize.toString
+        .stripPrefix(absBase).stripPrefix("/")
+    }
     val stats = statsDf.collect().map { r =>
-      val f = r.getString(0)
-      f -> (r.getLong(1), Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""),
+      relOf(r.getString(0)) ->
+        (r.getLong(1), Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""),
         statCols.map(c => c -> Array(
           Option(r.getAs[String](s"_min_$c")).getOrElse(""),
           Option(r.getAs[String](s"_max_$c")).getOrElse(""))).toMap)
     }.toMap
     moved.toSeq.map { case (rel, partition, fid) =>
-      val st = stats.find { case (k, _) => k.endsWith("/" + rel.split('/').last) }.map(_._2)
-        .getOrElse((0L, "", "", Map.empty[String, Array[String]]))
+      val st = stats.getOrElse(rel,
+        (0L, "", "", Map.empty[String, Array[String]]))
       FileMeta(rel, fid, partition, st._1, isLog = logGroups.contains(s"$partition|$fid"),
         keyMin = st._2, keyMax = st._3, colStats = st._4)
     }
@@ -465,16 +492,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val files = stageWrite(out, instant, logGroups)
       // optimistic concurrency (ref: hudi SimpleConcurrentFileWritesConflict
       // ResolutionStrategy): fail if a commit completed since we started
-      // touches any of the same file groups
-      if (detectConflict(startLatest, touched))
-        throw new ConcurrentWriteException(
-          s"instant $instant conflicts with a commit completed after $startLatest")
+      // touches any of the same file groups. The conflict set includes the
+      // groups this write CREATED, not just pre-existing touched ones — two
+      // writers materializing the same deterministic bucket-index group must
+      // conflict, else slices() silently drops the lower instant's rows.
       // a touched group that produced no file (all of its rows deleted) is
       // dead — mark it replaced so the old slice stops resolving
       val written = files.map(f => s"${f.partition}|${f.fileId}").toSet
-      timeline.complete(CommitMeta(instant, action, op,
-        schemaJson = merged.json, files = files,
-        replaced = (touched -- written).toSeq, extra = extra))
+      commitGuarded(startLatest, touched ++ written, Set.empty,
+        CommitMeta(instant, action, op,
+          schemaJson = merged.json, files = files,
+          replaced = (touched -- written).toSeq, extra = extra))
       instant
       } finally pinned.foreach(_.unpersist(blocking = false))
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }
@@ -505,6 +533,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def insertOverwriteTable(df: DataFrame): String = replaceWrite(df, wholeTable = true)
 
   private def replaceWrite(raw: DataFrame, wholeTable: Boolean): String = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant("replacecommit")
     try {
       val cur = slices(None)
@@ -523,21 +552,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         batch.withColumn("_g_fid", lit(null).cast(StringType)),
         Nil, instant, allowBinpack = false, counts)
       val files = stageWrite(assigned, instant, Set.empty)
-      timeline.complete(CommitMeta(instant, "replacecommit",
-        if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
-        schemaJson = merged.json, files = files, replaced = replaced))
+      // partition-level conflict: a concurrent writer adding a NEW file group
+      // to an overwritten partition would survive the replace and corrupt
+      // overwrite semantics, so any commit into these partitions conflicts
+      commitGuarded(startLatest, Set.empty, parts,
+        CommitMeta(instant, "replacecommit",
+          if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
+          schemaJson = merged.json, files = files, replaced = replaced),
+        anyCommit = wholeTable)
       instant
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
   }
 
   /** Drop whole partitions (replacecommit with no new files). */
   def deletePartitions(partitionPaths: Seq[String]): String = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant("replacecommit")
     try {
       val replaced = slices(None).filter(s => partitionPaths.contains(s.partition))
         .map(s => s"${s.partition}|${s.fileId}")
-      timeline.complete(CommitMeta(instant, "replacecommit", "delete_partition",
-        schemaJson = schemaAt(None).map(_.json).getOrElse(""), replaced = replaced))
+      commitGuarded(startLatest, Set.empty, partitionPaths.toSet,
+        CommitMeta(instant, "replacecommit", "delete_partition",
+          schemaJson = schemaAt(None).map(_.json).getOrElse(""), replaced = replaced))
       instant
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
   }
@@ -653,6 +689,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * slice (ref: HoodieCompactor). Per-group rewrites are independent —
     * one distributed job, embarrassingly parallel. */
   def compact(partitionPred: String => Boolean = _ => true): Option[String] = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val todo = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("commit")
@@ -660,8 +697,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val data = schemaAt(None).getOrElse(new StructType())
       val merged = readSliceRows(todo, data).filter(!col(DELETED))
       val files = stageWrite(merged, instant, Set.empty)
-      timeline.complete(CommitMeta(instant, "commit", "compact",
-        schemaJson = data.json, files = files))
+      // a deltacommit that lands in a compacted group mid-compaction would be
+      // merged under the new base instant and lost — conflict instead
+      val groups = todo.map(s => s"${s.partition}|${s.fileId}").toSet ++
+        files.map(f => s"${f.partition}|${f.fileId}")
+      commitGuarded(startLatest, groups, Set.empty,
+        CommitMeta(instant, "commit", "compact",
+          schemaJson = data.json, files = files))
       Some(instant)
     } catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
   }
@@ -672,6 +714,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * incremental reads are unaffected. */
   def cluster(sortCols: Seq[String], zorder: Boolean = false,
       partitionPred: String => Boolean = _ => true): String = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant("replacecommit")
     try {
       val cur = slices(None).filter(s => partitionPred(s.partition))
@@ -688,9 +731,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         .withColumn(FILE_ID, format_string(s"c$instant-%05d", spark_partition_id()))
         .drop("_g_z")
       val files = stageWrite(arranged, instant, Set.empty)
-      timeline.complete(CommitMeta(instant, "replacecommit", "cluster",
-        schemaJson = data.json, files = files,
-        replaced = cur.map(s => s"${s.partition}|${s.fileId}")))
+      commitGuarded(startLatest,
+        cur.map(s => s"${s.partition}|${s.fileId}").toSet ++
+          files.map(f => s"${f.partition}|${f.fileId}"), Set.empty,
+        CommitMeta(instant, "replacecommit", "cluster",
+          schemaJson = data.json, files = files,
+          replaced = cur.map(s => s"${s.partition}|${s.fileId}")))
       instant
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
   }
@@ -766,13 +812,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   }
 
   /** True if a data commit after `sinceExclusive` touches any of `groups`
-    * ("partition|fileId" keys) — the optimistic-concurrency conflict test. */
-  def detectConflict(sinceExclusive: String, groups: Set[String]): Boolean = {
+    * ("partition|fileId" keys) or writes into/replaces any of `partitions` —
+    * the optimistic-concurrency conflict test. `anyCommit` treats every later
+    * data commit as a conflict (whole-table replace). */
+  def detectConflict(sinceExclusive: String, groups: Set[String],
+      partitions: Set[String] = Set.empty, anyCommit: Boolean = false): Boolean = {
     timeline.refresh() // must observe other writers' commits
-    groups.nonEmpty && timeline.metas(None).exists(m =>
-      dataActions(m.action) && m.instant > sinceExclusive &&
-        (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
-          .exists(groups.contains))
+    (groups.nonEmpty || partitions.nonEmpty || anyCommit) &&
+      timeline.metas(None).exists { m =>
+        dataActions(m.action) && m.instant > sinceExclusive && (anyCommit ||
+          (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
+            .exists(groups.contains) ||
+          (m.files.iterator.map(_.partition) ++
+            m.replaced.iterator.map(_.split('|')(0))).exists(partitions.contains))
+      }
   }
 
   /**

@@ -300,6 +300,61 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("per-file stats stay partition-scoped when fileIds repeat across partitions") {
+    // one insert commit writes g<instant>-00000 into BOTH partitions — the
+    // basenames are identical, so stats must be matched by full relative path
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("dup_fid", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = PartitionByColumns(Seq("p")), targetFileSizeRows = 1000))
+    import TestSpark.spark.implicits._
+    val rows = ((1 to 50).map(i => (f"a$i%03d", "A", i)) ++
+                (1 to 50).map(i => (f"b$i%03d", "B", i))).toDF("k", "p", "v")
+    t.insert(rows)
+    val byPart = t.slices(None).groupBy(_.partition)
+    val aFiles = byPart("p=A").flatMap(_.baseFiles)
+    val bFiles = byPart("p=B").flatMap(_.baseFiles)
+    assert(aFiles.forall(f => f.keyMin.startsWith("a") && f.keyMax.startsWith("a")),
+      s"partition A key range polluted: ${aFiles.map(f => (f.keyMin, f.keyMax))}")
+    assert(bFiles.forall(f => f.keyMin.startsWith("b") && f.keyMax.startsWith("b")),
+      s"partition B key range polluted: ${bFiles.map(f => (f.keyMin, f.keyMax))}")
+    // with polluted ranges this upsert would be mis-tagged as an insert and
+    // duplicate the key
+    t.upsert(Seq(("b010", "B", 999)).toDF("k", "p", "v"))
+    assert(t.snapshot().count() === 100)
+    assert(t.snapshot().filter(col("k") === "b010" && col("v") === 999).count() === 1)
+    GraftTable.drop(dir)
+  }
+
+  test("concurrent writers hitting the same bucket groups: winners commit, losers conflict, no lost rows") {
+    val dir = tmp()
+    GraftTable.create(spark, dir, TableConfig("cc", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, index = BucketIndex(2),
+      targetFileSizeRows = 10000))
+    import TestSpark.spark.implicits._
+    import scala.collection.parallel.CollectionConverters._
+    // 4 independent writer instances race disjoint key sets into the same 2
+    // deterministic bucket groups: without written-group conflict detection
+    // + the commit lock, two writers commit two bases for one fileId and the
+    // lower instant's rows silently vanish
+    val outcomes = (0 until 4).par.map { i =>
+      val t = GraftTable.load(spark, dir)
+      val rows = (1 to 25).map(j => (f"w$i-k$j%03d", j)).toDF("k", "v")
+      try { t.insert(rows); (i, true) }
+      catch { case _: ConcurrentWriteException => (i, false) }
+    }.toList
+    val succeeded = outcomes.filter(_._2).map(_._1)
+    assert(succeeded.nonEmpty, "at least one writer must commit")
+    val t = GraftTable.load(spark, dir)
+    val snapKeys = t.snapshot().select("k").as[String].collect().toSet
+    for (i <- succeeded)
+      assert((1 to 25).forall(j => snapKeys.contains(f"w$i-k$j%03d")),
+        s"writer $i committed but lost rows")
+    assert(snapKeys.size === succeeded.size * 25,
+      "failed writers must contribute no rows")
+  }
+
   test("introspection: commits, fsview, partitions, write amplification") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
