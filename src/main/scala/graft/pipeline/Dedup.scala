@@ -55,13 +55,24 @@ object Dedup {
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(result, sh)
+  }
+
+  /** Force `result` (small: pairs above threshold) into local checkpoint
+    * storage, then release the big intermediate cache it was built from —
+    * otherwise the shingle blocks stay pinned for the session after the
+    * returned frame is consumed. */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** MinHash signatures: numHashes independent permutations approximated by
@@ -111,13 +122,14 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_a"), col("shingle")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
+    val result = common
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(result, sh)
   }
 
   /** 64-bit SimHash per document via the native one-pass kernel
@@ -143,8 +155,9 @@ object Dedup {
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: far fewer rows enter the dedup shuffle
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau. Brute-force baseline — the

@@ -203,15 +203,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   private def fullSchema(data: StructType): StructType = StructType(metaFields ++ data.fields)
 
+  /** instant -> write-time schemaJson: active timeline carried forward, plus
+    * checkpoint-recorded schemas for archived instants (checkpoint-carried
+    * files resolve at their ORIGINAL instants, which are no longer on the
+    * active timeline after archive()). */
+  private def schemaByInstant(): Map[String, String] = {
+    val ms = timeline.metas(None)
+    var last = ""
+    val active = ms.map { m =>
+      if (m.schemaJson.nonEmpty) last = m.schemaJson
+      m.instant -> last
+    }.toMap
+    ms.flatMap(_.carriedSchemas).toMap ++ active
+  }
+
   /** Read a set of files, conforming each commit-epoch schema to `target`. */
   private def readConformed(files: Seq[(FileMeta, String)], target: StructType): DataFrame = {
-    val schemaOf: Map[String, String] = { // instant -> schemaJson (carried forward)
-      var last = ""
-      timeline.metas(None).map { m =>
-        if (m.schemaJson.nonEmpty) last = m.schemaJson
-        m.instant -> last
-      }.toMap
-    }
+    val schemaOf = schemaByInstant()
     val tgt = fullSchema(target)
     val groups = files.groupBy { case (_, instant) => schemaOf.getOrElse(instant, "") }
     val dfs = groups.toSeq.map { case (sj, fs) =>
@@ -359,41 +367,24 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }.seq
     GraftTable.drop(staging.toString)
     if (moved.isEmpty) return Nil
-    // one column-pruned pass over the freshly written files for stats
-    val paths = moved.toSeq.map { case (rel, _, _) => s"$basePath/$rel" }
+    // per-file stats come from the parquet FOOTERS, not a second Spark pass
+    // over everything just written: O(#files) driver-side metadata reads,
+    // parallelized, keyed by exact relative path (fileIds — and so basenames
+    // — repeat across partitions within one commit, so path-suffix matching
+    // would cross-contaminate stats)
     val statCols = out.schema.fields
       .filter(f => !metaCols.contains(f.name) && isStatType(f.dataType))
-      .map(_.name).toSeq
-    val aggs: Seq[Column] =
-      Seq(count(lit(1)).as("_n"), min(col(KEY)).as("_kmin"), max(col(KEY)).as("_kmax")) ++
-        statCols.flatMap(c => Seq(
-          min(col(c)).cast(StringType).as(s"_min_$c"),
-          max(col(c)).cast(StringType).as(s"_max_$c")))
-    val statsDf = spark.read.parquet(paths: _*)
-      .groupBy(input_file_name().as("_f"))
-      .agg(aggs.head, aggs.tail: _*)
-    // key stats by the table-relative path: fileIds (and so basenames) repeat
-    // across partitions within one commit (b%05d, g<instant>-%05d, …), so a
-    // basename match would cross-contaminate stats between partitions
-    val absBase = Paths.get(basePath).toAbsolutePath.normalize.toString
-    def relOf(uri: String): String = {
-      val p = try new java.net.URI(uri).getPath
-              catch { case _: Exception => uri.stripPrefix("file:") }
-      Paths.get(p).toAbsolutePath.normalize.toString
-        .stripPrefix(absBase).stripPrefix("/")
-    }
-    val stats = statsDf.collect().map { r =>
-      relOf(r.getString(0)) ->
-        (r.getLong(1), Option(r.getString(2)).getOrElse(""), Option(r.getString(3)).getOrElse(""),
-        statCols.map(c => c -> Array(
-          Option(r.getAs[String](s"_min_$c")).getOrElse(""),
-          Option(r.getAs[String](s"_max_$c")).getOrElse(""))).toMap)
-    }.toMap
+      .map(_.name).toSet
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = moved.toSeq.par.map { case (rel, _, _) =>
+      rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY)
+    }.seq.toMap
     moved.toSeq.map { case (rel, partition, fid) =>
-      val st = stats.getOrElse(rel,
-        (0L, "", "", Map.empty[String, Array[String]]))
-      FileMeta(rel, fid, partition, st._1, isLog = logGroups.contains(s"$partition|$fid"),
-        keyMin = st._2, keyMax = st._3, colStats = st._4)
+      val st = stats(rel)
+      val (kmin, kmax) = st.minMax.getOrElse(KEY, ("", ""))
+      FileMeta(rel, fid, partition, st.rows, isLog = logGroups.contains(s"$partition|$fid"),
+        keyMin = kmin, keyMax = kmax,
+        colStats = (st.minMax - KEY).map { case (c, (mn, mx)) => c -> Array(mn, mx) })
     }
   }
 
@@ -840,17 +831,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val ms = timeline.metas(None).filter(m => dataActions(m.action))
     if (ms.size <= keepLast) return 0
     val toArchive = ms.dropRight(keepLast)
-    val archivedSet = toArchive.map(_.instant).toSet
     val live = slices(None)
-    val carry =
-      live.flatMap(s => if (archivedSet(s.baseInstant))
-        s.baseFiles.map(f => if (f.origInstant.isEmpty) f.copy(origInstant = s.baseInstant) else f)
-      else Nil) ++
-      live.flatMap(_.logs.filter(l => archivedSet(l._1))
-        .map { case (i, f) => if (f.origInstant.isEmpty) f.copy(origInstant = i) else f })
+    // carry forward every still-live file RECORDED by an instant leaving the
+    // active timeline — including files a previous checkpoint re-recorded
+    // (their origInstant points at a long-archived commit, so matching on the
+    // live slice's baseInstant would miss them and lose the rows)
+    val livePaths: Set[String] = live.flatMap(s =>
+      s.baseFiles.map(_.path) ++ s.logs.map(_._2.path)).toSet
+    val carry = toArchive.flatMap(m => m.files.collect {
+      case f if livePaths.contains(f.path) =>
+        f.copy(origInstant = if (f.origInstant.nonEmpty) f.origInstant else m.instant)
+    })
+    // record each carried instant's write-time schema BEFORE the instants
+    // leave the active timeline: readConformed needs it to avoid reading
+    // old files (e.g. int32 columns later widened to long) with the latest
+    // schema
+    val schemaOf = schemaByInstant()
+    val carriedSchemas = carry.map(_.origInstant).distinct
+      .map(i => i -> schemaOf.getOrElse(i, ""))
+      .filter(_._2.nonEmpty).toMap
     val instant = timeline.startInstant("commit")
     timeline.complete(CommitMeta(instant, "commit", "checkpoint",
       schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
+      carriedSchemas = carriedSchemas,
       extra = Map("archivedFrom" -> toArchive.head.instant,
         "archivedTo" -> toArchive.last.instant)))
     toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))

@@ -35,6 +35,9 @@ case class CommitMeta(
     files: Seq[FileMeta] = Nil,
     replaced: Seq[String] = Nil, // fileIds no longer live after this instant
     deletedPaths: Seq[String] = Nil, // physical deletions (clean/rollback)
+    // checkpoint commits only: write-time schemaJson per carried (archived)
+    // instant, so carried files keep reading with their original schema
+    carriedSchemas: Map[String, String] = Map.empty,
     extra: Map[String, String] = Map.empty)
 
 object Json {

@@ -355,6 +355,40 @@ class GraftTableSpec extends AnyFunSuite {
       "failed writers must contribute no rows")
   }
 
+  test("archival keeps write-time schemas: widened columns read correctly from carried files") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("evo_arch", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 1000))
+    import TestSpark.spark.implicits._
+    // v written as int, later widened to string — the carried file must be
+    // read with its original int schema, then cast
+    t.bulkInsert(Seq(("a", 7), ("b", 8)).toDF("k", "v"))
+    t.upsert(Seq(("c", "nine")).toDF("k", "v"))
+    for (i <- 1 to 5) t.upsert(Seq((s"x$i", s"s$i")).toDF("k", "v"))
+    assert(t.archive(keepLast = 2) > 0)
+    val snap = t.snapshot().select("k", "v").as[(String, String)].collect().toMap
+    assert(snap("a") === "7" && snap("b") === "8" && snap("c") === "nine")
+    GraftTable.drop(dir)
+  }
+
+  test("re-archiving a checkpoint re-carries its files: data survives repeated archival") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("rearch", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 1000))
+    import TestSpark.spark.implicits._
+    for (i <- 1 to 5) t.upsert(Seq((f"k$i%02d", i)).toDF("k", "v"))
+    assert(t.archive(keepLast = 2) > 0)
+    for (i <- 6 to 10) t.upsert(Seq((f"k$i%02d", i)).toDF("k", "v"))
+    assert(t.archive(keepLast = 2) > 0) // archives the first checkpoint too
+    val snap = t.snapshot()
+    assert(snap.count() === 10)
+    assert(snap.select("k").as[String].collect().toSet
+      === (1 to 10).map(i => f"k$i%02d").toSet)
+    GraftTable.drop(dir)
+  }
+
   test("introspection: commits, fsview, partitions, write amplification") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
