@@ -39,6 +39,18 @@ object GraftSql {
     t
   }
 
+  /** Hive-sync-style catalog registration (ref: hudi-sync/hudi-hive-sync
+    * HiveSyncTool): register `<name>` + `<name>_rt` (snapshot) and
+    * `<name>_ro` (read-optimized) views so plain `spark.sql` queries the
+    * table by name — the same rt/ro pair hive-sync exposes for MOR tables.
+    * Re-run after commits to pick up new file slices (hive-sync likewise
+    * re-syncs partitions per commit). */
+  def syncViews(t: GraftTable, name: String): Unit = {
+    t.snapshot().createOrReplaceTempView(name)
+    t.snapshot().createOrReplaceTempView(s"${name}_rt")
+    t.readOptimized().createOrReplaceTempView(s"${name}_ro")
+  }
+
   /** show_savepoints (ref: ShowSavepointsProcedure). */
   def showSavepoints(t: GraftTable): DataFrame = {
     import t.spark.implicits._

@@ -98,6 +98,64 @@ object GraftTable {
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
+
+  private[table] def isStatType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /**
+   * Metadata-only bootstrap (ref: hudi BootstrapMode.METADATA_ONLY,
+   * hudi-client-common/.../bootstrap): adopt an EXISTING directory of
+   * parquet files as a Graft table without rewriting a byte of data — one
+   * driver-side footer scan + one commit, regardless of data volume (the
+   * 100 TB on-ramp: importing an existing lake costs metadata, not I/O).
+   *
+   * Meta columns are derived on read (key/partition from the configured
+   * expressions, commit "0" so any later upsert wins the merge); the first
+   * upsert touching a bootstrapped file group rewrites just that group with
+   * materialized meta columns. Partitioned dir layouts are supported when
+   * the partition columns are also present in the file data (hive-style
+   * writers that drop the column from the files would read back null).
+   */
+  def bootstrapInPlace(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    val base = Paths.get(path)
+    require(Files.exists(base), s"bootstrap source $path does not exist")
+    val parquets = Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".") &&
+        !base.relativize(p).toString.contains(".graft"))
+      .toSeq.sortBy(_.toString)
+    require(parquets.nonEmpty, s"no parquet files under $path to bootstrap")
+    val dataSchema = spark.read.parquet(path).schema
+    val t = create(spark, path, config)
+    val instant = t.timeline.startInstant("commit")
+    val statCols = dataSchema.fields.filter(f => isStatType(f.dataType)).map(_.name).toSet
+    // a derived key range is only sound when the single key column is itself
+    // a string: for other types the lexical order of the cast differs from
+    // the native order, and a wrong range would wrongly exclude candidates.
+    // No range = "unknown" = always a tagging candidate (correct, slower).
+    val keyCol = config.keyFields match {
+      case Seq(k) if dataSchema.fields.exists(f => f.name == k && f.dataType == StringType) =>
+        Some(k)
+      case _ => None
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.collection.parallel.CollectionConverters._
+    val files = parquets.zipWithIndex.par.map { case (p, i) =>
+      val rel = base.relativize(p).toString
+      val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
+      val st = FooterStats.read(conf, p, statCols)
+      val (kmin, kmax) = keyCol.flatMap(st.minMax.get).getOrElse(("", ""))
+      FileMeta(rel, f"boot-$i%05d", partition, st.rows,
+        keyMin = kmin, keyMax = kmax,
+        colStats = st.minMax.map { case (c, (mn, mx)) => c -> Array(mn, mx) },
+        external = true)
+    }.seq
+    t.timeline.complete(CommitMeta(instant, "commit", "bootstrap",
+      schemaJson = dataSchema.json, files = files.toSeq))
+    t
+  }
 }
 
 /** Optimistic-concurrency conflict (ref: hudi ConcurrentModificationException
@@ -217,18 +275,42 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     ms.flatMap(_.carriedSchemas).toMap ++ active
   }
 
-  /** Read a set of files, conforming each commit-epoch schema to `target`. */
-  private def readConformed(files: Seq[(FileMeta, String)], target: StructType): DataFrame = {
+  /** Read a set of files, conforming each commit-epoch schema to `target`.
+    *
+    * Bootstrapped (metadata-only imported) files carry no meta columns: they
+    * read as null and are derived on the fly — key/partition from the
+    * configured expressions, commit "0" (sorts before any real instant, so
+    * any later upsert wins the merge window). Their per-row FILE_ID cannot
+    * be derived from data, so callers that need it (upsert tagging, file
+    * group rewrites) pass `needFileId` and external files get one pruned
+    * scan per file group with the fileId injected; plain reads keep the
+    * single multi-path scan. */
+  private def readConformed(files: Seq[(FileMeta, String)], target: StructType,
+      needFileId: Boolean = false): DataFrame = {
     val schemaOf = schemaByInstant()
     val tgt = fullSchema(target)
-    val groups = files.groupBy { case (_, instant) => schemaOf.getOrElse(instant, "") }
-    val dfs = groups.toSeq.map { case (sj, fs) =>
+    def scan(fs: Seq[(FileMeta, String)], sj: String, fidFill: Option[String]): DataFrame = {
       val fileSchema =
         if (sj.isEmpty) tgt
         else fullSchema(DataType.fromJson(sj).asInstanceOf[StructType])
       val paths = fs.map { case (f, _) => s"$basePath/${f.path}" }
+      val fid = fidFill match {
+        case Some(f) => coalesce(col(FILE_ID), lit(f))
+        case None => col(FILE_ID)
+      }
       conform(spark.read.schema(fileSchema).parquet(paths: _*), tgt)
+        .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
+        .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
+        .withColumn(COMMIT, coalesce(col(COMMIT), lit("0")))
+        .withColumn(FILE_ID, fid)
+        .withColumn(DELETED, coalesce(col(DELETED), lit(false)))
     }
+    val (ext, normal) = files.partition { case (f, _) => f.external && needFileId }
+    val dfs =
+      normal.groupBy { case (_, i) => schemaOf.getOrElse(i, "") }
+        .toSeq.map { case (sj, fs) => scan(fs, sj, None) } ++
+      ext.groupBy { case (f, i) => (schemaOf.getOrElse(i, ""), f.fileId) }
+        .toSeq.map { case ((sj, fid), fs) => scan(fs, sj, Some(fid)) }
     if (dfs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgt)
     else dfs.reduce(_ unionByName _)
   }
@@ -270,13 +352,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
       val cands = cur.filter { s =>
         ranges.get(s.partition).exists { case (mn, mx) =>
-          s.baseFiles.exists(b => b.keyMin <= mx && b.keyMax >= mn)
+          // empty recorded range = unknown (e.g. bootstrapped file) -> candidate
+          s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
+            (b.keyMax.isEmpty || b.keyMax >= mn))
         }
       }
       if (cands.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
       val data = schemaAt(None).getOrElse(new StructType())
       val existing = readConformed(
-        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data,
+        needFileId = true)
         .select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"))
       df.join(existing, Seq(KEY, PART), "left")
   }
@@ -388,11 +473,6 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
   }
 
-  private def isStatType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
-    case _ => false
-  }
-
   // ------------------------------------------------------------ operations
 
   /** Fast append: no tagging, no precombine — the reference's bulk_insert. */
@@ -449,7 +529,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           // bin-packed groups must be rewritten (old rows + new rows)
           val withOld =
             if (packTargets.isEmpty) assigned.filter(!col(DELETED))
-            else readSliceRows(packTargets, merged).unionByName(assigned.filter(!col(DELETED)))
+            else readSliceRows(packTargets, merged, needFileId = true)
+              .unionByName(assigned.filter(!col(DELETED)))
           (withOld, Set.empty[String], packKeys)
         } else {
           val tagged = pin(tag(cached, cur))
@@ -474,7 +555,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             val affected = touchedExisting.toSeq.flatMap(curByKey.get)
             val oldRows =
               if (affected.isEmpty) None
-              else Some(readSliceRows(affected, merged)
+              else Some(readSliceRows(affected, merged, needFileId = true)
                 .join(assigned.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_anti"))
             val newRows = assigned.filter(!col(DELETED))
             (oldRows.map(_.unionByName(newRows)).getOrElse(newRows), Set.empty[String], touchedExisting)
@@ -500,12 +581,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   }
 
   /** Merged rows of the given slices (base ∪ logs, latest version per key). */
-  private def readSliceRows(ss: Seq[FileSlice], data: StructType): DataFrame = {
+  private def readSliceRows(ss: Seq[FileSlice], data: StructType,
+      needFileId: Boolean = false): DataFrame = {
     val bases = ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant))
     val logsF = ss.flatMap(_.logs.map { case (i, f) => f -> i })
-    val b = readConformed(bases, data)
+    val b = readConformed(bases, data, needFileId)
     if (logsF.isEmpty) b
-    else mergeLatest(b.unionByName(readConformed(logsF, data)))
+    else mergeLatest(b.unionByName(readConformed(logsF, data, needFileId)))
   }
 
   /** Latest-wins merge across base+log rows of the same keys. */
@@ -603,22 +685,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   // ----------------------------------------------------------------- reads
 
+  /** Live rows (tombstones filtered, meta columns kept) of the slices
+    * passing `slicePred`, conformed to `data`. The MOR merge window runs
+    * only over file groups that actually have logs. */
+  private def snapshotFull(asOf: Option[String], data: StructType,
+      slicePred: FileSlice => Boolean): DataFrame = {
+    val ss = slices(asOf).filter(slicePred)
+    val (logged, plain) = ss.partition(_.logs.nonEmpty)
+    val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+    val all = if (logged.isEmpty) plainDf else {
+      val b = readConformed(logged.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      val l = readConformed(logged.flatMap(_.logs.map { case (i, f) => f -> i }), data)
+      plainDf.unionByName(mergeLatest(b.unionByName(l)))
+    }
+    all.filter(!col(DELETED))
+  }
+
   /** Snapshot query: latest version of every record (ref: QUERY_TYPE
     * snapshot). `asOf` = time travel; `partitionPred` prunes partitions
     * before any file is read. */
   def snapshot(asOf: Option[String] = None,
       partitionPred: String => Boolean = _ => true): DataFrame = {
     val data = schemaAt(asOf).getOrElse(new StructType())
-    val ss = slices(asOf).filter(s => partitionPred(s.partition))
-    val (logged, plain) = ss.partition(_.logs.nonEmpty)
-    val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-    val all = if (logged.isEmpty) plainDf else {
-      // merge window runs only over file groups that actually have logs
-      val b = readConformed(logged.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-      val l = readConformed(logged.flatMap(_.logs.map { case (i, f) => f -> i }), data)
-      plainDf.unionByName(mergeLatest(b.unionByName(l)))
-    }
-    all.filter(!col(DELETED)).drop(FILE_ID, DELETED)
+    snapshotFull(asOf, data, s => partitionPred(s.partition)).drop(FILE_ID, DELETED)
   }
 
   /** Read-optimized query: base files only, no log merge (ref: QUERY_TYPE
@@ -646,6 +735,49 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)
   }
 
+  /**
+   * CDC-format incremental query (ref: hudi cdc read,
+   * hudi-spark-datasource/.../cdc — the reference's fork predates it, but
+   * DeltaStreamer consumers reconstruct the same change log): one row per
+   * key changed in (from, to] with `op` i/u/d and full `before`/`after`
+   * images (null on insert/delete respectively).
+   *
+   * Scale shape: only file groups TOUCHED in the range are read — twice
+   * (as-of `from` and as-of `to`) — then one shuffle on (key, partition)
+   * for the full-outer diff. Rows rewritten with their original commit time
+   * (clustering, bin-packing, untouched rows of rewritten groups) cancel
+   * out via the commit-time filter, so layout churn emits no change rows.
+   */
+  def incrementalCDC(fromExclusive: String, toInclusive: Option[String] = None): DataFrame = {
+    val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
+    val data = schemaAt(Some(to)).getOrElse(new StructType())
+    val ms = timeline.metas(Some(to))
+      .filter(m => dataActions(m.action) && m.instant > fromExclusive)
+    val touched: Set[String] = ms.flatMap(m =>
+      m.files.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced).toSet
+    val img = struct(data.fields.map(f => col(f.name)).toSeq: _*)
+    val cdcSchema = StructType(Seq(
+      StructField(KEY, StringType), StructField(PART, StringType),
+      StructField("op", StringType),
+      StructField("before", data), StructField("after", data)))
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema)
+    val pred = (s: FileSlice) => touched.contains(s"${s.partition}|${s.fileId}")
+    val old = snapshotFull(Some(fromExclusive), data, pred)
+      .select(col(KEY), col(PART), img.as("before"))
+    val cur = snapshotFull(Some(to), data, pred)
+      .select(col(KEY), col(PART), img.as("after"), col(COMMIT).as("_g_c"))
+    old.join(cur, Seq(KEY, PART), "full_outer")
+      // both images present with a pre-range commit time = the row was only
+      // rewritten (clustering / group rewrite), not changed — not a change
+      .filter(col("before").isNull || col("after").isNull || col("_g_c") > fromExclusive)
+      .select(col(KEY), col(PART),
+        when(col("before").isNull, lit("i"))
+          .when(col("after").isNull, lit("d")).otherwise(lit("u")).as("op"),
+        col("before"), col("after"))
+  }
+
   /** Snapshot pruned by recorded per-file column stats: only file slices
     * whose [min,max] for `column` intersects [lo,hi] are read (the
     * reference's column-stats index / data skipping). */
@@ -656,22 +788,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       if (a.isEmpty || b.isEmpty) true
       else if (numeric) a.toDouble <= b.toDouble
       else a <= b
-    val ss = slices(None).filter { s =>
+    snapshotFull(None, data, s =>
       s.logs.nonEmpty || s.baseFiles.exists { b =>
         b.colStats.get(column) match {
           case Some(Array(mn, mx)) => le(mn, hi) && le(lo, mx)
           case _ => true
         }
-      }
-    }
-    val (logged, plain) = ss.partition(_.logs.nonEmpty)
-    val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-    val all = if (logged.isEmpty) plainDf else {
-      val b = readConformed(logged.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-      val l = readConformed(logged.flatMap(_.logs.map { case (i, f) => f -> i }), data)
-      plainDf.unionByName(mergeLatest(b.unionByName(l)))
-    }
-    all.filter(!col(DELETED)).drop(FILE_ID, DELETED)
+      }).drop(FILE_ID, DELETED)
   }
 
   // -------------------------------------------------------- table services
@@ -686,7 +809,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val instant = timeline.startInstant("commit")
     try {
       val data = schemaAt(None).getOrElse(new StructType())
-      val merged = readSliceRows(todo, data).filter(!col(DELETED))
+      val merged = readSliceRows(todo, data, needFileId = true).filter(!col(DELETED))
       val files = stageWrite(merged, instant, Set.empty)
       // a deltacommit that lands in a compacted group mid-compaction would be
       // merged under the new base instant and lost — conflict instead

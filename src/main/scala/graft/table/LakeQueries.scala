@@ -166,7 +166,28 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** CDC incremental: per changed key, op (i/u/d) + before/after images. */
+  def lakeCdc(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("cdc", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    val c1 = t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val news = orders.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    t.upsert(updates.unionByName(news))
+    t.delete(orders.filter(col("o_orderkey") % 13 === 0))
+    t.incrementalCDC(c1)
+      .select(
+        coalesce(col("before.o_orderkey"), col("after.o_orderkey")).as("o_orderkey"),
+        col("op"),
+        col("before.o_totalprice").as("before_totalprice"),
+        col("after.o_totalprice").as("after_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_cdc" -> (lakeCdc _),
     "lake_upsert_snapshot" -> (lakeUpsertSnapshot _),
     "lake_delete_keys" -> (lakeDeleteKeys _),
     "lake_insert_overwrite" -> (lakeInsertOverwrite _),
@@ -180,6 +201,18 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_cdc" ->
+      """SELECT o_orderkey, op, before_totalprice, after_totalprice FROM (
+        |  SELECT o_orderkey, 'u' AS op, o_totalprice AS before_totalprice,
+        |         o_totalprice * 2 AS after_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'i', CAST(NULL AS DOUBLE), o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, 'd', o_totalprice, CAST(NULL AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_upsert_snapshot" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

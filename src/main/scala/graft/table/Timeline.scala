@@ -20,7 +20,10 @@ case class FileMeta(
     colStats: Map[String, Array[String]] = Map.empty,
     // set when a checkpoint commit re-records a file written at an earlier,
     // now-archived instant: slice resolution uses this original instant
-    origInstant: String = "")
+    origInstant: String = "",
+    // metadata-only bootstrapped file: carries no graft meta columns; readers
+    // derive them (and inject fileId per group where tagging/rewrites need it)
+    external: Boolean = false)
 
 /** One timeline instant's metadata (ref: hudi-common
   * .../table/timeline/HoodieInstant.java + HoodieCommitMetadata.java).

@@ -389,6 +389,97 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("incrementalCDC: i/u/d with before/after images; layout churn emits no changes") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("cdc", MergeOnRead,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 1000))
+    import TestSpark.spark.implicits._
+    val c1 = t.bulkInsert(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"))
+    t.upsert(Seq(("b", 20), ("d", 4)).toDF("k", "v")) // update b, insert d
+    t.delete(Seq(("c", 0)).toDF("k", "v"))            // delete c (MOR tombstone)
+    val cdc = t.incrementalCDC(c1)
+      .select(col(GraftTable.KEY).as("k"), col("op"),
+        col("before.v").as("bv"), col("after.v").as("av"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(cdc === Map(
+      "b" -> (("u", Some(2), Some(20))),
+      "c" -> (("d", Some(3), None)),
+      "d" -> (("i", None, Some(4)))))
+    // pure layout churn (compact + cluster) emits no change rows
+    val c3 = t.latestDataInstant.get
+    t.compact()
+    t.cluster(Seq("k"))
+    assert(t.incrementalCDC(c3).count() === 0)
+    GraftTable.drop(dir)
+  }
+
+  test("bootstrapInPlace adopts existing parquet without rewriting; upserts work after") {
+    val dir = tmp()
+    val src = orders.filter(col("o_orderkey") <= 2000)
+    val cnt = src.count()
+    src.write.mode("overwrite").parquet(dir) // a pre-existing plain parquet lake
+    import scala.jdk.CollectionConverters._
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+    val before = dataFiles()
+    val t = GraftTable.bootstrapInPlace(spark, dir, TableConfig("boot", CopyOnWrite,
+      keyFields = Seq("o_orderkey"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 100000))
+    // snapshot sees all rows, derived meta columns present
+    val snap = t.snapshot()
+    assert(snap.count() === cnt)
+    assert(snap.filter(col(GraftTable.KEY).isNull).count() === 0)
+    // bootstrap itself rewrote nothing
+    assert(dataFiles() === before, "bootstrap must not touch data files")
+    // stats flowed from footers
+    assert(t.slices(None).flatMap(_.baseFiles).map(_.rows).sum === cnt)
+    // upserts against bootstrapped groups merge correctly
+    val upd = src.filter(col("o_orderkey") % 10 === 0).withColumn("o_totalprice", lit(1.5))
+    t.upsert(upd)
+    assert(t.snapshot().count() === cnt)
+    assert(t.snapshot().filter(col("o_totalprice") === 1.5).count() === upd.count())
+    GraftTable.drop(dir)
+  }
+
+  test("async table services: compaction off the ingest path, conflicts fail cleanly") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", lit(9.0)))
+    val services = new AsyncTableServices(t)
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val fut = services.compactAsync()
+      val done = try Await.result(fut, 120.seconds)
+      catch { case _: ConcurrentWriteException => None } // lost a race: fine
+      if (done.isDefined) assert(t.slices(None).forall(_.logs.isEmpty))
+      assert(t.snapshot().count() === orders.count())
+    } finally services.close()
+    GraftTable.drop(dir)
+  }
+
+  test("syncViews registers rt/ro SQL views") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderpriority", lit("SQLV")))
+    GraftSql.syncViews(t, "orders_sync")
+    assert(spark.sql("SELECT count(*) FROM orders_sync").collect()(0).getLong(0)
+      === orders.count())
+    assert(spark.sql("SELECT count(*) FROM orders_sync_rt WHERE o_orderpriority = 'SQLV'")
+      .collect()(0).getLong(0) === orders.filter(col("o_orderkey") % 2 === 0).count())
+    // read-optimized view doesn't see the uncompacted log updates
+    assert(spark.sql("SELECT count(*) FROM orders_sync_ro WHERE o_orderpriority = 'SQLV'")
+      .collect()(0).getLong(0) === 0)
+    GraftTable.drop(dir)
+  }
+
   test("introspection: commits, fsview, partitions, write amplification") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
