@@ -223,11 +223,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     case _ => StringType
   }
 
-  private def conform(df: DataFrame, target: StructType): DataFrame =
+  private def conform(df: DataFrame, target: StructType,
+      keep: Seq[String] = Nil): DataFrame =
     df.select(target.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    }.toSeq ++ keep.filter(df.columns.contains).map(col): _*)
 
   // ------------------------------------------------------------ file slices
 
@@ -499,11 +500,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     try {
       val cur = slices(None)
       val oldSchema = schemaAt(None)
+      // a caller that already joined against the table (mergeInto) passes its
+      // tag through as _g_fid so the batch isn't re-tagged with a second
+      // table scan + shuffle join
+      val preTagged = raw.columns.contains("_g_fid")
       val keyed = withMeta(raw, instant)
       val batch0 = if (op == "bulk_insert") keyed else precombine(keyed)
-      val dataSchema = StructType(batch0.schema.fields.filterNot(f => metaCols.contains(f.name)))
+      val dataSchema = StructType(batch0.schema.fields
+        .filterNot(f => metaCols.contains(f.name) || f.name == "_g_fid"))
       val merged = mergeSchemas(oldSchema, dataSchema)
-      val batch1 = conform(batch0, fullSchema(merged))
+      val batch1 = conform(batch0, fullSchema(merged),
+        keep = if (preTagged) Seq("_g_fid") else Nil)
 
       // the batch is reused by several jobs (insert counts, touched-group
       // collection, the staged write, COW anti-joins) — cache it so the
@@ -533,7 +540,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
               .unionByName(assigned.filter(!col(DELETED)))
           (withOld, Set.empty[String], packKeys)
         } else {
-          val tagged = pin(tag(cached, cur))
+          val tagged = pin(if (preTagged) cached else tag(cached, cur))
           // one metadata-sized collect for the whole write: rows per
           // (partition, tagged group); null group = insert
           val groupCounts = tagged.groupBy(col(PART), col("_g_fid")).count().collect()
@@ -659,28 +666,22 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    */
   def mergeInto(source: DataFrame, updateCond: Column = lit(true),
       deleteCond: Column = lit(false), insertCond: Column = lit(true)): String = {
+    // one tag join does double duty: it classifies matched/unmatched AND
+    // carries the file-group assignment into writeBatch (preTagged), so the
+    // table is scanned+joined once, not once here and again for tagging
     val keyed = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
-    val existing = existingKeys().withColumn("_g_m", lit(true))
-    val m = keyed.join(existing, Seq(KEY, PART), "left")
-    val toDelete = m.filter(col("_g_m") && deleteCond).withColumn(DELETED, lit(true))
-    val toUpdate = m.filter(col("_g_m") && !deleteCond && updateCond)
+    val m = tag(keyed, slices(None))
+    val matched = col("_g_fid").isNotNull
+    val toDelete = m.filter(matched && deleteCond).withColumn(DELETED, lit(true))
+    val toUpdate = m.filter(matched && !deleteCond && updateCond)
       .withColumn(DELETED, lit(false))
-    val toInsert = m.filter(col("_g_m").isNull && insertCond)
+    val toInsert = m.filter(!matched && insertCond)
       .withColumn(DELETED, lit(false))
     val batch = toDelete.unionByName(toUpdate).unionByName(toInsert)
-      .drop("_g_m", KEY, PART)
+      .drop(KEY, PART)
     writeBatch(batch, "merge")
-  }
-
-  /** Distinct (key, partition) currently in the table — key-column scan of
-    * base files only (inserts always have a base-file home). */
-  private def existingKeys(): DataFrame = {
-    val data = schemaAt(None).getOrElse(new StructType())
-    val cur = slices(None)
-    readConformed(cur.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-      .select(col(KEY), col(PART)).distinct()
   }
 
   // ----------------------------------------------------------------- reads
