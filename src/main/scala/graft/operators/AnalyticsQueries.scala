@@ -26,13 +26,15 @@ object AnalyticsQueries {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Exact.rnd(sum(col("l_quantity")), 2).as("sum_qty"),
-        Exact.rnd(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        Exact.rnd(avg(col("l_quantity")), 4).as("avg_qty"),
-        Exact.rnd(avg(col("l_extendedprice")), 4).as("avg_price"),
-        Exact.rnd(avg(col("l_discount")), 4).as("avg_disc"),
+        // integer-cents sums: exact and partition-order-independent, so the
+        // oracle comparison can never land on a different rounding tie
+        Exact.rnd(Exact.sumMoney(col("l_quantity")), 2).as("sum_qty"),
+        Exact.rnd(Exact.sumMoney(col("l_extendedprice")), 2).as("sum_base_price"),
+        Exact.rnd(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")), 2).as("sum_disc_price"),
+        Exact.rnd(Exact.sumCharge(col("l_extendedprice"), col("l_discount"), col("l_tax")), 2).as("sum_charge"),
+        Exact.rnd(sum(Exact.cents(col("l_quantity"))).cast("double") / count(lit(1)) / 100, 4).as("avg_qty"),
+        Exact.rnd(sum(Exact.cents(col("l_extendedprice"))).cast("double") / count(lit(1)) / 100, 4).as("avg_price"),
+        Exact.rnd(sum(Exact.cents(col("l_discount"))).cast("double") / count(lit(1)) / 100, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
@@ -45,7 +47,7 @@ object AnalyticsQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")), 2).as("revenue"))
       .select(col("l_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("o_orderpriority"), col("revenue"))
@@ -84,7 +86,7 @@ object AnalyticsQueries {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -96,7 +98,7 @@ object AnalyticsQueries {
               col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
-      .agg(Exact.rnd(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(Exact.rnd(Exact.sumPriceTimes(col("l_extendedprice"), col("l_discount")), 2).as("revenue"))
 
   /** TPC-H Q10: returned items — customers who returned goods, by lost
     * revenue. */
@@ -111,7 +113,7 @@ object AnalyticsQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
@@ -121,7 +123,7 @@ object AnalyticsQueries {
   def qTopCustomers(s: SparkSession, d: String): DataFrame = {
     val perCust = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(sum(col("o_totalprice")).as("raw_rev"))
+      .agg(Exact.sumMoney(col("o_totalprice")).as("raw_rev"))
     val c = Tables.customer(s, d)
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("raw_rev").desc, col("c_custkey"))
@@ -139,7 +141,8 @@ object AnalyticsQueries {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(s, d)
-      .withColumn("running_total", Exact.rnd(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("running_total",
+        Exact.rnd(sum(Exact.cents(col("o_totalprice"))).over(w).cast("double") / 100, 2))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
         col("running_total"))
@@ -154,7 +157,7 @@ object AnalyticsQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
-      .agg(Exact.rnd(sum(col("o_totalprice")), 2).as("total_sales"),
+      .agg(Exact.rnd(Exact.sumMoney(col("o_totalprice")), 2).as("total_sales"),
            count(lit(1)).as("n_orders"))
       .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
   }
@@ -181,7 +184,7 @@ object AnalyticsQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey") && l("salt") === o("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
-           Exact.rnd(sum(col("l_extendedprice")), 2).as("total_price"))
+           Exact.rnd(Exact.sumMoney(col("l_extendedprice")), 2).as("total_price"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -201,23 +204,23 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
-        |  floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100 AS sum_charge,
-        |  floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
-        |  floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000 AS avg_price,
-        |  floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${Exact.rndSql(Exact.sumMoneySql("l_quantity"), 2)} AS sum_qty,
+        |  ${Exact.rndSql(Exact.sumMoneySql("l_extendedprice"), 2)} AS sum_base_price,
+        |  ${Exact.rndSql(Exact.sumRevenueSql("l_extendedprice", "l_discount"), 2)} AS sum_disc_price,
+        |  ${Exact.rndSql(Exact.sumChargeSql("l_extendedprice", "l_discount", "l_tax"), 2)} AS sum_charge,
+        |  ${Exact.rndSql(s"CAST(sum(${Exact.centsSql("l_quantity")}) AS DOUBLE) / count(*) / 100", 4)} AS avg_qty,
+        |  ${Exact.rndSql(s"CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / count(*) / 100", 4)} AS avg_price,
+        |  ${Exact.rndSql(s"CAST(sum(${Exact.centsSql("l_discount")}) AS DOUBLE) / count(*) / 100", 4)} AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+        |  ${Exact.rndSql(Exact.sumRevenueSql("l_extendedprice", "l_discount"), 2)} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -237,8 +240,8 @@ object AnalyticsQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+      s"""SELECT n_name,
+        |  ${Exact.rndSql(Exact.sumRevenueSql("l_extendedprice", "l_discount"), 2)} AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -251,15 +254,15 @@ object AnalyticsQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100 AS revenue
+      s"""SELECT ${Exact.rndSql(Exact.sumPriceTimesSql("l_extendedprice", "l_discount"), 2)} AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
-      """SELECT c_custkey, c_name, n_name,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+      s"""SELECT c_custkey, c_name, n_name,
+        |  ${Exact.rndSql(Exact.sumRevenueSql("l_extendedprice", "l_discount"), 2)} AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -271,8 +274,8 @@ object AnalyticsQueries {
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin,
     "q_top_customers" ->
-      """WITH per_cust AS (
-        |  SELECT o_custkey, sum(o_totalprice) AS raw_rev
+      s"""WITH per_cust AS (
+        |  SELECT o_custkey, ${Exact.sumMoneySql("o_totalprice")} AS raw_rev
         |  FROM orders GROUP BY o_custkey)
         |SELECT c_mktsegment, c_custkey, floor((raw_rev) * 100 + 0.5) / 100 AS revenue, rnk
         |FROM (
@@ -283,17 +286,17 @@ object AnalyticsQueries {
         |WHERE rnk <= 5
         |ORDER BY c_mktsegment, rnk""".stripMargin,
     "q_running_total" ->
-      """SELECT o_custkey, o_orderkey,
+      s"""SELECT o_custkey, o_orderkey,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |  floor((sum(o_totalprice) OVER (
+        |  ${Exact.rndSql(s"""CAST(sum(${Exact.centsSql("o_totalprice")}) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100""", 2)}
         |    AS running_total
         |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup_sales" ->
-      """SELECT n_name, c_mktsegment,
-        |  floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total_sales,
+      s"""SELECT n_name, c_mktsegment,
+        |  ${Exact.rndSql(Exact.sumMoneySql("o_totalprice"), 2)} AS total_sales,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -307,8 +310,8 @@ object AnalyticsQueries {
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
     "q_skew_join" ->
-      """SELECT o_orderstatus, count(*) AS n_items,
-        |  floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS total_price
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+        |  ${Exact.rndSql(Exact.sumMoneySql("l_extendedprice"), 2)} AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin

@@ -41,10 +41,13 @@ object AnalyticsQueries2 {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
-      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      // volume in integer 10^-4-dollar units: both sums below are exact longs
+      .withColumn("volume",
+        Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount"))))
       .withColumn("o_year", year(col("o_orderdate")).cast("long"))
     joined.groupBy(col("o_year"))
-      .agg(Exact.rnd(sum(when(col("n_name") === "CHINA", col("volume")).otherwise(0.0)) / sum(col("volume")), 6).as("mkt_share"))
+      .agg(Exact.rnd(sum(when(col("n_name") === "CHINA", col("volume")).otherwise(0L)).cast("double") /
+        sum(col("volume")).cast("double"), 6).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -79,9 +82,11 @@ object AnalyticsQueries2 {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-      .agg(Exact.rnd(sum(when(col("p_type") === "PROMO",
-          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("promo_revenue"))
+      .withColumn("volume",
+        Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount"))))
+      .agg(Exact.rnd(sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0L))
+          .cast("double") * 100.0 /
+          sum(col("volume")).cast("double"), 6).as("promo_revenue"))
 
   /** Q18: large-volume customers — orders whose total quantity exceeds a
     * threshold (join back after a having-style aggregate). */
@@ -110,19 +115,22 @@ object AnalyticsQueries2 {
         (col("p_brand") === "Brand#19" && col("l_quantity").between(10, 30) &&
           col("p_size").between(1, 25)) ||
         (col("p_brand") === "Brand#5" && col("l_quantity").between(20, 40)))
-      .agg(Exact.rnd(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Exact.rnd(Exact.sumRevenue(col("l_extendedprice"), col("l_discount")), 2).as("revenue"))
 
   /** Q22-shaped: wealthy customers (above-average balance) with no orders —
     * scalar subquery + anti join. */
   def q22GlobalSalesOpportunity(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
-    val avgBal = c.filter(col("c_acctbal") > 0.0)
-      .agg(avg(col("c_acctbal")).as("a")).collect()(0).getDouble(0)
+    // exact threshold: integer-cents avg, so both engines filter on the
+    // identical double regardless of their internal sum order
+    val bal = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(Exact.cents(col("c_acctbal"))).as("s"), count(lit(1)).as("n")).collect()(0)
+    val avgBal = bal.getLong(0).toDouble / bal.getLong(1) / 100
     val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
     c.filter(col("c_acctbal") > avgBal)
       .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("numcust"), Exact.rnd(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"), Exact.rnd(Exact.sumMoney(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -136,6 +144,11 @@ object AnalyticsQueries2 {
     "q19_disjunctive" -> (q19DisjunctiveFilters _),
     "q22_sales_opportunity" -> (q22GlobalSalesOpportunity _)
   )
+
+  /** price*(1-disc) as integer 10^-4-dollar units (oracle twin of the
+    * Spark-side `volume` column in q8/q14). */
+  private val centsVol: String =
+    s"${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")})"
 
   val oracles: Map[String, String] = Map(
     "q7_volume_shipping" ->
@@ -153,10 +166,8 @@ object AnalyticsQueries2 {
         |GROUP BY 1, 2, 3
         |ORDER BY cust_nation, supp_nation, l_year""".stripMargin,
     "q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
-        |  floor((sum(CASE WHEN n_name = 'CHINA'
-        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |        / sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000 AS mkt_share
+      s"""SELECT year(o_orderdate) AS o_year,
+        |  ${Exact.rndSql(s"CAST(sum(CASE WHEN n_name = 'CHINA' THEN $centsVol ELSE 0 END) AS DOUBLE) / CAST(sum($centsVol) AS DOUBLE)", 6)} AS mkt_share
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -180,9 +191,7 @@ object AnalyticsQueries2 {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q14_promo_revenue" ->
-      """SELECT floor((sum(CASE WHEN p_type = 'PROMO'
-        |             THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-        |  / sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000
+      s"""SELECT ${Exact.rndSql(s"CAST(sum(CASE WHEN p_type = 'PROMO' THEN $centsVol ELSE 0 END) AS DOUBLE) * 100.0 / CAST(sum($centsVol) AS DOUBLE)", 6)}
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -198,7 +207,7 @@ object AnalyticsQueries2 {
         |ORDER BY total_qty DESC, o_orderkey
         |LIMIT 50""".stripMargin,
     "q19_disjunctive" ->
-      """SELECT floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS revenue
+      s"""SELECT ${Exact.rndSql(Exact.sumRevenueSql("l_extendedprice", "l_discount"), 2)} AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 20
         |       AND p_size BETWEEN 1 AND 10)
@@ -206,10 +215,11 @@ object AnalyticsQueries2 {
         |       AND p_size BETWEEN 1 AND 25)
         |   OR (p_brand = 'Brand#5' AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q22_sales_opportunity" ->
-      """SELECT c_mktsegment, count(*) AS numcust,
-        |  floor((sum(c_acctbal)) * 100 + 0.5) / 100 AS totacctbal
+      s"""SELECT c_mktsegment, count(*) AS numcust,
+        |  ${Exact.rndSql(Exact.sumMoneySql("c_acctbal"), 2)} AS totacctbal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT CAST(sum(${Exact.centsSql("c_acctbal")}) AS DOUBLE) / count(*) / 100
+        |                   FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |GROUP BY c_mktsegment

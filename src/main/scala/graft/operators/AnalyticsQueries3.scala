@@ -26,28 +26,33 @@ object AnalyticsQueries3 {
     * (HAVING against a scalar subquery). */
   def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val perPart = li.groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("value"))
-    val threshold = li
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-      .collect()(0).getDouble(0) * 0.0008
-    perPart.filter(col("value") > threshold)
-      .select(col("l_partkey"), Exact.rnd(col("value"), 2).as("value"))
+    // revenue kept as exact integer 10^-4-dollar units until the final
+    // projection, so the threshold comparison is order-independent
+    val vol = Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))
+    val perPart = li.groupBy(col("l_partkey")).agg(sum(vol).as("value_u"))
+    val threshold = li.agg(sum(vol)).collect()(0).getLong(0).toDouble * 0.0008
+    perPart.filter(col("value_u").cast("double") > threshold)
+      .select(col("l_partkey"),
+        Exact.rnd(col("value_u").cast("double") / lit(1e4), 2).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
   /** Q15-shaped: the top-revenue supplier(s) over a window (max scalar
     * subquery, ties kept). */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    // exact integer revenue units: the max and its tie test are integer
+    // comparisons, so "ties kept" cannot be perturbed by FP sum order
+    val vol = Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))
     val rev = Tables.lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
-    val best = rev.agg(max(col("total_rev"))).collect()(0).getDouble(0)
-    rev.filter(col("total_rev") === best)
+      .agg(sum(vol).as("total_u"))
+    val best = rev.agg(max(col("total_u"))).collect()(0).getLong(0)
+    rev.filter(col("total_u") === best)
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), Exact.rnd(col("total_rev"), 2).as("total_rev"))
+      .select(col("s_suppkey"), col("s_name"),
+        Exact.rnd(col("total_u").cast("double") / lit(1e4), 2).as("total_rev"))
       .orderBy(col("s_suppkey"))
   }
 
@@ -67,7 +72,8 @@ object AnalyticsQueries3 {
       .agg((avg(col("l_quantity")) * 0.5).as("half_avg"))
     li.join(avgQty, Seq("l_partkey"))
       .filter(col("l_quantity") < col("half_avg"))
-      .agg(Exact.rnd(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .agg(Exact.rnd(sum(Exact.cents(col("l_extendedprice"))).cast("double") / 100 / 7.0, 2)
+        .as("avg_yearly"))
   }
 
   /** Q21-shaped: suppliers that were the sole supplier on a finished
@@ -96,6 +102,9 @@ object AnalyticsQueries3 {
     "q21_sole_supplier" -> (q21SoleSupplier _)
   )
 
+  private val centsVol: String =
+    s"${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")})"
+
   val oracles: Map[String, String] = Map(
     "q2_cheapest_part" ->
       """SELECT p_type, p_partkey, p_retailprice
@@ -104,24 +113,24 @@ object AnalyticsQueries3 {
         |                       WHERE p2.p_type = part.p_type)
         |ORDER BY p_type, p_partkey""".stripMargin,
     "q11_important_parts" ->
-      """SELECT l_partkey,
-        |  floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS value
+      s"""SELECT l_partkey,
+        |  ${Exact.rndSql(s"CAST(sum($centsVol) AS DOUBLE) / 1e4", 2)} AS value
         |FROM lineitem
         |GROUP BY l_partkey
-        |HAVING sum(l_extendedprice * (1 - l_discount)) >
-        |  (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0008 FROM lineitem)
+        |HAVING CAST(sum($centsVol) AS DOUBLE) >
+        |  (SELECT CAST(sum($centsVol) AS DOUBLE) * 0.0008 FROM lineitem)
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      s"""WITH rev AS (
+        |  SELECT l_suppkey, sum($centsVol) AS total_u
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         |  GROUP BY l_suppkey)
         |SELECT s_suppkey, s_name,
-        |  floor((total_rev) * 100 + 0.5) / 100 AS total_rev
+        |  ${Exact.rndSql("CAST(total_u AS DOUBLE) / 1e4", 2)} AS total_rev
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |WHERE total_u = (SELECT max(total_u) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
     "q16_supplier_counts" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
@@ -129,7 +138,7 @@ object AnalyticsQueries3 {
         |GROUP BY p_brand, p_type
         |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin,
     "q17_small_quantity" ->
-      """SELECT floor((sum(l_extendedprice) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+      s"""SELECT ${Exact.rndSql(s"CAST(sum(${Exact.centsSql("l_extendedprice")}) AS DOUBLE) / 100 / 7.0", 2)} AS avg_yearly
         |FROM lineitem l1
         |JOIN (SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg
         |      FROM lineitem GROUP BY l_partkey) a

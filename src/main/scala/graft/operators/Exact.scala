@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.floor
+import org.apache.spark.sql.functions.{floor, lit, sum}
 
 /**
  * Engine-agnostic rounding. Spark's round() (BigDecimal HALF_UP on the
@@ -22,4 +22,48 @@ object Exact {
     val f = math.pow(10, scale).toLong
     s"floor(($expr) * $f + 0.5) / $f"
   }
+
+  // ---- order-independent money aggregation -------------------------------
+  //
+  // Group sums of money doubles are fragile: each engine folds partitions in
+  // its own order, and FP addition is non-associative, so two correct sums
+  // can land on opposite sides of a rounding boundary. Snapping 2-decimal
+  // inputs to integer cents FIRST makes the sum a long (associative, exact);
+  // the division back to dollars is then computed from identical integers on
+  // both engines. Every helper here has a `...Sql` twin that mirrors the
+  // expression shape operation-for-operation — the mirroring is what makes
+  // the comparison bit-exact, so change both or neither.
+
+  /** 2-decimal money double -> integer cents (exact snap). */
+  def cents(c: Column): Column = floor(c * 100 + lit(0.5)).cast("long")
+
+  def centsSql(e: String): String = s"CAST(floor(($e) * 100 + 0.5) AS BIGINT)"
+
+  /** Exact sum of a 2-decimal money column, back in dollars. */
+  def sumMoney(c: Column): Column = sum(cents(c)).cast("double") / 100
+
+  def sumMoneySql(e: String): String =
+    s"CAST(sum(${centsSql(e)}) AS DOUBLE) / 100"
+
+  /** Exact sum of price*(1-disc): integer 10^-4-dollar units. */
+  def sumRevenue(price: Column, disc: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / lit(1e4)
+
+  def sumRevenueSql(p: String, d: String): String =
+    s"CAST(sum(${centsSql(p)} * (100 - ${centsSql(d)})) AS DOUBLE) / 1e4"
+
+  /** Exact sum of price*disc (TPC-H Q6 form). */
+  def sumPriceTimes(price: Column, frac: Column): Column =
+    sum(cents(price) * cents(frac)).cast("double") / lit(1e4)
+
+  def sumPriceTimesSql(p: String, f: String): String =
+    s"CAST(sum(${centsSql(p)} * ${centsSql(f)}) AS DOUBLE) / 1e4"
+
+  /** Exact sum of price*(1-disc)*(1+tax): integer 10^-6-dollar units. */
+  def sumCharge(price: Column, disc: Column, tax: Column): Column =
+    sum(cents(price) * (lit(100L) - cents(disc)) * (lit(100L) + cents(tax)))
+      .cast("double") / lit(1e6)
+
+  def sumChargeSql(p: String, d: String, t: String): String =
+    s"CAST(sum(${centsSql(p)} * (100 - ${centsSql(d)}) * (100 + ${centsSql(t)})) AS DOUBLE) / 1e6"
 }

@@ -142,7 +142,13 @@ object Dedup {
   /** SimHash near-dup pairs: LSH on 8×8-bit chunks (by pigeonhole, any pair
     * within hamming distance ≤ 7 must agree on at least one chunk; wider
     * distances are still usually caught), verified with
-    * bit_count(xor) ≤ maxHamming. */
+    * bit_count(xor) ≤ maxHamming.
+    *
+    * A pair sharing k chunks meets in k buckets; rather than a distinct()
+    * shuffle over every candidate pair, each pair is emitted only from the
+    * FIRST chunk the two hashes agree on — a pure codegen filter on the two
+    * simhashes already present in the joined row, so the only shuffle in the
+    * whole operator is the bucket join itself. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = simhash64(docs, idCol, textCol)
@@ -150,14 +156,17 @@ object Dedup {
       array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*))
       .as(Seq("chunk", "val")))
+    val xorv = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    val agrees = array((0 until 8).map(c =>
+      shiftright(xorv, c * 8).bitwiseAND(lit(0xFFL)) === 0): _*)
     chunked.as("x").join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
+      // this bucket is the pair's first agreement -> exactly-once emission
+      .filter(col("x.chunk") === array_position(agrees, lit(true)) - 1)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      // filter BEFORE distinct: far fewer rows enter the dedup shuffle
+        bit_count(xorv).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine ≥ tau. Brute-force baseline — the

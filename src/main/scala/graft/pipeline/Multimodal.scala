@@ -24,28 +24,33 @@ object Multimodal {
       concat(lit("img/"), col("source")).as("format"))
 
   /**
-   * STUB decoder — replace the body with the real codec call.
-   * Deterministic pure function of the payload so tests are stable.
+   * STUB decoder — replace the body with the real codec call (the digest
+   * stands in for the decoder handle a real codec would hold).
+   * Deterministic pure function of the payload so tests are stable, and
+   * md5-based so a SQL oracle can state the same values.
    */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    var crc = 0L
-    var i = 0
-    while (i < bytes.length) { crc = crc * 31 + (bytes(i) & 0xff); i += 1 }
-    val width = 64 + math.floorMod(crc, 448).toInt
-    val height = 64 + math.floorMod(crc >> 16, 448).toInt
+  private def fakeDecode(md: java.security.MessageDigest,
+      bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    md.reset()
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    val crc = java.lang.Long.parseLong(hex.substring(0, 15), 16) // 60 bits, ≥0
+    val width = 64 + (crc % 448).toInt
+    val height = 64 + ((crc >> 16) % 448).toInt
     (width, height, 3, crc)
   }
 
-  /** Batched per-partition decode: one iterator pass, no per-row task
-    * overhead, executor-local — the shape a real decode (or a Pandas-UDF
-    * equivalent in PySpark) needs at scale. */
+  /** Batched per-partition decode: codec initialized once per partition,
+    * one iterator pass, no per-row task overhead, executor-local — the
+    * shape a real decode (or a Pandas-UDF equivalent in PySpark) needs at
+    * scale. */
   def decodeMeta(withPayload: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload"), col("format"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
         it.map { case (id, bytes, fmt) =>
-          val (w, h, c, crc) = fakeDecode(bytes)
+          val (w, h, c, crc) = fakeDecode(md, bytes)
           MediaMeta(id, bytes.length.toLong, fmt, w, h, c, crc)
         }
       }

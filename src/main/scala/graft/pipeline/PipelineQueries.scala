@@ -211,6 +211,17 @@ object PipelineQueries {
          |    ${T.cnt("lower(text)", "\\b(el|los|las|es|y)\\b")} AS s_es,
          |    ${T.cnt("text", "[\\x{4e00}-\\x{9fff}]")} AS s_zh
          |  FROM documents)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "mm_binary_meta" ->
+      """SELECT doc_id, byte_len, format,
+        |  CAST(64 + crc % 448 AS INTEGER) AS width,
+        |  CAST(64 + (crc // 65536) % 448 AS INTEGER) AS height,
+        |  3 AS channels, crc AS checksum
+        |FROM (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    'img/' || source AS format,
+        |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS crc
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }
