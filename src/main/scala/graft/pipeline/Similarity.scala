@@ -33,6 +33,25 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** LSH parameters sized to the corpus: more hyperplanes as the corpus
+    * grows (candidate buckets stay ~`targetBucket` vectors, so per-query
+    * work is flat at any scale), with more tables to buy back the recall
+    * each extra plane costs. At 10^9 vectors this yields ~22 planes /
+    * 16 tables instead of scanning 1/16th of the corpus per query. */
+  def autoParams(corpusSize: Long, targetBucket: Int = 256): (Int, Int) = {
+    val planes = math.max(2, math.min(24,
+      math.ceil(math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) / math.log(2)).toInt))
+    val tables = math.max(8, math.min(32, planes * 2))
+    (planes, tables)
+  }
+
+  /** [[lshTopK]] with planes/tables derived from the corpus row count. */
+  def lshTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (planes, tables) = autoParams(corpus.count())
+    lshTopK(corpus, queries, k, planes, tables, idCol, vecCol)
+  }
+
   /** Approximate top-k via random-hyperplane LSH with `tables` independent
     * hash tables: candidates = vectors sharing a bucket with the query in
     * any table, ranked by exact cosine. */

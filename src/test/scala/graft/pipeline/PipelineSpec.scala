@@ -53,6 +53,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"ANN recall@5 $recall%.2f below floor")
   }
 
+  test("lsh ANN auto-params scale with corpus size and keep recall") {
+    // buckets stay ~target-sized as the corpus grows: per-query candidate
+    // work is flat at 10^9 vectors instead of scanning n/2^planes
+    val (p1, t1) = Similarity.autoParams(1000L)
+    val (p2, t2) = Similarity.autoParams(1000L * 1000)
+    val (p3, t3) = Similarity.autoParams(1000L * 1000 * 1000)
+    assert(p1 < p2 && p2 < p3, s"planes must grow: $p1 $p2 $p3")
+    assert(t1 <= t2 && t2 <= t3, s"tables must not shrink: $t1 $t2 $t3")
+    assert(p3 >= 20, s"at 1e9 vectors buckets must stay small (planes=$p3)")
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopKAuto(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, f"auto-param ANN recall@5 $recall%.2f below floor")
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
