@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * SQL registration of the native Graft kernels, so `spark.sql` users call
+ * them like built-ins (the reference exposes its engine functions through
+ * its SQL layer the same way; ref: hudi-spark-datasource
+ * .../HoodieSpark3SessionExtension registering Hudi analysis rules):
+ *
+ *  - `graft_dot(a, b)`       float-vector dot product (double)
+ *  - `graft_norm(a)`         float-vector L2 norm (double)
+ *  - `graft_simhash64(s)`    64-bit SimHash of whitespace tokens
+ *  - `graft_shingle_hashes(s, n)`  distinct hashed word n-gram shingles
+ *  - `graft_fingerprint(s, w)`     rolling-hash document fingerprint
+ *
+ * Two entry points, same registry entries:
+ *  - `spark.sql.extensions=graft.functions.GraftExtensions` (or
+ *    `.withExtensions(new GraftExtensions)`) at session build;
+ *  - `GraftFunctions.register(spark)` on a live session.
+ */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, usage, builder) for every SQL-exposed kernel. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "graft_dot(a, b) - dot product of two float arrays",
+      (args: Seq[Expression]) => FloatDotExpr(args(0), args(1))),
+    ("graft_norm", "graft_norm(a) - L2 norm of a float array",
+      (args: Seq[Expression]) => FloatNormExpr(args(0))),
+    ("graft_simhash64", "graft_simhash64(s) - 64-bit simhash of the text",
+      (args: Seq[Expression]) => Simhash64Expr(args(0))),
+    ("graft_shingle_hashes",
+      "graft_shingle_hashes(s, n) - distinct hashed word n-gram shingles",
+      (args: Seq[Expression]) =>
+        ShingleHashesExpr(args(0), litInt(args(1), "shingle size n"))),
+    ("graft_fingerprint",
+      "graft_fingerprint(s, w) - rolling-hash fingerprint with window w",
+      (args: Seq[Expression]) =>
+        RollingFingerprintExpr(args(0), litInt(args(1), "window w"))))
+
+  private def entry(name: String, usage: String,
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft", null, name, usage, ""),
+      builder)
+
+  /** Register on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (n, u, b) =>
+      val (id, inf, bld) = entry(n, u, b)
+      spark.sessionState.functionRegistry.registerFunction(id, inf, bld)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (n, u, b) =>
+      ext.injectFunction((FunctionIdentifier(n),
+        new ExpressionInfo("graft", null, n, u, ""), b))
+    }
+}

@@ -44,12 +44,31 @@ object Dedup {
   /** All pairs with shingle-Jaccard ≥ tau. Exact: the join key is the
     * shingle (as a 64-bit hash — long joins shuffle a fraction of the
     * bytes of string joins; collision odds are ~|shingles|²/2⁶⁴), so only
-    * documents sharing a shingle ever meet. */
+    * documents sharing a shingle ever meet.
+    *
+    * `maxDocFrac` caps each shingle's document frequency: a boilerplate
+    * shingle shared by f docs contributes f² candidate pairs, so one hot
+    * shingle in 1M docs is 10¹² joined rows. Capping at (say) 0.01 drops
+    * such shingles from CANDIDATE GENERATION only — near-dup pairs still
+    * meet through their rarer shingles — but sizes/counts then exclude
+    * them, making the jaccard approximate-from-below. The default 1.0
+    * disables the cap (exact, matches the SQL oracle). */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDocFrac: Double = 1.0): DataFrame = {
     // cached: consumed by the sizes agg and both join sides
-    val sh = shingleHashes(docs, n, idCol, textCol)
+    val shAll = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh =
+      if (maxDocFrac >= 1.0) shAll
+      else {
+        val maxDf = math.max(2L, (docs.count() * maxDocFrac).toLong)
+        // one small agg over the cached shingles; the anti-join side
+        // (hot shingles) is tiny by construction -> broadcast
+        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("shingle"))
+        shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+      }
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -62,7 +81,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(result, sh)
+    materializeAndRelease(result, shAll)
   }
 
   /** Force `result` (small: pairs above threshold) into local checkpoint

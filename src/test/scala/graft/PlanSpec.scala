@@ -84,4 +84,25 @@ class PlanSpec extends AnyFunSuite {
     assert(cg.contains("WholeStageCodegen"), cg.take(500))
     assert(cg.contains(".getFloat("), "FloatDot loop not inlined:\n" + cg.take(1000))
   }
+
+  test("native kernels are callable from spark.sql once registered") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64('the quick brown fox') AS sh,
+        |  graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |            array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot,
+        |  graft_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS nrm,
+        |  size(graft_shingle_hashes('a b c d', 3)) AS n_shingles,
+        |  graft_fingerprint('some document text here', 16) AS fp
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getInt(3) == 2)
+    // SQL results match the typed-Column API on the same inputs
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val viaCol = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.Simhash64(col("t"))).collect()(0).getLong(0)
+    assert(r.getLong(0) == viaCol)
+  }
 }

@@ -32,6 +32,17 @@ class PipelineSpec extends AnyFunSuite {
       s"recall ${recalled.size}/${planted.size} too low")
   }
 
+  test("hot-shingle cap still finds planted near-dups through rare shingles") {
+    val exact = Dedup.jaccardPairs(nearDupDocs, n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(nearDupDocs, n = 3, tau = 0.5, maxDocFrac = 0.05)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = exact.filter { case (a, b) => b == a + 10000 }
+    val kept = planted.intersect(capped)
+    assert(kept.size >= (planted.size * 0.95).toInt,
+      s"df cap lost planted pairs: ${kept.size}/${planted.size}")
+  }
+
   test("simhash: near-identical docs collide within small hamming distance") {
     val pairs = Dedup.simhashPairs(nearDupDocs, maxHamming = 10)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
