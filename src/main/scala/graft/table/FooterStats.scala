@@ -11,8 +11,11 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.PrimitiveType
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.LogicalTypeAnnotation.{
-  DateLogicalTypeAnnotation, IntLogicalTypeAnnotation, StringLogicalTypeAnnotation}
+  DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation,
+  IntLogicalTypeAnnotation, StringLogicalTypeAnnotation,
+  TimestampLogicalTypeAnnotation}
 
 /**
  * Per-file row counts and column min/max from the parquet FOOTER only —
@@ -44,7 +47,11 @@ object FooterStats {
         val name = c.getPath.toDotString
         if (wanted(name) && !poisoned(name)) {
           val s = c.getStatistics
-          if (s == null) { poisoned += name; acc.remove(name) }
+          // isEmpty = the writer dropped this chunk's stats (e.g. binary
+          // min/max over the truncation cap); merging would silently ignore
+          // the chunk and NARROW the file range -> unsafe pruning. Void the
+          // whole column instead (readers treat "no stats" as can't-prune).
+          if (s == null || s.isEmpty) { poisoned += name; acc.remove(name) }
           else acc.get(name) match {
             case Some((_, a)) => mergeInto(a, s)
             case None => acc(name) = (c.getPrimitiveType, s)
@@ -75,21 +82,58 @@ object FooterStats {
           def d(v: Any) = java.time.LocalDate
             .ofEpochDay(v.asInstanceOf[Number].longValue).toString
           Some((d(s.genericGetMin), d(s.genericGetMax)))
+        case dec: DecimalLogicalTypeAnnotation => decimalStr(s, dec.getScale)
         case _ => None
       }
       case INT64 => logical match {
         case null | _: IntLogicalTypeAnnotation => plain
-        case _ => None // timestamps: string form differs from Spark's cast
+        case ts: TimestampLogicalTypeAnnotation => timestampStr(s, ts)
+        case dec: DecimalLogicalTypeAnnotation => decimalStr(s, dec.getScale)
+        case _ => None
       }
       case FLOAT | DOUBLE | BOOLEAN => plain
-      case BINARY => logical match {
+      case BINARY | FIXED_LEN_BYTE_ARRAY => logical match {
         case _: StringLogicalTypeAnnotation =>
           def str(v: Any) = v.asInstanceOf[Binary].toStringUsingUTF8
           Some((str(s.genericGetMin), str(s.genericGetMax)))
+        case dec: DecimalLogicalTypeAnnotation => decimalStr(s, dec.getScale)
         case _ => None
       }
       case _ => None
     }
+  }
+
+  /** INT64 timestamp -> the engine's "yyyy-MM-dd HH:mm:ss" UTC string form
+    * (fixed width: lexicographic order == chronological order). Min is
+    * floored and max CEILED to whole seconds, so sub-second values widen
+    * the recorded range slightly — safe for pruning, never wrong. */
+  private def timestampStr(s: Statistics[_],
+      ts: TimestampLogicalTypeAnnotation): Option[(String, String)] = {
+    val perSec = ts.getUnit match {
+      case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+      case LogicalTypeAnnotation.TimeUnit.MICROS => 1000000L
+      case _ => 1000000000L
+    }
+    def fmt(sec: Long) = java.time.LocalDateTime
+      .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val mn = s.genericGetMin.asInstanceOf[Number].longValue
+    val mx = s.genericGetMax.asInstanceOf[Number].longValue
+    val mxCeil = Math.floorDiv(mx, perSec) +
+      (if (Math.floorMod(mx, perSec) == 0) 0 else 1)
+    Some((fmt(Math.floorDiv(mn, perSec)), fmt(mxCeil)))
+  }
+
+  /** Decimal (int-backed or big-endian binary unscaled) -> plain numeric
+    * string; the engine compares decimal-typed stats numerically. */
+  private def decimalStr(s: Statistics[_], scale: Int): Option[(String, String)] = {
+    def d(v: Any): String = v match {
+      case b: Binary =>
+        new java.math.BigDecimal(new java.math.BigInteger(b.getBytes), scale)
+          .toPlainString
+      case n: Number => java.math.BigDecimal.valueOf(n.longValue, scale).toPlainString
+    }
+    Some((d(s.genericGetMin), d(s.genericGetMax)))
   }
 
   /** Whether this column's type would be extracted if it had values. */
@@ -97,16 +141,18 @@ object FooterStats {
     val logical = prim.getLogicalTypeAnnotation
     prim.getPrimitiveTypeName match {
       case INT32 => logical match {
-        case null | _: IntLogicalTypeAnnotation | _: DateLogicalTypeAnnotation => Some(())
+        case null | _: IntLogicalTypeAnnotation | _: DateLogicalTypeAnnotation |
+             _: DecimalLogicalTypeAnnotation => Some(())
         case _ => None
       }
       case INT64 => logical match {
-        case null | _: IntLogicalTypeAnnotation => Some(())
+        case null | _: IntLogicalTypeAnnotation | _: TimestampLogicalTypeAnnotation |
+             _: DecimalLogicalTypeAnnotation => Some(())
         case _ => None
       }
       case FLOAT | DOUBLE | BOOLEAN => Some(())
-      case BINARY => logical match {
-        case _: StringLogicalTypeAnnotation => Some(())
+      case BINARY | FIXED_LEN_BYTE_ARRAY => logical match {
+        case _: StringLogicalTypeAnnotation | _: DecimalLogicalTypeAnnotation => Some(())
         case _ => None
       }
       case _ => None

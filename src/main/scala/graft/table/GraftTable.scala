@@ -100,7 +100,8 @@ object GraftTable {
   }
 
   private[table] def isStatType(dt: DataType): Boolean = dt match {
-    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
     case _ => false
   }
 
@@ -115,8 +116,9 @@ object GraftTable {
    * expressions, commit "0" so any later upsert wins the merge); the first
    * upsert touching a bootstrapped file group rewrites just that group with
    * materialized meta columns. Partitioned dir layouts are supported when
-   * the partition columns are also present in the file data (hive-style
-   * writers that drop the column from the files would read back null).
+   * the partition columns are also present IN THE FILE DATA — hive-style
+   * writers drop them from the files, which would silently read back null
+   * and break key/partition derivation, so that case fails fast here.
    */
   def bootstrapInPlace(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
     val base = Paths.get(path)
@@ -128,6 +130,21 @@ object GraftTable {
       .toSeq.sortBy(_.toString)
     require(parquets.nonEmpty, s"no parquet files under $path to bootstrap")
     val dataSchema = spark.read.parquet(path).schema
+    // the dir-level read above INFERS hive partition columns into the schema
+    // even when the files don't contain them; check the physical file schema
+    val fileSchema = spark.read.parquet(parquets.head.toString).schema
+    val needed = (config.keyFields ++ (config.partitioning match {
+      case PartitionByColumns(cs) => cs
+      case PartitionByTimestamp(c, _) => Seq(c)
+      case NonPartitioned => Nil
+    })).distinct
+    val missing = needed.filterNot(fileSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"bootstrap source files lack column(s) ${missing.mkString(", ")} " +
+        "(hive-style writers drop partition columns from data files); " +
+        "rewrite the data with the columns materialized " +
+        "(spark.read.parquet(dir) rehydrates them) or bootstrap as " +
+        "NonPartitioned")
     val t = create(spark, path, config)
     val instant = t.timeline.startInstant("commit")
     val statCols = dataSchema.fields.filter(f => isStatType(f.dataType)).map(_.name).toSet
@@ -193,10 +210,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   // ----------------------------------------------------------------- schema
 
-  /** Data schema (no meta columns) as of an instant; evolves additively. */
+  /** Data schema (no meta columns) as of an instant; evolves additively.
+    * For an `asOf` older than the newest checkpoint, the checkpoint's
+    * carried per-archived-instant schemas fill in what the active timeline
+    * no longer holds. */
   def schemaAt(asOf: Option[String] = None): Option[StructType] = {
-    val sjs = timeline.metas(asOf).filter(m => m.schemaJson.nonEmpty)
-    sjs.lastOption.map(m => DataType.fromJson(m.schemaJson).asInstanceOf[StructType])
+    val active = timeline.metas(asOf).filter(m => m.schemaJson.nonEmpty)
+      .lastOption.map(m => m.instant -> m.schemaJson)
+    val carried = asOf.flatMap { t =>
+      timeline.metas(None).flatMap(_.carriedSchemas)
+        .filter(_._1 <= t).sortBy(_._1).lastOption
+    }
+    (active.toSeq ++ carried.toSeq).sortBy(_._1).lastOption
+      .map(p => DataType.fromJson(p._2).asInstanceOf[StructType])
   }
 
   private def mergeSchemas(old: Option[StructType], incoming: StructType): StructType = old match {
@@ -232,9 +258,26 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   // ------------------------------------------------------------ file slices
 
-  /** Resolve live file slices from commit metadata alone (no FS listing). */
+  /** Resolve live file slices from commit metadata alone (no FS listing).
+    *
+    * Time travel vs archival: a checkpoint commit written AFTER `asOf`
+    * still describes files that existed at `asOf` (each carries its
+    * original instant), so those are folded in — time travel keeps working
+    * for any instant not older than the newest ARCHIVED instant (earlier
+    * states were physically folded away; [[assertNotArchived]] guards the
+    * public readers). */
   def slices(asOf: Option[String] = None): Seq[FileSlice] = {
-    val ms = timeline.metas(asOf).filter(m => dataActions(m.action))
+    val all = timeline.metas(None).filter(m => dataActions(m.action))
+    val ms = asOf match {
+      case None => all
+      case Some(t) => all.flatMap { m =>
+        if (m.instant <= t) Some(m)
+        else if (m.operation == "checkpoint")
+          Some(m.copy(files =
+            m.files.filter(f => f.origInstant.nonEmpty && f.origInstant <= t)))
+        else None
+      }
+    }
     val replacedAt = mutable.Map[(String, String), String]()
     for (m <- ms if m.replaced.nonEmpty; r <- m.replaced) {
       val Array(p, f) = r.split('|')
@@ -490,12 +533,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def delete(df: DataFrame): String =
     writeBatch(df.withColumn(DELETED, lit(true)), "delete")
 
+  /** @param sinceForConflict conflict-detection watermark override: a caller
+    *                          that read table state BEFORE calling (mergeInto's
+    *                          tag join) passes the latest instant it saw, so
+    *                          commits landing in between are detected. */
   def writeBatch(raw: DataFrame, op: String,
-      extra: Map[String, String] = Map.empty): String = {
+      extra: Map[String, String] = Map.empty,
+      sinceForConflict: Option[String] = None): String = {
     val mor = config.tableType == MergeOnRead
     val taggingOps = Set("upsert", "delete", "merge")
     val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startLatest = sinceForConflict
+      .orElse(timeline.completed().lastOption.map(_._1)).getOrElse("0")
     val instant = timeline.startInstant(action)
     try {
       val cur = slices(None)
@@ -666,22 +715,44 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    */
   def mergeInto(source: DataFrame, updateCond: Column = lit(true),
       deleteCond: Column = lit(false), insertCond: Column = lit(true)): String = {
-    // one tag join does double duty: it classifies matched/unmatched AND
-    // carries the file-group assignment into writeBatch (preTagged), so the
-    // table is scanned+joined once, not once here and again for tagging
+    // the conflict watermark is read BEFORE any table state below, so a
+    // commit sneaking in between classification and writeBatch is detected
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val keyed = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
-    val m = tag(keyed, slices(None))
-    val matched = col("_g_fid").isNotNull
+    val (m, matched) = config.index match {
+      case StatsIndex =>
+        // the tag join does double duty: it classifies matched/unmatched AND
+        // carries the file-group assignment into writeBatch (preTagged), so
+        // the table is scanned+joined once, not once here + once for tagging
+        (tag(keyed, slices(None)), col("_g_fid").isNotNull)
+      case BucketIndex(_) =>
+        // bucket tagging is group-level (does the key's bucket exist?), which
+        // cannot answer "does this KEY exist" — a new key in an existing
+        // bucket would be misrouted to update/delete. Classify with a real
+        // key-level scan; writeBatch re-tags via the (free) bucket expression.
+        val existing = existingKeys().withColumn("_g_m", lit(true))
+        (keyed.join(existing, Seq(KEY, PART), "left"), col("_g_m").isNotNull)
+    }
     val toDelete = m.filter(matched && deleteCond).withColumn(DELETED, lit(true))
     val toUpdate = m.filter(matched && !deleteCond && updateCond)
       .withColumn(DELETED, lit(false))
     val toInsert = m.filter(!matched && insertCond)
       .withColumn(DELETED, lit(false))
     val batch = toDelete.unionByName(toUpdate).unionByName(toInsert)
-      .drop(KEY, PART)
-    writeBatch(batch, "merge")
+      .drop(KEY, PART, "_g_m")
+    writeBatch(batch, "merge", sinceForConflict = Some(startLatest))
+  }
+
+  /** Distinct (key, partition) currently in the table — key-column scan of
+    * base files only (inserts always have a base-file home, so base keys are
+    * the complete key set). */
+  private def existingKeys(): DataFrame = {
+    val data = schemaAt(None).getOrElse(new StructType())
+    val cur = slices(None)
+    readConformed(cur.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+      .select(col(KEY), col(PART)).distinct()
   }
 
   // ----------------------------------------------------------------- reads
@@ -707,6 +778,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * before any file is read. */
   def snapshot(asOf: Option[String] = None,
       partitionPred: String => Boolean = _ => true): DataFrame = {
+    assertNotArchived(asOf, "time travel to")
     val data = schemaAt(asOf).getOrElse(new StructType())
     snapshotFull(asOf, data, s => partitionPred(s.partition)).drop(FILE_ID, DELETED)
   }
@@ -714,6 +786,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   /** Read-optimized query: base files only, no log merge (ref: QUERY_TYPE
     * read_optimized). */
   def readOptimized(asOf: Option[String] = None): DataFrame = {
+    assertNotArchived(asOf, "time travel to")
     val data = schemaAt(asOf).getOrElse(new StructType())
     readConformed(slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)
@@ -723,6 +796,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * (ref: QUERY_TYPE incremental + BEGIN_INSTANTTIME). Scans only files
     * committed in the range. */
   def incremental(fromExclusive: String, toInclusive: Option[String] = None): DataFrame = {
+    assertNotArchived(Some(fromExclusive), "incremental read from")
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
     val ms = timeline.metas(Some(to))
@@ -750,6 +824,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * out via the commit-time filter, so layout churn emits no change rows.
    */
   def incrementalCDC(fromExclusive: String, toInclusive: Option[String] = None): DataFrame = {
+    assertNotArchived(Some(fromExclusive), "CDC read from")
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
     val ms = timeline.metas(Some(to))
@@ -935,7 +1010,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     timeline.refresh() // must observe other writers' commits
     (groups.nonEmpty || partitions.nonEmpty || anyCommit) &&
       timeline.metas(None).exists { m =>
-        dataActions(m.action) && m.instant > sinceExclusive && (anyCommit ||
+        // archival checkpoints re-record (not modify) nearly every live file
+        // group; counting them would fail every writer overlapping a
+        // background archive() with a spurious conflict
+        dataActions(m.action) && m.operation != "checkpoint" &&
+          m.instant > sinceExclusive && (anyCommit ||
           (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
             .exists(groups.contains) ||
           (m.files.iterator.map(_.partition) ++
@@ -955,13 +1034,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val ms = timeline.metas(None).filter(m => dataActions(m.action))
     if (ms.size <= keepLast) return 0
     val toArchive = ms.dropRight(keepLast)
-    val live = slices(None)
-    // carry forward every still-live file RECORDED by an instant leaving the
-    // active timeline — including files a previous checkpoint re-recorded
-    // (their origInstant points at a long-archived commit, so matching on the
-    // live slice's baseInstant would miss them and lose the rows)
-    val livePaths: Set[String] = live.flatMap(s =>
-      s.baseFiles.map(_.path) ++ s.logs.map(_._2.path)).toSet
+    // carry forward every file RECORDED by an instant leaving the active
+    // timeline that is live NOW (current reads) or was live AT THE ARCHIVAL
+    // BOUNDARY (time travel to any t ≥ the boundary: a file replaced or
+    // compacted between the boundary and this checkpoint existed at such t
+    // even though it is dead now). Includes files a previous checkpoint
+    // re-recorded (their origInstant points at a long-archived commit, so
+    // matching on the live slice's baseInstant would miss them).
+    val boundary = toArchive.last.instant
+    val livePaths: Set[String] =
+      (slices(None) ++ slices(Some(boundary))).flatMap(s =>
+        s.baseFiles.map(_.path) ++ s.logs.map(_._2.path)).toSet
     val carry = toArchive.flatMap(m => m.files.collect {
       case f if livePaths.contains(f.path) =>
         f.copy(origInstant = if (f.origInstant.nonEmpty) f.origInstant else m.instant)
@@ -975,14 +1058,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(i => i -> schemaOf.getOrElse(i, ""))
       .filter(_._2.nonEmpty).toMap
     val instant = timeline.startInstant("commit")
-    timeline.complete(CommitMeta(instant, "commit", "checkpoint",
-      schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
-      carriedSchemas = carriedSchemas,
-      extra = Map("archivedFrom" -> toArchive.head.instant,
-        "archivedTo" -> toArchive.last.instant)))
-    toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
+    // serialized under the commit lock: two concurrent archives would
+    // checkpoint the same instants twice and double-move their files
+    lockProvider.withLock {
+      timeline.complete(CommitMeta(instant, "commit", "checkpoint",
+        schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
+        carriedSchemas = carriedSchemas,
+        extra = Map("archivedFrom" -> toArchive.head.instant,
+          "archivedTo" -> toArchive.last.instant)))
+      toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
+    }
     toArchive.size
   }
+
+  /** Fail fast when a read needs history that archive() folded away: the
+    * active timeline cannot reconstruct state at/before the boundary (the
+    * reference likewise refuses time travel past its archived timeline). */
+  private def assertNotArchived(boundary: Option[String], what: String): Unit =
+    boundary.foreach { t =>
+      val crossed = timeline.archivedInstants().exists(_ > t)
+      require(!crossed, s"$what $t predates the archival boundary " +
+        s"(oldest active history starts after the last checkpoint); " +
+        "archived instants cannot be reconstructed")
+    }
 
   // -------------------------------------------------------- introspection
 

@@ -19,33 +19,69 @@ trait LockProvider {
 /** Mutual exclusion via atomic lock-file creation under `.graft/.lock` —
   * correct across processes on any filesystem with atomic create (the
   * reference's FileSystemBasedLockProvider approach). A lock older than
-  * `staleMs` is presumed abandoned (crashed writer) and broken. */
+  * `staleMs` is presumed abandoned (crashed writer) and broken.
+  *
+  * Ownership is token-based: the holder writes a unique token after
+  * creating the file and releases only a lock that still carries its
+  * token — a holder whose lock was stale-broken while it ran cannot
+  * delete the new holder's lock. Stale-breaking uses an atomic RENAME to
+  * a tombstone (exactly one of N waiters wins the rename; the others'
+  * moves fail), so a freshly re-created lock can never be deleted by a
+  * waiter acting on a stale observation. */
 class FileLockProvider(baseDir: String, timeoutMs: Long = 60000,
     pollMs: Long = 10, staleMs: Long = 10 * 60 * 1000) extends LockProvider {
   private val lockPath = Paths.get(baseDir, ".graft", ".lock")
 
   def withLock[T](f: => T): T = {
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
     var held = false
     while (!held) {
       try {
         Files.createDirectories(lockPath.getParent)
         Files.createFile(lockPath)
+        // not atomic with create, but the token is only consulted on
+        // RELEASE: worst case an un-tokened lock is treated as not-ours
+        // and left for the stale-breaker
+        Files.write(lockPath, token.getBytes("UTF-8"))
         held = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           try {
             val age = System.currentTimeMillis() -
               Files.getLastModifiedTime(lockPath).toMillis
-            if (age > staleMs) Files.deleteIfExists(lockPath)
-          } catch { case _: java.io.IOException => /* raced with release */ }
+            if (age > staleMs) {
+              // atomic break: whoever wins this rename owns the cleanup;
+              // a fresh lock re-created meanwhile keeps its path untouched
+              val tomb = lockPath.resolveSibling(
+                s".lock.stale-${System.nanoTime()}")
+              Files.move(lockPath, tomb)
+              // the age observation raced the move: if what we displaced is
+              // actually FRESH (released + re-created in between), put it
+              // back; best-effort — if a third writer locked meanwhile, the
+              // displaced holder is still release-safe via its token
+              val tombAge = System.currentTimeMillis() -
+                Files.getLastModifiedTime(tomb).toMillis
+              if (tombAge <= staleMs) {
+                try Files.move(tomb, lockPath)
+                catch { case _: java.io.IOException => Files.deleteIfExists(tomb) }
+              } else Files.deleteIfExists(tomb)
+            }
+          } catch { case _: java.io.IOException => /* raced; retry */ }
           if (System.currentTimeMillis() > deadline)
             throw new ConcurrentWriteException(
               s"could not acquire commit lock within ${timeoutMs}ms: $lockPath")
           Thread.sleep(pollMs)
       }
     }
-    try f finally Files.deleteIfExists(lockPath)
+    try f finally {
+      // release only if the lock is still ours (it may have been
+      // stale-broken and re-acquired by another writer while f ran)
+      try {
+        val owner = new String(Files.readAllBytes(lockPath), "UTF-8")
+        if (owner == token) Files.deleteIfExists(lockPath)
+      } catch { case _: java.io.IOException => /* already broken/released */ }
+    }
   }
 }
 

@@ -64,11 +64,15 @@ class Timeline(baseDir: String) {
   // completed instants and their metadata are immutable once written, so
   // they memoize safely; the listing itself is invalidated on every
   // mutation through this instance, and callers that must see other
-  // writers' commits (conflict detection) call refresh() first
+  // writers' commits (conflict detection) call refresh() first.
+  // Cache access is synchronized: async table services share this instance
+  // with the ingest thread, and an unsynchronized HashMap under concurrent
+  // structural mutation corrupts (the commit lock only covers the
+  // [conflict-check, complete] window, not reads).
   private var listingCache: Option[Seq[(String, String)]] = None
   private val metaCache = scala.collection.mutable.Map[(String, String), CommitMeta]()
 
-  def refresh(): Unit = listingCache = None
+  def refresh(): Unit = synchronized { listingCache = None }
 
   def init(): Unit = Files.createDirectories(dir)
 
@@ -78,15 +82,17 @@ class Timeline(baseDir: String) {
       .filter(Files.isRegularFile(_))
       .map(_.getFileName.toString).toSeq
 
-  def completed(): Seq[(String, String)] = listingCache match { // sorted (instant, action)
-    case Some(c) => c
-    case None =>
-      val c = listNames().filter(_.endsWith(".json")).map { n =>
-        val parts = n.stripSuffix(".json").split('.')
-        (parts(0), parts(1))
-      }.sortBy(_._1)
-      listingCache = Some(c)
-      c
+  def completed(): Seq[(String, String)] = synchronized { // sorted (instant, action)
+    listingCache match {
+      case Some(c) => c
+      case None =>
+        val c = listNames().filter(_.endsWith(".json")).map { n =>
+          val parts = n.stripSuffix(".json").split('.')
+          (parts(0), parts(1))
+        }.sortBy(_._1)
+        listingCache = Some(c)
+        c
+    }
   }
 
   def latestInstant(): Option[String] = {
@@ -116,7 +122,7 @@ class Timeline(baseDir: String) {
 
   private def incr(s: String): String = (BigInt(s) + 1).toString
 
-  def complete(meta: CommitMeta): Unit = {
+  def complete(meta: CommitMeta): Unit = synchronized {
     val tmp = dir.resolve(s"${meta.instant}.${meta.action}.tmp")
     Files.write(tmp, Json.mapper.writeValueAsBytes(meta),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -130,10 +136,11 @@ class Timeline(baseDir: String) {
   def abort(instant: String, action: String): Unit =
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
 
-  def read(instant: String, action: String): CommitMeta =
+  def read(instant: String, action: String): CommitMeta = synchronized {
     metaCache.getOrElseUpdate((instant, action),
       Json.mapper.readValue[CommitMeta](
         Files.readAllBytes(dir.resolve(s"$instant.$action.json"))))
+  }
 
   /** All completed metas in instant order, optionally up to `asOf`
     * (inclusive) — the time-travel boundary. */
@@ -142,7 +149,7 @@ class Timeline(baseDir: String) {
       .filter { case (i, _) => asOf.forall(i <= _) }
       .map { case (i, a) => read(i, a) }
 
-  def remove(instant: String, action: String): Unit = {
+  def remove(instant: String, action: String): Unit = synchronized {
     Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
     metaCache.remove((instant, action))
     refresh()
@@ -150,7 +157,7 @@ class Timeline(baseDir: String) {
 
   /** Move a completed instant into the archive dir (no longer part of the
     * active timeline; its live files must have been checkpointed first). */
-  def archiveInstant(instant: String, action: String): Unit = {
+  def archiveInstant(instant: String, action: String): Unit = synchronized {
     val arch = dir.resolve("archive")
     Files.createDirectories(arch)
     Files.move(dir.resolve(s"$instant.$action.json"),

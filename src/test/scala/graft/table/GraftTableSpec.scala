@@ -269,6 +269,79 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("bucket index: mergeInto classifies NEW keys in existing buckets as inserts") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir, index = BucketIndex(4))
+    t.bulkInsert(orders)
+    // new keys land in buckets that all already exist (4 buckets, many keys):
+    // group-level tagging would call them "matched"; with updateCond false
+    // they must still be INSERTED, and deleteCond must not tombstone them
+    val newKeys = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 50000000L)
+    t.mergeInto(newKeys,
+      updateCond = lit(false), deleteCond = lit(false), insertCond = lit(true))
+    val snap = keys(t.snapshot())
+    assert(keys(newKeys).subsetOf(snap), "new keys dropped by merge classification")
+    assert(snap.size === (orders.count() + newKeys.count()))
+    GraftTable.drop(dir)
+  }
+
+  test("time travel works between the archival boundary and the checkpoint") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val c2 = t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderpriority", lit("V2")))
+    val c3 = t.delete(orders.filter(col("o_orderkey") % 7 === 0))
+    // cluster rewrites every group AFTER c2: the pre-cluster files are dead
+    // at checkpoint time and only reconstructable via boundary-live carry
+    t.cluster(Seq("o_orderkey"))
+    assert(t.archive(keepLast = 2) > 0)
+    // t=c2 is between the newest archived instant and the checkpoint
+    val atC2 = t.snapshot(asOf = Some(c2))
+    assert(atC2.count() === orders.count(), "time travel across checkpoint lost rows")
+    assert(atC2.filter(col("o_orderpriority") === "V2").count() ===
+      orders.filter(col("o_orderkey") % 5 === 0).count())
+    // current snapshot unaffected
+    assert(t.snapshot().count() === orders.count() - keys(orders.filter(col("o_orderkey") % 7 === 0)).size)
+    // travel PAST the archival boundary must fail fast, not return garbage
+    intercept[IllegalArgumentException] { t.snapshot(asOf = Some("0")).count() }
+    intercept[IllegalArgumentException] { t.incrementalCDC("0").count() }
+    assert(c3.nonEmpty)
+    GraftTable.drop(dir)
+  }
+
+  test("footer stats cover timestamp columns; archival checkpoint does not conflict") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    // o_orderdate is a timestamp: stats must be recorded (regression: footer
+    // extraction used to drop INT64 timestamps -> no pruning possible)
+    val withStats = t.slices(None).flatMap(_.baseFiles)
+      .filter(_.colStats.contains("o_orderdate"))
+    assert(withStats.nonEmpty, "timestamp column has no footer stats")
+    val Array(mn, mx) = withStats.head.colStats("o_orderdate")
+    assert(mn.matches("\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}") && mn <= mx, s"$mn..$mx")
+    // pruning on the timestamp column returns exactly the matching rows
+    val lo = "1996-01-01 00:00:00"; val hi = "1996-12-31 23:59:59"
+    val pruned = t.snapshotPruned("o_orderdate", lo, hi)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val expected = orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    assert(pruned.count() === expected.count())
+    // a checkpoint between a writer's start and commit is NOT a conflict
+    val start = t.latestDataInstant.get
+    t.upsert(orders.limit(10))
+    t.archive(keepLast = 1)
+    assert(!t.detectConflict(start, Set("F|b00000"), Set.empty) ||
+      t.timeline.metas(None).exists(m => m.instant > start &&
+        m.operation != "checkpoint" && m.files.exists(f => s"${f.partition}|${f.fileId}" == "F|b00000")),
+      "archival checkpoint alone must not trigger writer conflicts")
+    GraftTable.drop(dir)
+  }
+
   test("schema evolution: new column appears, old rows read as null") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
