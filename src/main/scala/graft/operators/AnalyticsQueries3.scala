@@ -93,7 +93,44 @@ object AnalyticsQueries3 {
       .orderBy(col("numwait").desc, col("s_suppkey"))
   }
 
+  /** Q9-shaped: product-type profit per (supplier nation, year). The test
+    * schema has no partsupp, so supply cost is proxied as 10% of
+    * p_retailprice per unit; profit stays exact-integer arithmetic
+    * (10^-5-dollar units) end to end. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val amountU = // 10^-5-dollar units, all factors integer
+      Exact.cents(col("l_extendedprice")) *
+        (lit(100L) - Exact.cents(col("l_discount"))) * lit(10L) -
+      Exact.cents(col("p_retailprice")) * Exact.cents(col("l_quantity"))
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(Exact.rnd(sum(amountU).cast("double") / lit(1e5), 2).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** Q20-shaped: dominant suppliers — shipped more than a fifth of some
+    * part's total quantity (correlated share-of-total + semi join). Integer
+    * quantity sums, threshold as 5·supp > total: exact on both engines. */
+  def q20ExcessSupply(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val qty = sum(col("l_quantity").cast("long"))
+    val perPart = li.groupBy(col("l_partkey")).agg(qty.as("tq"))
+    val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey")).agg(qty.as("sq"))
+    val dominant = perSupp.join(perPart, Seq("l_partkey"))
+      .filter(col("sq") * 5 > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q20_excess_supply" -> (q20ExcessSupply _),
     "q2_cheapest_part" -> (q2CheapestPart _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -106,6 +143,27 @@ object AnalyticsQueries3 {
     s"${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")})"
 
   val oracles: Map[String, String] = Map(
+    "q9_product_profit" ->
+      s"""SELECT n_name, year(l_shipdate) AS o_year,
+        |  ${Exact.rndSql(
+              s"CAST(sum(${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")}) * 10" +
+              s" - ${Exact.centsSql("p_retailprice")} * ${Exact.centsSql("l_quantity")}) AS DOUBLE) / 1e5", 2)}
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH pt AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS tq
+        |            FROM lineitem GROUP BY 1),
+        |ps AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |       FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM ps JOIN pt USING (l_partkey)
+        |              WHERE ps.l_suppkey = s_suppkey AND 5 * sq > tq)
+        |ORDER BY s_suppkey""".stripMargin,
     "q2_cheapest_part" ->
       """SELECT p_type, p_partkey, p_retailprice
         |FROM part
