@@ -22,7 +22,11 @@ object Tables {
     val raw = load(s, d, "events")
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // (ts - pmod(ts, 1000)) div 1000 is FLOOR division (pmod >= 0), which
+      // matches DuckDB's ns->µs conversion for pre-epoch instants too;
+      // `ts div 1000` alone truncates toward zero
+      raw.withColumn("ts", org.apache.spark.sql.functions
+        .expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -30,22 +30,30 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != n) throw new IllegalArgumentException(
+        s"$name requires $n argument(s), got ${args.length}")
+      b(args)
+    }
+
   /** (name, usage, builder) for every SQL-exposed kernel. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "graft_dot(a, b) - dot product of two float arrays",
-      (args: Seq[Expression]) => FloatDotExpr(args(0), args(1))),
+      arity("graft_dot", 2)(args => FloatDotExpr(args(0), args(1)))),
     ("graft_norm", "graft_norm(a) - L2 norm of a float array",
-      (args: Seq[Expression]) => FloatNormExpr(args(0))),
+      arity("graft_norm", 1)(args => FloatNormExpr(args(0)))),
     ("graft_simhash64", "graft_simhash64(s) - 64-bit simhash of the text",
-      (args: Seq[Expression]) => Simhash64Expr(args(0))),
+      arity("graft_simhash64", 1)(args => Simhash64Expr(args(0)))),
     ("graft_shingle_hashes",
       "graft_shingle_hashes(s, n) - distinct hashed word n-gram shingles",
-      (args: Seq[Expression]) =>
-        ShingleHashesExpr(args(0), litInt(args(1), "shingle size n"))),
+      arity("graft_shingle_hashes", 2)(args =>
+        ShingleHashesExpr(args(0), litInt(args(1), "shingle size n")))),
     ("graft_fingerprint",
       "graft_fingerprint(s, w) - rolling-hash fingerprint with window w",
-      (args: Seq[Expression]) =>
-        RollingFingerprintExpr(args(0), litInt(args(1), "window w"))))
+      arity("graft_fingerprint", 2)(args =>
+        RollingFingerprintExpr(args(0), litInt(args(1), "window w")))))
 
   private def entry(name: String, usage: String,
       builder: Seq[Expression] => Expression) =

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
  * Native Catalyst vector kernels over `array<float>` columns. The
@@ -15,9 +15,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
  * no allocation, no virtual calls in the hot loop. Accumulation is a
  * sequential double fold, bit-identical to the DuckDB oracle's list_sum.
  */
-case class FloatDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class FloatDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // declared input contract: getFloat() over e.g. array<double> bytes would
+  // silently return garbage; the analyzer now casts or rejects instead
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -44,9 +49,11 @@ case class FloatDotExpr(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
-case class FloatNormExpr(child: Expression) extends UnaryExpression {
+case class FloatNormExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(FloatType))
 
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

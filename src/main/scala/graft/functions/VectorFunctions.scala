@@ -36,9 +36,11 @@ object VectorFunctions {
     * locally: nothing is broadcast, nothing is random at runtime. */
   def lshBucket(v: Column, planes: Int, seed: Int): Column = {
     val bits = (0 until planes).map { p =>
-      // projection of v onto pseudo-random plane p
+      // projection of v onto pseudo-random plane p; dimension indices come
+      // from the vector's own size (a literal would null-pad other dims and
+      // collapse every vector into one bucket)
       val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, i) =>
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
           x.cast("double") *
             (pmod(hash(i * lit(2654435761L) + lit(p * 7919 + seed)), lit(2001)).cast("double")
               - lit(1000.0)) / lit(1000.0)),

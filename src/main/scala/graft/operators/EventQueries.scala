@@ -18,7 +18,8 @@ object EventQueries {
   def qEventsDaily(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), Exact.rnd(sum(col("value")), 2).as("total_value"))
+      // value is 2-decimal money: integer-cents sum is order-independent
+      .agg(count(lit(1)).as("n_events"), Exact.rnd(Exact.sumMoney(col("value")), 2).as("total_value"))
       .orderBy(col("day"), col("event_type"))
 
   /** Rank each user's events by recency; keep the latest 3. */
@@ -73,8 +74,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_events_daily" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
-        |  count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS total_value
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events, ${Exact.rndSql(Exact.sumMoneySql("value"), 2)} AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day, event_type""".stripMargin,

@@ -27,30 +27,38 @@ case class Session(user_id: Long, start_ts: java.sql.Timestamp,
 object GraftStreaming {
 
   /**
-   * Exactly-once foreachBatch upsert sink: the micro-batch id is recorded in
-   * the commit metadata; a replayed batch (failure/retry) finds its id
-   * already committed and becomes a no-op — the same batchId⇒instant
-   * idempotency the reference's streaming sink keeps
-   * (ref: HoodieStreamingSink.scala canSkipBatch/latestCommittedBatchId).
+   * Exactly-once foreachBatch upsert sink: the micro-batch id — scoped by
+   * the stream's checkpoint identity — is recorded in the commit metadata;
+   * a replayed batch (failure/retry) finds its id already committed and
+   * becomes a no-op — the same batchId⇒instant idempotency the reference's
+   * streaming sink keeps (ref: HoodieStreamingSink.scala canSkipBatch/
+   * latestCommittedBatchId). The scope matters: batch ids restart at 0 for
+   * every new checkpoint dir, so an UNSCOPED id would make a brand-new
+   * query silently skip its first batches on a table with streaming
+   * history.
    */
-  def upsertSink(t: GraftTable)(batch: DataFrame, batchId: Long): Unit = {
+  def upsertSink(t: GraftTable, streamId: String)(batch: DataFrame, batchId: Long): Unit = {
+    val key = s"$streamId#$batchId"
     val done = t.timeline.metas(None)
-      .exists(_.extra.get("streamBatchId").contains(batchId.toString))
-    if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> batchId.toString))
+      .exists(_.extra.get("streamBatchId").contains(key))
+    if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> key))
   }
 
-  /** Start a streaming upsert into a Graft table. */
+  /** Start a streaming upsert into a Graft table. The checkpoint dir
+    * doubles as the exactly-once scope: same checkpoint = same stream
+    * identity = replayed batch ids dedup; new checkpoint = new stream. */
   def writeStreamTo(df: DataFrame, t: GraftTable, checkpointDir: String): StreamingQuery =
     df.writeStream
-      .foreachBatch((b: DataFrame, id: Long) => upsertSink(t)(b, id))
+      .foreachBatch((b: DataFrame, id: Long) => upsertSink(t, checkpointDir)(b, id))
       .option("checkpointLocation", checkpointDir)
       .start()
 
-  /** Watermarked sliding-window aggregation over an event stream. */
+  /** Watermarked windowed aggregation over an event stream: tumbling by
+    * default, sliding when `slide` < `windowLen`. */
   def windowedEventStats(events: DataFrame, watermark: String = "10 minutes",
-      windowLen: String = "1 hour"): DataFrame =
+      windowLen: String = "1 hour", slide: Option[String] = None): DataFrame =
     events.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
   /**
@@ -82,7 +90,11 @@ object GraftStreaming {
               val ms = e.ts.getTime
               acc = acc match {
                 case Some(a) if ms - a.lastMs <= gapSeconds * 1000 =>
-                  Some(SessionAcc(a.startMs, ms, a.n + 1, a.total + e.value))
+                  // a late cross-batch event (ms < lastMs, still inside the
+                  // watermark) must not move the session end backwards —
+                  // that would regress end_ts and fire the timeout early
+                  Some(SessionAcc(math.min(a.startMs, ms), math.max(a.lastMs, ms),
+                    a.n + 1, a.total + e.value))
                 case Some(a) =>
                   out += emit(uid, a)
                   Some(SessionAcc(ms, ms, 1, e.value))
@@ -110,9 +122,17 @@ class CommitFeed(t: GraftTable, startFrom: Option[String] = None) {
   private var last: String = startFrom.getOrElse("0")
   def lastSeen: String = last
 
+  /** Changed records since the last poll. If archive() folded commits past
+    * the cursor (incremental history no longer reconstructable), falls back
+    * to a full snapshot as the catch-up batch — the reference's
+    * incremental-query fallback-to-full-table-scan behavior — and resumes
+    * incrementally from there. */
   def poll(): Option[(String, DataFrame)] =
     t.latestDataInstant.filter(_ > last).map { l =>
-      val df = t.incremental(last, Some(l))
+      val boundary = t.timeline.archivedInstants().lastOption.getOrElse("0")
+      val df =
+        if (boundary > last) t.snapshot(asOf = Some(l))
+        else t.incremental(last, Some(l))
       last = l
       (l, df)
     }

@@ -36,11 +36,16 @@ class StreamingSpec extends AnyFunSuite {
     val snap = t.snapshot()
     assert(snap.count() === 3)
     assert(snap.filter(col("event_id") === 1).select("value").collect()(0).getDouble(0) === 9.0)
-    // replayed batch id is a no-op (exactly-once)
+    // replayed batch id is a no-op (exactly-once) — same stream identity
     val commitsBefore = t.showCommits().count()
-    GraftStreaming.upsertSink(t)(
+    GraftStreaming.upsertSink(t, ckpt)(
       Seq(Event(1, ts(2), 10, "click", 9.0)).toDF(), batchId = 1L)
     assert(t.showCommits().count() === commitsBefore)
+    // a DIFFERENT stream's batch 1 is NOT deduped (ids are per-checkpoint)
+    GraftStreaming.upsertSink(t, ckpt + "_other")(
+      Seq(Event(4, ts(3), 12, "click", 4.0)).toDF(), batchId = 1L)
+    assert(t.showCommits().count() === commitsBefore + 1)
+    assert(t.snapshot().count() === 4)
     GraftTable.drop(dir); GraftTable.drop(ckpt)
   }
 
