@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup on content hash: keep the lowest id per md5(text). */
+  /** Exact dedup on content hash: keep the lowest id per md5(text).
+    * Null text hashes to a per-document sentinel — unknown content is not
+    * equal to other unknown content, so null-text docs are all kept. */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
-    docs.withColumn("_h", md5(col(textCol)))
+    docs.withColumn("_h",
+      coalesce(md5(col(textCol)), concat(lit("null:"), col(idCol).cast("string"))))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_h", "_rn")
   }
@@ -94,17 +97,22 @@ object Dedup {
     out
   }
 
-  /** MinHash signatures: numHashes independent permutations approximated by
-    * xxhash64(shingleHash, i); signature element i = min over shingles. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = shingles(docs, n, idCol, textCol)
-      .withColumn("_h", xxhash64(col("shingle")))
+  /** numHashes independent permutations approximated by
+    * xxhash64(shingleHash, i); signature element i = min over shingles.
+    * ONE signature definition for the whole module: [[minhashSignatures]]
+    * and [[minhashLshPairs]] share this, so persisted signatures are
+    * comparable with the LSH path's internal ones. */
+  private def signaturesFrom(sh: DataFrame, numHashes: Int, idCol: String): DataFrame = {
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("_h"), lit(i))).as(s"_m$i"))
+      min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
+
+  /** MinHash signatures over the native shingle-hash kernel. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    signaturesFrom(shingleHashes(docs, n, idCol, textCol), numHashes, idCol)
 
   /**
    * MinHash + LSH banding: split the signature into `bands`, hash each band
@@ -116,15 +124,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
       bands: Int = 8, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): rows-per-band = 0 " +
+        "would put EVERY document in one bucket (full cross product)")
     val rows = numHashes / bands
     // one cached shingle-hash frame feeds the signatures AND the
     // candidate verification — shingling runs once
     val sh = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
-    val sig = sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+    val sig = signaturesFrom(sh, numHashes, idCol)
     val banded = sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
         xxhash64(concat_ws(",", (0 until rows).map(r =>
@@ -168,7 +176,7 @@ object Dedup {
     * FIRST chunk the two hashes agree on — a pure codegen filter on the two
     * simhashes already present in the joined row, so the only shuffle in the
     * whole operator is the bucket join itself. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8,
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = simhash64(docs, idCol, textCol)
     val chunked = sh.select(col(idCol), col("simhash"), posexplode(

@@ -64,10 +64,12 @@ object Similarity {
         .as(Seq("table", "bucket")))
     val qb = bucketed(queries, "query_id", "q_vec")
     val cb = bucketed(corpus, "neighbor_id", "c_vec")
+    // dedup pairs that collided in several tables WITHOUT shuffling the
+    // embedding payloads: group on the ids, keep one copy of the vectors
     val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("c_vec"))
-      .distinct()
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("q_vec")).as("q_vec"), first(col("c_vec")).as("c_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     import graft.functions.VectorExprs._

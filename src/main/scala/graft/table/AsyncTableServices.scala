@@ -9,11 +9,15 @@ import scala.concurrent.{ExecutionContext, Future}
  * AsyncClusteringService): run compaction, clustering, cleaning and
  * archival off the ingest path on a background pool.
  *
- * Safety needs no special machinery: a service commit goes through the same
- * commit-time lock + conflict detection as any writer, so one that loses a
- * race with concurrent ingest fails with ConcurrentWriteException and can
- * simply be rescheduled — ingest never waits on a service and vice versa,
- * exactly the reference's async-compaction contract.
+ * Safety: compaction and clustering commit through the same commit-time
+ * lock + conflict detection as any writer, so one that loses a race with
+ * concurrent ingest fails with ConcurrentWriteException and can simply be
+ * rescheduled — ingest never waits on a service and vice versa, exactly
+ * the reference's async-compaction contract. Cleaning and archival
+ * serialize under the commit lock but are DESTRUCTIVE to old state by
+ * design: clean() bounds how far back an in-flight reader may lag
+ * (retain enough versions), archive() bounds time travel to the archival
+ * boundary.
  */
 class AsyncTableServices(t: GraftTable, threads: Int = 2) extends AutoCloseable {
   private val pool = Executors.newFixedThreadPool(threads, (r: Runnable) => {

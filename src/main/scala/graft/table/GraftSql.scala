@@ -15,12 +15,20 @@ object GraftSql {
 
   /** UPDATE t SET <assignments> WHERE <cond>: reads only the rows matching
     * the predicate (partition + stats pruning apply via the snapshot scan's
-    * pushed filters), applies the assignments, upserts them back. */
+    * pushed filters), applies the assignments, upserts them back.
+    *
+    * All assignment expressions are evaluated against the OLD row in one
+    * projection — SQL UPDATE semantics — so `SET a = b, b = a` swaps
+    * (sequential withColumn would make later assignments read earlier
+    * ones' results, nondeterministically ordered by Map iteration). */
   def update(t: GraftTable, assignments: Map[String, Column], where: Column): String = {
     val matched = t.snapshot().filter(where)
-    val updated = assignments.foldLeft(matched) { case (df, (c, expr)) =>
-      df.withColumn(c, expr)
-    }
+    val existing = matched.columns.map { c =>
+      assignments.get(c).map(_.as(c)).getOrElse(col(c))
+    }.toSeq
+    val added = (assignments.keySet -- matched.columns).toSeq.sorted
+      .map(c => assignments(c).as(c)) // SET of a new column = schema evolution
+    val updated = matched.select(existing ++ added: _*)
     t.upsert(updated.drop(GraftTable.COMMIT, GraftTable.KEY, GraftTable.PART))
   }
 
@@ -54,6 +62,7 @@ object GraftSql {
   /** show_savepoints (ref: ShowSavepointsProcedure). */
   def showSavepoints(t: GraftTable): DataFrame = {
     import t.spark.implicits._
+    t.timeline.refresh() // must observe other writers' commits
     t.timeline.metas(None).filter(_.action == "savepoint")
       .map(m => (m.instant, m.extra.getOrElse("saved", "")))
       .toDF("savepoint_instant", "saved_data_instant")
@@ -63,6 +72,7 @@ object GraftSql {
     * one table's timeline but not the other's. */
   def commitsCompare(a: GraftTable, b: GraftTable): DataFrame = {
     import a.spark.implicits._
+    a.timeline.refresh(); b.timeline.refresh() // cross-writer read
     val ai = a.timeline.completed().map(_._1).toSet
     val bi = b.timeline.completed().map(_._1).toSet
     ((ai -- bi).toSeq.sorted.map(i => (i, "only_left")) ++

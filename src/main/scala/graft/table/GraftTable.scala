@@ -933,10 +933,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Cleaning (ref: RunCleanProcedure, KEEP_LATEST_FILE_VERSIONS): per file
     * group keep the latest `retainVersions` base slices (+ live logs),
-    * physically delete older files. */
-  def clean(retainVersions: Int = 1): String = {
+    * physically delete older files.
+    *
+    * Runs under the commit lock so the doomed-file computation can't race a
+    * concurrent commit's slice changes. As in the reference, cleaning bounds
+    * time travel: an in-flight reader of a since-cleaned slice fails on the
+    * missing file — retain enough versions to cover the longest reader. */
+  def clean(retainVersions: Int = 1): String = lockProvider.withLock {
     val instant = timeline.startInstant("clean")
     try {
+      timeline.refresh() // must observe other writers' commits
       val ms = timeline.metas(None).filter(m => dataActions(m.action))
       val byGroup = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
       for (m <- ms; f <- m.files) byGroup.getOrElseUpdate((f.partition, f.fileId),

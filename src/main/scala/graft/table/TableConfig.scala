@@ -28,17 +28,27 @@ case object NonPartitioned extends PartitionSpec {
   val pathExpr: Column = lit("")
   val columns: Seq[String] = Nil
 }
+/** A null partition value maps to hive's default-partition segment. A raw
+  * null path would poison tagging: the (KEY, PART) equi-join never matches
+  * null, so every re-upsert of such a record would DUPLICATE it (and
+  * concat_ws would silently drop the segment, colliding namespaces). */
+private[table] object PartitionSpec {
+  val NullSegment = "__HIVE_DEFAULT_PARTITION__"
+  def segment(c: Column): Column = coalesce(c.cast("string"), lit(NullSegment))
+}
 /** Hive-style `col=val/col2=val2` from one or more columns. */
 case class PartitionByColumns(cols: Seq[String]) extends PartitionSpec {
   def pathExpr: Column =
-    concat_ws("/", cols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*)
+    concat_ws("/", cols.map(c =>
+      concat(lit(c + "="), PartitionSpec.segment(col(c)))): _*)
   def columns: Seq[String] = cols
 }
 /** Timestamp-based keygen: partition by a formatted time column,
   * e.g. `dt=2024-01-30`. */
 case class PartitionByTimestamp(tsCol: String, format: String = "yyyy-MM-dd")
     extends PartitionSpec {
-  def pathExpr: Column = concat(lit("dt="), date_format(col(tsCol), format))
+  def pathExpr: Column =
+    concat(lit("dt="), PartitionSpec.segment(date_format(col(tsCol), format)))
   def columns: Seq[String] = Seq(tsCol)
 }
 
@@ -73,8 +83,19 @@ case class TableConfig(
     targetFileSizeRows: Long = 1000000L) {
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
-    * complex keys (mirrors ComplexAvroKeyGenerator output shape). */
-  def keyExpr: Column =
-    if (keyFields.size == 1) col(keyFields.head).cast("string")
-    else concat_ws(",", keyFields.map(f => concat(lit(f + ":"), col(f).cast("string"))): _*)
+    * complex keys (mirrors ComplexAvroKeyGenerator output shape).
+    *
+    * Null key values FAIL the write (as the reference's key generators
+    * throw): a null key would silently collapse distinct records in
+    * precombine/merge windows and never match in the tag join. */
+  def keyExpr: Column = {
+    def guarded(f: String): Column = {
+      val c = col(f).cast("string")
+      when(c.isNull, raise_error(
+        lit(s"record key field '$f' is null — null keys are not allowed"))
+        .cast("string")).otherwise(c)
+    }
+    if (keyFields.size == 1) guarded(keyFields.head)
+    else concat_ws(",", keyFields.map(f => concat(lit(f + ":"), guarded(f))): _*)
+  }
 }
