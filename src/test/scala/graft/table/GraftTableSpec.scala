@@ -342,6 +342,45 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("null keys fail the write; null partition values get the hive default segment") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    // null key -> loud failure, not silent collapse/duplication
+    val nullKey = orders.limit(5)
+      .withColumn("o_orderkey", lit(null).cast("long"))
+    val e = intercept[Exception] { t.bulkInsert(nullKey) }
+    assert(e.getMessage != null)
+    // null partition value -> stable __HIVE_DEFAULT_PARTITION__ path, and
+    // a re-upsert of the same key UPDATES it (no tag-join null mismatch)
+    val nullPart = orders.limit(10)
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+    val t2 = ordersTable(CopyOnWrite, tmp())
+    t2.bulkInsert(nullPart)
+    assert(t2.slices(None).forall(_.partition == "o_orderstatus=__HIVE_DEFAULT_PARTITION__"))
+    t2.upsert(nullPart.withColumn("o_orderpriority", lit("NULLP-UPD")))
+    val snap = t2.snapshot()
+    assert(snap.count() === 10, "null-partition upsert duplicated records")
+    assert(snap.filter(col("o_orderpriority") === "NULLP-UPD").count() === 10)
+    GraftTable.drop(dir)
+  }
+
+  test("sql update evaluates all assignments against the old row (swap works)") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    GraftSql.update(t,
+      Map("o_custkey" -> col("o_totalprice").cast("long"),
+          "o_totalprice" -> col("o_custkey").cast("double")),
+      col("o_orderkey") === 42)
+    // both assignments must read the OLD row: sequential application would
+    // make the new price equal floor(old price), not the old custkey
+    val orig = orders.filter(col("o_orderkey") === 42).collect()(0)
+    val upd = t.snapshot().filter(col("o_orderkey") === 42).collect()(0)
+    assert(upd.getAs[Long]("o_custkey") === orig.getAs[Double]("o_totalprice").toLong)
+    assert(upd.getAs[Double]("o_totalprice") === orig.getAs[Long]("o_custkey").toDouble)
+    GraftTable.drop(dir)
+  }
+
   test("schema evolution: new column appears, old rows read as null") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
