@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * Used for cheap near-identical document detection at corpus scale.
  */
 case class RollingFingerprintExpr(child: Expression, window: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(window >= 1, s"fingerprint window must be >= 1, got $window")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
 

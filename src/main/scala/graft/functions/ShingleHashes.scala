@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -16,7 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * dominated every dedup query's runtime; this emits the hash of each
  * n-gram window directly from word hashes.
  */
-case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+/** Tokenizes on Character.isWhitespace: equivalent to the regex `\s+`
+  * composed path for ASCII text; exotic Unicode whitespace can differ —
+  * normalize upstream if that matters for an oracle comparison. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle size n must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Whitespace-separated token count. */
+  /** Whitespace-separated token count (0 for empty/whitespace-only text —
+    * split of an empty string yields one empty token otherwise). */
   def wsTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")).cast("long")
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
 
   /** BPE-ish pre-tokenization count: words / numbers / single punctuation,
     * the usual first split before byte-pair merging. */
@@ -38,10 +40,12 @@ object TextFunctions {
     val nWords = wsTokenCount(text)
     val nPunct = punctCount(text)
     val nStop = stopwordCount(text)
+    // greatest(_, 1) denominators: Spark null vs DuckDB inf on x/0 would
+    // diverge for empty docs; both engines agree on x/1
     val meanWordLen = length(regexp_replace(text, "\\s+", "")).cast("double") /
-      nWords.cast("double")
-    val stopRatio = nStop.cast("double") / nWords.cast("double")
-    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+      greatest(nWords, lit(1L)).cast("double")
+    val stopRatio = nStop.cast("double") / greatest(nWords, lit(1L)).cast("double")
+    val punctRatio = nPunct.cast("double") / greatest(nChars, lit(1L)).cast("double")
     Seq(
       "n_chars" -> nChars,
       "n_words" -> nWords,
@@ -75,7 +79,9 @@ object TextFunctions {
   /** DuckDB twins of the above, shared by the oracle SQL strings. */
   object sql {
     def cnt(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
-    val wsTokens = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    val wsTokens =
+      "CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
     val bpeTokens = cnt("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
     val punct = cnt("text", "[^A-Za-z0-9\\s]")
     val stop = cnt("lower(text)", "\\b(" + stopwords.mkString("|") + ")\\b")

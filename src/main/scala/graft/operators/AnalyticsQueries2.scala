@@ -26,9 +26,10 @@ object AnalyticsQueries2 {
       // exact integer-cents arithmetic: the per-group sums here land exactly
       // on .xx5 often enough that float rounding ties diverge between
       // engines; summing (price·100)·(100−disc·100) as integers is
-      // order-independent and bit-exact
-      .agg((sum(round(col("l_extendedprice") * 100).cast("long") *
-        (lit(100L) - round(col("l_discount") * 100).cast("long"))) / 10000.0).as("revenue"))
+      // order-independent and bit-exact (Exact.cents snap, same as every
+      // other money aggregate)
+      .agg((sum(Exact.cents(col("l_extendedprice")) *
+        (lit(100L) - Exact.cents(col("l_discount")))) / 10000.0).as("revenue"))
       .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
   }
 
@@ -124,7 +125,14 @@ object AnalyticsQueries2 {
     // exact threshold: integer-cents avg, so both engines filter on the
     // identical double regardless of their internal sum order
     val bal = c.filter(col("c_acctbal") > 0.0)
-      .agg(sum(Exact.cents(col("c_acctbal"))).as("s"), count(lit(1)).as("n")).collect()(0)
+      .agg(coalesce(sum(Exact.cents(col("c_acctbal"))), lit(0L)).as("s"),
+        count(lit(1)).as("n")).collect()(0)
+    // no positive balances -> SQL's scalar subquery is NULL -> no rows match
+    if (bal.getLong(1) == 0L)
+      return c.filter(lit(false))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          Exact.rnd(Exact.sumMoney(col("c_acctbal")), 2).as("totacctbal"))
     val avgBal = bal.getLong(0).toDouble / bal.getLong(1) / 100
     val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
     c.filter(col("c_acctbal") > avgBal)
@@ -145,17 +153,14 @@ object AnalyticsQueries2 {
     "q22_sales_opportunity" -> (q22GlobalSalesOpportunity _)
   )
 
-  /** price*(1-disc) as integer 10^-4-dollar units (oracle twin of the
-    * Spark-side `volume` column in q8/q14). */
-  private val centsVol: String =
-    s"${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")})"
+  private val q7vol: String = Exact.volSql()
+  private val centsVol: String = Exact.volSql()
 
   val oracles: Map[String, String] = Map(
     "q7_volume_shipping" ->
-      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
         |  year(l_shipdate) AS l_year,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+        |  sum($q7vol) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

@@ -30,7 +30,9 @@ object AnalyticsQueries3 {
     // projection, so the threshold comparison is order-independent
     val vol = Exact.cents(col("l_extendedprice")) * (lit(100L) - Exact.cents(col("l_discount")))
     val perPart = li.groupBy(col("l_partkey")).agg(sum(vol).as("value_u"))
-    val threshold = li.agg(sum(vol)).collect()(0).getLong(0).toDouble * 0.0008
+      .localCheckpoint(true) // reused by the threshold agg AND the filter
+    val threshold = perPart.agg(coalesce(sum(col("value_u")), lit(0L)))
+      .collect()(0).getLong(0).toDouble * 0.0008
     perPart.filter(col("value_u").cast("double") > threshold)
       .select(col("l_partkey"),
         Exact.rnd(col("value_u").cast("double") / lit(1e4), 2).as("value"))
@@ -48,7 +50,13 @@ object AnalyticsQueries3 {
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(vol).as("total_u"))
-    val best = rev.agg(max(col("total_u"))).collect()(0).getLong(0)
+      .localCheckpoint(true) // reused by the max collect AND the tie filter
+    val bestRow = rev.agg(max(col("total_u"))).collect()(0)
+    if (bestRow.isNullAt(0)) return rev.filter(lit(false))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        Exact.rnd(col("total_u").cast("double") / lit(1e4), 2).as("total_rev"))
+    val best = bestRow.getLong(0)
     rev.filter(col("total_u") === best)
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
@@ -116,7 +124,10 @@ object AnalyticsQueries3 {
     * quantity sums, threshold as 5·supp > total: exact on both engines. */
   def q20ExcessSupply(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val qty = sum(col("l_quantity").cast("long"))
+    // floor() mirrored on both sides: Spark cast truncates toward zero but
+    // DuckDB CAST(DOUBLE AS BIGINT) rounds — bare casts would diverge on
+    // fractional quantities
+    val qty = sum(floor(col("l_quantity")).cast("long"))
     val perPart = li.groupBy(col("l_partkey")).agg(qty.as("tq"))
     val perSupp = li.groupBy(col("l_partkey"), col("l_suppkey")).agg(qty.as("sq"))
     val dominant = perSupp.join(perPart, Seq("l_partkey"))
@@ -139,8 +150,7 @@ object AnalyticsQueries3 {
     "q21_sole_supplier" -> (q21SoleSupplier _)
   )
 
-  private val centsVol: String =
-    s"${Exact.centsSql("l_extendedprice")} * (100 - ${Exact.centsSql("l_discount")})"
+  private val centsVol: String = Exact.volSql()
 
   val oracles: Map[String, String] = Map(
     "q9_product_profit" ->
@@ -156,9 +166,9 @@ object AnalyticsQueries3 {
         |GROUP BY 1, 2
         |ORDER BY n_name, o_year DESC""".stripMargin,
     "q20_excess_supply" ->
-      """WITH pt AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS tq
+      """WITH pt AS (SELECT l_partkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS tq
         |            FROM lineitem GROUP BY 1),
-        |ps AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |ps AS (SELECT l_partkey, l_suppkey, sum(CAST(floor(l_quantity) AS BIGINT)) AS sq
         |       FROM lineitem GROUP BY 1, 2)
         |SELECT s_suppkey, s_name FROM supplier
         |WHERE EXISTS (SELECT 1 FROM ps JOIN pt USING (l_partkey)

@@ -50,7 +50,12 @@ object Exact {
     sum(cents(price) * (lit(100L) - cents(disc))).cast("double") / lit(1e4)
 
   def sumRevenueSql(p: String, d: String): String =
-    s"CAST(sum(${centsSql(p)} * (100 - ${centsSql(d)})) AS DOUBLE) / 1e4"
+    s"CAST(sum(${volSql(p, d)}) AS DOUBLE) / 1e4"
+
+  /** price*(1-disc) as integer 10^-4-dollar units (the one SQL spelling of
+    * the revenue-volume shape — q7/q8/q9/q11/q14/q15 all reuse it). */
+  def volSql(p: String = "l_extendedprice", d: String = "l_discount"): String =
+    s"${centsSql(p)} * (100 - ${centsSql(d)})"
 
   /** Exact sum of price*disc (TPC-H Q6 form). */
   def sumPriceTimes(price: Column, frac: Column): Column =

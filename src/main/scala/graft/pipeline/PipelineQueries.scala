@@ -190,9 +190,9 @@ object PipelineQueries {
          |FROM (
          |  SELECT doc_id, length(text) AS n_chars, ${T.wsTokens} AS n_words,
          |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
-         |      / (${T.wsTokens})::DOUBLE AS mean_word_len,
-         |    (${T.stop})::DOUBLE / (${T.wsTokens})::DOUBLE AS stop_ratio,
-         |    (${T.punct})::DOUBLE / length(text)::DOUBLE AS punct_ratio
+         |      / greatest(${T.wsTokens}, 1)::DOUBLE AS mean_word_len,
+         |    (${T.stop})::DOUBLE / greatest(${T.wsTokens}, 1)::DOUBLE AS stop_ratio,
+         |    (${T.punct})::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
