@@ -39,8 +39,11 @@ object GraftStreaming {
    */
   def upsertSink(t: GraftTable, streamId: String)(batch: DataFrame, batchId: Long): Unit = {
     val key = s"$streamId#$batchId"
-    val done = t.timeline.metas(None)
-      .exists(_.extra.get("streamBatchId").contains(key))
+    // archival folds old commits into a checkpoint that carries their batch
+    // ids under "streamBatchIds" — a replay after archival must still dedup
+    val done = t.timeline.metas(None).exists(m =>
+      m.extra.get("streamBatchId").contains(key) ||
+        m.extra.get("streamBatchIds").exists(_.split(',').contains(key)))
     if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> key))
   }
 
@@ -88,16 +91,22 @@ object GraftStreaming {
             var acc = state.getOption
             for (e <- evs) {
               val ms = e.ts.getTime
+              val gapMs = gapSeconds * 1000
               acc = acc match {
-                case Some(a) if ms - a.lastMs <= gapSeconds * 1000 =>
+                case Some(a) if ms - a.lastMs <= gapMs && a.startMs - ms <= gapMs =>
                   // a late cross-batch event (ms < lastMs, still inside the
                   // watermark) must not move the session end backwards —
                   // that would regress end_ts and fire the timeout early
                   Some(SessionAcc(math.min(a.startMs, ms), math.max(a.lastMs, ms),
                     a.n + 1, a.total + e.value))
-                case Some(a) =>
+                case Some(a) if ms - a.lastMs > gapMs =>
                   out += emit(uid, a)
                   Some(SessionAcc(ms, ms, 1, e.value))
+                case Some(a) =>
+                  // late event MORE than gap BEFORE the session start: its
+                  // own (already-closed) session, not part of the current one
+                  out += emit(uid, SessionAcc(ms, ms, 1, e.value))
+                  Some(a)
                 case None => Some(SessionAcc(ms, ms, 1, e.value))
               }
             }

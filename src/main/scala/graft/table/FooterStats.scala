@@ -32,8 +32,10 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.{
  * at the cost of wrong.
  */
 object FooterStats {
-  /** minMax: column -> (min, max) as strings; "" = no non-null values. */
-  case class FileStats(rows: Long, minMax: Map[String, (String, String)])
+  /** minMax: column -> (min, max) as strings; "" = no non-null values.
+    * `columns` = every physical leaf column present in the file. */
+  case class FileStats(rows: Long, minMax: Map[String, (String, String)],
+      columns: Set[String] = Set.empty)
 
   def read(conf: Configuration, file: JPath, wanted: Set[String]): FileStats = {
     val reader = ParquetFileReader.open(
@@ -61,7 +63,9 @@ object FooterStats {
       val mm = acc.iterator.flatMap { case (name, (prim, s)) =>
         render(prim, s).map(name -> _)
       }.toMap
-      FileStats(rows, mm)
+      val cols = reader.getFooter.getFileMetaData.getSchema.getPaths.asScala
+        .map(p => p.mkString(".")).toSet
+      FileStats(rows, mm, cols)
     } finally reader.close()
   }
 

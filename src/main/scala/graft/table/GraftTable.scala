@@ -130,21 +130,15 @@ object GraftTable {
       .toSeq.sortBy(_.toString)
     require(parquets.nonEmpty, s"no parquet files under $path to bootstrap")
     val dataSchema = spark.read.parquet(path).schema
-    // the dir-level read above INFERS hive partition columns into the schema
-    // even when the files don't contain them; check the physical file schema
-    val fileSchema = spark.read.parquet(parquets.head.toString).schema
+    // a dir-level read INFERS hive partition columns into the schema even
+    // when the files don't contain them; every file's PHYSICAL schema is
+    // checked below (inside the footer scan — a mixed directory where only
+    // some files materialize the columns must fail too)
     val needed = (config.keyFields ++ (config.partitioning match {
       case PartitionByColumns(cs) => cs
       case PartitionByTimestamp(c, _) => Seq(c)
       case NonPartitioned => Nil
     })).distinct
-    val missing = needed.filterNot(fileSchema.fieldNames.contains)
-    require(missing.isEmpty,
-      s"bootstrap source files lack column(s) ${missing.mkString(", ")} " +
-        "(hive-style writers drop partition columns from data files); " +
-        "rewrite the data with the columns materialized " +
-        "(spark.read.parquet(dir) rehydrates them) or bootstrap as " +
-        "NonPartitioned")
     val t = create(spark, path, config)
     val instant = t.timeline.startInstant("commit")
     val statCols = dataSchema.fields.filter(f => isStatType(f.dataType)).map(_.name).toSet
@@ -163,6 +157,12 @@ object GraftTable {
       val rel = base.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
       val st = FooterStats.read(conf, p, statCols)
+      val missing = needed.filterNot(st.columns.contains)
+      require(missing.isEmpty,
+        s"bootstrap source file $rel lacks column(s) ${missing.mkString(", ")} " +
+          "(hive-style writers drop partition columns from data files); " +
+          "rewrite with the columns materialized (spark.read.parquet(dir) " +
+          "rehydrates them) or bootstrap as NonPartitioned")
       val (kmin, kmax) = keyCol.flatMap(st.minMax.get).getOrElse(("", ""))
       FileMeta(rel, f"boot-$i%05d", partition, st.rows,
         keyMin = kmin, keyMax = kmax,
@@ -289,9 +289,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val k = (f.partition, f.fileId)
       // checkpoint commits re-record archived files under their original instant
       val eff = if (f.origInstant.nonEmpty) f.origInstant else m.instant
-      if (f.isLog) logs.getOrElseUpdate(k, mutable.Buffer()) += ((eff, f))
+      // path-level dedup: while archive() is mid-flight a reader can see a
+      // file both via its original instant and via the checkpoint carry
+      if (f.isLog) {
+        val buf = logs.getOrElseUpdate(k, mutable.Buffer())
+        if (!buf.exists(_._2.path == f.path)) buf += ((eff, f))
+      }
       else bases.get(k) match {
-        case Some((i, buf)) if i == eff => buf += f
+        case Some((i, buf)) if i == eff =>
+          if (!buf.exists(_.path == f.path)) buf += f
         case Some((i, _)) if i > eff => // older base, superseded
         case _ => bases(k) = (eff, mutable.Buffer(f))
       }
@@ -721,38 +727,58 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val keyed = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
-    val (m, matched) = config.index match {
-      case StatsIndex =>
-        // the tag join does double duty: it classifies matched/unmatched AND
-        // carries the file-group assignment into writeBatch (preTagged), so
-        // the table is scanned+joined once, not once here + once for tagging
-        (tag(keyed, slices(None)), col("_g_fid").isNotNull)
-      case BucketIndex(_) =>
-        // bucket tagging is group-level (does the key's bucket exist?), which
-        // cannot answer "does this KEY exist" — a new key in an existing
-        // bucket would be misrouted to update/delete. Classify with a real
-        // key-level scan; writeBatch re-tags via the (free) bucket expression.
-        val existing = existingKeys().withColumn("_g_m", lit(true))
-        (keyed.join(existing, Seq(KEY, PART), "left"), col("_g_m").isNotNull)
-    }
+    // "matched" means the key's LATEST version is live: a tombstoned key
+    // must take the NOT-MATCHED branch (MERGE semantics: deleted rows are
+    // insertable again), which neither a bare key scan nor the bucket tag
+    // can answer. keyStatus also carries the key's home group, which rides
+    // into writeBatch as the routing tag (stats index) so the table is
+    // scanned once, not once for classification and once for tagging.
+    val m = keyed.join(keyStatus(keyed, slices(None)), Seq(KEY, PART), "left")
+    val matched = coalesce(col("_g_live"), lit(false))
     val toDelete = m.filter(matched && deleteCond).withColumn(DELETED, lit(true))
     val toUpdate = m.filter(matched && !deleteCond && updateCond)
       .withColumn(DELETED, lit(false))
     val toInsert = m.filter(!matched && insertCond)
       .withColumn(DELETED, lit(false))
     val batch = toDelete.unionByName(toUpdate).unionByName(toInsert)
-      .drop(KEY, PART, "_g_m")
-    writeBatch(batch, "merge", sinceForConflict = Some(startLatest))
+      .drop(KEY, PART, "_g_live")
+    val routed = config.index match {
+      case StatsIndex => batch // _g_fid = preTagged routing
+      case BucketIndex(_) => batch.drop("_g_fid") // re-tagged by expression
+    }
+    writeBatch(routed, "merge", sinceForConflict = Some(startLatest))
   }
 
-  /** Distinct (key, partition) currently in the table — key-column scan of
-    * base files only (inserts always have a base-file home, so base keys are
-    * the complete key set). */
-  private def existingKeys(): DataFrame = {
+  /** Per existing key: its home file group (`_g_fid`) and whether its
+    * latest version is live (`_g_live`, false = tombstone). COW state
+    * lives entirely in base files; MOR resolves liveness through the
+    * log-aware latest-wins merge. Candidate files are pruned by recorded
+    * key ranges against the incoming batch, as in [[tag]]. */
+  private def keyStatus(df: DataFrame, cur: Seq[FileSlice]): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField(KEY, StringType), StructField(PART, StringType),
+        StructField("_g_fid", StringType), StructField("_g_live", BooleanType))))
+    if (cur.isEmpty) return empty
+    val ranges = df.groupBy(col(PART))
+      .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    val cands = cur.filter { s =>
+      ranges.get(s.partition).exists { case (mn, mx) =>
+        s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
+          (b.keyMax.isEmpty || b.keyMax >= mn))
+      }
+    }
+    if (cands.isEmpty) return empty
     val data = schemaAt(None).getOrElse(new StructType())
-    val cur = slices(None)
-    readConformed(cur.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
-      .select(col(KEY), col(PART)).distinct()
+    val rows = config.tableType match {
+      case CopyOnWrite => readConformed(
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data,
+        needFileId = true)
+      case MergeOnRead => readSliceRows(cands, data, needFileId = true)
+    }
+    rows.select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"),
+      (!col(DELETED)).as("_g_live"))
   }
 
   // ----------------------------------------------------------------- reads
@@ -799,8 +825,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     assertNotArchived(Some(fromExclusive), "incremental read from")
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
+    // checkpoints only re-record rows committed at or before the archival
+    // boundary ≤ from (guarded above): including them would scan the whole
+    // carried file set with the wrong schema epoch just to filter every row
     val ms = timeline.metas(Some(to))
-      .filter(m => dataActions(m.action) && m.instant > fromExclusive)
+      .filter(m => dataActions(m.action) && m.operation != "checkpoint" &&
+        m.instant > fromExclusive)
     val files = ms.flatMap(m => m.files.map(_ -> m.instant))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -828,7 +858,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
     val ms = timeline.metas(Some(to))
-      .filter(m => dataActions(m.action) && m.instant > fromExclusive)
+      .filter(m => dataActions(m.action) && m.operation != "checkpoint" &&
+        m.instant > fromExclusive)
     val touched: Set[String] = ms.flatMap(m =>
       m.files.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced).toSet
     val img = struct(data.fields.map(f => col(f.name)).toSeq: _*)
@@ -939,28 +970,43 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * concurrent commit's slice changes. As in the reference, cleaning bounds
     * time travel: an in-flight reader of a since-cleaned slice fails on the
     * missing file — retain enough versions to cover the longest reader. */
-  def clean(retainVersions: Int = 1): String = lockProvider.withLock {
-    val instant = timeline.startInstant("clean")
-    try {
-      timeline.refresh() // must observe other writers' commits
-      val ms = timeline.metas(None).filter(m => dataActions(m.action))
-      val byGroup = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
-      for (m <- ms; f <- m.files) byGroup.getOrElseUpdate((f.partition, f.fileId),
-        mutable.Buffer()) += ((m.instant, f))
-      val live = slices(None).map(s => (s.partition, s.fileId) -> s).toMap
-      val doomed = mutable.Buffer[String]()
-      for (((p, fid), files) <- byGroup) {
-        val baseInstants = files.filter(!_._2.isLog).map(_._1).distinct.sorted.reverse
-        val keep = baseInstants.take(retainVersions).toSet
-        val liveLogs = live.get((p, fid)).map(_.logs.map(_._2.path).toSet).getOrElse(Set.empty)
-        for ((i, f) <- files)
-          if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
-            doomed += f.path
-      }
-      doomed.foreach(rel => Files.deleteIfExists(Paths.get(basePath, rel)))
-      timeline.complete(CommitMeta(instant, "clean", "clean", deletedPaths = doomed.toSeq))
-      instant
-    } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
+  def clean(retainVersions: Int = 1): String = {
+    // doomed-file computation + clean commit under the lock (it must not
+    // race a concurrent commit's slice changes); the physical deletes run
+    // AFTER release — the files are unreferenced either way, and holding
+    // the lock through thousands of deletes would starve writers past the
+    // lock-acquisition timeout
+    val (instant, doomed) = lockProvider.withLock {
+      val instant = timeline.startInstant("clean")
+      try {
+        timeline.refresh() // must observe other writers' commits
+        val ms = timeline.metas(None).filter(m => dataActions(m.action))
+        val byGroup = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
+        // version by EFFECTIVE instant: a checkpoint re-records carried
+        // files at the checkpoint instant, but their version is their
+        // origInstant — keying by recording instant would rank a carried
+        // OLD version above the real latest base and delete the live file
+        for (m <- ms; f <- m.files) {
+          val eff = if (f.origInstant.nonEmpty) f.origInstant else m.instant
+          val buf = byGroup.getOrElseUpdate((f.partition, f.fileId), mutable.Buffer())
+          if (!buf.exists(_._2.path == f.path)) buf += ((eff, f))
+        }
+        val live = slices(None).map(s => (s.partition, s.fileId) -> s).toMap
+        val doomed = mutable.Buffer[String]()
+        for (((p, fid), files) <- byGroup) {
+          val baseInstants = files.filter(!_._2.isLog).map(_._1).distinct.sorted.reverse
+          val keep = baseInstants.take(retainVersions).toSet
+          val liveLogs = live.get((p, fid)).map(_.logs.map(_._2.path).toSet).getOrElse(Set.empty)
+          for ((i, f) <- files)
+            if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
+              doomed += f.path
+        }
+        timeline.complete(CommitMeta(instant, "clean", "clean", deletedPaths = doomed.toSeq))
+        (instant, doomed.toSeq)
+      } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
+    }
+    doomed.foreach(rel => Files.deleteIfExists(Paths.get(basePath, rel)))
+    instant
   }
 
   /** Roll back the most recent data commit: delete its files, drop the
@@ -1036,7 +1082,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * working from the compact active timeline; time travel earlier than the
    * archival boundary is no longer possible (as in the reference).
    */
-  def archive(keepLast: Int = 10): Int = {
+  def archive(keepLast: Int = 10): Int = lockProvider.withLock {
+    // the WHOLE computation runs under the commit lock, after a refresh:
+    // two concurrent archives computing toArchive outside the lock would
+    // both checkpoint (and double-record) the same carried files
+    timeline.refresh()
     val ms = timeline.metas(None).filter(m => dataActions(m.action))
     if (ms.size <= keepLast) return 0
     val toArchive = ms.dropRight(keepLast)
@@ -1058,22 +1108,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // record each carried instant's write-time schema BEFORE the instants
     // leave the active timeline: readConformed needs it to avoid reading
     // old files (e.g. int32 columns later widened to long) with the latest
-    // schema
+    // schema. Also pin the BOUNDARY-time schema: an archived instant may
+    // have evolved the schema yet left no surviving file, and time travel
+    // to the boundary must still see its columns.
     val schemaOf = schemaByInstant()
-    val carriedSchemas = carry.map(_.origInstant).distinct
-      .map(i => i -> schemaOf.getOrElse(i, ""))
+    val carriedSchemas = (carry.map(_.origInstant).distinct
+      .map(i => i -> schemaOf.getOrElse(i, "")) :+
+      (boundary -> schemaAt(Some(boundary)).map(_.json).getOrElse("")))
       .filter(_._2.nonEmpty).toMap
+    // streaming exactly-once survives archival: batch ids recorded by
+    // folded commits (and previous checkpoints) ride along
+    val batchIds = toArchive.flatMap(m =>
+      m.extra.get("streamBatchId").toSeq ++
+        m.extra.get("streamBatchIds").toSeq.flatMap(_.split(',')))
+      .filter(_.nonEmpty).distinct
     val instant = timeline.startInstant("commit")
-    // serialized under the commit lock: two concurrent archives would
-    // checkpoint the same instants twice and double-move their files
-    lockProvider.withLock {
-      timeline.complete(CommitMeta(instant, "commit", "checkpoint",
-        schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
-        carriedSchemas = carriedSchemas,
-        extra = Map("archivedFrom" -> toArchive.head.instant,
-          "archivedTo" -> toArchive.last.instant)))
-      toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
-    }
+    val extra = Map("archivedFrom" -> toArchive.head.instant,
+      "archivedTo" -> boundary) ++
+      (if (batchIds.nonEmpty) Map("streamBatchIds" -> batchIds.mkString(","))
+       else Map.empty)
+    timeline.complete(CommitMeta(instant, "commit", "checkpoint",
+      schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
+      carriedSchemas = carriedSchemas, extra = extra))
+    toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
     toArchive.size
   }
 

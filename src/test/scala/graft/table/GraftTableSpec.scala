@@ -342,6 +342,44 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("clean after archive keeps the live base files (carried versions rank by origInstant)") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    // rewrite every group AFTER what will become the boundary, so the
+    // checkpoint carries dead-now files recorded at a LATER instant
+    t.upsert(orders.withColumn("o_orderpriority", lit("V2")))
+    t.upsert(orders.withColumn("o_orderpriority", lit("V3")))
+    t.cluster(Seq("o_orderkey"))
+    assert(t.archive(keepLast = 1) > 0)
+    t.clean(retainVersions = 1)
+    // if clean ranked carried old versions above the real latest base,
+    // the live files would be gone and this read would crash
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderpriority") === "V3").count() === orders.count())
+    GraftTable.drop(dir)
+  }
+
+  test("mergeInto re-inserts tombstoned keys (COW and MOR)") {
+    for (tt <- Seq(CopyOnWrite, MergeOnRead)) {
+      val dir = tmp()
+      val t = ordersTable(tt, dir)
+      t.bulkInsert(orders)
+      val victims = orders.filter(col("o_orderkey") % 9 === 0)
+      t.delete(victims)
+      assert(t.snapshot().count() === orders.count() - victims.count())
+      // matched rows would be dropped by updateCond=false; a deleted key is
+      // NOT matched (its latest version is a tombstone) -> insert branch
+      t.mergeInto(victims.withColumn("o_orderpriority", lit("RESURRECTED")),
+        updateCond = lit(false), deleteCond = lit(false), insertCond = lit(true))
+      val snap = t.snapshot()
+      assert(snap.count() === orders.count(), s"$tt: tombstoned keys not re-inserted")
+      assert(snap.filter(col("o_orderpriority") === "RESURRECTED").count() === victims.count())
+      GraftTable.drop(dir)
+    }
+  }
+
   test("null keys fail the write; null partition values get the hive default segment") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
