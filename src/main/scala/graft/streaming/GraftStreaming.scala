@@ -39,11 +39,14 @@ object GraftStreaming {
    */
   def upsertSink(t: GraftTable, streamId: String)(batch: DataFrame, batchId: Long): Unit = {
     val key = s"$streamId#$batchId"
-    // archival folds old commits into a checkpoint that carries their batch
-    // ids under "streamBatchIds" — a replay after archival must still dedup
+    // archival folds old commits into a checkpoint carrying the MAX batch
+    // id per stream under "streamBatchIds" (batch ids are monotonic per
+    // stream, so the max is a complete dedup watermark and the carry stays
+    // O(#streams), not O(#batches)) — a replay after archival still dedups
     val done = t.timeline.metas(None).exists(m =>
       m.extra.get("streamBatchId").contains(key) ||
-        m.extra.get("streamBatchIds").exists(_.split(',').contains(key)))
+        m.extra.get("streamBatchIds").exists(enc =>
+          graft.table.StreamBatchIds.parse(enc).get(streamId).exists(_ >= batchId)))
     if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> key))
   }
 
@@ -69,13 +72,56 @@ object GraftStreaming {
    * (flatMapGroupsWithState + event-time timeout). State per user is one
    * small struct — memory scales with active users, not events.
    */
+  /** One micro-batch's session fold: (closed sessions, new open state).
+    * Exposed for direct unit testing — the streaming closure delegates
+    * here. Late events (inside the watermark) merge without regressing the
+    * open session's boundaries; a late burst older than the open session
+    * by more than the gap forms its own already-closed session(s), with
+    * adjacent late events accumulated together. */
+  private[graft] def foldEvents(uid: Long, evs: Seq[Event],
+      acc0: Option[SessionAcc], gapMs: Long): (Seq[Session], Option[SessionAcc]) = {
+    def emit(a: SessionAcc): Session =
+      Session(uid, new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.lastMs),
+        a.n, a.total)
+    val out = scala.collection.mutable.Buffer[Session]()
+    var acc = acc0
+    var orphan: Option[SessionAcc] = None // late burst predating the open session
+    for (e <- evs.sortBy(e => (e.ts.getTime, e.event_id))) {
+      val ms = e.ts.getTime
+      acc = acc match {
+        case Some(a) if ms - a.lastMs <= gapMs && a.startMs - ms <= gapMs =>
+          // a late cross-batch event must not move the session end
+          // backwards — that would regress end_ts and fire the event-time
+          // timeout early
+          Some(SessionAcc(math.min(a.startMs, ms), math.max(a.lastMs, ms),
+            a.n + 1, a.total + e.value))
+        case Some(a) if ms - a.lastMs > gapMs =>
+          out += emit(a)
+          Some(SessionAcc(ms, ms, 1, e.value))
+        case Some(a) =>
+          // more than gap BEFORE the open session's start: belongs to an
+          // earlier, already-closed session — accumulate adjacent ones
+          orphan = orphan match {
+            case Some(o) if ms - o.lastMs <= gapMs && o.startMs - ms <= gapMs =>
+              Some(SessionAcc(math.min(o.startMs, ms), math.max(o.lastMs, ms),
+                o.n + 1, o.total + e.value))
+            case Some(o) =>
+              out += emit(o)
+              Some(SessionAcc(ms, ms, 1, e.value))
+            case None => Some(SessionAcc(ms, ms, 1, e.value))
+          }
+          Some(a)
+        case None => Some(SessionAcc(ms, ms, 1, e.value))
+      }
+    }
+    orphan.foreach(o => out += emit(o))
+    (out.toSeq, acc)
+  }
+
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800,
       watermark: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def emit(uid: Long, a: SessionAcc): Session =
-      Session(uid, new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.lastMs),
-        a.n, a.total)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAcc, Session](
@@ -84,37 +130,16 @@ object GraftStreaming {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(emit(uid, s))
+            Iterator.single(Session(uid, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.lastMs), s.n, s.total))
           } else {
-            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            val out = scala.collection.mutable.Buffer[Session]()
-            var acc = state.getOption
-            for (e <- evs) {
-              val ms = e.ts.getTime
-              val gapMs = gapSeconds * 1000
-              acc = acc match {
-                case Some(a) if ms - a.lastMs <= gapMs && a.startMs - ms <= gapMs =>
-                  // a late cross-batch event (ms < lastMs, still inside the
-                  // watermark) must not move the session end backwards —
-                  // that would regress end_ts and fire the timeout early
-                  Some(SessionAcc(math.min(a.startMs, ms), math.max(a.lastMs, ms),
-                    a.n + 1, a.total + e.value))
-                case Some(a) if ms - a.lastMs > gapMs =>
-                  out += emit(uid, a)
-                  Some(SessionAcc(ms, ms, 1, e.value))
-                case Some(a) =>
-                  // late event MORE than gap BEFORE the session start: its
-                  // own (already-closed) session, not part of the current one
-                  out += emit(uid, SessionAcc(ms, ms, 1, e.value))
-                  Some(a)
-                case None => Some(SessionAcc(ms, ms, 1, e.value))
-              }
-            }
-            acc.foreach { a =>
+            val (closed, open) =
+              foldEvents(uid, it.toSeq, state.getOption, gapSeconds * 1000)
+            open.foreach { a =>
               state.update(a)
               state.setTimeoutTimestamp(a.lastMs + gapSeconds * 1000)
             }
-            out.iterator
+            closed.iterator
           }
       }
   }

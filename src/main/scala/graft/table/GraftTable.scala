@@ -139,8 +139,6 @@ object GraftTable {
       case PartitionByTimestamp(c, _) => Seq(c)
       case NonPartitioned => Nil
     })).distinct
-    val t = create(spark, path, config)
-    val instant = t.timeline.startInstant("commit")
     val statCols = dataSchema.fields.filter(f => isStatType(f.dataType)).map(_.name).toSet
     // a derived key range is only sound when the single key column is itself
     // a string: for other types the lexical order of the cast differs from
@@ -153,6 +151,9 @@ object GraftTable {
     }
     val conf = spark.sessionState.newHadoopConf()
     import scala.collection.parallel.CollectionConverters._
+    // footer scan + validation run BEFORE any table state is created: a
+    // failed bootstrap must leave the user's source directory untouched
+    // (no half-created .graft, no dangling inflight instant)
     val files = parquets.zipWithIndex.par.map { case (p, i) =>
       val rel = base.relativize(p).toString
       val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
@@ -169,6 +170,8 @@ object GraftTable {
         colStats = st.minMax.map { case (c, (mn, mx)) => c -> Array(mn, mx) },
         external = true)
     }.seq
+    val t = create(spark, path, config)
+    val instant = t.timeline.startInstant("commit")
     t.timeline.complete(CommitMeta(instant, "commit", "bootstrap",
       schemaJson = dataSchema.json, files = files.toSeq))
     t
@@ -384,6 +387,24 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       df.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
   }
 
+  /** Slices that could hold any of `df`'s keys: per-partition key ranges of
+    * the batch (one metadata-sized collect) intersected with each file's
+    * recorded key min/max. The ONE pruning rule shared by upsert tagging
+    * and merge classification — they must never disagree on which files
+    * hold a key. Empty recorded range = unknown (e.g. bootstrapped file)
+    * -> always a candidate. */
+  private def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
+    val ranges = df.groupBy(col(PART))
+      .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    cur.filter { s =>
+      ranges.get(s.partition).exists { case (mn, mx) =>
+        s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
+          (b.keyMax.isEmpty || b.keyMax >= mn))
+      }
+    }
+  }
+
   /** Tag each record with the fileId of the file group currently holding its
     * key (null = insert). Stats index: key-column scan of candidate files
     * only. Bucket index: pure expression. */
@@ -397,16 +418,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             .isin(cur.map(s => s"${s.partition}|${s.fileId}"): _*), col("_g_fid")))
     case StatsIndex =>
       if (cur.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
-      val ranges = df.groupBy(col(PART))
-        .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
-        .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-      val cands = cur.filter { s =>
-        ranges.get(s.partition).exists { case (mn, mx) =>
-          // empty recorded range = unknown (e.g. bootstrapped file) -> candidate
-          s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
-            (b.keyMax.isEmpty || b.keyMax >= mn))
-        }
-      }
+      val cands = candidateSlices(df, cur)
       if (cands.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
       val data = schemaAt(None).getOrElse(new StructType())
       val existing = readConformed(
@@ -760,15 +772,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       StructType(Seq(StructField(KEY, StringType), StructField(PART, StringType),
         StructField("_g_fid", StringType), StructField("_g_live", BooleanType))))
     if (cur.isEmpty) return empty
-    val ranges = df.groupBy(col(PART))
-      .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
-      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    val cands = cur.filter { s =>
-      ranges.get(s.partition).exists { case (mn, mx) =>
-        s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
-          (b.keyMax.isEmpty || b.keyMax >= mn))
-      }
-    }
+    val cands = candidateSlices(df, cur)
     if (cands.isEmpty) return empty
     val data = schemaAt(None).getOrElse(new StructType())
     val rows = config.tableType match {
@@ -1116,16 +1120,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(i => i -> schemaOf.getOrElse(i, "")) :+
       (boundary -> schemaAt(Some(boundary)).map(_.json).getOrElse("")))
       .filter(_._2.nonEmpty).toMap
-    // streaming exactly-once survives archival: batch ids recorded by
-    // folded commits (and previous checkpoints) ride along
-    val batchIds = toArchive.flatMap(m =>
-      m.extra.get("streamBatchId").toSeq ++
-        m.extra.get("streamBatchIds").toSeq.flatMap(_.split(',')))
-      .filter(_.nonEmpty).distinct
+    // streaming exactly-once survives archival: the MAX batch id per
+    // stream recorded by folded commits (and previous checkpoints) rides
+    // along — batch ids are monotonic per stream, so the max is a complete
+    // dedup watermark and the carry stays O(#streams)
+    val folded = toArchive.flatMap(m =>
+      m.extra.get("streamBatchId").toSeq.flatMap(k =>
+        StreamBatchIds.parse(k).toSeq) ++
+        m.extra.get("streamBatchIds").toSeq.flatMap(e =>
+          StreamBatchIds.parse(e).toSeq))
+    val maxIds = folded.groupBy(_._1).map { case (sid, xs) => sid -> xs.map(_._2).max }
     val instant = timeline.startInstant("commit")
     val extra = Map("archivedFrom" -> toArchive.head.instant,
       "archivedTo" -> boundary) ++
-      (if (batchIds.nonEmpty) Map("streamBatchIds" -> batchIds.mkString(","))
+      (if (maxIds.nonEmpty) Map("streamBatchIds" -> StreamBatchIds.encode(maxIds))
        else Map.empty)
     timeline.complete(CommitMeta(instant, "commit", "checkpoint",
       schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,

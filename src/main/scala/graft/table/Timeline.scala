@@ -43,6 +43,23 @@ case class CommitMeta(
     carriedSchemas: Map[String, String] = Map.empty,
     extra: Map[String, String] = Map.empty)
 
+/** Streaming exactly-once watermarks carried across archival: the MAX
+  * committed batch id per stream, encoded as newline-separated "sid#maxId"
+  * lines (newline: a checkpoint-dir streamId can contain commas; the id is
+  * after the LAST '#' since dirs can contain '#' too). */
+object StreamBatchIds {
+  def parse(encoded: String): Map[String, Long] =
+    encoded.split('\n').filter(_.nonEmpty).flatMap { line =>
+      val i = line.lastIndexOf('#')
+      if (i <= 0) None
+      else scala.util.Try(line.substring(i + 1).toLong)
+        .toOption.map(line.substring(0, i) -> _)
+    }.toMap
+
+  def encode(m: Map[String, Long]): String =
+    m.toSeq.sorted.map { case (sid, mx) => s"$sid#$mx" }.mkString("\n")
+}
+
 object Json {
   val mapper: ObjectMapper with ClassTagExtensions =
     new ObjectMapper() with ClassTagExtensions

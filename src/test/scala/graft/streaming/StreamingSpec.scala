@@ -19,6 +19,56 @@ class StreamingSpec extends AnyFunSuite {
       keyFields = Seq("event_id"), precombineField = Some("value"),
       partitioning = PartitionByColumns(Seq("event_type"))))
 
+  test("exactly-once batch dedup survives archival (max-id watermark carried)") {
+    val dir = Files.createTempDirectory("graft_stream_arch_").toString
+    val t = eventsTable(dir)
+    val sid = "ckpt-a"
+    for (b <- 0 until 12)
+      GraftStreaming.upsertSink(t, sid)(
+        Seq(Event(100 + b, ts(b), 1, "click", b.toDouble)).toDF(), batchId = b.toLong)
+    assert(t.snapshot().count() === 12)
+    assert(t.archive(keepLast = 2) > 0)
+    val commitsBefore = t.showCommits().count()
+    // replay an ARCHIVED batch: its id lives only in the checkpoint carry
+    GraftStreaming.upsertSink(t, sid)(
+      Seq(Event(103, ts(3), 1, "click", 999.0)).toDF(), batchId = 3L)
+    assert(t.showCommits().count() === commitsBefore, "archived batch replayed")
+    // a NEW batch id (and another stream's id) still commit
+    GraftStreaming.upsertSink(t, sid)(
+      Seq(Event(200, ts(20), 1, "view", 1.0)).toDF(), batchId = 12L)
+    GraftStreaming.upsertSink(t, "ckpt-b")(
+      Seq(Event(201, ts(21), 1, "view", 1.0)).toDF(), batchId = 0L)
+    assert(t.snapshot().count() === 14)
+    GraftTable.drop(dir)
+  }
+
+  test("session fold: late events merge without regressing; old bursts form own sessions") {
+    def ev(id: Long, min: Int, v: Double = 1.0) = Event(id, ts(min), 7, "click", v)
+    val gapMs = 10 * 60000L // 10-minute gap
+    // open session at [100, 102]; late adjacent burst at 60,62; far single at 30
+    val (closed, open) = GraftStreaming.foldEvents(7,
+      Seq(ev(1, 100), ev(2, 102), ev(3, 60), ev(4, 62), ev(5, 30), ev(6, 103)),
+      acc0 = None, gapMs = gapMs)
+    assert(open.exists(a => a.startMs == ts(100).getTime && a.lastMs == ts(103).getTime
+      && a.n == 3), s"open=$open")
+    // closed: [30,30] then [60,62] (adjacent orphans merged, NOT split)
+    assert(closed.map(s => (s.start_ts.getTime, s.end_ts.getTime, s.n_events)) ===
+      Seq((ts(30).getTime, ts(30).getTime, 1), (ts(60).getTime, ts(62).getTime, 2)),
+      s"closed=$closed")
+    // cross-batch: a late event inside the gap merges and must not move the
+    // open session's end backwards
+    val (closed2, open2) = GraftStreaming.foldEvents(7,
+      Seq(ev(7, 98)), open, gapMs)
+    assert(closed2.isEmpty)
+    assert(open2.exists(a => a.startMs == ts(98).getTime && a.lastMs == ts(103).getTime
+      && a.n == 4), s"open2=$open2")
+  }
+
+  test("stream batch-id encoding round-trips ids with '#' and ',' in stream ids") {
+    val m = Map("/data/ckpt,v2" -> 7L, "a#b#c" -> 3L, "plain" -> 0L)
+    assert(StreamBatchIds.parse(StreamBatchIds.encode(m)) === m)
+  }
+
   test("streaming upsert sink: exactly-once by batch id, updates visible per batch") {
     val dir = Files.createTempDirectory("graft_stream_").toString
     val ckpt = Files.createTempDirectory("graft_ckpt_").toString
