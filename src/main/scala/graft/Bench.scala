@@ -19,15 +19,21 @@ object Bench {
     // JIT/codegen warmup at the smallest SF so timed numbers reflect the
     // steady state, not first-query compilation
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+      var failed = 0
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => }
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => failed += 1 }
       }
+      if (failed > 0) // silent skip would inflate the first timed query
+        System.err.println(s"[bench] WARMUP incomplete: $failed queries failed on $warmDir")
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      // a crashed query must not masquerade as a fast one: negative marker
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -49,7 +49,9 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
-        it.map { case (id, bytes, fmt) =>
+        // null payloads are undecodable: skipped, as a real codec pipeline
+        // routes them to a dead-letter side instead of crashing the job
+        it.filter(_._2 != null).map { case (id, bytes, fmt) =>
           val (w, h, c, crc) = fakeDecode(md, bytes)
           MediaMeta(id, bytes.length.toLong, fmt, w, h, c, crc)
         }
@@ -61,6 +63,10 @@ object Multimodal {
     * one-to-many shape of real frame extraction. */
   def sampleFrames(withPayload: DataFrame, stride: Int = 64): DataFrame =
     withPayload.select(col("doc_id"),
-      posexplode(sequence(lit(0), greatest(length(col("payload")) - 1, lit(0)), lit(stride)))
+      // zero frames for zero bytes (greatest(len-1, 0) would emit a phantom
+      // frame at offset 0 of an empty payload)
+      posexplode(when(length(col("payload")) > 0,
+        sequence(lit(0), length(col("payload")) - 1, lit(stride)))
+        .otherwise(array().cast("array<int>")))
         .as(Seq("frame_idx", "byte_offset")))
 }

@@ -221,7 +221,7 @@ object PipelineQueries {
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |    'img/' || source AS format,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS crc
-        |  FROM documents)
+        |  FROM documents WHERE text IS NOT NULL)
         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -944,11 +944,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     try {
       val cur = slices(None).filter(s => partitionPred(s.partition))
       val data = schemaAt(None).getOrElse(new StructType())
-      val rows = readSliceRows(cur, data).filter(!col(DELETED))
+      val zordered = zorder && sortCols.size >= 2
+      val rows0 = readSliceRows(cur, data).filter(!col(DELETED))
+      // z-order needs a min/max pass BEFORE the layout write: persist so the
+      // (possibly log-merging) slice read runs once, not twice
+      val rows = if (zordered)
+        rows0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rows0
       val totalRows = cur.map(_.totalRows).sum
       val nGroups = math.max(1, math.ceil(totalRows.toDouble / config.targetFileSizeRows).toInt)
       val layoutCol: Column =
-        if (!zorder || sortCols.size < 2) struct(sortCols.map(col): _*)
+        if (!zordered) struct(sortCols.map(col): _*)
         else ZOrder.zvalue(rows, sortCols.take(2))
       val arranged = rows.withColumn("_g_z", layoutCol)
         .repartitionByRange(nGroups, col(PART), col("_g_z"))
@@ -956,6 +962,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         .withColumn(FILE_ID, format_string(s"c$instant-%05d", spark_partition_id()))
         .drop("_g_z")
       val files = stageWrite(arranged, instant, Set.empty)
+      if (zordered) rows.unpersist(blocking = false)
       commitGuarded(startLatest,
         cur.map(s => s"${s.partition}|${s.fileId}").toSet ++
           files.map(f => s"${f.partition}|${f.fileId}"), Set.empty,
@@ -1227,10 +1234,14 @@ object ZOrder {
     val Seq(a, b) = cols
     val r = df.agg(min(col(a)).cast("double").as("amn"), max(col(a)).cast("double").as("amx"),
       min(col(b)).cast("double").as("bmn"), max(col(b)).cast("double").as("bmx")).collect()(0)
+    // null aggregate (empty input, all-null or non-numeric column) -> that
+    // dimension contributes a constant rank instead of an NPE
+    def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     def norm(c: String, mn: Double, mx: Double): Column =
       if (mx <= mn) lit(0L)
-      else ((col(c).cast("double") - lit(mn)) / lit(mx - mn) * lit(65535.0)).cast("long")
-    spread(norm(a, r.getDouble(0), r.getDouble(1)))
-      .bitwiseOR(shiftleft(spread(norm(b, r.getDouble(2), r.getDouble(3))), 1))
+      else ((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+        lit(mx - mn) * lit(65535.0)).cast("long")
+    spread(norm(a, d(0), d(1)))
+      .bitwiseOR(shiftleft(spread(norm(b, d(2), d(3))), 1))
   }
 }
