@@ -37,7 +37,11 @@ object FooterStats {
   case class FileStats(rows: Long, minMax: Map[String, (String, String)],
       columns: Set[String] = Set.empty)
 
-  def read(conf: Configuration, file: JPath, wanted: Set[String]): FileStats = {
+  /** @param sessionTz the Spark session's `spark.sql.session.timeZone` —
+    *   timestamp stats must render in the same zone the engine's string
+    *   comparisons (and the caller's bound strings) use. */
+  def read(conf: Configuration, file: JPath, wanted: Set[String],
+      sessionTz: String = "UTC"): FileStats = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new HPath(file.toUri), conf))
     try {
@@ -60,8 +64,9 @@ object FooterStats {
           }
         }
       }
+      val zone = java.time.ZoneId.of(sessionTz)
       val mm = acc.iterator.flatMap { case (name, (prim, s)) =>
-        render(prim, s).map(name -> _)
+        render(prim, s, zone).map(name -> _)
       }.toMap
       val cols = reader.getFooter.getFileMetaData.getSchema.getPaths.asScala
         .map(p => p.mkString(".")).toSet
@@ -75,7 +80,8 @@ object FooterStats {
 
   /** Convert footer min/max to the engine's string stat form; None = type
     * not supported (no pruning), Some(("","")) = supported but all-null. */
-  private def render(prim: PrimitiveType, s: Statistics[_]): Option[(String, String)] = {
+  private def render(prim: PrimitiveType, s: Statistics[_],
+      zone: java.time.ZoneId): Option[(String, String)] = {
     if (!s.hasNonNullValue) return renderable(prim).map(_ => ("", ""))
     val logical = prim.getLogicalTypeAnnotation
     def plain = Some((s.genericGetMin.toString, s.genericGetMax.toString))
@@ -91,7 +97,7 @@ object FooterStats {
       }
       case INT64 => logical match {
         case null | _: IntLogicalTypeAnnotation => plain
-        case ts: TimestampLogicalTypeAnnotation => timestampStr(s, ts)
+        case ts: TimestampLogicalTypeAnnotation => timestampStr(s, ts, zone)
         case dec: DecimalLogicalTypeAnnotation => decimalStr(s, dec.getScale)
         case _ => None
       }
@@ -107,19 +113,33 @@ object FooterStats {
     }
   }
 
-  /** INT64 timestamp -> the engine's "yyyy-MM-dd HH:mm:ss" UTC string form
+  /** INT64 timestamp -> the engine's "yyyy-MM-dd HH:mm:ss" string form
     * (fixed width: lexicographic order == chronological order). Min is
     * floored and max CEILED to whole seconds, so sub-second values widen
-    * the recorded range slightly — safe for pruning, never wrong. */
+    * the recorded range slightly — safe for pruning, never wrong.
+    *
+    * Rendering zone: NTZ timestamps (isAdjustedToUTC=false) store a wall
+    * clock — rendered at UTC offset they reproduce it exactly, independent
+    * of session timezone. Instant timestamps (isAdjustedToUTC=true) render
+    * the way Spark's cast-to-string does, in the SESSION zone — but only
+    * when that zone is a fixed offset (UTC, "+05:30", …): under a DST zone
+    * wall-clock strings are not monotonic in epoch time, lexical pruning
+    * against them can be wrong, so such columns yield no stats (always
+    * scanned — correct, never fast at the cost of wrong). */
   private def timestampStr(s: Statistics[_],
-      ts: TimestampLogicalTypeAnnotation): Option[(String, String)] = {
+      ts: TimestampLogicalTypeAnnotation,
+      zone: java.time.ZoneId): Option[(String, String)] = {
+    val offset: java.time.ZoneOffset =
+      if (!ts.isAdjustedToUTC) java.time.ZoneOffset.UTC
+      else if (zone.getRules.isFixedOffset) zone.getRules.getOffset(java.time.Instant.EPOCH)
+      else return None
     val perSec = ts.getUnit match {
       case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
       case LogicalTypeAnnotation.TimeUnit.MICROS => 1000000L
       case _ => 1000000000L
     }
     def fmt(sec: Long) = java.time.LocalDateTime
-      .ofEpochSecond(sec, 0, java.time.ZoneOffset.UTC)
+      .ofEpochSecond(sec, 0, offset)
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
     val mn = s.genericGetMin.asInstanceOf[Number].longValue
     val mx = s.genericGetMax.asInstanceOf[Number].longValue

@@ -156,8 +156,19 @@ object GraftTable {
     // (no half-created .graft, no dangling inflight instant)
     val files = parquets.zipWithIndex.par.map { case (p, i) =>
       val rel = base.relativize(p).toString
-      val partition = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
-      val st = FooterStats.read(conf, p, statCols)
+      val dirPart = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
+      // record the partition in its DERIVED form: reads rebuild _g_part from
+      // the data via pathExpr and tagging joins on it, so a raw directory
+      // string (URL-escaped segments, or a nested dir under a NonPartitioned
+      // config) that disagrees would make every re-upsert of these keys a
+      // silent duplicate. Escapes are decoded here; agreement with pathExpr
+      // is validated below before any table state is created.
+      val partition = config.partitioning match {
+        case NonPartitioned => ""
+        case _ => unescapePath(dirPart)
+      }
+      val st = FooterStats.read(conf, p, statCols,
+        spark.sessionState.conf.sessionLocalTimeZone)
       val missing = needed.filterNot(st.columns.contains)
       require(missing.isEmpty,
         s"bootstrap source file $rel lacks column(s) ${missing.mkString(", ")} " +
@@ -170,11 +181,57 @@ object GraftTable {
         colStats = st.minMax.map { case (c, (mn, mx)) => c -> Array(mn, mx) },
         external = true)
     }.seq
+    validateBootstrapPartitions(spark, path, config, files.toSeq)
     val t = create(spark, path, config)
     val instant = t.timeline.startInstant("commit")
     t.timeline.complete(CommitMeta(instant, "commit", "bootstrap",
       schemaJson = dataSchema.json, files = files.toSeq))
     t
+  }
+
+  /** Fail fast (still before any table state exists) if the directory-derived
+    * partition disagrees with what the configured partitioning derives from
+    * the DATA — wrong column order, a 'date=' vs 'dt=' prefix, or an
+    * unexpected timestamp format would otherwise break upsert tagging
+    * silently. Cost: one single-row scan per distinct partition dir,
+    * parallelized — still metadata-scale next to the data. */
+  private def validateBootstrapPartitions(spark: SparkSession, path: String,
+      config: TableConfig, files: Seq[FileMeta]): Unit = config.partitioning match {
+    case NonPartitioned => ()
+    case p =>
+      import scala.collection.parallel.CollectionConverters._
+      files.filter(_.rows > 0).groupBy(_.partition).toSeq.par.foreach {
+        case (part, fs) =>
+          val sample = fs.head.path
+          val derived = spark.read.parquet(s"$path/$sample").limit(1)
+            .select(p.pathExpr.cast("string").as("_p")).collect()
+            .headOption.map(_.getString(0)).getOrElse("")
+          require(derived == part,
+            s"bootstrap partition mismatch: directory layout says '$part' but " +
+              s"the configured partitioning derives '$derived' from the data " +
+              s"(sampled $sample). Reads derive partitions from data, so the " +
+              "two must agree — check partition-column order, path prefix, " +
+              "and timestamp format")
+      }
+  }
+
+  /** Inverse of Spark's hive-path escaping: decode %XX sequences only.
+    * (Unlike URLDecoder, a literal '+' stays '+' — hive path escaping
+    * never encodes a space as '+', so URL-decoding would corrupt values
+    * that genuinely contain pluses.) */
+  private[table] def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }
 
@@ -208,6 +265,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       if (detectConflict(startLatest, groups, partitions, anyCommit))
         throw new ConcurrentWriteException(
           s"instant ${meta.instant} conflicts with a commit completed after $startLatest")
+      // last-line defense: if our lock was lost while the conflict check ran
+      // (clock jump defeating the heartbeat), fail BEFORE the timeline write
+      lockProvider.assertHeld()
       timeline.complete(meta)
     }
 
@@ -399,8 +459,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     cur.filter { s =>
       ranges.get(s.partition).exists { case (mn, mx) =>
-        s.baseFiles.exists(b => (b.keyMin.isEmpty || b.keyMin <= mx) &&
-          (b.keyMax.isEmpty || b.keyMax >= mn))
+        s.baseFiles.exists(b => (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
+          (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax)))
       }
     }
   }
@@ -481,7 +541,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
       .parquet(staging.toString)
     def dec(s: String): String = {
-      val v = java.net.URLDecoder.decode(s, "UTF-8")
+      val v = GraftTable.unescapePath(s)
       if (v == "__HIVE_DEFAULT_PARTITION__") "" else v
     }
     // plan all renames, then execute them concurrently: at large file counts
@@ -524,7 +584,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(_.name).toSet
     val conf = spark.sessionState.newHadoopConf()
     val stats = moved.toSeq.par.map { case (rel, _, _) =>
-      rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY)
+      rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
+        spark.sessionState.conf.sessionLocalTimeZone)
     }.seq.toMap
     moved.toSeq.map { case (rel, partition, fid) =>
       val st = stats(rel)
@@ -898,7 +959,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     def le(a: String, b: String): Boolean =
       if (a.isEmpty || b.isEmpty) true
       else if (numeric) a.toDouble <= b.toDouble
-      else a <= b
+      else CodePointOrder.le(a, b)
     snapshotFull(None, data, s =>
       s.logs.nonEmpty || s.baseFiles.exists { b =>
         b.colStats.get(column) match {

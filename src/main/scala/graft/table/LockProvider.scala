@@ -14,6 +14,11 @@ import java.nio.file.{Files, Paths}
  */
 trait LockProvider {
   def withLock[T](f: => T): T
+  /** Re-verify (from inside `withLock`) that the calling thread still holds
+    * the lock — called by writers immediately before the irreversible
+    * timeline-complete step. No-op for backends that cannot lose a held
+    * lock (in-process monitor, ZooKeeper ephemeral nodes). */
+  def assertHeld(): Unit = ()
 }
 
 /** Mutual exclusion via atomic lock-file creation under `.graft/.lock` —
@@ -27,10 +32,49 @@ trait LockProvider {
   * delete the new holder's lock. Stale-breaking uses an atomic RENAME to
   * a tombstone (exactly one of N waiters wins the rename; the others'
   * moves fail), so a freshly re-created lock can never be deleted by a
-  * waiter acting on a stale observation. */
+  * waiter acting on a stale observation.
+  *
+  * A held lock is HEARTBEATED: a daemon thread refreshes the file's mtime
+  * every staleMs/4 for as long as the critical section runs, so a live
+  * holder's lock never ages into stale-break territory — critical sections
+  * are NOT bounded by staleMs. The residual exposure is a clock jump (or a
+  * heartbeat thread starved for >staleMs), and writers additionally
+  * re-verify their token via [[assertHeld]] before the irreversible
+  * timeline write. */
 class FileLockProvider(baseDir: String, timeoutMs: Long = 60000,
     pollMs: Long = 10, staleMs: Long = 10 * 60 * 1000) extends LockProvider {
   private val lockPath = Paths.get(baseDir, ".graft", ".lock")
+  private val heldToken = new ThreadLocal[String]
+
+  override def assertHeld(): Unit = {
+    val token = heldToken.get
+    val owner =
+      try new String(Files.readAllBytes(lockPath), "UTF-8")
+      catch { case _: java.io.IOException => null }
+    if (token == null || owner != token)
+      throw new ConcurrentWriteException(
+        s"commit lock no longer held (owner=$owner): $lockPath")
+  }
+
+  /** Refresh the lock's mtime while held; only ever touches a file that
+    * still carries OUR token (read-then-touch races at worst extend a
+    * successor's lock by one period — safe, never breaks exclusion). */
+  private def startHeartbeat(token: String): Thread = {
+    val t = new Thread(() => {
+      val period = math.max(pollMs, staleMs / 4)
+      try while (!Thread.interrupted()) {
+        Thread.sleep(period)
+        try {
+          if (new String(Files.readAllBytes(lockPath), "UTF-8") == token)
+            Files.setLastModifiedTime(lockPath,
+              java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        } catch { case _: java.io.IOException => /* broken/released; keep checking */ }
+      } catch { case _: InterruptedException => /* released */ }
+    }, "graft-lock-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
 
   def withLock[T](f: => T): T = {
     val token = java.util.UUID.randomUUID().toString
@@ -74,7 +118,11 @@ class FileLockProvider(baseDir: String, timeoutMs: Long = 60000,
           Thread.sleep(pollMs)
       }
     }
+    heldToken.set(token)
+    val beat = startHeartbeat(token)
     try f finally {
+      beat.interrupt()
+      heldToken.remove()
       // release only if the lock is still ours (it may have been
       // stale-broken and re-acquired by another writer while f ran)
       try {

@@ -653,6 +653,97 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("bootstrapInPlace adopts a hive-partitioned layout; escaped segments and upserts agree") {
+    val dir = tmp()
+    import TestSpark.spark.implicits._
+    // values exercising hive-path escaping ('#' -> %23) and a raw space
+    val rows = Seq(("k1", "a b", 1), ("k2", "a b", 2), ("k3", "c#d", 3), ("k4", "c#d", 4))
+    val df = rows.toDF("k", "pv", "v")
+    // hive layout written by hand WITH the partition column materialized in
+    // the files (bootstrap requires it; spark partitionBy would drop it)
+    df.filter(col("pv") === "a b").write.parquet(s"$dir/pv=a b")
+    df.filter(col("pv") === "c#d").write.parquet(s"$dir/pv=c%23d")
+    val t = GraftTable.bootstrapInPlace(spark, dir, TableConfig("bootp", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = PartitionByColumns(Seq("pv")), targetFileSizeRows = 1000))
+    assert(t.snapshot().count() === 4)
+    // recorded partitions are the DERIVED (decoded) form, matching pathExpr
+    assert(t.slices(None).map(_.partition).toSet === Set("pv=a b", "pv=c#d"))
+    // upserting existing keys must tag the bootstrapped groups (no dupes)
+    t.upsert(Seq(("k1", "a b", 10), ("k3", "c#d", 30)).toDF("k", "pv", "v"))
+    val snap = t.snapshot()
+    assert(snap.count() === 4, "re-upserted keys duplicated: partition derivation disagrees")
+    assert(snap.filter(col("k") === "k1").select("v").head.getInt(0) === 10)
+    assert(snap.filter(col("k") === "k3").select("v").head.getInt(0) === 30)
+    GraftTable.drop(dir)
+  }
+
+  test("bootstrapInPlace fails fast when directory layout disagrees with the partitioning") {
+    val dir = tmp()
+    import TestSpark.spark.implicits._
+    val df = Seq(("k1", "x", "y", 1)).toDF("k", "a", "b", "v")
+    // directory says a=x/b=y but the config orders the columns (b, a)
+    df.write.parquet(s"$dir/a=x/b=y")
+    intercept[IllegalArgumentException] {
+      GraftTable.bootstrapInPlace(spark, dir, TableConfig("bootbad", CopyOnWrite,
+        keyFields = Seq("k"), precombineField = None,
+        partitioning = PartitionByColumns(Seq("b", "a")), targetFileSizeRows = 1000))
+    }
+    // failed bootstrap left the source untouched — no .graft dir
+    assert(!Files.exists(java.nio.file.Paths.get(dir, ".graft")))
+    GraftTable.drop(dir)
+  }
+
+  test("upsert tagging with supplementary-plane keys does not duplicate") {
+    val dir = tmp()
+    import TestSpark.spark.implicits._
+    val t = GraftTable.create(spark, dir, TableConfig("emoji", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 1000))
+    // existing file's key range is a BMP char that Java's UTF-16 order
+    // sorts ABOVE the incoming batch max (an emoji) but code-point /
+    // UTF-8 order sorts BELOW — the old comparison excluded the file
+    // from tagging candidates and re-inserted its key
+    t.bulkInsert(Seq(("\uFFFD", 1)).toDF("k", "v"))
+    t.upsert(Seq(("\uFFFD", 2), ("\uD83D\uDE00", 3)).toDF("k", "v"))
+    val snap = t.snapshot()
+    assert(snap.count() === 2, "supplementary-plane range comparison duplicated a key")
+    assert(snap.filter(col("k") === "\uFFFD").select("v").head.getInt(0) === 2)
+    GraftTable.drop(dir)
+  }
+
+  test("code-point order matches UTF-8 byte order where Java string order does not") {
+    assert(CodePointOrder.compare("\uFFFD", "\uD83D\uDE00") < 0) // U+FFFD < U+1F600
+    assert("\uFFFD".compareTo("\uD83D\uDE00") > 0)               // Java disagrees
+    assert(CodePointOrder.compare("abc", "abd") < 0)
+    assert(CodePointOrder.compare("ab", "abc") < 0)
+    assert(CodePointOrder.compare("abc", "abc") === 0)
+  }
+
+  test("file lock: heartbeat keeps a long critical section alive past staleMs") {
+    val dir = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(dir, ".graft"))
+    val lock = java.nio.file.Paths.get(dir, ".graft", ".lock")
+    val holder = new FileLockProvider(dir, timeoutMs = 5000, pollMs = 5, staleMs = 300)
+    val stolen = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thief = new Thread(() => {
+      // same staleMs: would break the lock if the holder did not heartbeat
+      val lp = new FileLockProvider(dir, timeoutMs = 700, pollMs = 5, staleMs = 300)
+      try lp.withLock { stolen.set(true) }
+      catch { case _: ConcurrentWriteException => /* expected: times out */ }
+    })
+    holder.withLock {
+      holder.assertHeld()
+      thief.start()
+      Thread.sleep(1000) // critical section 3x longer than staleMs
+      holder.assertHeld() // still ours: heartbeat kept it fresh
+      assert(!stolen.get(), "lock was stale-broken while actively held")
+    }
+    thief.join(5000)
+    assert(!Files.exists(lock), "lock not released")
+    GraftTable.drop(dir)
+  }
+
   test("async table services: compaction off the ingest path, conflicts fail cleanly") {
     val dir = tmp()
     val t = ordersTable(MergeOnRead, dir)
