@@ -620,7 +620,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       extra: Map[String, String] = Map.empty,
       sinceForConflict: Option[String] = None): String = {
     val mor = config.tableType == MergeOnRead
-    val taggingOps = Set("upsert", "delete", "merge")
+    val taggingOps = Set("upsert", "delete", "merge", "upsert_partial", "upsert_global")
     val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
     val startLatest = sinceForConflict
       .orElse(timeline.completed().lastOption.map(_._1)).getOrElse("0")
@@ -820,6 +820,145 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case BucketIndex(_) => batch.drop("_g_fid") // re-tagged by expression
     }
     writeBatch(routed, "merge", sinceForConflict = Some(startLatest))
+  }
+
+  /**
+   * Partial-update upsert (ref: PartialUpdateAvroPayload /
+   * OverwriteNonDefaultsWithLatestAvroPayload): a NULL column in an incoming
+   * record means "not provided" — the matched existing row's value is kept.
+   * Columns the source omits entirely inherit the existing value too, so a
+   * narrow source frame updates just the columns it carries. New keys insert
+   * as-is (missing/null columns stay null).
+   *
+   * The source must carry the key and partition columns (as in the
+   * reference); a key whose latest version is a tombstone takes the insert
+   * path — nothing is inherited from deleted rows.
+   */
+  def upsertPartial(source: DataFrame): String = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val keyed = source
+      .withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+    val data = schemaAt(None).getOrElse(new StructType())
+    val srcCols = source.columns.filterNot(metaCols.contains).toSeq
+    val tableCols = data.fields.map(_.name).toSeq
+    // existing latest versions WITH their values (one table scan, pruned to
+    // candidate files; doubles as the routing tag so writeBatch never
+    // re-scans the table)
+    val existing = existingRows(keyed).select(
+      Seq(col(KEY), col(PART), col(FILE_ID).as("_g_fid"),
+        (!col(DELETED)).as("_g_live")) ++
+        tableCols.map(c => col(c).as(s"_e_$c")): _*)
+    val joined = keyed.join(existing, Seq(KEY, PART), "left")
+    val live = coalesce(col("_g_live"), lit(false))
+    val outCols = (tableCols ++ srcCols.filterNot(tableCols.contains)).map { c =>
+      val fromSrc = srcCols.contains(c)
+      val inTable = tableCols.contains(c)
+      if (fromSrc && inTable) when(live, coalesce(col(c), col(s"_e_$c"))).otherwise(col(c)).as(c)
+      else if (fromSrc) col(c).as(c)
+      else when(live, col(s"_e_$c")).as(c) // table-only column: inherit or null
+    }
+    val batch = joined.select(outCols :+ col("_g_fid"): _*)
+    val routed = config.index match {
+      case StatsIndex => batch
+      case BucketIndex(_) => batch.drop("_g_fid")
+    }
+    writeBatch(routed, "upsert_partial", sinceForConflict = Some(startLatest))
+  }
+
+  /**
+   * Global-index upsert (ref: GLOBAL_SIMPLE/GLOBAL_BLOOM with
+   * `hoodie.simple.index.update.partition.path=true`): a key is unique
+   * across the WHOLE table, not per partition. When an incoming record's
+   * partition differs from where its key currently lives, the old row is
+   * tombstoned in its old partition and the record inserts into the new one.
+   *
+   * Scale note: candidate pruning is by key range across all partitions
+   * (global min/max of the batch vs recorded per-file ranges) — the batch
+   * never joins the full table, only files that could hold its keys.
+   */
+  def upsertGlobal(source: DataFrame): String = {
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val keyedRaw = source
+      .withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+    // global uniqueness: precombine within the batch by KEY alone (the
+    // per-(partition, key) precombine in writeBatch would let one key land
+    // in two partitions when the batch itself carries it twice)
+    val keyed = config.precombineField match {
+      case Some(pc) =>
+        val w = Window.partitionBy(col(KEY))
+          .orderBy(col(pc).desc_nulls_last)
+        keyedRaw.withColumn("_g_rn", row_number().over(w))
+          .filter(col("_g_rn") === 1).drop("_g_rn")
+      case None => keyedRaw
+    }
+    val data = schemaAt(None).getOrElse(new StructType())
+    val tableCols = data.fields.map(_.name).toSeq
+    val existingAll = existingRows(keyed, global = true).select(
+      Seq(col(KEY), col(PART).as("_e_part"), col(FILE_ID).as("_g_fid"),
+        (!col(DELETED)).as("_g_live")) ++
+        tableCols.map(c => col(c).as(s"_e_$c")): _*)
+    // one existing row per key: a table previously written with per-partition
+    // upserts can hold the same key in several partitions — joining all of
+    // them would duplicate incoming rows. Prefer the live one.
+    val ew = Window.partitionBy(col(KEY))
+      .orderBy(col("_g_live").desc, col("_e_part").asc)
+    val existing = existingAll.withColumn("_g_ern", row_number().over(ew))
+      .filter(col("_g_ern") === 1).drop("_g_ern")
+    val m = keyed.join(existing, Seq(KEY), "left")
+    // rows whose key lives in ANOTHER partition: tombstone the old row
+    // (its original column values, so the partition path re-derives to the
+    // OLD partition), routed to its home group
+    val moved = m.filter(coalesce(col("_g_live"), lit(false)) && col("_e_part") =!= col(PART))
+    val tombstones = moved.select(
+      tableCols.map(c => col(s"_e_$c").as(c)) :+ col("_g_fid") :+ lit(true).as(DELETED): _*)
+    // every incoming row writes to ITS partition; same-partition matches
+    // route to their home group, moved/new keys insert
+    val srcOut = keyed.drop(KEY, PART).columns.toSeq
+    val upserts = m.withColumn("_g_fid",
+        when(col("_e_part") === col(PART), col("_g_fid")))
+      .select(srcOut.map(col) :+ col("_g_fid") :+ lit(false).as(DELETED): _*)
+    val batch = tombstones.unionByName(upserts, allowMissingColumns = true)
+    val routed = config.index match {
+      case StatsIndex => batch
+      case BucketIndex(_) => batch.drop("_g_fid")
+    }
+    writeBatch(routed, "upsert_global", sinceForConflict = Some(startLatest))
+  }
+
+  /** Latest version (with values and liveness) of every existing key that
+    * could match `df` — candidate files pruned by recorded key ranges,
+    * per-partition or globally. Shared by [[upsertPartial]]/[[upsertGlobal]]. */
+  private def existingRows(df: DataFrame, global: Boolean = false): DataFrame = {
+    val data = schemaAt(None).getOrElse(new StructType())
+    def empty = {
+      val tgt = fullSchema(data)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tgt)
+    }
+    val cur = slices(None)
+    if (cur.isEmpty) return empty
+    val cands = if (global) candidateSlicesGlobal(df, cur) else candidateSlices(df, cur)
+    if (cands.isEmpty) return empty
+    config.tableType match {
+      case CopyOnWrite => readConformed(
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data,
+        needFileId = true)
+      case MergeOnRead => readSliceRows(cands, data, needFileId = true)
+    }
+  }
+
+  /** [[candidateSlices]] ignoring partitions: slices in ANY partition whose
+    * key range intersects the batch's global key range. */
+  private def candidateSlicesGlobal(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
+    val r = df.agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx")).collect()(0)
+    Option(r.getString(0)).map(_ -> r.getString(1)) match {
+      case None => Nil // empty batch
+      case Some((mn, mx)) =>
+        cur.filter(s => s.baseFiles.exists(b =>
+          (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
+            (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax))))
+    }
   }
 
   /** Per existing key: its home file group (`_g_fid`) and whether its

@@ -186,8 +186,51 @@ object LakeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Partial-update upsert: NULL/omitted source columns keep the existing
+    * value. Every 10th order gets priority PARTIAL; only every 20th also
+    * carries a (doubled) price — the rest inherit theirs. The source omits
+    * o_custkey/o_orderdate entirely, so updates inherit them and the
+    * inserted (shifted) keys leave them NULL. */
+  def lakePartialUpdate(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("partial", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    val narrow = orders.select(
+      col("o_orderkey"), col("o_orderstatus"),
+      when(col("o_orderkey") % 20 === 0, col("o_totalprice") * 2).as("o_totalprice"),
+      col("o_orderpriority"))
+    val updates = narrow.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("PARTIAL"))
+    val news = narrow.filter(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderpriority", lit("NEW"))
+    t.upsertPartial(updates.unionByName(news))
+    out(t.snapshot())
+  }
+
+  /** Global-index upsert: keys are unique table-wide; an incoming record in
+    * a NEW partition moves the key (old row tombstoned). Every 10th order
+    * moves to status 'X' with doubled price; every 7th (not moved) updates
+    * in place; shifted keys insert. */
+  def lakeGlobalIndex(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("global", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    val moved = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val bumped = orders.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+    val news = orders.filter(col("o_orderkey") % 100 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    t.upsertGlobal(moved.unionByName(bumped).unionByName(news))
+    out(t.snapshot())
+  }
+
   val all: Map[String, Q] = Map(
     "lake_cdc" -> (lakeCdc _),
+    "lake_partial_update" -> (lakePartialUpdate _),
+    "lake_global_index" -> (lakeGlobalIndex _),
     "lake_upsert_snapshot" -> (lakeUpsertSnapshot _),
     "lake_delete_keys" -> (lakeDeleteKeys _),
     "lake_insert_overwrite" -> (lakeInsertOverwrite _),
@@ -201,6 +244,42 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_partial_update" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END,
+         |         o_orderdate, 'PARTIAL'
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  -- inserted keys inherit nothing: price is the source's (always
+         |  -- NULL here, since k%100=7 implies k%20<>0), custkey/date omitted
+         |  SELECT o_orderkey + 10000000, CAST(NULL AS BIGINT), o_orderstatus,
+         |         CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP), 'NEW'
+         |  FROM orders WHERE o_orderkey % 100 = 7)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_global_index" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, 'X', o_totalprice * 2,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 100,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 100 = 3)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_cdc" ->
       """SELECT o_orderkey, op, before_totalprice, after_totalprice FROM (
         |  SELECT o_orderkey, 'u' AS op, o_totalprice AS before_totalprice,

@@ -796,4 +796,83 @@ class GraftTableSpec extends AnyFunSuite {
     assert(md.columns.contains("key_min") && md.columns.contains("col_stats"))
     GraftTable.drop(dir)
   }
+
+  test("upsertPartial: null keeps, omitted inherits, tombstoned keys insert fresh (COW + MOR)") {
+    for (tt <- Seq(CopyOnWrite, MergeOnRead)) {
+      val dir = tmp()
+      val t = ordersTable(tt, dir)
+      t.bulkInsert(orders)
+      t.delete(orders.filter(col("o_orderkey") === 13))
+      // narrow source: no o_custkey / o_orderdate at all; price NULL except %20
+      val src = orders.filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 20 === 0, lit(7.5)).as("o_totalprice"),
+          lit("PART_UPD").as("o_orderpriority"))
+      t.upsertPartial(src)
+      val snap = t.snapshot().cache()
+      assert(snap.count() === orders.count()) // key 13 resurrected, no dupes
+      // %20 rows took the provided price; other touched rows kept theirs
+      assert(snap.filter(col("o_orderkey") % 20 === 0 && col("o_totalprice") =!= 7.5).count() === 0)
+      val kept = snap.filter(col("o_orderkey") % 10 === 3 && col("o_orderkey") =!= 13)
+        .join(orders.select(col("o_orderkey"), col("o_totalprice").as("exp")), "o_orderkey")
+      assert(kept.filter(col("o_totalprice") =!= col("exp")).count() === 0)
+      // omitted columns inherited for live keys
+      val inh = snap.filter(col("o_orderkey") % 10 === 3 && col("o_orderkey") =!= 13)
+      assert(inh.filter(col("o_custkey").isNull || col("o_orderdate").isNull).count() === 0)
+      // the tombstoned key came back via the INSERT path: nothing inherited
+      val res = snap.filter(col("o_orderkey") === 13).collect()
+      assert(res.length === 1 && res(0).isNullAt(res(0).fieldIndex("o_custkey"))
+        && res(0).getString(res(0).fieldIndex("o_orderpriority")) === "PART_UPD")
+      snap.unpersist()
+      GraftTable.drop(dir)
+    }
+  }
+
+  test("upsertGlobal: key moves partition (old row tombstoned), in-place updates and inserts still work") {
+    for (tt <- Seq(CopyOnWrite, MergeOnRead)) {
+      val dir = tmp()
+      val t = ordersTable(tt, dir)
+      t.bulkInsert(orders)
+      val moved = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(1.25))
+      val bumped = orders.filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", lit(2.5))
+      val news = orders.filter(col("o_orderkey") % 100 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      t.upsertGlobal(moved.unionByName(bumped).unionByName(news))
+      val snap = t.snapshot().cache()
+      assert(snap.count() === orders.count() + news.count())
+      // moved keys exist ONLY in partition X — old partition's copy is gone
+      assert(snap.filter(col("o_orderkey") % 10 === 0 && col("o_orderkey") < 10000000L
+        && col("o_orderstatus") =!= "X").count() === 0)
+      assert(snap.filter(col("o_orderstatus") === "X").count() === moved.count())
+      assert(snap.filter(col("o_orderstatus") === "X" && col("o_totalprice") =!= 1.25).count() === 0)
+      assert(snap.filter(col("o_totalprice") === 2.5).count() === bumped.count())
+      // a second move back: X empties out again
+      t.upsertGlobal(moved.withColumn("o_orderstatus", lit("F")))
+      val snap2 = t.snapshot()
+      assert(snap2.filter(col("o_orderstatus") === "X").count() === 0)
+      assert(snap2.count() === orders.count() + news.count())
+      snap.unpersist()
+      GraftTable.drop(dir)
+    }
+  }
+
+  test("upsertGlobal: within-batch duplicate keys across partitions collapse by precombine") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders.filter(col("o_orderkey") <= 100))
+    val a = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_orderstatus", lit("A")).withColumn("o_totalprice", lit(1.0))
+    val b = orders.filter(col("o_orderkey") <= 10)
+      .withColumn("o_orderstatus", lit("B")).withColumn("o_totalprice", lit(9.0))
+    t.upsertGlobal(a.unionByName(b)) // higher precombine (9.0, partition B) wins
+    val snap = t.snapshot()
+    val dup = snap.groupBy("o_orderkey").count().filter(col("count") > 1)
+    assert(dup.count() === 0)
+    val won = snap.filter(col("o_orderkey") <= 10)
+    assert(won.filter(col("o_orderstatus") =!= "B").count() === 0)
+    GraftTable.drop(dir)
+  }
 }
