@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.sources.{
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import graft.sources.{GraftComputedRelation, GraftRelations}
+import graft.table._
+
+/**
+ * `spark.read.format("graft")` / `df.write.format("graft")` — the
+ * reference's DataSource front door re-expressed for Graft (ref:
+ * hudi-spark-datasource/hudi-spark-common/src/main/scala/org/apache/hudi/
+ * DefaultSource.scala:45, option names from DataSourceOptions.scala:52).
+ * The class lives at `graft.DefaultSource` so both lookup paths resolve:
+ * the `DataSourceRegister` service (short name "graft") and Spark's
+ * `<provider>.DefaultSource` class-name convention.
+ *
+ * Read options:
+ *  - `graft.query.type`: `snapshot` (default) | `read_optimized` |
+ *    `incremental`  (ref: DataSourceReadOptions.QUERY_TYPE)
+ *  - `as.of.instant`: time travel for snapshot/read_optimized
+ *    (ref: DataSourceReadOptions.TIME_TRAVEL_AS_OF_INSTANT)
+ *  - `graft.begin.instanttime` (required) / `graft.end.instanttime` for
+ *    incremental  (ref: BEGIN_INSTANTTIME / END_INSTANTTIME)
+ *
+ * Reads take the native parquet fast path whenever the query is exactly a
+ * base-file scan (see GraftTable.fastScanFiles) — full pushdown, column
+ * pruning, plan-time file skipping from commit stats — and otherwise fall
+ * back to the table's merging readers with best-effort filter pushdown.
+ *
+ * Write options (ref: DataSourceWriteOptions):
+ *  - `graft.operation`: `upsert` (default) | `insert` | `bulk_insert` |
+ *    `delete` | `insert_overwrite` | `insert_overwrite_table`
+ *  - on first write (table creation): `graft.recordkey.field` (required,
+ *    comma-separated), `graft.precombine.field`, `graft.table.type`
+ *    (`cow`|`mor`), `graft.table.name`, `graft.partitionpath.field`
+ *    (comma-separated) or `graft.partition.timestamp.col` +
+ *    `graft.partition.timestamp.format`, `graft.index.buckets`,
+ *    `graft.target.file.rows`
+ *  - SaveMode: `Append` runs the operation; `Overwrite` on an existing
+ *    table = insert_overwrite_table; `ErrorIfExists`/`Ignore` as usual.
+ */
+class DefaultSource extends RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
+  import DefaultSource._
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs a path: spark.read.format(\"graft\").load(<table base path>)"))
+    require(GraftTable.exists(path), s"no graft table at $path")
+    val t = GraftTable.load(spark, path)
+    parameters.getOrElse(QUERY_TYPE, "snapshot") match {
+      case "snapshot" =>
+        val asOf = parameters.get(AS_OF_INSTANT)
+        t.fastScanFiles(asOf, baseOnly = false) match {
+          case Some((files, schema)) => GraftRelations.fast(spark, path, files, schema)
+          case None => new GraftComputedRelation(spark, () => t.snapshot(asOf))
+        }
+      case "read_optimized" =>
+        val asOf = parameters.get(AS_OF_INSTANT)
+        t.fastScanFiles(asOf, baseOnly = true) match {
+          case Some((files, schema)) => GraftRelations.fast(spark, path, files, schema)
+          case None => new GraftComputedRelation(spark, () => t.readOptimized(asOf))
+        }
+      case "incremental" =>
+        val begin = parameters.getOrElse(BEGIN_INSTANTTIME,
+          throw new IllegalArgumentException(
+            s"incremental query requires $BEGIN_INSTANTTIME"))
+        val end = parameters.get(END_INSTANTTIME)
+        new GraftComputedRelation(spark, () => t.incremental(begin, end))
+      case other => throw new IllegalArgumentException(
+        s"unknown $QUERY_TYPE '$other' (snapshot | read_optimized | incremental)")
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") needs a path: df.write.format(\"graft\").save(<table base path>)"))
+    val exists = GraftTable.exists(path)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"graft table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case _ =>
+        val t = if (exists) GraftTable.load(spark, path)
+                else GraftTable.create(spark, path, configFrom(parameters, path))
+        if (mode == SaveMode.Overwrite && exists) t.insertOverwriteTable(data)
+        else parameters.getOrElse(OPERATION, "upsert") match {
+          case "bulk_insert" => t.bulkInsert(data)
+          case "insert" => t.insert(data)
+          case "upsert" => t.upsert(data)
+          case "delete" => t.delete(data)
+          case "insert_overwrite" => t.insertOverwrite(data)
+          case "insert_overwrite_table" => t.insertOverwriteTable(data)
+          case other => throw new IllegalArgumentException(
+            s"unknown $OPERATION '$other'")
+        }
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  private def configFrom(parameters: Map[String, String], path: String): TableConfig = {
+    val keys = parameters.getOrElse(RECORDKEY_FIELD,
+      throw new IllegalArgumentException(
+        s"creating a graft table requires $RECORDKEY_FIELD"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val partitioning = parameters.get(PARTITIONPATH_FIELD)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).map(PartitionByColumns(_): PartitionSpec)
+      .orElse(parameters.get(PARTITION_TS_COL).map(c =>
+        PartitionByTimestamp(c,
+          parameters.getOrElse(PARTITION_TS_FORMAT, "yyyy-MM-dd")): PartitionSpec))
+      .getOrElse(NonPartitioned)
+    TableConfig(
+      name = parameters.getOrElse(TABLE_NAME,
+        java.nio.file.Paths.get(path).getFileName.toString),
+      tableType = TableType.of(parameters.getOrElse(TABLE_TYPE, "cow")),
+      keyFields = keys,
+      precombineField = parameters.get(PRECOMBINE_FIELD),
+      partitioning = partitioning,
+      index = parameters.get(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
+        .getOrElse(StatsIndex),
+      targetFileSizeRows = parameters.getOrElse(TARGET_FILE_ROWS, "1000000").toLong)
+  }
+}
+
+object DefaultSource {
+  // read options (ref: hudi DataSourceReadOptions)
+  val QUERY_TYPE = "graft.query.type"
+  val AS_OF_INSTANT = "as.of.instant"
+  val BEGIN_INSTANTTIME = "graft.begin.instanttime"
+  val END_INSTANTTIME = "graft.end.instanttime"
+  // write options (ref: hudi DataSourceWriteOptions)
+  val OPERATION = "graft.operation"
+  val TABLE_TYPE = "graft.table.type"
+  val TABLE_NAME = "graft.table.name"
+  val RECORDKEY_FIELD = "graft.recordkey.field"
+  val PRECOMBINE_FIELD = "graft.precombine.field"
+  val PARTITIONPATH_FIELD = "graft.partitionpath.field"
+  val PARTITION_TS_COL = "graft.partition.timestamp.col"
+  val PARTITION_TS_FORMAT = "graft.partition.timestamp.format"
+  val INDEX_BUCKETS = "graft.index.buckets"
+  val TARGET_FILE_ROWS = "graft.target.file.rows"
+}

@@ -166,33 +166,101 @@ object Dedup {
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), graft.functions.Simhash64(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup pairs: LSH on 8×8-bit chunks (by pigeonhole, any pair
-    * within hamming distance ≤ 7 must agree on at least one chunk; wider
-    * distances are still usually caught), verified with
-    * bit_count(xor) ≤ maxHamming.
+  /** Chunk-LSH parameters for [[simhashPairs]], derived from corpus size
+    * the way Similarity.autoParams sizes its tables: `(chunkBits,
+    * probeRadius)` minimizing expected work = probe-emission rows +
+    * random-collision candidate pairs, subject to the HAMMING GUARANTEE
+    * (64/chunkBits)·(probeRadius+1) > maxHamming (pigeonhole: ≤ maxHamming
+    * differing bits leave some chunk with ≤ probeRadius of them, and
+    * multi-probing radius-`probeRadius` neighborhoods catches it).
     *
-    * A pair sharing k chunks meets in k buckets; rather than a distinct()
-    * shuffle over every candidate pair, each pair is emitted only from the
-    * FIRST chunk the two hashes agree on — a pure codegen filter on the two
-    * simhashes already present in the joined row, so the only shuffle in the
-    * whole operator is the bucket join itself. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = simhash64(docs, idCol, textCol)
-    val chunked = sh.select(col(idCol), col("simhash"), posexplode(
-      array((0 until 8).map(c =>
-        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*))
-      .as(Seq("chunk", "val")))
+    * Small corpora get the classic 8×8-bit split (selectivity 1/256 is
+    * plenty at thousands of docs); large corpora get 16- or 32-bit chunks
+    * whose 1/65536 – 1/2³² selectivity keeps candidates ~O(n), multi-probing
+    * to preserve the guarantee. Radius is capped (probe fan-out is
+    * C(w,0..r)): maxHamming > 11 at large scale would need an intractable
+    * probe set and throws — lower the threshold instead (64-bit simhash
+    * can't support wide hamming at 10⁹ docs; the reference literature
+    * [Manku et al., WWW'07] uses 3 for 64-bit fingerprints). */
+  private[pipeline] def simhashAutoParams(corpusSize: Long, maxHamming: Int): (Int, Int) = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
+    def comb(n: Int, k: Int): Long =
+      (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+    val n = math.max(1.0, corpusSize.toDouble)
+    val options = Seq(8, 16, 32).flatMap { w =>
+      val chunks = 64 / w
+      val r = math.ceil((maxHamming + 1).toDouble / chunks).toInt - 1
+      val probes = (0 to r).map(comb(w, _)).sum
+      if (r > 2 || probes > 700) None
+      else {
+        val emission = n * chunks * probes
+        val collisions = chunks * probes * n * n / math.pow(2, w + 1)
+        Some((w, r, emission + collisions))
+      }
+    }
+    require(options.nonEmpty,
+      s"maxHamming=$maxHamming needs an intractable multi-probe set; lower it " +
+        "(64-bit simhash near-dup detection is meaningful at hamming <= ~11)")
+    val (w, r, _) = options.minBy(_._3)
+    (w, r)
+  }
+
+  /** Candidate pairs (pre-verification) for [[simhashPairs]]: chunk-LSH
+    * self-join with multi-probe. The x side emits every value within
+    * hamming `probeRadius` of each of its chunks; the y side emits exact
+    * values — a pair within the guarantee meets in at least one chunk.
+    *
+    * A pair can qualify in several chunks; rather than a distinct() shuffle
+    * over every candidate pair, each pair is emitted only from the FIRST
+    * chunk where the two hashes are within `probeRadius` — a pure codegen
+    * filter on the two simhashes already present in the joined row (exactly
+    * one probe matches per qualifying chunk, so no dedup is needed within a
+    * chunk). The only shuffle in the whole operator is the bucket join. */
+  private[pipeline] def simhashCandidates(sh: DataFrame, chunkBits: Int,
+      probeRadius: Int, idCol: String): DataFrame = {
+    val chunks = 64 / chunkBits
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    def chunkVal(c: Int) =
+      shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))
+    // radius-r probe set of a chunk value: the value, all 1-bit flips, ...
+    val flips: Seq[Long] = {
+      val one = (0 until chunkBits).map(i => 1L << i)
+      val two = for (i <- 0 until chunkBits; j <- i + 1 until chunkBits)
+        yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (probeRadius >= 1) one else Nil) ++
+        (if (probeRadius >= 2) two else Nil)
+    }
+    val exact = sh.select(col(idCol), col("simhash"), posexplode(
+      array((0 until chunks).map(chunkVal): _*)).as(Seq("chunk", "val")))
+    val probed =
+      if (probeRadius == 0) exact
+      else sh.select(col(idCol), col("simhash"), posexplode(
+          array((0 until chunks).map(chunkVal): _*)).as(Seq("chunk", "v0")))
+        .select(col(idCol), col("simhash"), col("chunk"),
+          explode(array(flips.map(f => col("v0").bitwiseXOR(lit(f))): _*)).as("val"))
     val xorv = col("x.simhash").bitwiseXOR(col("y.simhash"))
-    val agrees = array((0 until 8).map(c =>
-      shiftright(xorv, c * 8).bitwiseAND(lit(0xFFL)) === 0): _*)
-    chunked.as("x").join(chunked.as("y"),
+    val near = array((0 until chunks).map(c =>
+      bit_count(shiftright(xorv, c * chunkBits).bitwiseAND(lit(mask)))
+        <= probeRadius): _*)
+    probed.as("x").join(exact.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.val") === col("y.val") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
-      // this bucket is the pair's first agreement -> exactly-once emission
-      .filter(col("x.chunk") === array_position(agrees, lit(true)) - 1)
+      // this chunk is the pair's first qualifying one -> exactly-once emission
+      .filter(col("x.chunk") === array_position(near, lit(true)) - 1)
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         bit_count(xorv).as("hamming"))
+  }
+
+  /** SimHash near-dup pairs: chunk-LSH candidates (chunk width and probe
+    * radius derived from corpus size — see [[simhashAutoParams]]; pass
+    * `corpusSize` to skip the count job when the caller knows it), verified
+    * with bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
+      idCol: String = "doc_id", textCol: String = "text",
+      corpusSize: Option[Long] = None): DataFrame = {
+    val n = corpusSize.getOrElse(docs.count())
+    val (w, r) = simhashAutoParams(n, maxHamming)
+    simhashCandidates(simhash64(docs, idCol, textCol), w, r, idCol)
       .filter(col("hamming") <= maxHamming)
   }
 

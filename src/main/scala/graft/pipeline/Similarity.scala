@@ -55,19 +55,35 @@ object Similarity {
 
   /** Approximate top-k via random-hyperplane LSH with `tables` independent
     * hash tables: candidates = vectors sharing a bucket with the query in
-    * any table, ranked by exact cosine. */
+    * any table, ranked by exact cosine.
+    *
+    * Join strategy is SIZE-AWARE: a small query set (the common case —
+    * interactive ANN) is broadcast so the corpus never shuffles; a large
+    * query frame (corpus-vs-corpus ANN) would OOM the driver as a broadcast,
+    * so it falls back to a shuffle join on (table, bucket). The estimate is
+    * plan-time (`optimizedPlan.stats`, no job) × `tables` (each query row is
+    * exploded per table, carrying its embedding) against the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; `broadcastQueries` overrides. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 4, tables: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(
         array((0 until tables).map(t => lshBucket(col(vecCol), planes, t * 1000)): _*))
         .as(Seq("table", "bucket")))
     val qb = bucketed(queries, "query_id", "q_vec")
     val cb = bucketed(corpus, "neighbor_id", "c_vec")
+    val doBroadcast = broadcastQueries.getOrElse {
+      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * tables
+      threshold > 0 && est <= BigInt(threshold)
+    }
     // dedup pairs that collided in several tables WITHOUT shuffling the
     // embedding payloads: group on the ids, keep one copy of the vectors
-    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+    val joined = if (doBroadcast) cb.join(broadcast(qb), Seq("table", "bucket"))
+                 else cb.join(qb, Seq("table", "bucket"))
+    val cands = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("q_vec")).as("q_vec"), first(col("c_vec")).as("c_vec"))

@@ -12,7 +12,7 @@ package graft.table
  * exclude a file from tagging candidates — a silent duplicate-key bug —
  * so every driver-side comparison against recorded stats routes here.
  */
-private[table] object CodePointOrder {
+private[graft] object CodePointOrder {
   def le(a: String, b: String): Boolean = compare(a, b) <= 0
 
   def compare(a: String, b: String): Int = {

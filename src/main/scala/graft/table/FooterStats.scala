@@ -33,17 +33,19 @@ import org.apache.parquet.schema.LogicalTypeAnnotation.{
  */
 object FooterStats {
   /** minMax: column -> (min, max) as strings; "" = no non-null values.
-    * `columns` = every physical leaf column present in the file. */
+    * `columns` = every physical leaf column present in the file.
+    * `bytes` = physical file length (free — the footer read has the file
+    * open already; no second stat call on the commit path). */
   case class FileStats(rows: Long, minMax: Map[String, (String, String)],
-      columns: Set[String] = Set.empty)
+      columns: Set[String] = Set.empty, bytes: Long = 0)
 
   /** @param sessionTz the Spark session's `spark.sql.session.timeZone` —
     *   timestamp stats must render in the same zone the engine's string
     *   comparisons (and the caller's bound strings) use. */
   def read(conf: Configuration, file: JPath, wanted: Set[String],
       sessionTz: String = "UTC"): FileStats = {
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(file.toUri), conf))
+    val input = HadoopInputFile.fromPath(new HPath(file.toUri), conf)
+    val reader = ParquetFileReader.open(input)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
@@ -70,7 +72,7 @@ object FooterStats {
       }.toMap
       val cols = reader.getFooter.getFileMetaData.getSchema.getPaths.asScala
         .map(p => p.mkString(".")).toSet
-      FileStats(rows, mm, cols)
+      FileStats(rows, mm, cols, input.getLength)
     } finally reader.close()
   }
 

@@ -177,6 +177,7 @@ object GraftTable {
           "rehydrates them) or bootstrap as NonPartitioned")
       val (kmin, kmax) = keyCol.flatMap(st.minMax.get).getOrElse(("", ""))
       FileMeta(rel, f"boot-$i%05d", partition, st.rows,
+        bytes = st.bytes,
         keyMin = kmin, keyMax = kmax,
         colStats = st.minMax.map { case (c, (mn, mx)) => c -> Array(mn, mx) },
         external = true)
@@ -591,6 +592,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val st = stats(rel)
       val (kmin, kmax) = st.minMax.getOrElse(KEY, ("", ""))
       FileMeta(rel, fid, partition, st.rows, isLog = logGroups.contains(s"$partition|$fid"),
+        bytes = st.bytes,
         keyMin = kmin, keyMax = kmax,
         colStats = (st.minMax - KEY).map { case (c, (mn, mx)) => c -> Array(mn, mx) })
     }
@@ -983,6 +985,42 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
     rows.select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"),
       (!col(DELETED)).as("_g_live"))
+  }
+
+  /**
+   * File slices resolvable as ONE plain multi-file parquet scan — the
+   * `spark.read.format("graft")` fast path (ref: the reference's
+   * BaseFileOnlyRelation, hudi-spark-datasource/hudi-spark-common/src/main/
+   * scala/org/apache/hudi/BaseFileOnlyRelation.scala): eligible when every
+   * live base file carries materialized meta columns (not bootstrapped) and
+   * was written with the current as-of data schema (no per-epoch conform
+   * casts needed), and — unless `baseOnly` (read_optimized) — no file group
+   * has log files to merge.
+   *
+   * Returns the base FileMetas (with their recorded column stats, so the
+   * relation's FileIndex can skip files at plan time) and the scan schema:
+   * commit/key/partition meta columns + data columns. FILE_ID and DELETED
+   * stay internal — base files never hold tombstones (every write path
+   * filters them; deletes live only in MOR logs), so a raw scan of these
+   * files IS the snapshot. None = the general merging reader must run.
+   */
+  private[graft] def fastScanFiles(asOf: Option[String],
+      baseOnly: Boolean): Option[(Seq[FileMeta], StructType)] = {
+    assertNotArchived(asOf, "time travel to")
+    val ss = slices(asOf)
+    if (!baseOnly && ss.exists(_.logs.nonEmpty)) return None
+    val bases = ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant))
+    if (bases.exists(_._1.external)) return None
+    val latest = schemaAt(asOf).getOrElse(return None)
+    val schemaOf = schemaByInstant()
+    val uniform = bases.forall { case (_, i) =>
+      schemaOf.get(i).exists(sj => sj.nonEmpty &&
+        DataType.fromJson(sj).asInstanceOf[StructType] == latest)
+    }
+    if (!uniform) return None
+    Some((bases.map(_._1), StructType(Seq(
+      StructField(COMMIT, StringType), StructField(KEY, StringType),
+      StructField(PART, StringType)) ++ latest.fields)))
   }
 
   // ----------------------------------------------------------------- reads

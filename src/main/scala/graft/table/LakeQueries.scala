@@ -227,7 +227,35 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** DataSource round trip: table created and written twice through
+    * `df.write.format("graft")` (bulk_insert then upsert), read back through
+    * `spark.read.format("graft")` — the reference's front door
+    * (ref: hudi-spark-common/.../DefaultSource.scala:45). The read takes the
+    * native base-file fast path, so pushdown/stats pruning are also on the
+    * checked path. */
+  def lakeDsv2Snapshot(s: SparkSession, d: String): DataFrame = {
+    val p = scratch("dsv2", d)
+    val orders = Tables.orders(s, d)
+    orders.write.format("graft")
+      .option("graft.recordkey.field", "o_orderkey")
+      .option("graft.precombine.field", "o_totalprice")
+      .option("graft.partitionpath.field", "o_orderstatus")
+      .option("graft.operation", "bulk_insert")
+      .option("graft.target.file.rows", "50000")
+      .mode("overwrite").save(p)
+    val updates = orders.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .withColumn("o_orderpriority", lit("DSV2"))
+    val news = orders.filter(col("o_orderkey") % 100 === 11)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    updates.unionByName(news).write.format("graft")
+      .option("graft.operation", "upsert")
+      .mode("append").save(p)
+    out(s.read.format("graft").load(p))
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_dsv2_snapshot" -> (lakeDsv2Snapshot _),
     "lake_cdc" -> (lakeCdc _),
     "lake_partial_update" -> (lakePartialUpdate _),
     "lake_global_index" -> (lakeGlobalIndex _),
@@ -244,6 +272,20 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_dsv2_snapshot" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 9 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 3,
+         |         o_orderdate, 'DSV2'
+         |  FROM orders WHERE o_orderkey % 9 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 100 = 11)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_partial_update" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -15,6 +15,9 @@ case class FileMeta(
     partition: String,
     rows: Long,
     isLog: Boolean = false,
+    // physical size; 0 on commits written before the field existed (readers
+    // that need it stat the file lazily)
+    bytes: Long = 0,
     keyMin: String = "",
     keyMax: String = "",
     colStats: Map[String, Array[String]] = Map.empty,

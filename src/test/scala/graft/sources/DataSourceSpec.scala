@@ -1,0 +1,175 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+import graft.table._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `format("graft")` DataSource: read fast path (native parquet scan,
+  * plan-time file skipping), general fallbacks (MOR logs, incremental,
+  * time travel), and the write path's operations/SaveModes. */
+class DataSourceSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def tmp(): String = Files.createTempDirectory("graft_dsv2_").toString
+  private def orders: DataFrame = Tables.orders(spark, sf)
+
+  private def writeOrders(dir: String, op: String = "bulk_insert",
+      mode: String = "overwrite", df: DataFrame = null): Unit =
+    Option(df).getOrElse(orders).write.format("graft")
+      .option("graft.recordkey.field", "o_orderkey")
+      .option("graft.precombine.field", "o_totalprice")
+      .option("graft.partitionpath.field", "o_orderstatus")
+      .option("graft.operation", op)
+      .option("graft.target.file.rows", "400")
+      .mode(mode).save(dir)
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+  }
+
+  test("write + read round trip preserves data; meta columns exposed") {
+    val dir = tmp()
+    writeOrders(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === orders.count())
+    assert(back.columns.contains(GraftTable.COMMIT))
+    assert(back.columns.contains(GraftTable.KEY))
+    assert(orders.columns.forall(back.columns.contains))
+    // values intact through the native path (integer sum: order-independent)
+    val total = back.agg(sum("o_orderkey")).collect()(0).getLong(0)
+    val expected = orders.agg(sum("o_orderkey")).collect()(0).getLong(0)
+    assert(total === expected)
+    GraftTable.drop(dir)
+  }
+
+  test("COW snapshot read is a native parquet scan with pushdown, no shuffle") {
+    val dir = tmp()
+    writeOrders(dir)
+    val q = spark.read.format("graft").load(dir)
+      .filter(col("o_orderkey") === 42).select("o_orderkey", "o_totalprice")
+    val p = plan(q)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderkey,42)"),
+      "filter must reach the parquet scan through format(\"graft\"):\n" +
+        p.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+    assert(!p.contains("Exchange"), "snapshot read introduced a shuffle:\n" + p)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("o_orderpriority"), s"column pruning lost: $rs")
+    GraftTable.drop(dir)
+  }
+
+  test("plan-time file skipping from commit stats: selective key range scans fewer files") {
+    val dir = tmp()
+    writeOrders(dir) // targetFileSizeRows=400 -> many files per partition
+    val all = spark.read.format("graft").load(dir)
+    val everything = scannedFiles(all)
+    assert(everything > 3, s"need several files for a meaningful test, got $everything")
+    // o_orderkey ranges are disjoint-ish across hash-assigned groups, but
+    // o_custkey stats still bound; use a filter outside every file's range
+    val none = scannedFiles(all.filter(col("o_orderkey") > 999999999L))
+    assert(none === 0, s"out-of-range filter should skip every file, scanned $none")
+    val one = scannedFiles(all.filter(col("o_orderkey") === 1L))
+    assert(one < everything, s"point lookup scanned all $one of $everything files")
+    // partition-column filter prunes via the same stats (values materialized)
+    val part = scannedFiles(all.filter(col("o_orderstatus") === "P"))
+    assert(part < everything, "partition-value filter did not skip files")
+    GraftTable.drop(dir)
+  }
+
+  test("upsert via write API; snapshot reflects updates (still fast path)") {
+    val dir = tmp()
+    writeOrders(dir)
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    writeOrders(dir, op = "upsert", mode = "append", df = updates)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === orders.count())
+    val doubled = back.filter(col("o_orderkey") === 10).select("o_totalprice").collect()(0).getDouble(0)
+    val orig = orders.filter(col("o_orderkey") === 10).select("o_totalprice").collect()(0).getDouble(0)
+    assert(doubled === orig * 2)
+    // COW upsert keeps the table log-free: still the native scan
+    assert(plan(back.filter(col("o_orderkey") === 10)).contains("PushedFilters:"))
+    GraftTable.drop(dir)
+  }
+
+  test("MOR with live logs falls back to the merging reader, still correct") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("mor_ds", MergeOnRead,
+      Seq("o_orderkey"), Some("o_totalprice"),
+      PartitionByColumns(Seq("o_orderstatus")), targetFileSizeRows = 400))
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    val snap = spark.read.format("graft").load(dir)
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderkey") % 5 === 0 && col("o_totalprice") =!= 1.0).count() === 0)
+    // pushed filter still prunes inside the merging plan
+    assert(snap.filter(col("o_orderkey") === 5).count() === 1)
+    // read_optimized ignores the logs -> original prices (native fast path:
+    // base files only, logs don't disqualify)
+    val ro = spark.read.format("graft")
+      .option("graft.query.type", "read_optimized").load(dir)
+    assert(ro.filter(col("o_orderkey") % 5 === 0 && col("o_totalprice") === 1.0).count() === 0)
+    val rp = plan(ro.filter(col("o_orderkey") === 10))
+    assert(rp.contains("GraftFileIndex") && rp.contains("PushedFilters:"),
+      "read_optimized should stay native with pushdown:\n" + rp)
+    GraftTable.drop(dir)
+  }
+
+  test("incremental + time travel through read options") {
+    val dir = tmp()
+    writeOrders(dir)
+    val t = GraftTable.load(spark, dir)
+    val c1 = t.timeline.completed().last._1
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    writeOrders(dir, op = "upsert", mode = "append", df = updates)
+    val inc = spark.read.format("graft")
+      .option("graft.query.type", "incremental")
+      .option("graft.begin.instanttime", c1).load(dir)
+    assert(inc.count() === updates.count())
+    val tt = spark.read.format("graft")
+      .option("as.of.instant", c1).load(dir)
+    assert(tt.filter(col("o_totalprice") =!=
+      orders.filter(col("o_orderkey") === 10).select("o_totalprice").collect()(0).getDouble(0))
+      .filter(col("o_orderkey") === 10).count() === 0)
+    assert(tt.count() === orders.count())
+    GraftTable.drop(dir)
+  }
+
+  test("SaveModes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
+    val dir = tmp()
+    writeOrders(dir)
+    intercept[Exception] { writeOrders(dir, mode = "error") }
+    val half = orders.filter(col("o_orderkey") % 2 === 0)
+    writeOrders(dir, mode = "ignore", df = half) // ignored
+    assert(spark.read.format("graft").load(dir).count() === orders.count())
+    writeOrders(dir, op = "insert_overwrite_table", mode = "overwrite", df = half)
+    assert(spark.read.format("graft").load(dir).count() === half.count())
+    GraftTable.drop(dir)
+  }
+
+  test("computed-relation filter translation is sound") {
+    import org.apache.spark.sql.sources._
+    def c(f: Filter) = GraftComputedRelation.toColumn(f)
+    // a filter shape the translator deliberately doesn't handle
+    val untranslatable: Filter =
+      CollatedEqualTo("b", "x", org.apache.spark.sql.types.StringType)
+    assert(c(EqualTo("a", 1)).isDefined)
+    assert(c(And(EqualTo("a", 1), EqualTo("b", 2))).isDefined)
+    // And with one untranslatable side still pushes the other
+    assert(c(And(EqualTo("a", 1), untranslatable)).isDefined)
+    // Or with one untranslatable side must drop entirely
+    assert(c(Or(EqualTo("a", 1), untranslatable)).isEmpty)
+    assert(c(Not(In("a", Array(1, 2)))).isDefined)
+  }
+}
