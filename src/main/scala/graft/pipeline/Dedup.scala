@@ -178,10 +178,11 @@ object Dedup {
     * plenty at thousands of docs); large corpora get 16- or 32-bit chunks
     * whose 1/65536 – 1/2³² selectivity keeps candidates ~O(n), multi-probing
     * to preserve the guarantee. Radius is capped (probe fan-out is
-    * C(w,0..r)): maxHamming > 11 at large scale would need an intractable
-    * probe set and throws — lower the threshold instead (64-bit simhash
-    * can't support wide hamming at 10⁹ docs; the reference literature
-    * [Manku et al., WWW'07] uses 3 for 64-bit fingerprints). */
+    * C(w,0..r)): the widest satisfiable setting is w=8/r=2 (8 chunks ×
+    * radius 3 covers hamming ≤ 23), so maxHamming > 23 throws — lower the
+    * threshold instead. Thresholds near that cap are already of doubtful
+    * use (the reference literature [Manku et al., WWW'07] uses 3 for
+    * 64-bit fingerprints; ~11 is a practical ceiling). */
   private[pipeline] def simhashAutoParams(corpusSize: Long, maxHamming: Int): (Int, Int) = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of range")
     def comb(n: Int, k: Int): Long =
@@ -199,8 +200,9 @@ object Dedup {
       }
     }
     require(options.nonEmpty,
-      s"maxHamming=$maxHamming needs an intractable multi-probe set; lower it " +
-        "(64-bit simhash near-dup detection is meaningful at hamming <= ~11)")
+      s"maxHamming=$maxHamming needs an intractable multi-probe set (cap is " +
+        "23 = 8 chunks x radius 3); lower it — 64-bit simhash near-dup " +
+        "detection is only meaningful at hamming <= ~11 anyway")
     val (w, r, _) = options.minBy(_._3)
     (w, r)
   }
@@ -252,9 +254,14 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: chunk-LSH candidates (chunk width and probe
-    * radius derived from corpus size — see [[simhashAutoParams]]; pass
-    * `corpusSize` to skip the count job when the caller knows it), verified
-    * with bit_count(xor) ≤ maxHamming. */
+    * radius derived from corpus size — see [[simhashAutoParams]]), verified
+    * with bit_count(xor) ≤ maxHamming.
+    *
+    * NOTE: when `corpusSize` is None this runs an EAGER `docs.count()` Spark
+    * job at call time — the input lineage executes once for the count and
+    * again for the pipeline. For expensive derived inputs either pass
+    * `corpusSize` (an estimate within ~2× is fine — the parameter choice is
+    * coarse) or cache/persist `docs` around the call. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
       idCol: String = "doc_id", textCol: String = "text",
       corpusSize: Option[Long] = None): DataFrame = {

@@ -163,7 +163,18 @@ object GraftFileIndex {
   private def cmp(stat: String, v: Any, dt: DataType): Option[Int] = {
     if (stat.isEmpty) return None
     dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+      // stats are toString of the native typed value, so parsing them back
+      // AT THE SAME type is exact. Comparing via a widened double is not:
+      // a float stat "1.1" double-parses to 1.1000000000000001 while the
+      // float literal widens to 1.100000023841858, and longs beyond 2^53
+      // collapse — either can prune a file that holds matching rows.
+      case ByteType | ShortType | IntegerType | LongType =>
+        stat.toLongOption.map(s =>
+          java.lang.Long.compare(s, v.asInstanceOf[Number].longValue))
+      case FloatType =>
+        stat.toFloatOption.map(s =>
+          java.lang.Float.compare(s, v.asInstanceOf[Number].floatValue))
+      case DoubleType =>
         stat.toDoubleOption.map(s =>
           java.lang.Double.compare(s, v.asInstanceOf[Number].doubleValue))
       case _: DecimalType =>
@@ -226,7 +237,7 @@ object GraftComputedRelation {
     case StringStartsWith(a, v) => Some(col(s"`$a`").startsWith(v))
     case StringEndsWith(a, v) => Some(col(s"`$a`").endsWith(v))
     case StringContains(a, v) => Some(col(s"`$a`").contains(v))
-    case Not(c) => toColumn(c).map(!_)
+    case Not(c) => toColumnStrict(c).map(!_)
     case And(l, r) => (toColumn(l), toColumn(r)) match {
       case (Some(a), Some(b)) => Some(a && b)
       case (one, other) => one.orElse(other)
@@ -235,5 +246,16 @@ object GraftComputedRelation {
     case AlwaysTrue() => Some(lit(true))
     case AlwaysFalse() => Some(lit(false))
     case _ => None
+  }
+
+  /** Full translation only — used under Not. The partial-And superset rule
+    * is sound for a positive push but inverts under negation:
+    * Not(And(a, untranslatable)) -> !a is STRICTER than !a || !b and would
+    * drop rows Spark's re-filter can never recover. */
+  private def toColumnStrict(f: Filter): Option[Column] = f match {
+    case And(l, r) => for { a <- toColumnStrict(l); b <- toColumnStrict(r) } yield a && b
+    case Or(l, r) => for { a <- toColumnStrict(l); b <- toColumnStrict(r) } yield a || b
+    case Not(c) => toColumnStrict(c).map(!_)
+    case leaf => toColumn(leaf)
   }
 }

@@ -171,5 +171,36 @@ class DataSourceSpec extends AnyFunSuite {
     // Or with one untranslatable side must drop entirely
     assert(c(Or(EqualTo("a", 1), untranslatable)).isEmpty)
     assert(c(Not(In("a", Array(1, 2)))).isDefined)
+    // Not over a PARTIALLY-translatable And must drop: pushing !a for
+    // Not(And(a, b)) is stricter than !a || !b and silently loses rows
+    assert(c(Not(And(EqualTo("a", 1), untranslatable))).isEmpty)
+    assert(c(Not(Or(EqualTo("a", 1), untranslatable))).isEmpty)
+    // fully-translatable composites under Not still push
+    assert(c(Not(And(EqualTo("a", 1), EqualTo("b", 2)))).isDefined)
+    assert(c(Not(Not(EqualTo("a", 1)))).isDefined)
+  }
+
+  test("stats pruning compares at native precision (float / long > 2^53)") {
+    import org.apache.spark.sql.catalyst.{expressions => cat}
+    import org.apache.spark.sql.types._
+    def fm(col: String, mn: String, mx: String) = FileMeta(
+      "p", "f", "", 1, colStats = Map(col -> Array(mn, mx)))
+    def keeps(f: FileMeta, e: cat.Expression): Boolean =
+      GraftFileIndex.mayMatch(f, e)
+    // float stat "1.1" is exactly 1.1f; the literal is the same float. A
+    // double-widened compare sees 1.1000000000000001 vs 1.100000023841858
+    // and wrongly prunes the file on equality.
+    val fcol = cat.AttributeReference("v", FloatType)()
+    assert(keeps(fm("v", "1.1", "1.1"), cat.EqualTo(fcol, cat.Literal(1.1f))))
+    assert(!keeps(fm("v", "1.1", "1.1"), cat.EqualTo(fcol, cat.Literal(1.2f))))
+    // longs adjacent above 2^53 collapse to the same double; strict range
+    // predicates at the boundary must not prune the file holding the match
+    val big = (1L << 53) + 1
+    val lcol = cat.AttributeReference("k", LongType)()
+    val f53 = fm("k", big.toString, big.toString)
+    assert(keeps(f53, cat.GreaterThan(lcol, cat.Literal(big - 1))))
+    assert(keeps(f53, cat.EqualTo(lcol, cat.Literal(big))))
+    assert(!keeps(f53, cat.EqualTo(lcol, cat.Literal(big - 1))))
+    assert(!keeps(f53, cat.GreaterThan(lcol, cat.Literal(big))))
   }
 }
