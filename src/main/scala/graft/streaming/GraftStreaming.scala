@@ -16,6 +16,13 @@ case class SessionAcc(startMs: Long, lastMs: Long, n: Int, total: Double)
 case class Session(user_id: Long, start_ts: java.sql.Timestamp,
     end_ts: java.sql.Timestamp, n_events: Int, total_value: Double)
 
+/** One table's routing rule for [[GraftStreaming.multiTableSink]]: `route`
+  * extracts the micro-batch slice belonging to `table` (filter + projection
+  * to the table's schema — must be deterministic, it re-runs on replay) and
+  * `operation` is the Graft write op applied to it. */
+case class TableRoute(table: GraftTable, route: DataFrame => DataFrame,
+    operation: String = "upsert")
+
 /**
  * Structured-Streaming surface (SURVEY.md §2.4) — the Spark-first
  * re-expression of the reference's streaming ingest (its Flink streamer /
@@ -37,18 +44,63 @@ object GraftStreaming {
    * query silently skip its first batches on a table with streaming
    * history.
    */
-  def upsertSink(t: GraftTable, streamId: String)(batch: DataFrame, batchId: Long): Unit = {
+  def upsertSink(t: GraftTable, streamId: String)(batch: DataFrame, batchId: Long): Unit =
+    if (!batchCommitted(t, streamId, batchId))
+      t.writeBatch(batch, "upsert", Map("streamBatchId" -> s"$streamId#$batchId"))
+
+  /** Has this stream's micro-batch already committed to `t`?
+    * Archival folds old commits into a checkpoint carrying the MAX batch
+    * id per stream under "streamBatchIds" (batch ids are monotonic per
+    * stream, so the max is a complete dedup watermark and the carry stays
+    * O(#streams), not O(#batches)) — a replay after archival still dedups. */
+  private def batchCommitted(t: GraftTable, streamId: String, batchId: Long): Boolean = {
     val key = s"$streamId#$batchId"
-    // archival folds old commits into a checkpoint carrying the MAX batch
-    // id per stream under "streamBatchIds" (batch ids are monotonic per
-    // stream, so the max is a complete dedup watermark and the carry stays
-    // O(#streams), not O(#batches)) — a replay after archival still dedups
-    val done = t.timeline.metas(None).exists(m =>
+    t.timeline.metas(None).exists(m =>
       m.extra.get("streamBatchId").contains(key) ||
         m.extra.get("streamBatchIds").exists(enc =>
           graft.table.StreamBatchIds.parse(enc).get(streamId).exists(_ >= batchId)))
-    if (!done) t.writeBatch(batch, "upsert", Map("streamBatchId" -> key))
   }
+
+  /**
+   * Multi-table ingest: ONE stream demuxed to N Graft tables inside a single
+   * foreachBatch — the Spark-first re-expression of the reference's
+   * multi-table streamer, which runs one job consuming per-table-configured
+   * topics into their tables (ref: hudi-flink-datasource/hudi-flink/src/main/
+   * java/org/apache/hudi/streamer/HoodieMuiltiTableFlinkStreamer.java:62, the
+   * per-table config loop at :118; also hudi-utilities/.../
+   * HoodieMultiTableDeltaStreamer.java). Each route takes its slice of the
+   * micro-batch (filter + projection to the table's schema).
+   *
+   * Exactly-once is PER TABLE: every table's commit records the same
+   * `<streamId>#<batchId>` key in its own timeline, so a replay after a
+   * mid-batch crash (tables written before the crash have the commit, the
+   * rest don't) skips exactly the finished tables and completes the rest —
+   * the whole batch lands exactly once everywhere. Empty slices are skipped
+   * without a commit; a replay deterministically re-skips them.
+   */
+  def multiTableSink(routes: Seq[TableRoute], streamId: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val todo = routes.filterNot(r => batchCommitted(r.table, streamId, batchId))
+    if (todo.isEmpty) return
+    // one upstream evaluation for all routes, not one per table
+    val cached = if (todo.sizeIs > 1) batch.persist() else batch
+    try todo.foreach { r =>
+      val slice = r.route(cached)
+      if (!slice.isEmpty)
+        r.table.writeBatch(slice, r.operation,
+          Map("streamBatchId" -> s"$streamId#$batchId"))
+    } finally if (todo.sizeIs > 1) { cached.unpersist(); () }
+  }
+
+  /** Start a single streaming query sinking into N tables. As for
+    * [[writeStreamTo]], the checkpoint dir is the exactly-once scope. */
+  def writeStreamMultiTo(df: DataFrame, routes: Seq[TableRoute],
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch((b: DataFrame, id: Long) =>
+        multiTableSink(routes, checkpointDir)(b, id))
+      .option("checkpointLocation", checkpointDir)
+      .start()
 
   /** Start a streaming upsert into a Graft table. The checkpoint dir
     * doubles as the exactly-once scope: same checkpoint = same stream

@@ -99,6 +99,71 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir); GraftTable.drop(ckpt)
   }
 
+  test("multi-table sink: one stream demuxed to N tables, exactly-once per table") {
+    val dirA = Files.createTempDirectory("graft_mt_a_").toString
+    val dirB = Files.createTempDirectory("graft_mt_b_").toString
+    val ckpt = Files.createTempDirectory("graft_mt_ckpt_").toString
+    val tA = eventsTable(dirA)
+    val tB = eventsTable(dirB)
+    val routes = Seq(
+      TableRoute(tA, _.filter(col("event_type") === "click")),
+      TableRoute(tB, _.filter(col("event_type") =!= "click")))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = GraftStreaming.writeStreamMultiTo(mem.toDF(), routes, ckpt)
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0),
+      Event(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(tA.snapshot().count() === 2)
+    assert(tB.snapshot().count() === 1)
+    // restart from the SAME checkpoint: the finished batch must not replay,
+    // new data continues from the next batch id
+    val q2 = GraftStreaming.writeStreamMultiTo(mem.toDF(), routes, ckpt)
+    mem.addData(Event(1, ts(3), 1, "click", 9.0), Event(4, ts(4), 3, "error", 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val snapA = tA.snapshot()
+    assert(snapA.count() === 2, "restart duplicated or lost click rows")
+    assert(snapA.filter(col("event_id") === 1)
+      .select("value").collect()(0).getDouble(0) === 9.0)
+    assert(tB.snapshot().count() === 2)
+    GraftTable.drop(dirA); GraftTable.drop(dirB); GraftTable.drop(ckpt)
+  }
+
+  test("multi-table sink: mid-batch crash replay completes only unfinished tables") {
+    val dirA = Files.createTempDirectory("graft_mtc_a_").toString
+    val dirB = Files.createTempDirectory("graft_mtc_b_").toString
+    val tA = eventsTable(dirA)
+    val tB = eventsTable(dirB)
+    val sid = "ckpt-mt"
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0)).toDF()
+    val routes = Seq(
+      TableRoute(tA, _.filter(col("event_type") === "click")),
+      TableRoute(tB, _.filter(col("event_type") === "view")))
+    // simulate a crash AFTER table A committed batch 0 but before table B:
+    // A's timeline already holds the batch key
+    tA.writeBatch(batch.filter(col("event_type") === "click"), "upsert",
+      Map("streamBatchId" -> s"$sid#0"))
+    // the replay runs the full sink over the same batch
+    GraftStreaming.multiTableSink(routes, sid)(batch, batchId = 0L)
+    assert(tA.snapshot().count() === 1, "finished table was written twice")
+    assert(tA.showCommits().count() === 1, "replay re-committed to table A")
+    assert(tB.snapshot().count() === 1, "unfinished table missed the replay")
+    // a full replay of the completed batch is a no-op everywhere
+    GraftStreaming.multiTableSink(routes, sid)(batch, batchId = 0L)
+    assert(tA.showCommits().count() === 1)
+    assert(tB.showCommits().count() === 1)
+    // an empty slice never commits: batch 1 has no view rows
+    val clicksOnly = Seq(Event(3, ts(2), 2, "click", 3.0)).toDF()
+    GraftStreaming.multiTableSink(routes, sid)(clicksOnly, batchId = 1L)
+    assert(tA.snapshot().count() === 2)
+    assert(tB.showCommits().count() === 1, "empty slice produced a commit")
+    GraftTable.drop(dirA); GraftTable.drop(dirB)
+  }
+
   test("windowed aggregation with watermark over an event stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
