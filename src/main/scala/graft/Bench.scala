@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup at the smallest SF so timed numbers reflect the

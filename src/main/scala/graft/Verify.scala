@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,257 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path => NioPath, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{
+  NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.table._
+
+/**
+ * A Spark V2 `TableCatalog` giving Graft tables a CATALOG IDENTITY — the
+ * piece the reference gets from its HoodieCatalog + hive sync (ref:
+ * hudi-spark-datasource/hudi-spark/src/main/scala/org/apache/spark/sql/
+ * hudi/catalog/HoodieCatalog.scala:63): with
+ *
+ *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+ *   spark.sql.catalog.graft.warehouse = /data/graft
+ *
+ * a table named `graft.db.orders` lives at `/data/graft/db/orders`, and the
+ * full SQL-string surface works against it — SELECT, INSERT INTO/OVERWRITE,
+ * CREATE TABLE (AS SELECT), DROP, and through [[GraftDmlRule]] the
+ * row-level commands MERGE INTO / UPDATE / DELETE.
+ *
+ * Identifier → path is purely structural (namespace segments are
+ * directories), so the catalog needs no metastore; an explicit LOCATION
+ * creates a `<name>.link` file pointing at the external path — a table
+ * created by the path-based API can be registered after the fact with
+ * `CREATE TABLE graft.t USING graft LOCATION '<path>'`.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"set spark.sql.catalog.$name.warehouse to the catalog's table directory"))
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): NioPath =
+    Paths.get(warehouse, ident.namespace :+ ident.name: _*)
+
+  private def linkOf(ident: Identifier): NioPath =
+    dirOf(ident).resolveSibling(dirOf(ident).getFileName.toString + ".link")
+
+  /** The table's base path: the warehouse-derived directory, unless a .link
+    * file redirects to an external LOCATION. */
+  private[catalog] def pathOf(ident: Identifier): String =
+    if (Files.isRegularFile(linkOf(ident)))
+      new String(Files.readAllBytes(linkOf(ident)), "UTF-8").trim
+    else dirOf(ident).toString
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftTable.exists(pathOf(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftV2Table(pathOf(ident), (catalogName +: ident.namespace :+ ident.name).mkString("."))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala.toMap
+    // Spark hands LOCATION through as a file: URI; graft paths are local
+    val location = props.get(TableCatalog.PROP_LOCATION).map { loc =>
+      val u = try new java.net.URI(loc) catch { case _: Exception => null }
+      if (u != null && u.getScheme == "file") u.getPath else loc
+    }
+    val path = location.getOrElse(dirOf(ident).toString)
+    location.foreach { loc =>
+      Files.createDirectories(linkOf(ident).getParent)
+      Files.write(linkOf(ident), loc.getBytes("UTF-8"))
+    }
+    // registering a pre-existing path-based table: keep its config
+    if (!GraftTable.exists(path)) {
+      val partCols = partitions.toSeq.map { t =>
+        // IdentityTransform is private[sql]; match structurally
+        if (t.name == "identity" && t.references.length == 1)
+          t.references()(0).fieldNames.mkString(".")
+        else throw new UnsupportedOperationException(
+          s"graft tables support only identity PARTITIONED BY columns, got $t")
+      }
+      val t = GraftTable.create(SparkSession.active, path,
+        GraftV2Table.configFrom(props, partCols, ident.name))
+      if (schema.nonEmpty) GraftV2Table.storeSchema(path, schema)
+      t
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on graft tables is not supported; schema evolves on write")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    if (existed) {
+      GraftTable.drop(pathOf(ident))
+      Files.deleteIfExists(linkOf(ident))
+    }
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    if (Files.isRegularFile(linkOf(oldIdent)))
+      Files.move(linkOf(oldIdent), linkOf(newIdent))
+    else Files.move(dirOf(oldIdent), dirOf(newIdent))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(warehouse, namespace: _*)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
+    Files.list(dir).iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".link")) Some(n.stripSuffix(".link"))
+      else if (GraftTable.exists(p.toString)) Some(n)
+      else None
+    }.toArray.sorted.map(Identifier.of(namespace, _))
+  }
+
+  // -- minimal filesystem-backed namespaces -------------------------------
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = Paths.get(warehouse)
+    if (!Files.isDirectory(root)) Array.empty
+    else Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !GraftTable.exists(p.toString))
+      .map(p => Array(p.getFileName.toString)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || Files.isDirectory(Paths.get(warehouse, namespace: _*))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    Files.createDirectories(Paths.get(warehouse, namespace: _*)); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace) || namespace.isEmpty) false
+    else {
+      val dir = Paths.get(warehouse, namespace: _*)
+      val tables = listTables(namespace)
+      if (tables.nonEmpty && !cascade)
+        throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+      GraftTable.drop(dir.toString)
+      true
+    }
+  }
+}
+
+/**
+ * The catalog's Table handle: name, data schema and partitioning for the
+ * analyzer. It deliberately declares NO read/write capabilities —
+ * [[GraftDmlRule]] rewrites every plan that touches it (reads to the
+ * format("graft") relation, DML to Graft commands) before capability checks
+ * run, so Spark's generic V2 paths are never exercised.
+ *
+ * The SQL surface exposes the LOGICAL schema only (no `_graft_*` meta
+ * columns); lineage metadata stays on the DataFrame API reads.
+ */
+class GraftV2Table(val path: String, fullName: String) extends Table {
+  override def name(): String = fullName
+
+  private lazy val table: GraftTable = GraftTable.load(SparkSession.active, path)
+
+  override lazy val schema: StructType =
+    table.schemaAt(None).orElse(GraftV2Table.storedSchema(path)).getOrElse(
+      throw new IllegalStateException(
+        s"graft table at $path has neither commits nor a declared schema"))
+
+  override def partitioning(): Array[Transform] = table.config.partitioning match {
+    case PartitionByColumns(cols) => cols.map(Expressions.identity).toArray
+    case PartitionByTimestamp(c, _) => Array(Expressions.identity(c))
+    case NonPartitioned => Array.empty
+  }
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> path).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}
+
+object GraftV2Table {
+  /** Declared schema of a not-yet-written table (CREATE TABLE with columns
+    * before the first INSERT). Superseded by the first commit's schema. */
+  private def schemaFile(path: String): NioPath =
+    Paths.get(path, ".graft", "schema.json")
+
+  def storeSchema(path: String, schema: StructType): Unit = {
+    Files.write(schemaFile(path), schema.json.getBytes("UTF-8")); ()
+  }
+
+  def storedSchema(path: String): Option[StructType] =
+    if (Files.isRegularFile(schemaFile(path)))
+      Some(DataType.fromJson(
+        new String(Files.readAllBytes(schemaFile(path)), "UTF-8")).asInstanceOf[StructType])
+    else None
+
+  /** TableConfig from CREATE TABLE properties — same option vocabulary as
+    * the format("graft") writer (TBLPROPERTIES or OPTIONS, with or without
+    * Spark's `option.` prefix). */
+  def configFrom(props: Map[String, String], partCols: Seq[String],
+      defaultName: String): TableConfig = {
+    import graft.DefaultSource._
+    def p(key: String): Option[String] =
+      props.get(key).orElse(props.get(s"${TableCatalog.OPTION_PREFIX}$key"))
+    val keys = p(RECORDKEY_FIELD).getOrElse(throw new IllegalArgumentException(
+        s"creating a graft table requires $RECORDKEY_FIELD in TBLPROPERTIES/OPTIONS"))
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val partitioning =
+      if (partCols.nonEmpty) PartitionByColumns(partCols)
+      else p(PARTITIONPATH_FIELD)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).map(PartitionByColumns(_): PartitionSpec)
+        .orElse(p(PARTITION_TS_COL).map(c => PartitionByTimestamp(c,
+          p(PARTITION_TS_FORMAT).getOrElse("yyyy-MM-dd")): PartitionSpec))
+        .getOrElse(NonPartitioned)
+    TableConfig(
+      name = p(TABLE_NAME).getOrElse(defaultName),
+      tableType = TableType.of(p(TABLE_TYPE).getOrElse("cow")),
+      keyFields = keys,
+      precombineField = p(PRECOMBINE_FIELD),
+      partitioning = partitioning,
+      index = p(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
+        .getOrElse(StatsIndex),
+      targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong)
+  }
+}

@@ -69,11 +69,15 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the kernel functions plus the SQL
+  * DML rule (MERGE INTO / UPDATE / DELETE / INSERT on catalog-identified
+  * graft tables — see graft.catalog.GraftDmlRule). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (n, u, b) =>
       ext.injectFunction((FunctionIdentifier(n),
         new ExpressionInfo("graft", null, n, u, ""), b))
     }
+    ext.injectPostHocResolutionRule(sp => new graft.catalog.GraftDmlRule(sp))
+  }
 }

@@ -795,7 +795,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * Conditions default to always-true.
    */
   def mergeInto(source: DataFrame, updateCond: Column = lit(true),
-      deleteCond: Column = lit(false), insertCond: Column = lit(true)): String = {
+      deleteCond: Column = lit(false), insertCond: Column = lit(true),
+      dropCols: Seq[String] = Nil): String = {
     // the conflict watermark is read BEFORE any table state below, so a
     // commit sneaking in between classification and writeBatch is detected
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
@@ -816,7 +817,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val toInsert = m.filter(!matched && insertCond)
       .withColumn(DELETED, lit(false))
     val batch = toDelete.unionByName(toUpdate).unionByName(toInsert)
-      .drop(KEY, PART, "_g_live")
+      .drop(Seq(KEY, PART, "_g_live") ++ dropCols: _*)
     val routed = config.index match {
       case StatsIndex => batch // _g_fid = preTagged routing
       case BucketIndex(_) => batch.drop("_g_fid") // re-tagged by expression

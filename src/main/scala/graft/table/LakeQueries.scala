@@ -254,7 +254,51 @@ object LakeQueries {
     out(s.read.format("graft").load(p))
   }
 
+  /** SQL-string DML end to end: the table is created by literal
+    * `CREATE TABLE ... AS SELECT` against the graft CATALOG, then mutated
+    * by literal MERGE INTO (delete + partial update + conditional insert
+    * clauses), UPDATE and DELETE statements, and read back with a SQL
+    * SELECT — the reference's Spark-SQL command surface
+    * (ref: hudi-spark/.../command/MergeIntoHoodieTableCommand.scala:62,
+    * UpdateHoodieTableCommand.scala, DeleteHoodieTableCommand.scala). */
+  def lakeSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val n = s"sqlmerge_$safe"
+    val src = s"orders_src_$safe"
+    val orders = Tables.orders(s, d)
+    orders.createOrReplaceTempView(src)
+    s.sql(s"DROP TABLE IF EXISTS graft.$n")
+    s.sql(
+      s"""CREATE TABLE graft.$n USING graft
+         |PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES (
+         |  'graft.recordkey.field' = 'o_orderkey',
+         |  'graft.precombine.field' = 'o_totalprice',
+         |  'graft.target.file.rows' = '50000')
+         |AS SELECT * FROM $src""".stripMargin)
+    val cols = orders.columns
+    val shifted = cols.map {
+      case "o_orderkey" => "o_orderkey + 10000000 AS o_orderkey"
+      case "o_orderpriority" => "'SQLNEW' AS o_orderpriority"
+      case c => c
+    }.mkString(", ")
+    s.sql(
+      s"""MERGE INTO graft.$n t
+         |USING (SELECT * FROM $src WHERE o_orderkey % 4 = 0
+         |       UNION ALL
+         |       SELECT $shifted FROM $src WHERE o_orderkey % 50 = 0) s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_orderkey % 20 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_totalprice = s.o_totalprice * 2, o_orderpriority = 'SQLMERGE'
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(s"UPDATE graft.$n SET o_orderpriority = 'URGENT!' WHERE o_orderkey % 10 = 1")
+    s.sql(s"DELETE FROM graft.$n WHERE o_orderkey % 25 = 3")
+    out(s.sql(s"SELECT * FROM graft.$n"))
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_dsv2_snapshot" -> (lakeDsv2Snapshot _),
     "lake_cdc" -> (lakeCdc _),
     "lake_partial_update" -> (lakePartialUpdate _),
@@ -272,6 +316,22 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_sql_merge" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate,
+         |         CASE WHEN o_orderkey % 10 = 1 THEN 'URGENT!'
+         |              WHEN o_orderkey % 4 = 0 THEN 'SQLMERGE'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders
+         |  WHERE o_orderkey % 20 <> 0 AND o_orderkey % 25 <> 3
+         |  UNION ALL
+         |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+         |         o_totalprice, o_orderdate, 'SQLNEW'
+         |  FROM orders WHERE o_orderkey % 50 = 0)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_dsv2_snapshot" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

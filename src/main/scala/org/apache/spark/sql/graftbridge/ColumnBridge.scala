@@ -14,3 +14,13 @@ object ColumnBridge {
   def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
 }
+
+/** `Dataset.ofRows` bridge (also `private[sql]` in Spark 4): evaluate an
+  * analyzed logical plan as a DataFrame — needed by graft's SQL DML
+  * commands, which hold their source/query plans as fields. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -10,6 +10,10 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse",
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
   val sf = "/root/testdata/sf0.001"
 }

@@ -1,0 +1,164 @@
+package graft.catalog
+
+import graft.TestSpark
+import graft.table.GraftTable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-string surface over catalog-identified graft tables: CREATE TABLE
+  * (AS SELECT), INSERT INTO/OVERWRITE, SELECT (fast path), and the
+  * row-level MERGE INTO / UPDATE / DELETE commands. */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def fresh(name: String): String = {
+    sql(s"DROP TABLE IF EXISTS graft.$name")
+    name
+  }
+
+  private def createOrders(name: String, rows: Int = 20): Unit = {
+    sql(s"""CREATE TABLE graft.$name (
+           |  id BIGINT, status STRING, price DOUBLE, note STRING)
+           |USING graft PARTITIONED BY (status)
+           |TBLPROPERTIES (
+           |  'graft.recordkey.field' = 'id',
+           |  'graft.precombine.field' = 'price')""".stripMargin)
+    val vals = (1 to rows).map(i =>
+      s"(${i}L, '${if (i % 2 == 0) "O" else "F"}', ${i * 10}.0, 'n$i')")
+    sql(s"INSERT INTO graft.$name VALUES ${vals.mkString(", ")}")
+  }
+
+  test("CREATE TABLE + INSERT INTO + SELECT round trip; data-only schema") {
+    val n = fresh("t_basic")
+    createOrders(n)
+    val back = sql(s"SELECT * FROM graft.$n")
+    assert(back.count() === 20)
+    // SQL surface exposes the logical schema only — no meta columns
+    assert(back.columns.toSeq === Seq("id", "status", "price", "note"))
+    assert(sql(s"SELECT sum(id) AS s FROM graft.$n").collect()(0).getLong(0) === 210)
+    // INSERT INTO with precombine = upsert: same key replaces
+    sql(s"INSERT INTO graft.$n VALUES (1L, 'F', 999.0, 'replaced')")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 20)
+    assert(sql(s"SELECT note FROM graft.$n WHERE id = 1").collect()(0).getString(0) === "replaced")
+  }
+
+  test("SELECT through the catalog takes the native fast path with pushdown") {
+    val n = fresh("t_plan")
+    createOrders(n)
+    val q = sql(s"SELECT id, price FROM graft.$n WHERE id = 7")
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("GraftFileIndex"), "catalog read missed the fast path:\n" + p)
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(id,7)"),
+      "filter not pushed through the catalog read:\n" + p)
+    assert(q.collect() === Array(Row(7L, 70.0)))
+  }
+
+  test("UPDATE ... SET ... WHERE via literal SQL") {
+    val n = fresh("t_upd")
+    createOrders(n)
+    sql(s"UPDATE graft.$n SET price = price * 2, note = 'bumped' WHERE id <= 3")
+    val rows = sql(s"SELECT id, price, note FROM graft.$n WHERE id <= 4 ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ===
+      Seq((1L, 20.0, "bumped"), (2L, 40.0, "bumped"), (3L, 60.0, "bumped"), (4L, 40.0, "n4")))
+    // key / partition columns are immutable
+    intercept[Exception] { sql(s"UPDATE graft.$n SET id = id + 1 WHERE id = 9") }
+    intercept[Exception] { sql(s"UPDATE graft.$n SET status = 'X' WHERE id = 9") }
+  }
+
+  test("DELETE FROM ... WHERE via literal SQL") {
+    val n = fresh("t_del")
+    createOrders(n)
+    sql(s"DELETE FROM graft.$n WHERE id % 5 = 0")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 16)
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n WHERE id % 5 = 0")
+      .collect()(0).getLong(0) === 0)
+  }
+
+  test("MERGE INTO: update with inheritance, delete, conditional insert, clause order") {
+    val n = fresh("t_merge")
+    createOrders(n)
+    // source: updates for 1..4 (with odd/even split), delete for 10, new keys 21/22
+    Seq(
+      (1L, "F", 111.0, "m1"), (2L, "O", 222.0, "m2"),
+      (3L, "F", 333.0, "m3"), (4L, "O", 444.0, "m4"),
+      (10L, "O", 0.0, "kill"),
+      (21L, "F", 210.0, "new21"), (22L, "O", 220.0, "skipped-by-cond")
+    ).toDF("id", "status", "price", "note").createOrReplaceTempView("merge_src")
+    sql(s"""MERGE INTO graft.$n t USING merge_src s ON t.id = s.id
+           |WHEN MATCHED AND s.note = 'kill' THEN DELETE
+           |WHEN MATCHED AND s.id % 2 = 1 THEN UPDATE SET price = s.price
+           |WHEN MATCHED THEN UPDATE SET price = s.price + 0.5, note = s.note
+           |WHEN NOT MATCHED AND s.id <= 21 THEN INSERT *""".stripMargin)
+    val got = sql(s"SELECT id, price, note FROM graft.$n WHERE id IN (1,2,3,4,10,21,22) ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 111.0, "n1"),   // first-wins: odd clause updates price only, note inherited
+      (2L, 222.5, "m2"),   // even clause: price+0.5, note replaced
+      (3L, 333.0, "n3"),
+      (4L, 444.5, "m4"),
+      (21L, 210.0, "new21"))) // 10 deleted, 22 failed insert condition
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 20)
+  }
+
+  test("MERGE INTO: NOT MATCHED BY SOURCE update and delete") {
+    val n = fresh("t_merge_nbs")
+    createOrders(n, rows = 6)
+    Seq((1L, "F", 1.0), (2L, "O", 2.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("nbs_src")
+    sql(s"""MERGE INTO graft.$n t USING nbs_src s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET price = s.price
+           |WHEN NOT MATCHED BY SOURCE AND t.id >= 6 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'untouched'""".stripMargin)
+    val got = sql(s"SELECT id, price, note FROM graft.$n ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got === Seq(
+      (1L, 1.0, "n1"), (2L, 2.0, "n2"),
+      (3L, 30.0, "untouched"), (4L, 40.0, "untouched"), (5L, 50.0, "untouched")))
+  }
+
+  test("MERGE INTO requires key equality in ON") {
+    val n = fresh("t_merge_bad")
+    createOrders(n, rows = 3)
+    Seq((1L, 5.0)).toDF("id", "price").createOrReplaceTempView("bad_src")
+    val e = intercept[Exception] {
+      sql(s"""MERGE INTO graft.$n t USING bad_src s ON t.price = s.price
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("key"))
+  }
+
+  test("CREATE TABLE AS SELECT, INSERT OVERWRITE") {
+    val n = fresh("t_ctas")
+    createOrders(n, rows = 10)
+    val c = fresh("t_ctas_out")
+    sql(s"""CREATE TABLE graft.$c USING graft
+           |TBLPROPERTIES ('graft.recordkey.field' = 'id')
+           |AS SELECT id, price FROM graft.$n WHERE id <= 4""".stripMargin)
+    assert(sql(s"SELECT count(*) AS c FROM graft.$c").collect()(0).getLong(0) === 4)
+    sql(s"INSERT OVERWRITE graft.$c SELECT id, price FROM graft.$n WHERE id > 8")
+    assert(sql(s"SELECT sum(id) AS s FROM graft.$c").collect()(0).getLong(0) === 19)
+  }
+
+  test("catalog ops: SHOW TABLES, DROP, external LOCATION registration") {
+    val n = fresh("t_cat")
+    createOrders(n, rows = 2)
+    assert(sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains(n))
+    // register an existing path-based table under a name
+    val ext = java.nio.file.Files.createTempDirectory("graft_ext_").toString
+    GraftTable.create(spark, ext, graft.table.TableConfig(
+      "ext", graft.table.CopyOnWrite, Seq("k")))
+      .bulkInsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val e = fresh("t_ext")
+    sql(s"CREATE TABLE graft.$e USING graft LOCATION '$ext'")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$e").collect()(0).getLong(0) === 2)
+    sql(s"DROP TABLE graft.$e") // drops registration + data
+    assert(!GraftTable.exists(ext))
+    sql(s"DROP TABLE graft.$n")
+    assert(!sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains(n))
+  }
+}
