@@ -127,4 +127,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.filter(col("keep") === 1).count() > 0)
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
   }
+
+  test("simhashAutoParams: corpus-sized chunks, tractable bound enforced") {
+    // a web-scale corpus must take 32-bit chunks: 8/16-bit chunk joins are
+    // O(n^2/2^w) random collisions — the round-3 scale-killer
+    assert(Dedup.simhashAutoParams(100000000L, 3) === ((32, 1)))
+    assert(Dedup.simhashAutoParams(1000000000L, 3) === ((32, 1)))
+    // small corpora may prefer narrower chunks (fewer probes), never w=8
+    // at meaningful sizes with the default threshold
+    val (wSmall, _) = Dedup.simhashAutoParams(100000L, 3)
+    assert(wSmall >= 16, s"100k docs picked w=$wSmall")
+    // the pigeonhole cap: 8 chunks x radius 3 covers hamming <= 23
+    Dedup.simhashAutoParams(1000L, 23) // must not throw
+    intercept[IllegalArgumentException] { Dedup.simhashAutoParams(1000L, 24) }
+  }
+
+  test("simhash candidate volume is ~O(n), not O(n^2), on a synthetic corpus") {
+    import spark.implicits._
+    val n = 30000
+    val rnd = new scala.util.Random(42)
+    // planted near-dup pairs: id and id+n within hamming <= 3
+    val base = (0 until n).map(_ => rnd.nextLong())
+    val planted = (0 until 200).map { i =>
+      (i + n).toLong -> (base(i) ^ (1L << (i % 64)) ^ (1L << ((i * 7 + 13) % 64)))
+    }
+    val sh = (base.zipWithIndex.map { case (h, i) => (i.toLong, h) } ++ planted)
+      .toDF("doc_id", "simhash")
+    val (w, r) = Dedup.simhashAutoParams(n.toLong, 3)
+    val cands = Dedup.simhashCandidates(sh, w, r, "doc_id")
+    val total = cands.count()
+    // O(n^2) would be ~4.5e8 pairs; the chunk-LSH emission must stay within
+    // a small multiple of n (random chunk collisions + planted dups)
+    assert(total < 20L * n, s"candidate volume $total suggests an all-pairs join")
+    // the pigeonhole guarantee: every planted pair (hamming <= 2 here) is
+    // among the candidates
+    val found = cands.filter(col("hamming") <= 3)
+      .select("id_a", "id_b").collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    val expected = (0 until 200).map(i => (i.toLong, (i + n).toLong)).toSet
+    assert(expected.subsetOf(found),
+      s"missing ${(expected -- found).size}/200 planted pairs")
+  }
+
+  test("lshTopK join strategy: corpus-sized query frame must not broadcast") {
+    val vecs = Tables.embeddings(spark, sf)
+    def hasBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+    // small query frame: broadcast (corpus never shuffles for the join)
+    val small = vecs.filter(col("vec_id") < 5)
+    assert(hasBroadcast(Similarity.lshTopK(vecs, small, 3)),
+      "small query frame should broadcast")
+    // corpus-vs-corpus with a tight threshold (stands in for a 100 TB
+    // corpus against the default 10 MB threshold): shuffle join, or the
+    // driver OOMs collecting the broadcast — the round-3 scale-killer
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      assert(!hasBroadcast(Similarity.lshTopK(vecs, vecs, 3)),
+        "corpus-sized query frame was broadcast")
+      // explicit override still wins
+      assert(hasBroadcast(
+        Similarity.lshTopK(vecs, vecs, 3, broadcastQueries = Some(true))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
 }
