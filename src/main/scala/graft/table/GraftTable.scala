@@ -1220,7 +1220,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * concurrent commit's slice changes. As in the reference, cleaning bounds
     * time travel: an in-flight reader of a since-cleaned slice fails on the
     * missing file — retain enough versions to cover the longest reader. */
-  def clean(retainVersions: Int = 1): String = {
+  def clean(retainVersions: Int = 1): String =
+    clean(KeepLatestFileVersions(retainVersions))
+
+  /** Policy-based cleaning (ref: CleanPlanner.java:131,273 — KEEP_LATEST_
+    * FILE_VERSIONS / KEEP_LATEST_COMMITS / KEEP_LATEST_BY_HOURS). The
+    * commit/hours policies compute an earliest-retained instant; per file
+    * group everything from the latest base at-or-before that instant
+    * onward is kept (so time travel to ANY retained instant still works),
+    * older versions are deleted. Savepointed instants keep their files.
+    * The earliest-retained boundary is recorded in the clean commit, and
+    * reads older than it fail fast (see assertNotCleaned). */
+  def clean(policy: CleanPolicy): String = {
     // doomed-file computation + clean commit under the lock (it must not
     // race a concurrent commit's slice changes); the physical deletes run
     // AFTER release — the files are unreferenced either way, and holding
@@ -1242,16 +1253,50 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           if (!buf.exists(_._2.path == f.path)) buf += ((eff, f))
         }
         val live = slices(None).map(s => (s.partition, s.fileId) -> s).toMap
+        // the window boundary for the by-commit / by-hours policies; None =
+        // nothing old enough to clean under that policy
+        val earliestRetained: Option[String] = policy match {
+          case KeepLatestFileVersions(_) => None
+          case KeepLatestCommits(n) =>
+            require(n >= 1, s"retainCommits must be >= 1, got $n")
+            // archival checkpoints re-record old files; they are not user
+            // commits and must not count toward the retention window
+            val di = ms.filter(_.operation != "checkpoint").map(_.instant).distinct.sorted
+            if (di.size <= n) None else Some(di.takeRight(n).head)
+          case KeepLatestByHours(h) =>
+            require(h >= 0, s"hours must be >= 0, got $h")
+            Some(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+              .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+                .minusSeconds((h * 3600).toLong)))
+        }
+        // instants that must STAY readable regardless of the window
+        val savepointed = timeline.metas(None).filter(_.action == "savepoint")
+          .flatMap(_.extra.get("saved")).toSet
         val doomed = mutable.Buffer[String]()
         for (((p, fid), files) <- byGroup) {
           val baseInstants = files.filter(!_._2.isLog).map(_._1).distinct.sorted.reverse
-          val keep = baseInstants.take(retainVersions).toSet
           val liveLogs = live.get((p, fid)).map(_.logs.map(_._2.path).toSet).getOrElse(Set.empty)
-          for ((i, f) <- files)
-            if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
-              doomed += f.path
+          (policy, earliestRetained) match {
+            case (KeepLatestFileVersions(retainVersions), _) =>
+              val keep = baseInstants.take(retainVersions).toSet
+              for ((i, f) <- files)
+                if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
+                  doomed += f.path
+            case (_, None) => // window covers everything: keep all
+            case (_, Some(er)) =>
+              // keep every base inside the window plus ONE before it (the
+              // boundary base reconstructs state at the window edge), plus
+              // the base under each savepoint; then everything — base or
+              // log — from the earliest kept base onward stays
+              val boundary = baseInstants.find(_ <= er)
+              val saved = savepointed.flatMap(s => baseInstants.find(_ <= s))
+              val keepFrom = (boundary.toSeq ++ saved).minOption.getOrElse("")
+              for ((i, f) <- files) if (i < keepFrom) doomed += f.path
+          }
         }
-        timeline.complete(CommitMeta(instant, "clean", "clean", deletedPaths = doomed.toSeq))
+        timeline.complete(CommitMeta(instant, "clean", "clean",
+          deletedPaths = doomed.toSeq,
+          extra = earliestRetained.map("earliestRetained" -> _).toMap))
         (instant, doomed.toSeq)
       } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
     }
@@ -1388,15 +1433,27 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     toArchive.size
   }
 
-  /** Fail fast when a read needs history that archive() folded away: the
-    * active timeline cannot reconstruct state at/before the boundary (the
-    * reference likewise refuses time travel past its archived timeline). */
+  /** Fail fast when a read needs history that archive() folded away (the
+    * active timeline cannot reconstruct state at/before the boundary — the
+    * reference likewise refuses time travel past its archived timeline) or
+    * that a commit/hours-policy clean physically removed. */
   private def assertNotArchived(boundary: Option[String], what: String): Unit =
     boundary.foreach { t =>
       val crossed = timeline.archivedInstants().exists(_ > t)
       require(!crossed, s"$what $t predates the archival boundary " +
         s"(oldest active history starts after the last checkpoint); " +
         "archived instants cannot be reconstructed")
+      val ms = timeline.metas(None)
+      val cleanedTo = ms.filter(_.action == "clean")
+        .flatMap(_.extra.get("earliestRetained")).maxOption
+      cleanedTo.filter(t < _).foreach { e =>
+        // savepointed instants keep their files through clean
+        val savepointed = ms.filter(_.action == "savepoint")
+          .flatMap(_.extra.get("saved")).toSet
+        require(savepointed.contains(t), s"$what $t predates the clean " +
+          s"retention boundary $e (files removed by clean(KeepLatestCommits/" +
+          "ByHours)); only savepointed instants remain readable further back")
+      }
     }
 
   // -------------------------------------------------------- introspection

@@ -63,6 +63,21 @@ sealed trait IndexType
 case object StatsIndex extends IndexType
 case class BucketIndex(buckets: Int) extends IndexType
 
+/** Cleaning policy (ref: hudi-common .../model/HoodieCleaningPolicy.java,
+  * planned by CleanPlanner.java:131,273):
+  *  - [[KeepLatestFileVersions]]: per file group keep the latest N base
+  *    versions.
+  *  - [[KeepLatestCommits]]: keep every file needed to read the table as of
+  *    any of the last N data commits, plus ONE version before that window
+  *    (the reference's slack for the longest-running query).
+  *  - [[KeepLatestByHours]]: same, with the window defined by wall-clock
+  *    hours instead of a commit count.
+  * Savepointed instants stay readable under the commit/hours policies. */
+sealed trait CleanPolicy
+case class KeepLatestFileVersions(retainVersions: Int = 1) extends CleanPolicy
+case class KeepLatestCommits(retainCommits: Int) extends CleanPolicy
+case class KeepLatestByHours(hours: Double) extends CleanPolicy
+
 /**
  * Graft table configuration, persisted as `<base>/.graft/table.json`.
  *

@@ -365,6 +365,76 @@ class GraftTableSpec extends AnyFunSuite {
     Files.deleteIfExists(lock)
   }
 
+  test("clean KeepLatestCommits: retained commits stay readable, older fail fast") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val instants = (1 to 5).map { i =>
+      t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", lit(i.toDouble)))
+    }
+    val total = orders.count()
+    t.clean(KeepLatestCommits(3))
+    // every commit inside the window is still time-travelable, bit-correct
+    for ((ins, i) <- instants.drop(2).zipWithIndex) {
+      val snap = t.snapshot(asOf = Some(ins))
+      assert(snap.count() === total)
+      assert(snap.filter(col("o_orderkey") % 4 === 0)
+        .filter(col("o_totalprice") =!= (i + 3).toDouble).count() === 0,
+        s"as-of $ins lost its version")
+    }
+    // older than the window: fails fast, not mid-scan on a missing file
+    val e = intercept[IllegalArgumentException] { t.snapshot(asOf = Some(instants.head)) }
+    assert(e.getMessage.contains("clean retention boundary"))
+    // physical proof: superseded pre-window versions are gone from disk
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.count(_.toString.endsWith(".parquet"))
+    val referenced = t.timeline.metas(None).flatMap(_.files).map(_.path).distinct.size
+    assert(onDisk < referenced, "clean deleted nothing")
+    GraftTable.drop(dir)
+  }
+
+  test("clean KeepLatestByHours: everything older than the cutoff collapses to one version") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val mid = t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(2.0)))
+    // a huge window retains everything
+    t.clean(KeepLatestByHours(1000.0))
+    assert(t.snapshot(asOf = Some(mid)).count() === orders.count())
+    // a zero-hour window keeps only the latest state (cutoff = now)
+    t.clean(KeepLatestByHours(0.0))
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderkey") % 4 === 0)
+      .filter(col("o_totalprice") =!= 2.0).count() === 0)
+    intercept[IllegalArgumentException] { t.snapshot(asOf = Some(mid)) }
+    GraftTable.drop(dir)
+  }
+
+  test("clean KeepLatestCommits spares savepointed instants") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    val saved = t.savepoint() // protects the state after the first upsert
+    for (i <- 2 to 5)
+      t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", lit(i.toDouble)))
+    t.clean(KeepLatestCommits(2))
+    // the savepointed instant is outside the window but still readable
+    val snap = t.snapshot(asOf = Some(saved))
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderkey") % 4 === 0)
+      .filter(col("o_totalprice") =!= 1.0).count() === 0)
+    GraftTable.drop(dir)
+  }
+
   test("concurrent ingest + async services: no lost rows, only clean conflicts") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir, index = BucketIndex(4))
