@@ -1151,10 +1151,37 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Compaction: fold each log-bearing file group's logs into a new base
     * slice (ref: HoodieCompactor). Per-group rewrites are independent —
-    * one distributed job, embarrassingly parallel. */
-  def compact(partitionPred: String => Boolean = _ => true): Option[String] = {
+    * one distributed job, embarrassingly parallel.
+    *
+    * `strategy` picks the TARGETS (ref: LogFileSizeBasedCompactionStrategy /
+    * BoundedIOCompactionStrategy): at 100 TB you compact the worst K groups
+    * within an IO budget each cycle, not every group with a log. */
+  def compact(partitionPred: String => Boolean = _ => true,
+      strategy: CompactionStrategy = CompactAll): Option[String] = {
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
-    val todo = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
+    val withLogs = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
+    val todo = strategy match {
+      case CompactAll => withLogs
+      case LogSizeBounded(minLogBytes, maxIOBytes) =>
+        def bytes(f: FileMeta): Long =
+          if (f.bytes > 0) f.bytes
+          else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
+        // order by descending log size (largest debt first), spend the IO
+        // budget: read base + logs, write a ~base-sized new file
+        val sized = withLogs.map { s =>
+          val logB = s.logs.map(l => bytes(l._2)).sum
+          val baseB = s.baseFiles.map(bytes).sum
+          (s, logB, 2 * baseB + logB)
+        }.filter(_._2 >= minLogBytes).sortBy { case (s, logB, _) =>
+          (-logB, s.partition, s.fileId) // deterministic tie-break
+        }
+        var budget = maxIOBytes
+        sized.takeWhile { case (_, _, io) =>
+          val fits = io <= budget
+          if (fits) budget -= io
+          fits
+        }.map(_._1)
+    }
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("commit")
     try {

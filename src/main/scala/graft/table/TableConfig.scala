@@ -78,6 +78,17 @@ case class KeepLatestFileVersions(retainVersions: Int = 1) extends CleanPolicy
 case class KeepLatestCommits(retainCommits: Int) extends CleanPolicy
 case class KeepLatestByHours(hours: Double) extends CleanPolicy
 
+/** Compaction target selection (ref: hudi-client-common .../compact/strategy/
+  * LogFileSizeBasedCompactionStrategy.java, BoundedIOCompactionStrategy.java):
+  *  - [[CompactAll]]: every log-bearing group (the reference's UnBounded).
+  *  - [[LogSizeBounded]]: only groups whose total log bytes reach
+  *    `minLogBytes`, largest log debt first, stopping when the estimated IO
+  *    (read base + logs, write new base) exceeds `maxIOBytes`. */
+sealed trait CompactionStrategy
+case object CompactAll extends CompactionStrategy
+case class LogSizeBounded(minLogBytes: Long = 0,
+    maxIOBytes: Long = Long.MaxValue) extends CompactionStrategy
+
 /**
  * Graft table configuration, persisted as `<base>/.graft/table.json`.
  *

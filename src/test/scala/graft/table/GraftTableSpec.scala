@@ -365,6 +365,46 @@ class GraftTableSpec extends AnyFunSuite {
     Files.deleteIfExists(lock)
   }
 
+  test("compaction strategy: IO budget compacts only the worst-log groups") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    // uneven log debt: groups holding keys %4==0 get three log rounds,
+    // everything %40==1 gets one
+    for (i <- 1 to 3)
+      t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_totalprice", lit(i.toDouble)))
+    t.upsert(orders.filter(col("o_orderkey") % 40 === 1)
+      .withColumn("o_totalprice", lit(9.0)))
+    def logged = t.slices(None).filter(_.logs.nonEmpty)
+    val before = logged
+    assert(before.size > 2, s"need several log-bearing groups, got ${before.size}")
+    // replicate the strategy's IO estimate to find the single worst group
+    def io(s: FileSlice) =
+      2 * s.baseFiles.map(_.bytes).sum + s.logs.map(_._2.bytes).sum
+    def logBytes(s: FileSlice) = s.logs.map(_._2.bytes).sum
+    val worst = before.maxBy(s => (logBytes(s), s.partition, s.fileId))
+    // a threshold above every group's log size selects nothing
+    assert(t.compact(strategy =
+      LogSizeBounded(minLogBytes = before.map(logBytes).max + 1)).isEmpty)
+    // budget for exactly the worst group
+    assert(t.compact(strategy = LogSizeBounded(maxIOBytes = io(worst))).nonEmpty)
+    val after = logged.map(s => (s.partition, s.fileId)).toSet
+    assert(!after.contains((worst.partition, worst.fileId)),
+      "the worst-log group was not compacted")
+    assert(after === before.map(s => (s.partition, s.fileId)).toSet -
+      ((worst.partition, worst.fileId)),
+      "budgeted compaction touched groups beyond the worst one")
+    // correctness unchanged: latest values win everywhere
+    val snap = t.snapshot()
+    assert(snap.count() === orders.count())
+    assert(snap.filter(col("o_orderkey") % 40 === 1)
+      .filter(col("o_totalprice") =!= 9.0).count() === 0)
+    assert(snap.filter(col("o_orderkey") % 4 === 0)
+      .filter(col("o_totalprice") =!= 3.0).count() === 0)
+    GraftTable.drop(dir)
+  }
+
   test("clean KeepLatestCommits: retained commits stay readable, older fail fast") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
