@@ -454,16 +454,63 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * and merge classification — they must never disagree on which files
     * hold a key. Empty recorded range = unknown (e.g. bootstrapped file)
     * -> always a candidate. */
-  private def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
+  private[table] def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
     val ranges = df.groupBy(col(PART))
       .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
-    cur.filter { s =>
+    val rangeCands = cur.filter { s =>
       ranges.get(s.partition).exists { case (mn, mx) =>
         s.baseFiles.exists(b => (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
           (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax)))
       }
     }
+    bloomRefine(df, rangeCands)
+  }
+
+  /** Bloom refinement of range-pruned candidates (ref: HoodieBloomIndex's
+    * file-comparison check): when hash key assignment makes every file's
+    * [min,max] span the key space, ranges prune nothing — the per-file key
+    * blooms still do. One pass over the batch checks each key against the
+    * broadcast blooms of its partition's candidates (range-gated per file);
+    * a slice none of whose base files might contain any batch key is
+    * dropped before its files are ever read. No false negatives: every
+    * written key is in its file's filter, so upserts can't duplicate. */
+  private def bloomRefine(df: DataFrame, cands: Seq[FileSlice]): Seq[FileSlice] = {
+    val (bloomable, rest) = cands.partition(s =>
+      s.baseFiles.nonEmpty && s.baseFiles.forall(_.hasBloom))
+    // below 2 prunable slices the batch pass costs more than it saves
+    if (bloomable.size < 2) return cands
+    import scala.collection.parallel.CollectionConverters._
+    val loaded = bloomable.par.map { s =>
+      s -> s.baseFiles.map(f => (f.keyMin, f.keyMax, KeyBloom.load(basePath, f.path)))
+    }.seq
+    val (checked, unloadable) = loaded.partition(_._2.forall(_._3.nonEmpty))
+    if (checked.size < 2) return cands
+    val byPart = checked
+      .map { case (s, fs) =>
+        s.partition -> (s"${s.partition}|${s.fileId}",
+          fs.map { case (mn, mx, b) => (mn, mx, b.get) })
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val bc = spark.sparkContext.broadcast(byPart)
+    import spark.implicits._
+    val hitIds = df.select(col(PART), col(KEY)).as[(String, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        val hits = scala.collection.mutable.Set[String]()
+        val total = m.valuesIterator.map(_.size).sum
+        for ((p, k) <- it if hits.size < total; group <- m.getOrElse(p, Nil)) {
+          val (id, files) = group
+          if (!hits.contains(id) && files.exists { case (mn, mx, bf) =>
+            (mn.isEmpty || CodePointOrder.le(mn, k)) &&
+              (mx.isEmpty || CodePointOrder.le(k, mx)) && bf.mightContainString(k)
+          }) hits += id
+        }
+        hits.iterator
+      }.distinct().collect().toSet
+    bc.unpersist(blocking = false)
+    rest ++ unloadable.map(_._1) ++
+      checked.map(_._1).filter(s => hitIds.contains(s"${s.partition}|${s.fileId}"))
   }
 
   /** Tag each record with the fileId of the file group currently holding its
@@ -588,14 +635,41 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
         spark.sessionState.conf.sessionLocalTimeZone)
     }.seq.toMap
+    val withBloom = writeKeyBlooms(moved.toSeq.collect {
+      case (rel, p, fid) if !logGroups.contains(s"$p|$fid") => rel
+    })
     moved.toSeq.map { case (rel, partition, fid) =>
       val st = stats(rel)
       val (kmin, kmax) = st.minMax.getOrElse(KEY, ("", ""))
       FileMeta(rel, fid, partition, st.rows, isLog = logGroups.contains(s"$partition|$fid"),
         bytes = st.bytes,
         keyMin = kmin, keyMax = kmax,
-        colStats = (st.minMax - KEY).map { case (c, (mn, mx)) => c -> Array(mn, mx) })
+        colStats = (st.minMax - KEY).map { case (c, (mn, mx)) => c -> Array(mn, mx) },
+        hasBloom = withBloom.contains(rel))
     }
+  }
+
+  /** Build `<file>.bloom` key-filter sidecars for freshly-written base
+    * files: ONE distributed pass reading back only the key column (pruned
+    * parquet read), each executor building and writing the sidecars of its
+    * files. Bucket-index tables skip blooms (tagging is an expression, no
+    * file lookup to prune). Returns the relative paths that got a bloom. */
+  private def writeKeyBlooms(baseRels: Seq[String]): Set[String] = {
+    if (baseRels.isEmpty || config.index != StatsIndex) return Set.empty
+    import spark.implicits._
+    val root = Paths.get(basePath).toAbsolutePath
+    spark.read.parquet(baseRels.map(r => s"$basePath/$r"): _*)
+      .select(input_file_name().as("f"), col(KEY).as("k"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val file = Paths.get(new java.net.URI(f))
+        Files.write(Paths.get(file.toString + ".bloom"),
+          KeyBloom.build(it.map(_._2).toArray))
+        file.toString
+      }
+      .collect()
+      .map(abs => root.relativize(Paths.get(abs).toAbsolutePath).toString).toSet
   }
 
   // ------------------------------------------------------------ operations
@@ -1327,7 +1401,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         (instant, doomed.toSeq)
       } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
     }
-    doomed.foreach(rel => Files.deleteIfExists(Paths.get(basePath, rel)))
+    doomed.foreach { rel =>
+      Files.deleteIfExists(Paths.get(basePath, rel))
+      Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(rel)))
+    }
     instant
   }
 
@@ -1342,7 +1419,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       "cannot rollback an archival checkpoint: its files belong to older commits")
     require(!ms.exists(m => m.action == "clean" && m.instant > target.instant),
       s"cannot rollback ${target.instant}: a later clean removed needed files")
-    target.files.foreach(f => Files.deleteIfExists(Paths.get(basePath, f.path)))
+    target.files.foreach { f =>
+      Files.deleteIfExists(Paths.get(basePath, f.path))
+      Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(f.path)))
+    }
     timeline.remove(target.instant, target.action)
     val instant = timeline.startInstant("rollback")
     timeline.complete(CommitMeta(instant, "rollback", "rollback",

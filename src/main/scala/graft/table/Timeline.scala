@@ -26,7 +26,12 @@ case class FileMeta(
     origInstant: String = "",
     // metadata-only bootstrapped file: carries no graft meta columns; readers
     // derive them (and inject fileId per group where tagging/rewrites need it)
-    external: Boolean = false)
+    external: Boolean = false,
+    // a `<path>.bloom` sidecar holds a bloom filter over this base file's
+    // record keys (the reference's BLOOM_FILTERS metadata partition, ref:
+    // hudi-common .../metadata/HoodieTableMetadataUtil.java); consulted by
+    // candidateSlices after key-range pruning
+    hasBloom: Boolean = false)
 
 /** One timeline instant's metadata (ref: hudi-common
   * .../table/timeline/HoodieInstant.java + HoodieCommitMetadata.java).

@@ -365,6 +365,39 @@ class GraftTableSpec extends AnyFunSuite {
     Files.deleteIfExists(lock)
   }
 
+  test("bloom index prunes candidate files where key ranges prune nothing") {
+    val dir = tmp()
+    // tiny target size -> many file groups per partition; hash assignment
+    // makes every file's [keyMin,keyMax] span ~the whole key space, so
+    // range pruning alone keeps everything
+    val t = GraftTable.create(spark, dir, TableConfig("bloomy", CopyOnWrite,
+      keyFields = Seq("o_orderkey"), precombineField = Some("o_totalprice"),
+      partitioning = PartitionByColumns(Seq("o_orderstatus")),
+      targetFileSizeRows = 50))
+    t.bulkInsert(orders)
+    val all = t.slices(None)
+    assert(all.size > 15, s"need many groups, got ${all.size}")
+    assert(all.forall(_.baseFiles.forall(_.hasBloom)), "base files missing blooms")
+    val batch = orders.orderBy("o_orderkey").limit(3)
+    val keyed = batch
+      .withColumn(GraftTable.KEY, t.config.keyExpr)
+      .withColumn(GraftTable.PART, t.config.partitioning.pathExpr)
+    val touchedParts = keyed.select(GraftTable.PART).distinct()
+      .collect().map(_.getString(0)).toSet
+    val rangeOnly = all.count(s => touchedParts.contains(s.partition))
+    assert(rangeOnly > 6, s"expected many range-only candidates, got $rangeOnly")
+    val cands = t.candidateSlices(keyed, all)
+    assert(cands.size <= 6,
+      s"blooms kept ${cands.size} of $rangeOnly range candidates for 3 keys")
+    // no false negatives: the upsert must REPLACE the existing rows
+    t.upsert(batch.withColumn("o_totalprice", lit(77.0)))
+    assert(t.snapshot().count() === orders.count(), "bloom pruning duplicated keys")
+    val k = batch.select("o_orderkey").collect().map(_.getLong(0))
+    assert(t.snapshot().filter(col("o_orderkey").isin(k: _*))
+      .filter(col("o_totalprice") =!= 77.0).count() === 0)
+    GraftTable.drop(dir)
+  }
+
   test("compaction strategy: IO budget compacts only the worst-log groups") {
     val dir = tmp()
     val t = ordersTable(MergeOnRead, dir)
