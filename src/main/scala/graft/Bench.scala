@@ -32,12 +32,23 @@ object Bench {
       if (failed > 0) // silent skip would inflate the first timed query
         System.err.println(s"[bench] WARMUP incomplete: $failed queries failed on $warmDir")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // a crashed query must not masquerade as a fast one: negative marker
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // Multiple full sweeps, min per query: one transient OS/CPU stall (the
+    // driver box is shared) can fake a multi-second "regression" in a
+    // single-shot run. SPARK_GRAFT_BENCH_PASSES=1 restores single-shot.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps = (1 to passes).map { _ =>
+      sorted.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        // a crashed query must not masquerade as a fast one: negative marker
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val results = sorted.map { case (name, _) =>
+      val ts = sweeps.map(_.toMap.apply(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

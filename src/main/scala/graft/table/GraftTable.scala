@@ -1122,14 +1122,30 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def snapshot(asOf: Option[String] = None,
       partitionPred: String => Boolean = _ => true): DataFrame = {
     assertNotArchived(asOf, "time travel to")
-    val data = schemaAt(asOf).getOrElse(new StructType())
-    snapshotFull(asOf, data, s => partitionPred(s.partition)).drop(FILE_ID, DELETED)
+    // when the snapshot is exactly a multi-file parquet scan, serve it from
+    // the GraftFileIndex relation: full pushdown plus PLAN-TIME file
+    // skipping from commit stats — the same fast path format("graft") reads
+    // get, now for typed-API users too
+    fastScanFiles(asOf, baseOnly = false) match {
+      case Some((files, schema)) =>
+        spark.baseRelationToDataFrame(graft.sources.GraftRelations.fast(
+          spark, basePath, files.filter(f => partitionPred(f.partition)), schema))
+      case None =>
+        val data = schemaAt(asOf).getOrElse(new StructType())
+        snapshotFull(asOf, data, s => partitionPred(s.partition)).drop(FILE_ID, DELETED)
+    }
   }
 
   /** Read-optimized query: base files only, no log merge (ref: QUERY_TYPE
     * read_optimized). */
   def readOptimized(asOf: Option[String] = None): DataFrame = {
     assertNotArchived(asOf, "time travel to")
+    fastScanFiles(asOf, baseOnly = true) match {
+      case Some((files, schema)) =>
+        return spark.baseRelationToDataFrame(
+          graft.sources.GraftRelations.fast(spark, basePath, files, schema))
+      case None =>
+    }
     val data = schemaAt(asOf).getOrElse(new StructType())
     readConformed(slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)

@@ -158,6 +158,38 @@ class DataSourceSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("typed snapshot()/readOptimized() take the plan-time pruning fast path") {
+    val dir = tmp()
+    writeOrders(dir)
+    val t = GraftTable.load(spark, dir)
+    val snap = t.snapshot()
+    assert(plan(snap.filter(col("o_orderkey") === 1L)).contains("GraftFileIndex"),
+      "typed snapshot missed the native fast path")
+    // plan-time skipping: an out-of-range key scans zero files
+    assert(scannedFiles(snap.filter(col("o_orderkey") > 999999999L)) === 0)
+    val everything = scannedFiles(t.snapshot())
+    assert(scannedFiles(t.snapshot().filter(col("o_orderkey") === 1L)) < everything)
+    // partitionPred still prunes on the fast path
+    assert(t.snapshot(partitionPred = _ == "o_orderstatus=P").count() ===
+      orders.filter(col("o_orderstatus") === "P").count())
+    GraftTable.drop(dir)
+
+    // a MOR table with live logs must fall back to the merging reader
+    val dir2 = tmp()
+    val m = GraftTable.create(spark, dir2, TableConfig("mor_fast", MergeOnRead,
+      Seq("o_orderkey"), Some("o_totalprice"),
+      PartitionByColumns(Seq("o_orderstatus")), targetFileSizeRows = 400))
+    m.bulkInsert(orders)
+    m.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(1.0)))
+    assert(!plan(m.snapshot()).contains("GraftFileIndex"),
+      "logged MOR snapshot must not claim the base-only fast path")
+    assert(m.snapshot().count() === orders.count())
+    // read_optimized ignores logs -> stays native
+    assert(plan(m.readOptimized()).contains("GraftFileIndex"))
+    GraftTable.drop(dir2)
+  }
+
   test("computed-relation filter translation is sound") {
     import org.apache.spark.sql.sources._
     def c(f: Filter) = GraftComputedRelation.toColumn(f)
