@@ -67,6 +67,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(pathOf(ident), (catalogName +: ident.namespace :+ ident.name).mkString("."))
   }
 
+  /** SQL time travel: `SELECT ... FROM graft.t VERSION AS OF '<instant>'`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftV2Table(pathOf(ident),
+      (catalogName +: ident.namespace :+ ident.name).mkString("."), Some(version))
+  }
+
+  /** `... TIMESTAMP AS OF <ts>` (micros, UTC) → timeline instant form. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val asOf = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+      .format(java.time.LocalDateTime.ofEpochSecond(
+        timestamp / 1000000, ((timestamp % 1000000) * 1000).toInt,
+        java.time.ZoneOffset.UTC))
+    loadTable(ident, asOf)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -185,13 +201,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
  * The SQL surface exposes the LOGICAL schema only (no `_graft_*` meta
  * columns); lineage metadata stays on the DataFrame API reads.
  */
-class GraftV2Table(val path: String, fullName: String) extends Table {
+class GraftV2Table(val path: String, fullName: String,
+    val asOf: Option[String] = None) extends Table {
   override def name(): String = fullName
 
   private lazy val table: GraftTable = GraftTable.load(SparkSession.active, path)
 
   override lazy val schema: StructType =
-    table.schemaAt(None).orElse(GraftV2Table.storedSchema(path)).getOrElse(
+    table.schemaAt(asOf).orElse(GraftV2Table.storedSchema(path)).getOrElse(
       throw new IllegalStateException(
         s"graft table at $path has neither commits nor a declared schema"))
 

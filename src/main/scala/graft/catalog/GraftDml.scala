@@ -42,6 +42,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { case (gt, tOut) =>
+        require(gt.asOf.isEmpty, "cannot MERGE into a time-travel relation")
         require(!m.withSchemaEvolution,
           "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
         GraftMergeCommand(gt.path, expandReads(spark, m.sourceTable),
@@ -51,11 +52,13 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case u @ UpdateTable(target, assignments, condition) if u.resolved =>
       graftTarget(target).map { case (gt, tOut) =>
+        require(gt.asOf.isEmpty, "cannot UPDATE a time-travel relation")
         GraftUpdateCommand(gt.path, assignments, condition, tOut)
       }.getOrElse(u)
 
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       graftTarget(target).map { case (gt, tOut) =>
+        require(gt.asOf.isEmpty, "cannot DELETE from a time-travel relation")
         GraftDeleteCommand(gt.path, condition, tOut)
       }.getOrElse(d)
 
@@ -117,14 +120,17 @@ private[catalog] object GraftDml {
         expandRelation(spark, r)
     }
 
-  /** The relation behind a catalog read: the format("graft") DSv1 relation
-    * (native fast path + pushdown), projected to the V2 relation's data-only
-    * schema with its exprIds preserved. */
+  /** The plan behind a catalog read: the typed snapshot() frame, projected
+    * to the V2 relation's data-only schema with its exprIds preserved.
+    * snapshot() serves eligible tables from the native GraftFileIndex
+    * relation (pushdown + plan-time file skipping); MOR/evolved tables get
+    * the merging DataFrame — pure Catalyst either way, so whole-stage
+    * codegen never breaks at a DSv1 RDD boundary. */
   def expandRelation(spark: SparkSession, r: DataSourceV2Relation): LogicalPlan = {
-    val path = r.table.asInstanceOf[GraftV2Table].path
-    val rel = new graft.DefaultSource()
-      .createRelation(spark.sqlContext, Map("path" -> path))
-    val scan = spark.baseRelationToDataFrame(rel).queryExecution.analyzed
+    val gt = r.table.asInstanceOf[GraftV2Table]
+    val path = gt.path
+    val scan = GraftTable.load(spark, path).snapshot(asOf = gt.asOf)
+      .queryExecution.analyzed
     val resolver = spark.sessionState.analyzer.resolver
     Project(r.output.map { a =>
       val src = scan.output.find(o => resolver(o.name, a.name)).getOrElse(

@@ -651,25 +651,27 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Build `<file>.bloom` key-filter sidecars for freshly-written base
     * files: ONE distributed pass reading back only the key column (pruned
-    * parquet read), each executor building and writing the sidecars of its
-    * files. Bucket-index tables skip blooms (tagging is an expression, no
-    * file lookup to prune). Returns the relative paths that got a bloom. */
+    * parquet read), aggregated per file with [[KeyBloomAgg]] — partial
+    * aggregation folds keys into per-task filters map-side, so the shuffle
+    * moves a few KB per file, not the keys — and each executor writes its
+    * files' sidecars. Bucket-index tables skip blooms (tagging is an
+    * expression, no file lookup to prune). */
   private def writeKeyBlooms(baseRels: Seq[String]): Set[String] = {
     if (baseRels.isEmpty || config.index != StatsIndex) return Set.empty
     import spark.implicits._
-    val root = Paths.get(basePath).toAbsolutePath
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val bloomAgg = ColumnBridge.column(
+      KeyBloomAgg(ColumnBridge.expression(col(KEY)), config.targetFileSizeRows)
+        .toAggregateExpression())
     spark.read.parquet(baseRels.map(r => s"$basePath/$r"): _*)
-      .select(input_file_name().as("f"), col(KEY).as("k"))
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .mapGroups { (f, it) =>
-        val file = Paths.get(new java.net.URI(f))
-        Files.write(Paths.get(file.toString + ".bloom"),
-          KeyBloom.build(it.map(_._2).toArray))
-        file.toString
+      .groupBy(input_file_name().as("f"))
+      .agg(bloomAgg.as("bloom"))
+      .as[(String, Array[Byte])]
+      .foreach { (pair: (String, Array[Byte])) =>
+        val file = Paths.get(new java.net.URI(pair._1))
+        Files.write(Paths.get(file.toString + ".bloom"), pair._2); ()
       }
-      .collect()
-      .map(abs => root.relativize(Paths.get(abs).toAbsolutePath).toString).toSet
+    baseRels.toSet
   }
 
   // ------------------------------------------------------------ operations

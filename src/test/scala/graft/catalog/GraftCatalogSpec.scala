@@ -132,6 +132,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key"))
   }
 
+  test("SQL time travel: VERSION AS OF reads the old state, DML on it is rejected") {
+    val n = fresh("t_tt")
+    createOrders(n, rows = 4)
+    val v1 = GraftTable.load(spark, s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n")
+      .timeline.completed().last._1
+    sql(s"UPDATE graft.$n SET price = 0.0 WHERE id = 1")
+    assert(sql(s"SELECT price FROM graft.$n WHERE id = 1").collect()(0).getDouble(0) === 0.0)
+    val old = sql(s"SELECT price FROM graft.$n VERSION AS OF '$v1' WHERE id = 1")
+    assert(old.collect()(0).getDouble(0) === 10.0)
+    intercept[Exception] {
+      sql(s"DELETE FROM graft.$n VERSION AS OF '$v1' WHERE id = 1")
+    }
+    GraftTable.drop(s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n")
+  }
+
   test("CREATE TABLE AS SELECT, INSERT OVERWRITE") {
     val n = fresh("t_ctas")
     createOrders(n, rows = 10)
