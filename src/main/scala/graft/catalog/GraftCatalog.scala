@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, SupportsNamespaces, Table, TableCapability, TableCatalog, TableChange}
+  Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +35,7 @@ import graft.table._
  * created by the path-based API can be registered after the fact with
  * `CREATE TABLE graft.t USING graft LOCATION '<path>'`.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -146,6 +148,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       else None
     }.toArray.sorted.map(Identifier.of(namespace, _))
   }
+
+  // -- stored procedures: the reference's CALL surface --------------------
+  // (ref: hudi-spark/.../command/procedures/HoodieProcedures.scala:31) —
+  // `CALL graft.run_compaction(table => 't')` etc.; see GraftProcedures.
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
 
   // -- minimal filesystem-backed namespaces -------------------------------
   override def listNamespaces(): Array[Array[String]] = {

@@ -1,0 +1,263 @@
+package graft.catalog
+
+import java.util
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.table._
+
+/**
+ * The reference's `CALL` procedure surface (ref: hudi-spark-datasource/
+ * hudi-spark/src/main/scala/org/apache/spark/sql/hudi/command/procedures/
+ * HoodieProcedures.scala:31 — run_compaction, run_clustering, run_clean,
+ * archive_commits, rollback_to_instant, create/delete_savepoint,
+ * rollback_to_savepoint, show_commits, show_fsview_all, commits_compare, …)
+ * expressed through Spark 4's native stored-procedure API: [[GraftCatalog]]
+ * implements `ProcedureCatalog`, so literal SQL like
+ *
+ *   CALL graft.run_compaction(`table` => 'db.orders')
+ *   CALL graft.show_commits(`table` => 'db.orders', `limit` => 5)
+ *
+ * resolves, binds named/default arguments, executes the table service, and
+ * returns its result rows — where the reference needs a forked SQL parser
+ * for CALL, Spark 4 makes it a first-class statement.
+ *
+ * Each procedure is a thin adapter: resolve the `table` argument through the
+ * catalog, invoke the existing typed API (GraftTable / GraftSql — the same
+ * code paths the specs and oracle queries exercise), and surface the result
+ * as driver-local rows ([[LocalScan]] — every result here is
+ * metadata-sized: instants, file listings, counts).
+ */
+object GraftProcedures {
+
+  /** A procedure definition: fixed IN parameters, a body from bound args to
+    * result rows. */
+  private final case class Proc(
+      procName: String,
+      desc: String,
+      params: Seq[ProcedureParameter],
+      body: (GraftCatalog, Args) => (StructType, Array[InternalRow]))
+
+  /** A definition bound to one catalog instance. Parameter binding is
+    * trivial — parameters are statically typed, and Spark's analyzer has
+    * already rearranged named args and filled defaults by the time `call`
+    * runs. */
+  private final class BoundProc(cat: GraftCatalog, p: Proc)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = p.procName
+    override def description(): String = p.desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = p.params.toArray
+    override def isDeterministic: Boolean = false // table services mutate state
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val (resultSchema, resultRows) = p.body(cat, new Args(input))
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = resultSchema
+      }
+      util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** Typed accessors over the bound-argument row (ordinals follow the
+    * declared parameter order). */
+  private final class Args(row: InternalRow) {
+    def str(i: Int): String = row.getUTF8String(i).toString
+    def strOpt(i: Int): Option[String] =
+      if (row.isNullAt(i)) None else Some(str(i))
+    def int(i: Int): Int = row.getInt(i)
+    def long(i: Int): Long = row.getLong(i)
+    def double(i: Int): Double = row.getDouble(i)
+    def bool(i: Int): Boolean = row.getBoolean(i)
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def in(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** Resolve a procedure `table` argument ('name', 'ns.name', or
+    * 'catalog.ns.name') to the live table. */
+  private def tableOf(cat: GraftCatalog, ref: String): GraftTable = {
+    val parts0 = ref.split('.').toSeq.filter(_.nonEmpty)
+    val parts = if (parts0.headOption.contains(cat.name())) parts0.tail else parts0
+    require(parts.nonEmpty, s"empty table name '$ref'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    if (!cat.tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftTable.load(SparkSession.active, cat.pathOf(ident))
+  }
+
+  private def collect(df: DataFrame): (StructType, Array[InternalRow]) =
+    (df.schema, df.queryExecution.executedPlan.executeCollect())
+
+  /** A single driver-built result row (instants, counts, …). */
+  private def one(schema: StructType, values: Any*): (StructType, Array[InternalRow]) =
+    (schema, Array(InternalRow.fromSeq(values.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    })))
+
+  private val instantResult = StructType(Seq(StructField("instant", StringType)))
+
+  private val procs: Map[String, Proc] = Seq(
+    Proc("run_compaction",
+      "Fold log files into new base slices (ref: RunCompactionProcedure). " +
+        "With max_io_bytes set, compacts worst-log-debt groups within the " +
+        "IO budget (ref: LogFileSizeBasedCompactionStrategy); else all.",
+      Seq(in("table", StringType),
+        in("min_log_bytes", LongType, "0"),
+        in("max_io_bytes", LongType, "-1")),
+      (cat, a) => {
+        val strategy =
+          if (a.long(2) >= 0 || a.long(1) > 0)
+            LogSizeBounded(a.long(1), if (a.long(2) >= 0) a.long(2) else Long.MaxValue)
+          else CompactAll
+        one(instantResult, tableOf(cat, a.str(0)).compact(strategy = strategy).orNull)
+      }),
+
+    Proc("run_clustering",
+      "Rewrite live data into sorted file groups via replacecommit " +
+        "(ref: RunClusteringProcedure); order => comma-separated sort " +
+        "columns, zorder => multi-column Z-order layout.",
+      Seq(in("table", StringType),
+        in("order", StringType),
+        in("zorder", BooleanType, "false")),
+      (cat, a) => one(instantResult, tableOf(cat, a.str(0))
+        .cluster(a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq, a.bool(2)))),
+
+    Proc("run_clean",
+      "Remove unreferenced old file versions (ref: RunCleanProcedure). " +
+        "policy => file_versions | commits | hours; retain => versions/" +
+        "commits to keep or hour window.",
+      Seq(in("table", StringType),
+        in("policy", StringType, "'file_versions'"),
+        in("retain", DoubleType, "1")),
+      (cat, a) => {
+        val policy = a.str(1).toLowerCase match {
+          case "file_versions" => KeepLatestFileVersions(a.double(2).toInt)
+          case "commits" => KeepLatestCommits(a.double(2).toInt)
+          case "hours" => KeepLatestByHours(a.double(2))
+          case other => throw new IllegalArgumentException(
+            s"unknown clean policy '$other': use file_versions | commits | hours")
+        }
+        one(instantResult, tableOf(cat, a.str(0)).clean(policy))
+      }),
+
+    Proc("archive_commits",
+      "Checkpoint + move old instants to the archive timeline " +
+        "(ref: ArchiveCommitsProcedure).",
+      Seq(in("table", StringType), in("keep_last", IntegerType, "10")),
+      (cat, a) => one(StructType(Seq(StructField("archived", IntegerType))),
+        tableOf(cat, a.str(0)).archive(a.int(1)))),
+
+    Proc("rollback_to_instant",
+      "Roll back every data commit newer than the given instant " +
+        "(ref: RollbackToInstantTimeProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        tableOf(cat, a.str(0)).restore(a.str(1))
+        one(instantResult, a.str(1))
+      }),
+
+    Proc("create_savepoint",
+      "Savepoint the latest data commit — its files survive cleaning " +
+        "(ref: CreateSavepointProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => one(StructType(Seq(StructField("saved_instant", StringType))),
+        tableOf(cat, a.str(0)).savepoint())),
+
+    Proc("delete_savepoint",
+      "Drop a savepoint by its savepoint instant (ref: " +
+        "DeleteSavepointProcedure); its data files become cleanable again.",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        val t = tableOf(cat, a.str(0))
+        t.timeline.refresh()
+        require(t.timeline.metas(None)
+            .exists(m => m.action == "savepoint" && m.instant == a.str(1)),
+          s"no savepoint at instant ${a.str(1)}")
+        t.timeline.remove(a.str(1), "savepoint")
+        one(instantResult, a.str(1))
+      }),
+
+    Proc("rollback_to_savepoint",
+      "Restore the table to a savepointed data instant " +
+        "(ref: RollbackToSavepointProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        tableOf(cat, a.str(0)).restore(a.str(1))
+        one(instantResult, a.str(1))
+      }),
+
+    Proc("show_commits",
+      "Active-timeline instants, newest first (ref: ShowCommitsProcedure).",
+      Seq(in("table", StringType), in("limit", IntegerType, "20")),
+      (cat, a) => collect(tableOf(cat, a.str(0)).showCommits()
+        .orderBy(col("instant").desc).limit(a.int(1)))),
+
+    Proc("show_fsview_all",
+      "Latest file slice per file group (ref: ShowFileSystemViewProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(tableOf(cat, a.str(0)).showFileSystemView())),
+
+    Proc("show_partitions",
+      "Live partitions (ref: ShowTablePartitionsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(tableOf(cat, a.str(0)).showPartitions())),
+
+    Proc("show_savepoints",
+      "Savepoints and the data instants they pin (ref: ShowSavepointsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.showSavepoints(tableOf(cat, a.str(0))))),
+
+    Proc("show_table_properties",
+      "Table configuration as key/value rows (ref: ShowTablePropertiesProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => {
+        val t = tableOf(cat, a.str(0))
+        val c = t.config
+        val props = Seq(
+          "name" -> c.name, "type" -> c.tableType.name,
+          "recordkey.field" -> c.keyFields.mkString(","),
+          "precombine.field" -> c.precombineField.getOrElse(""),
+          "partitioning" -> c.partitioning.toString,
+          "index" -> c.index.toString,
+          "target.file.rows" -> c.targetFileSizeRows.toString,
+          "path" -> t.basePath)
+        (StructType(Seq(StructField("key", StringType), StructField("value", StringType))),
+          props.map { case (k, v) =>
+            InternalRow(UTF8String.fromString(k), UTF8String.fromString(v))
+          }.toArray)
+      }),
+
+    Proc("commits_compare",
+      "Instants present in one table's timeline but not the other's " +
+        "(ref: CommitsCompareProcedure).",
+      Seq(in("table", StringType), in("other", StringType)),
+      (cat, a) => collect(
+        GraftSql.commitsCompare(tableOf(cat, a.str(0)), tableOf(cat, a.str(1))))),
+
+    Proc("sync_metadata_table",
+      "Persist file listing + column stats as a parquet metadata table " +
+        "(ref: hudi metadata table files/column_stats partitions).",
+      Seq(in("table", StringType)),
+      (cat, a) => one(StructType(Seq(StructField("path", StringType))),
+        tableOf(cat, a.str(0)).syncMetadataTable()))
+  ).map(p => p.procName -> p).toMap
+
+  def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =
+    procs.get(ident.name.toLowerCase) match {
+      case Some(p) => new BoundProc(cat, p)
+      case None => throw new RuntimeException(
+        s"undefined procedure ${ident.name}; known: ${procs.keys.toSeq.sorted.mkString(", ")}")
+    }
+
+  def names: Seq[String] = procs.keys.toSeq.sorted
+}

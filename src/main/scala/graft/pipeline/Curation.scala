@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators for a training-data pipeline (SURVEY.md §2.3,
+ * beyond-reference): duplicate-cluster resolution over candidate pairs,
+ * deterministic stratified sampling, and token-budget shard packing.
+ */
+object Curation {
+
+  /**
+   * Connected components over an undirected candidate-pair graph —
+   * the step that turns pairwise near-dup hits (minhash/simhash/jaccard)
+   * into dedup decisions: every component keeps one canonical document.
+   *
+   * Min-label propagation to a fixpoint: each round every vertex takes the
+   * smallest component id among itself and its neighbors. Rounds are plain
+   * shuffles on vertex id, `localCheckpoint` cuts the growing lineage, and
+   * the loop stops when a round changes nothing. Near-dup graphs are
+   * star/clique-shaped (tiny diameter), so this converges in 2–4 rounds
+   * regardless of corpus size — the per-round cost is O(|E|) shuffle, the
+   * driver only sees a per-round changed-count scalar. `maxIter` bounds
+   * pathological chain graphs (diameter-length convergence).
+   *
+   * Returns (id, component) with component = the smallest vertex id in the
+   * component — deterministic, engine-independent.
+   */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      idCol: String = "id", srcCol: String = "id_a", dstCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    var comp = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      // smallest comp among each vertex's neighbors this round
+      val viaNeighbors = sym
+        .join(comp.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
+      val next = comp.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          (col("ncomp") < col("comp")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).limit(1).isEmpty
+      comp = next.select(col("id"), col("comp"))
+      round += 1
+    }
+    comp
+  }
+
+  /** Duplicate-cluster resolution: vertices + candidate pairs →
+    * (id, cluster_id, keep) where keep marks the canonical (smallest-id)
+    * member of each cluster. Downstream dedup is `filter(col("keep"))`. */
+  def dupClusters(vertices: DataFrame, pairs: DataFrame,
+      idCol: String = "id", srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame =
+    connectedComponents(vertices, pairs, idCol, srcCol, dstCol)
+      .select(col("id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("keep"))
+
+  /**
+   * Deterministic stratified Bernoulli sample: keep a row iff
+   * `md5(cast(id))` falls below the stratum's hex threshold. No RNG, no
+   * seed plumbing — the same (id, stratum, fraction) always samples the
+   * same rows on any engine or cluster size, re-runs are idempotent, and
+   * the filter is a codegen'd map-side predicate (no shuffle, pushes
+   * through scans). Fractions are honored to md5's 128-bit resolution
+   * via an 8-hex-digit (2⁻³²) threshold prefix.
+   *
+   * Strata missing from `fractions` are dropped (fraction 0).
+   */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "sampling fractions must be in [0, 1]")
+    val thresholds = fractions.map { case (s, f) => s -> hexThreshold(f) }
+    val cases = thresholds.foldLeft(lit(""): Column) { case (acc, (s, t)) =>
+      when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    df.filter(md5(col(idCol).cast("string")) < cases)
+  }
+
+  /** An 8-hex-char lower-bound threshold: P(md5 < t) = fraction (md5 hex is
+    * uniform; lexicographic compare on lowercase hex = numeric compare). */
+  def hexThreshold(fraction: Double): String = {
+    val clamped = math.min(math.max(fraction, 0.0), 1.0)
+    val v = math.round(clamped * 4294967296.0d).min(0xffffffffL)
+    f"$v%08x"
+  }
+
+  /**
+   * Token-budget shard packing: assign each document to a training shard of
+   * ~`budget` tokens, preserving `orderCol` order (shard s = docs whose
+   * cumulative token start offset lands in [s·budget, (s+1)·budget)).
+   *
+   * The global prefix sum is computed WITHOUT a single-partition window —
+   * the classic distributed scan: range-partition by `orderCol`, sum each
+   * partition (tiny per-partition totals to the driver), turn them into
+   * per-partition start offsets, then window only WITHIN each partition
+   * (parallel, no global sort/shuffle to one reducer). Results are
+   * identical to a global running sum for any partition boundaries, since
+   * range partitions are contiguous in `orderCol`.
+   */
+  def packTokenShards(df: DataFrame, tokenCol: Column, budget: Long,
+      orderCol: String, numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "shard token budget must be positive")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.withColumn("_tokens", tokenCol.cast("long"))
+      .repartitionByRange(parts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition totals: `parts` rows to the driver, a metadata read.
+    // (This job and the final one re-derive the same range boundaries —
+    // RangePartitioner's sampling is deterministic for a fixed lineage —
+    // at the cost of planning the input twice; persist upstream if it is
+    // expensive to recompute.)
+    val totals = ranged.groupBy("_pid").agg(sum("_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until parts).scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    import spark.implicits._
+    val offsetDf = (0 until parts).map(p => (p, offsets(p))).toDF("_pid", "_offset")
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("_start", col("_offset") + sum(col("_tokens")).over(w) - col("_tokens"))
+      .withColumn("shard", floor(col("_start") / budget))
+      .drop("_pid", "_offset", "_start")
+      .withColumnRenamed("_tokens", "tokens")
+  }
+}

@@ -97,6 +97,51 @@ object PipelineQueries {
       .select(col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Pairwise near-dup hits → dedup decisions: connected components over
+    * the n-gram Jaccard pairs, one canonical doc kept per cluster. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithNearDups(s, d)
+    val pairs = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
+    Curation.dupClusters(docs, pairs, idCol = "doc_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic hash-Bernoulli sample, per-language fractions. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Curation.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.125))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Token-budget shard packing in doc_id order (distributed prefix sum). */
+  def packTokenShards(s: SparkSession, d: String): DataFrame =
+    Curation.packTokenShards(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      TextFunctions.wsTokenCount(col("text")), budget = 2000L, orderCol = "doc_id")
+      .select(col("doc_id"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5,
+      nlist = 16, nprobe = 8)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Int8 scalar quantization of the embedding corpus, pinned by exact
+    * integer digests (sum and index-weighted sum of the codes). */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    val calib = Quantize.calibrate(vecs)
+    Quantize.quantizeInt8(vecs, calib)
+      .select(col("vec_id"), size(col("codes")).as("n_dims"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+        aggregate(transform(col("codes"), (q, i) => q.cast("long") * (i + 1)),
+          lit(0L), (acc, x) => acc + x).as("q_dot"))
+      .orderBy(col("vec_id"))
+  }
+
   def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(Multimodal.attachPayload(Tables.documents(s, d)))
@@ -109,8 +154,13 @@ object PipelineQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_clusters" -> (dedupClusters _),
+    "sample_stratified" -> (sampleStratified _),
+    "pack_token_shards" -> (packTokenShards _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_ivf_topk" -> (annIvfTopk _),
+    "embed_quantize" -> (embedQuantize _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -156,6 +206,65 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM all_docs),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE c::DOUBLE / (sa.sz + sb.sz - c)::DOUBLE >= 0.5),
+        |pairs AS (SELECT id_a AS src, id_b AS dst FROM scored
+        |          UNION ALL
+        |          SELECT id_b AS src, id_a AS dst FROM scored),
+        |reach(node, root) AS (
+        |  SELECT doc_id, doc_id FROM all_docs
+        |  UNION
+        |  SELECT p.dst, r.root FROM reach r JOIN pairs p ON p.src = r.node)
+        |SELECT node AS doc_id, min(root) AS cluster_id,
+        |       (min(root) = node) AS keep
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT i, min(embedding[i]::DOUBLE) AS mn, max(embedding[i]::DOUBLE) AS mx
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  GROUP BY i),
+        |codes AS (
+        |  SELECT e.vec_id, u.i,
+        |    CASE WHEN d.mx = d.mn THEN 0
+        |         ELSE CAST(round((e.embedding[u.i]::DOUBLE - d.mn) * 255.0
+        |                         / (d.mx - d.mn)) AS INTEGER) END AS q
+        |  FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS u(i)
+        |  JOIN dims d ON d.i = u.i)
+        |SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims,
+        |       CAST(sum(q) AS BIGINT) AS q_sum,
+        |       CAST(sum(q * i) AS BIGINT) AS q_dot
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '80000000'
+        |            WHEN 'fr' THEN '40000000' WHEN 'es' THEN '40000000'
+        |            WHEN 'zh' THEN '20000000' ELSE '' END
+        |ORDER BY doc_id""".stripMargin,
+    "pack_token_shards" ->
+      s"""SELECT doc_id, tokens, CAST(floor((cum - tokens) / 2000.0) AS BIGINT) AS shard
+         |FROM (
+         |  SELECT doc_id, CAST(${T.wsTokens} AS BIGINT) AS tokens,
+         |    sum(CAST(${T.wsTokens} AS BIGINT)) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH all_vecs AS (
          |  SELECT vec_id, embedding FROM embeddings

@@ -53,6 +53,77 @@ object Similarity {
     lshTopK(corpus, queries, k, planes, tables, idCol, vecCol)
   }
 
+  /** Train IVF coarse centroids with Lloyd iterations expressed as
+    * DataFrame aggregations: assign (codegen'd nearest-centroid kernel,
+    * one corpus pass) → per-(centroid, dim) mean (one shuffle of
+    * nlist×dim partial sums — map-side combined, tiny) → collect the new
+    * nlist×dim matrix to the driver (metadata-sized, like AQE stats).
+    * Initialization is the first `nlist` vectors in id order —
+    * deterministic across runs, no RNG. `sampleMod` trains on an
+    * id-strided sample (at 100 TB you train on ~10⁵ vectors, not the
+    * corpus). */
+  def trainIvfCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+      sampleMod: Long = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val sample = (if (sampleMod > 1) corpus.filter(col(idCol) % sampleMod === 0)
+                  else corpus).select(col(idCol), col(vecCol))
+    var cents = sample.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(cents.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    for (_ <- 1 to iters) {
+      val means = sample
+        .withColumn("cid", element_at(nearestCentroids(col(vecCol), cents, 1), 1))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg("v").as("m"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCid.get(c) // an empty cell keeps its old centroid
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toArray)
+          .getOrElse(cents(c))
+      }.toArray
+    }
+    cents
+  }
+
+  /** Approximate top-k via an IVF (inverted-file) index: corpus vectors are
+    * bucketed by nearest centroid, each query probes its `nprobe` nearest
+    * cells, candidates are ranked by exact cosine. The 100 TB shape:
+    * centroid assignment is one codegen'd map pass (no shuffle), the
+    * candidate join is an equi-join on `cid` — broadcast when the query
+    * side is small, shuffle otherwise (same size-aware branch as
+    * [[lshTopK]]) — and each query touches nprobe/nlist of the corpus. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 3,
+      trainSampleMod: Long = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    import graft.functions.VectorExprs._
+    val cents = trainIvfCentroids(corpus, nlist, trainIters, trainSampleMod, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cid"))
+    val doBroadcast = broadcastQueries.getOrElse {
+      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
+      threshold > 0 && est <= BigInt(threshold)
+    }
+    val joined = if (doBroadcast) c.join(broadcast(q), Seq("cid")) else c.join(q, Seq("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (normF(col("q_vec")) * normF(col("c_vec"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with `tables` independent
     * hash tables: candidates = vectors sharing a bucket with the query in
     * any table, ranked by exact cosine.

@@ -223,3 +223,31 @@ class CommitFeed(t: GraftTable, startFrom: Option[String] = None) {
       (l, df)
     }
 }
+
+/**
+ * Streaming CDC feed: like [[CommitFeed]] but each poll yields CHANGE rows —
+ * op (i/u/d) with before/after images — instead of latest-state records,
+ * so a downstream consumer can maintain a mirror, apply deletes, or audit
+ * (the reference's CDC-format incremental query,
+ * ref: hudi RFC-51 HoodieCDCRDD / `hoodie.table.cdc.enabled`; Graft computes
+ * change rows by diffing the touched file groups at the two as-of points —
+ * GraftTable.incrementalCDC — so only touched groups are read per poll).
+ *
+ * Deletes are invisible to a snapshot catch-up, so unlike [[CommitFeed]]
+ * this feed cannot fall back to a snapshot when archival has folded the
+ * cursor's history: poll() then fails fast (incrementalCDC's archival
+ * guard) rather than silently dropping the deletes — pick a retention
+ * (archive keepLast) at least as long as the slowest consumer's lag.
+ */
+class CdcFeed(t: GraftTable, startFrom: Option[String] = None) {
+  private var last: String = startFrom.getOrElse("0")
+  def lastSeen: String = last
+
+  /** Change rows (op, before, after) for commits since the last poll. */
+  def poll(): Option[(String, DataFrame)] =
+    t.latestDataInstant.filter(_ > last).map { l =>
+      val df = t.incrementalCDC(last, Some(l))
+      last = l
+      (l, df)
+    }
+}

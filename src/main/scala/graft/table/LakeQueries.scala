@@ -297,7 +297,37 @@ object LakeQueries {
     out(s.sql(s"SELECT * FROM graft.$n"))
   }
 
+  /** Stored-procedure surface end to end: a MOR table is created and
+    * mutated through literal SQL, then serviced through literal `CALL`
+    * statements — run_compaction folds the update logs, run_clean drops
+    * superseded file versions — and read back with a SELECT. The oracle
+    * pins that the whole service pipeline preserves query results
+    * (ref: hudi-spark/.../command/procedures/RunCompactionProcedure.scala,
+    * RunCleanProcedure.scala — Spark 4 makes CALL a native statement, no
+    * forked parser needed). */
+  def lakeSqlCall(s: SparkSession, d: String): DataFrame = {
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val n = s"sqlcall_$safe"
+    val src = s"orders_call_src_$safe"
+    Tables.orders(s, d).createOrReplaceTempView(src)
+    s.sql(s"DROP TABLE IF EXISTS graft.$n")
+    s.sql(
+      s"""CREATE TABLE graft.$n USING graft
+         |PARTITIONED BY (o_orderstatus)
+         |TBLPROPERTIES (
+         |  'graft.recordkey.field' = 'o_orderkey',
+         |  'graft.precombine.field' = 'o_totalprice',
+         |  'graft.table.type' = 'mor',
+         |  'graft.target.file.rows' = '50000')
+         |AS SELECT * FROM $src""".stripMargin)
+    s.sql(s"UPDATE graft.$n SET o_totalprice = o_totalprice * 2 WHERE o_orderkey % 3 = 0")
+    s.sql(s"CALL graft.run_compaction(`table` => '$n')")
+    s.sql(s"CALL graft.run_clean(`table` => '$n', `policy` => 'commits', `retain` => 1)")
+    out(s.sql(s"SELECT * FROM graft.$n"))
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_sql_call" -> (lakeSqlCall _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_dsv2_snapshot" -> (lakeDsv2Snapshot _),
     "lake_cdc" -> (lakeCdc _),
@@ -316,6 +346,14 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_sql_call" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_sql_merge" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,

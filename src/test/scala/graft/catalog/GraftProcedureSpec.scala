@@ -1,0 +1,162 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's `CALL` procedure surface (HoodieProcedures) as Spark 4
+  * stored procedures: literal `CALL graft.<proc>(...)` statements with
+  * named, positional and defaulted arguments, resolved through
+  * [[GraftCatalog]]'s ProcedureCatalog side. */
+class GraftProcedureSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def sql(q: String) = spark.sql(q)
+
+  private def freshMor(name: String, rows: Int = 30): Unit = {
+    sql(s"DROP TABLE IF EXISTS graft.$name")
+    sql(s"""CREATE TABLE graft.$name (
+           |  id BIGINT, status STRING, price DOUBLE, note STRING)
+           |USING graft PARTITIONED BY (status)
+           |TBLPROPERTIES (
+           |  'graft.recordkey.field' = 'id',
+           |  'graft.precombine.field' = 'price',
+           |  'graft.table.type' = 'mor')""".stripMargin)
+    val vals = (1 to rows).map(i =>
+      s"(${i}L, '${if (i % 2 == 0) "O" else "F"}', ${i * 10}.0, 'n$i')")
+    sql(s"INSERT INTO graft.$name VALUES ${vals.mkString(", ")}")
+  }
+
+  test("show_commits / show_partitions / show_table_properties / show_fsview_all") {
+    freshMor("p_show")
+    val commits = sql("CALL graft.show_commits(`table` => 'p_show')").collect()
+    assert(commits.length === 1 && commits(0).getString(1) === "deltacommit")
+    assert(commits(0).schema.fieldNames.toSeq ===
+      Seq("instant", "action", "operation", "n_files", "rows_written", "n_replaced"))
+    // positional args work too
+    val parts = sql("CALL graft.show_partitions('p_show')").collect()
+    assert(parts.map(_.getString(0)).sorted.toSeq === Seq("status=F", "status=O"))
+    val props = sql("CALL graft.show_table_properties('p_show')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("type") === "mor" && props("recordkey.field") === "id")
+    val fsview = sql("CALL graft.show_fsview_all(`table` => 'p_show')")
+    assert(fsview.collect().map(_.getLong(5)).sum === 30)
+  }
+
+  test("show_commits honors the limit argument and its default") {
+    freshMor("p_limit", rows = 4)
+    (1 to 3).foreach { i =>
+      sql(s"UPDATE graft.p_limit SET note = 'u$i' WHERE id = $i")
+    }
+    assert(sql("CALL graft.show_commits(`table` => 'p_limit')").count() === 4)
+    val top = sql("CALL graft.show_commits(`table` => 'p_limit', `limit` => 2)").collect()
+    assert(top.length === 2)
+    // newest first
+    assert(top(0).getString(0) > top(1).getString(0))
+  }
+
+  test("run_compaction folds MOR logs into new bases without changing results") {
+    freshMor("p_compact")
+    sql("UPDATE graft.p_compact SET price = price * 2 WHERE id % 3 = 0")
+    def logCount: Long = sql("CALL graft.show_fsview_all('p_compact')")
+      .collect().map(_.getInt(4).toLong).sum
+    assert(logCount > 0, "update on a MOR table should land in log files")
+    val before = sql("SELECT id, price FROM graft.p_compact ORDER BY id").collect()
+    val inst = sql("CALL graft.run_compaction(`table` => 'p_compact')").collect()
+    assert(inst.length === 1 && inst(0).getString(0) != null)
+    assert(logCount === 0, "compaction should leave no log files")
+    assert(sql("SELECT id, price FROM graft.p_compact ORDER BY id").collect() === before)
+  }
+
+  test("run_compaction with an IO budget compacts only the worst groups") {
+    freshMor("p_budget")
+    sql("UPDATE graft.p_budget SET note = 'x' WHERE status = 'O'") // logs in O only
+    val inst = sql(
+      "CALL graft.run_compaction(`table` => 'p_budget', `min_log_bytes` => 1)")
+      .collect()(0).getString(0)
+    assert(inst != null)
+    // with min_log_bytes=1 every log-bearing group qualifies; none remain
+    assert(sql("CALL graft.show_fsview_all('p_budget')")
+      .collect().map(_.getInt(4)).sum === 0)
+  }
+
+  test("run_clustering rewrites layout, preserves data") {
+    freshMor("p_cluster")
+    val before = sql("SELECT * FROM graft.p_cluster ORDER BY id").collect()
+    val inst = sql(
+      "CALL graft.run_clustering(`table` => 'p_cluster', `order` => 'price,id')")
+      .collect()(0).getString(0)
+    assert(inst != null)
+    assert(sql("SELECT * FROM graft.p_cluster ORDER BY id").collect() === before)
+  }
+
+  test("rollback_to_instant restores an earlier table state") {
+    freshMor("p_rb", rows = 10)
+    val first = sql("CALL graft.show_commits('p_rb')").collect()(0).getString(0)
+    sql("UPDATE graft.p_rb SET price = 0.0 WHERE id <= 5")
+    assert(sql("SELECT sum(price) AS s FROM graft.p_rb").collect()(0).getDouble(0) === 400.0)
+    sql(s"CALL graft.rollback_to_instant(`table` => 'p_rb', `instant` => '$first')")
+    assert(sql("SELECT sum(price) AS s FROM graft.p_rb").collect()(0).getDouble(0) === 550.0)
+  }
+
+  test("create_savepoint / show_savepoints / delete_savepoint / rollback_to_savepoint") {
+    freshMor("p_sp", rows = 6)
+    val saved = sql("CALL graft.create_savepoint('p_sp')").collect()(0).getString(0)
+    val sps = sql("CALL graft.show_savepoints('p_sp')").collect()
+    assert(sps.length === 1 && sps(0).getString(1) === saved)
+    sql("UPDATE graft.p_sp SET note = 'later' WHERE id = 1")
+    sql(s"CALL graft.rollback_to_savepoint(`table` => 'p_sp', `instant` => '$saved')")
+    assert(sql("SELECT note FROM graft.p_sp WHERE id = 1").collect()(0).getString(0) === "n1")
+    val spInstant = sps(0).getString(0)
+    sql(s"CALL graft.delete_savepoint(`table` => 'p_sp', `instant` => '$spInstant')")
+    assert(sql("CALL graft.show_savepoints('p_sp')").count() === 0)
+    val err = intercept[Exception] {
+      sql(s"CALL graft.delete_savepoint(`table` => 'p_sp', `instant` => '$spInstant')")
+    }
+    assert(err.getMessage.contains("no savepoint"))
+  }
+
+  test("run_clean with the commits policy keeps the retained window readable") {
+    freshMor("p_clean", rows = 8)
+    (1 to 3).foreach(i => sql(s"UPDATE graft.p_clean SET price = price + $i WHERE id = 1"))
+    val inst = sql(
+      "CALL graft.run_clean(`table` => 'p_clean', `policy` => 'commits', `retain` => 2)")
+      .collect()(0).getString(0)
+    assert(inst != null)
+    assert(sql("SELECT count(*) AS c FROM graft.p_clean").collect()(0).getLong(0) === 8)
+    val bad = intercept[Exception] {
+      sql("CALL graft.run_clean(`table` => 'p_clean', `policy` => 'bogus')")
+    }
+    assert(bad.getMessage.contains("unknown clean policy"))
+  }
+
+  test("commits_compare reports one-sided instants") {
+    freshMor("p_cmp_a", rows = 3)
+    freshMor("p_cmp_b", rows = 3)
+    val rows = sql("CALL graft.commits_compare(`table` => 'p_cmp_a', `other` => 'p_cmp_b')")
+      .collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getString(1)).sorted.toSeq === Seq("only_left", "only_right"))
+  }
+
+  test("archive_commits + sync_metadata_table run through CALL") {
+    freshMor("p_arch", rows = 5)
+    (1 to 4).foreach(i => sql(s"UPDATE graft.p_arch SET note = 'a$i' WHERE id = $i"))
+    val archived = sql("CALL graft.archive_commits(`table` => 'p_arch', `keep_last` => 2)")
+      .collect()(0).getInt(0)
+    assert(archived > 0)
+    assert(sql("SELECT count(*) AS c FROM graft.p_arch").collect()(0).getLong(0) === 5)
+    val path = sql("CALL graft.sync_metadata_table('p_arch')").collect()(0).getString(0)
+    assert(spark.read.parquet(path).count() > 0)
+  }
+
+  test("unknown procedure fails with the known-procedure list") {
+    val err = intercept[Exception] { sql("CALL graft.run_nonsense('t')") }
+    // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
+    // actionable list rides in the cause
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("FAILED_TO_LOAD_ROUTINE"))
+    assert(messages.contains("undefined procedure") &&
+      messages.contains("run_compaction"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents: chain + clique + isolated vertex") {
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    // chain 1-2-3-4 (diameter forces multiple rounds), clique 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L)).toDF("id_a", "id_b")
+    val comp = Curation.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("dupClusters keeps exactly the smallest id per cluster") {
+    val verts = Seq(5L, 6L, 7L, 8L).toDF("id")
+    val pairs = Seq((6L, 5L), (7L, 6L)).toDF("id_a", "id_b")
+    val rows = Curation.dupClusters(verts, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq((5L, 5L, true), (6L, 5L, false),
+      (7L, 5L, false), (8L, 8L, true)))
+  }
+
+  test("hexThreshold maps fractions to 2^-32-granular hex bounds") {
+    assert(Curation.hexThreshold(0.0) === "00000000")
+    assert(Curation.hexThreshold(0.5) === "80000000")
+    assert(Curation.hexThreshold(0.25) === "40000000")
+    assert(Curation.hexThreshold(1.0) === "ffffffff")
+  }
+
+  test("stratifiedSample is deterministic, honors fractions, drops unknown strata") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val frac = Map("a" -> 0.5)
+    val s1 = Curation.stratifiedSample(df, "stratum", "id", frac)
+    val s2 = Curation.stratifiedSample(df, "stratum", "id", frac)
+    assert(s1.collect().sortBy(_.getLong(0)).toSeq ===
+      s2.collect().sortBy(_.getLong(0)).toSeq)
+    assert(s1.filter(col("stratum") === "b").count() === 0, "unknown stratum kept")
+    val kept = s1.count().toDouble / 2000
+    assert(kept > 0.4 && kept < 0.6, s"fraction 0.5 sampled $kept")
+  }
+
+  test("packTokenShards equals a global running-sum assignment across partitions") {
+    val rows = (1 to 40).map(i => (i.toLong, s"doc $i", (i % 7 + 1) * 3L))
+    val df = rows.toDF("doc_id", "text", "n")
+    val packed = Curation.packTokenShards(df, col("n"), budget = 20L,
+      orderCol = "doc_id", numPartitions = 5)
+      .select("doc_id", "tokens", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // reference: sequential scan on the driver
+    var cum = 0L
+    val expected = rows.sortBy(_._1).map { case (id, _, n) =>
+      val start = cum; cum += n; (id, n, start / 20L)
+    }
+    assert(packed.toSeq === expected)
+    // shards are contiguous and every shard except the last crosses budget
+    val perShard = expected.groupBy(_._3).toSeq.sortBy(_._1)
+    assert(perShard.map(_._1) === perShard.indices.map(_.toLong))
+  }
+
+  test("packTokenShards: a document larger than the budget gets its own start shard") {
+    val df = Seq((1L, 50L), (2L, 5L), (3L, 5L)).toDF("doc_id", "n")
+    val out = Curation.packTokenShards(df, col("n"), budget = 10L, orderCol = "doc_id")
+      .select("doc_id", "shard").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 0L), (2L, 5L), (3L, 5L)))
+  }
+
+  test("quantizeInt8 codes stay in [0,255] and dequantize within half a step") {
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+    val calib = Quantize.calibrate(vecs)
+    assert(calib.length === 64 && calib.forall { case (mn, mx) => mx >= mn })
+    val q = Quantize.quantizeInt8(vecs, calib)
+    val bounds = q.select(array_min(col("codes")).as("lo"), array_max(col("codes")).as("hi"))
+      .agg(min("lo"), max("hi")).collect()(0)
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) <= 255)
+    // reconstruction error per dimension ≤ half a quantization step
+    val err = q.withColumn("deq", Quantize.dequantize(q, calib))
+      .select(aggregate(zip_with(col("embedding"), col("deq"),
+        (a, b) => abs(a.cast("double") - b)), lit(0.0d),
+        (acc, x) => greatest(acc, x)).as("maxerr"))
+      .agg(max("maxerr")).collect()(0).getDouble(0)
+    val maxStep = calib.map { case (mn, mx) => (mx - mn) / 255.0 }.max
+    assert(err <= maxStep / 2 + 1e-9, s"dequantize error $err > half step")
+  }
+
+  test("ivfTopK with nprobe = nlist reproduces brute force exactly") {
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._3))
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._3))
+    assert(ivf.toSeq === exact.toSeq)
+  }
+
+  test("ivfTopK recall@5 with nprobe = nlist/2 stays useful") {
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, queries, k = 5, nlist = 16, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@5 = $recall")
+  }
+}

@@ -223,6 +223,32 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("CdcFeed polls change rows with op and before/after images") {
+    val dir = Files.createTempDirectory("graft_cdcfeed_").toString
+    val t = eventsTable(dir)
+    t.bulkInsert(Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "view", 2.0)).toDF())
+    val feed = new CdcFeed(t)
+    val first = feed.poll()
+    assert(first.nonEmpty)
+    assert(first.get._2.select("op").collect().map(_.getString(0)).toSeq === Seq("i", "i"))
+    assert(feed.poll().isEmpty) // nothing new
+    // an update, an insert and a delete in the next window
+    t.upsert(Seq(Event(2, ts(9), 1, "view", 7.0), Event(5, ts(4), 2, "click", 1.0)).toDF())
+    t.delete(Seq(Event(1, ts(0), 1, "click", 1.0)).toDF())
+    val rows = feed.poll().get._2
+      .select(coalesce(col("before.event_id"), col("after.event_id")).as("id"),
+        col("op"), col("before.value"), col("after.value"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    assert(rows.toSeq === Seq(
+      (1L, "d", Some(1.0), None),
+      (2L, "u", Some(2.0), Some(7.0)),
+      (5L, "i", None, Some(1.0))))
+    assert(feed.poll().isEmpty)
+    GraftTable.drop(dir)
+  }
+
   test("archival: old instants fold into a checkpoint, reads keep working") {
     val dir = Files.createTempDirectory("graft_arch_").toString
     val t = eventsTable(dir)
