@@ -125,12 +125,23 @@ object GraftProcedures {
     Proc("run_clustering",
       "Rewrite live data into sorted file groups via replacecommit " +
         "(ref: RunClusteringProcedure); order => comma-separated sort " +
-        "columns, zorder => multi-column Z-order layout.",
+        "columns, zorder => multi-column Z-order layout; small_file_bytes " +
+        "> 0 consolidates only small groups within max_io_bytes " +
+        "(ref: SparkSizeBasedClusteringPlanStrategy).",
       Seq(in("table", StringType),
         in("order", StringType),
-        in("zorder", BooleanType, "false")),
-      (cat, a) => one(instantResult, tableOf(cat, a.str(0))
-        .cluster(a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq, a.bool(2)))),
+        in("zorder", BooleanType, "false"),
+        in("small_file_bytes", LongType, "-1"),
+        in("max_io_bytes", LongType, "-1")),
+      (cat, a) => {
+        val strategy =
+          if (a.long(3) > 0)
+            SmallFileBounded(a.long(3), if (a.long(4) >= 0) a.long(4) else Long.MaxValue)
+          else ClusterAll
+        one(instantResult, tableOf(cat, a.str(0))
+          .cluster(a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            a.bool(2), strategy = strategy).orNull)
+      }),
 
     Proc("run_clean",
       "Remove unreferenced old file versions (ref: RunCleanProcedure). " +
@@ -164,6 +175,23 @@ object GraftProcedures {
       (cat, a) => {
         tableOf(cat, a.str(0)).restore(a.str(1))
         one(instantResult, a.str(1))
+      }),
+
+    Proc("run_rollback",
+      "Roll back the most recent data commit: delete its files, drop the " +
+        "instant (ref: RunRollbackInflightTableServiceProcedure / rollback).",
+      Seq(in("table", StringType)),
+      (cat, a) => one(instantResult, tableOf(cat, a.str(0)).rollback().orNull)),
+
+    Proc("show_archived_commits",
+      "Instants folded into the archive timeline (ref: " +
+        "ShowArchivedCommitsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => {
+        val t = tableOf(cat, a.str(0))
+        t.timeline.refresh()
+        (instantResult, t.timeline.archivedInstants()
+          .map(i => InternalRow(UTF8String.fromString(i))).toArray)
       }),
 
     Proc("create_savepoint",

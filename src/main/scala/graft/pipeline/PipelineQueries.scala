@@ -142,6 +142,23 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The operators COMPOSED as one curation pipeline — quality gate →
+    * exact dedup → stratified sample → token-shard packing — the shape a
+    * real training-data job chains, end-to-end oracle-checked. */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val keep = TextFunctions.qualityColumns(col("text")).toMap.apply("keep")
+    val quality = docs.filter(keep === 1)
+    val deduped = Dedup.exact(quality)
+    val sampled = Curation.stratifiedSample(deduped, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.5))
+    Curation.packTokenShards(
+      sampled.select(col("doc_id"), col("lang"), col("text")),
+      TextFunctions.wsTokenCount(col("text")), budget = 2000L, orderCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(Multimodal.attachPayload(Tables.documents(s, d)))
@@ -161,6 +178,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),
+    "pipeline_curate" -> (pipelineCurate _),
     "text_tokens" -> (textTokens _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -250,6 +268,31 @@ object PipelineQueries {
         |       CAST(sum(q) AS BIGINT) AS q_sum,
         |       CAST(sum(q * i) AS BIGINT) AS q_dot
         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang, ${T.wsTokens} AS n_words,
+         |      length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+         |        / greatest(${T.wsTokens}, 1)::DOUBLE AS mwl,
+         |      (${T.punct})::DOUBLE / greatest(length(text), 1)::DOUBLE AS pr
+         |    FROM documents)
+         |  WHERE n_words >= 10 AND n_words <= 100000
+         |    AND mwl >= 2.0 AND mwl <= 12.0 AND pr <= 0.2),
+         |d AS (SELECT doc_id, text, lang FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY md5(text)
+         |                                   ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |s AS (SELECT doc_id, text, lang FROM d
+         |  WHERE md5(CAST(doc_id AS VARCHAR)) < CASE lang
+         |    WHEN 'en' THEN '80000000' WHEN 'de' THEN '80000000'
+         |    WHEN 'fr' THEN '80000000' WHEN 'es' THEN '80000000'
+         |    WHEN 'zh' THEN '80000000' ELSE '' END),
+         |p AS (SELECT doc_id, lang, CAST(${T.wsTokens} AS BIGINT) AS tokens FROM s)
+         |SELECT doc_id, lang, tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+         |    / 2000.0) AS BIGINT) AS shard
+         |FROM p ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE md5(CAST(doc_id AS VARCHAR)) <

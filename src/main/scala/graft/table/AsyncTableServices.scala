@@ -31,7 +31,7 @@ class AsyncTableServices(t: GraftTable, threads: Int = 2) extends AutoCloseable 
     Future(t.compact(partitionPred))
 
   def clusterAsync(sortCols: Seq[String], zorder: Boolean = false,
-      partitionPred: String => Boolean = _ => true): Future[String] =
+      partitionPred: String => Boolean = _ => true): Future[Option[String]] =
     Future(t.cluster(sortCols, zorder, partitionPred))
 
   def cleanAsync(retainVersions: Int = 1): Future[String] =

@@ -258,10 +258,34 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * ZooKeeper/DynamoDB-style provider. */
   @volatile var lockProvider: LockProvider = new FileLockProvider(basePath)
 
+  /** Pre-commit validators (ref: hudi-spark-client .../client/validator/
+    * SparkPreCommitValidator.java + hoodie.precommit.validators): each sees
+    * the table state before the commit and the state the inflight commit
+    * WOULD produce; a throw rejects the commit (staged files stay
+    * unreferenced, the instant is aborted by the write's failure path). */
+  @volatile var preCommitValidators: Seq[PreCommitValidator] = Nil
+
   /** Conflict-check and complete atomically: the lock closes the race where
     * two writers both pass detectConflict and then both commit. */
   private def commitGuarded(startLatest: String, groups: Set[String],
-      partitions: Set[String], meta: CommitMeta, anyCommit: Boolean = false): Unit =
+      partitions: Set[String], meta: CommitMeta, anyCommit: Boolean = false): Unit = {
+    // validation runs BEFORE the lock: validator queries are Spark jobs, and
+    // holding the commit lock through them would starve concurrent writers
+    // past the lock timeout (same reasoning as clean()'s deferred deletes).
+    // A commit landing between validation and completion is caught by
+    // detectConflict if it overlaps; a non-overlapping one shifts the
+    // "before" state, the same window the reference accepts.
+    // validators gate USER data writes, not layout-preserving table
+    // services (compaction/clustering leave query results unchanged, so an
+    // inequality validator would always reject them) — the reference
+    // likewise runs them only in write-commit finalization
+    val service = Set("compact", "cluster")
+    if (preCommitValidators.nonEmpty && dataActions(meta.action)
+        && !service(meta.operation)) {
+      val before = snapshot()
+      val after = snapshotPending(meta)
+      preCommitValidators.foreach(_.validate(before, after))
+    }
     lockProvider.withLock {
       if (detectConflict(startLatest, groups, partitions, anyCommit))
         throw new ConcurrentWriteException(
@@ -271,6 +295,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       lockProvider.assertHeld()
       timeline.complete(meta)
     }
+  }
+
+  /** The snapshot the table would serve if `meta` completed now. */
+  private def snapshotPending(meta: CommitMeta): DataFrame = {
+    val data = Option(meta.schemaJson).filter(_.nonEmpty)
+      .map(DataType.fromJson(_).asInstanceOf[StructType])
+      .orElse(schemaAt(None)).getOrElse(new StructType())
+    val all = (timeline.metas(None) :+ meta).filter(m => dataActions(m.action))
+    snapshotOf(slicesFrom(all, None), data).drop(FILE_ID, DELETED)
+  }
 
   // ----------------------------------------------------------------- schema
 
@@ -330,8 +364,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * for any instant not older than the newest ARCHIVED instant (earlier
     * states were physically folded away; [[assertNotArchived]] guards the
     * public readers). */
-  def slices(asOf: Option[String] = None): Seq[FileSlice] = {
-    val all = timeline.metas(None).filter(m => dataActions(m.action))
+  def slices(asOf: Option[String] = None): Seq[FileSlice] =
+    slicesFrom(timeline.metas(None).filter(m => dataActions(m.action)), asOf)
+
+  /** Slice view over an explicit meta sequence — lets pre-commit validation
+    * see the table as it WOULD look with an inflight commit appended. */
+  private def slicesFrom(all: Seq[CommitMeta], asOf: Option[String]): Seq[FileSlice] = {
     val ms = asOf match {
       case None => all
       case Some(t) => all.flatMap { m =>
@@ -1106,8 +1144,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * passing `slicePred`, conformed to `data`. The MOR merge window runs
     * only over file groups that actually have logs. */
   private def snapshotFull(asOf: Option[String], data: StructType,
-      slicePred: FileSlice => Boolean): DataFrame = {
-    val ss = slices(asOf).filter(slicePred)
+      slicePred: FileSlice => Boolean): DataFrame =
+    snapshotOf(slices(asOf).filter(slicePred), data)
+
+  private def snapshotOf(ss: Seq[FileSlice], data: StructType): DataFrame = {
     val (logged, plain) = ss.partition(_.logs.nonEmpty)
     val plainDf = readConformed(plain.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
     val all = if (logged.isEmpty) plainDf else {
@@ -1294,13 +1334,35 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   /** Clustering (ref: RunClusteringProcedure): rewrite the table's live data
     * into range-partitioned, sorted file groups — linear sort or Z-order —
     * via a replacecommit. Original commit times are preserved per row, so
-    * incremental reads are unaffected. */
+    * incremental reads are unaffected.
+    *
+    * `strategy` picks the TARGETS (ref: SparkSizeBasedClusteringPlanStrategy):
+    * [[SmallFileBounded]] consolidates only small-file groups within an IO
+    * budget and returns None when fewer than two qualify (nothing to merge). */
   def cluster(sortCols: Seq[String], zorder: Boolean = false,
-      partitionPred: String => Boolean = _ => true): String = {
+      partitionPred: String => Boolean = _ => true,
+      strategy: ClusteringStrategy = ClusterAll): Option[String] = {
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant("replacecommit")
     try {
-      val cur = slices(None).filter(s => partitionPred(s.partition))
+      val live = slices(None).filter(s => partitionPred(s.partition))
+      val cur = strategy match {
+        case ClusterAll => live
+        case SmallFileBounded(limit, budget) =>
+          def sliceBytes(s: FileSlice): Long =
+            (s.baseFiles ++ s.logs.map(_._2)).map { f =>
+              if (f.bytes > 0) f.bytes
+              else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
+            }.sum
+          val small = live.map(s => (s, sliceBytes(s))).filter(_._2 < limit)
+            .sortBy { case (s, b) => (b, s.partition, s.fileId) }
+          var io = 0L
+          small.takeWhile { case (_, b) => io += 2 * b; io <= budget }.map(_._1)
+      }
+      if (cur.isEmpty || (strategy != ClusterAll && cur.sizeIs < 2)) {
+        timeline.abort(instant, "replacecommit")
+        return None
+      }
       val data = schemaAt(None).getOrElse(new StructType())
       val zordered = zorder && sortCols.size >= 2
       val rows0 = readSliceRows(cur, data).filter(!col(DELETED))
@@ -1327,7 +1389,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         CommitMeta(instant, "replacecommit", "cluster",
           schemaJson = data.json, files = files,
           replaced = cur.map(s => s"${s.partition}|${s.fileId}")))
-      instant
+      Some(instant)
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
   }
 

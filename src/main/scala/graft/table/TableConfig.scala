@@ -89,6 +89,18 @@ case object CompactAll extends CompactionStrategy
 case class LogSizeBounded(minLogBytes: Long = 0,
     maxIOBytes: Long = Long.MaxValue) extends CompactionStrategy
 
+/** Clustering target selection (ref: hudi-client-common .../cluster/strategy/
+  * SparkSizeBasedClusteringPlanStrategy.java — `small.file.limit` +
+  * `max.bytes.per.group`): [[ClusterAll]] re-lays-out every live slice;
+  * [[SmallFileBounded]] consolidates only groups whose total bytes are under
+  * `smallFileBytes`, smallest first, stopping when the estimated IO
+  * (read + rewrite ≈ 2× the group) exceeds `maxIOBytes` — at 100 TB you
+  * cluster the small-file debt each cycle, not the whole table. */
+sealed trait ClusteringStrategy
+case object ClusterAll extends ClusteringStrategy
+case class SmallFileBounded(smallFileBytes: Long,
+    maxIOBytes: Long = Long.MaxValue) extends ClusteringStrategy
+
 /**
  * Graft table configuration, persisted as `<base>/.graft/table.json`.
  *

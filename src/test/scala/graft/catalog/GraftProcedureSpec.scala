@@ -147,6 +147,29 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) AS c FROM graft.p_arch").collect()(0).getLong(0) === 5)
     val path = sql("CALL graft.sync_metadata_table('p_arch')").collect()(0).getString(0)
     assert(spark.read.parquet(path).count() > 0)
+    val archInstants = sql("CALL graft.show_archived_commits('p_arch')").collect()
+    assert(archInstants.length === archived)
+  }
+
+  test("run_rollback undoes the most recent data commit") {
+    freshMor("p_runrb", rows = 6)
+    sql("UPDATE graft.p_runrb SET price = 0.0 WHERE id = 1")
+    assert(sql("SELECT price FROM graft.p_runrb WHERE id = 1")
+      .collect()(0).getDouble(0) === 0.0)
+    val rolled = sql("CALL graft.run_rollback(`table` => 'p_runrb')")
+      .collect()(0).getString(0)
+    assert(rolled != null)
+    assert(sql("SELECT price FROM graft.p_runrb WHERE id = 1")
+      .collect()(0).getDouble(0) === 10.0)
+  }
+
+  test("SHOW PROCEDURES / DESCRIBE PROCEDURE surface the catalog's procedures") {
+    val names = sql("SHOW PROCEDURES IN graft").collect().map(_.getString(3))
+    assert(names.length >= 15 && names.contains("run_compaction")
+      && names.contains("show_commits"))
+    val desc = sql("DESCRIBE PROCEDURE graft.run_clean")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("run_clean") && desc.contains("file_versions"))
   }
 
   test("unknown procedure fails with the known-procedure list") {

@@ -24,6 +24,38 @@ class GraftTableSpec extends AnyFunSuite {
   private def keys(df: DataFrame): Set[Long] =
     df.select("o_orderkey").collect().map(_.getLong(0)).toSet
 
+  test("clustering SmallFileBounded consolidates only small groups within the IO budget") {
+    import graft.TestSpark.spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("smallc", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None,
+      partitioning = NonPartitioned, targetFileSizeRows = 10000))
+    // one big group + three small ones (bulk_insert never bin-packs)
+    t.bulkInsert((1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    t.bulkInsert((10001 to 10050).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    t.bulkInsert((20001 to 20050).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    t.bulkInsert((30001 to 30050).map(i => (i.toLong, s"v$i")).toDF("k", "s"))
+    val before = t.snapshot().select("k").collect().map(_.getLong(0)).sorted
+    val bySize = t.slices(None)
+      .map(s => s.fileId -> s.baseFiles.map(_.bytes).sum).sortBy(_._2)
+    assert(bySize.size === 4)
+    val (bigId, bigBytes) = bySize.last
+    // limit excludes the big group; budget covers only the two smallest
+    val budget = 2 * (bySize(0)._2 + bySize(1)._2) + 1
+    val inst = t.cluster(Seq("k"), strategy = SmallFileBounded(bigBytes, budget))
+    assert(inst.nonEmpty)
+    val after = t.slices(None)
+    assert(after.size === 3, s"expected big + untouched small + merged, got $after")
+    assert(after.exists(_.fileId == bigId), "big group must not be rewritten")
+    assert(after.exists(_.fileId == bySize(2)._1), "over-budget small group must survive")
+    assert(t.snapshot().select("k").collect().map(_.getLong(0)).sorted === before)
+    // nothing under the limit → no-op, no commit
+    val commits = t.timeline.completed().size
+    assert(t.cluster(Seq("k"), strategy = SmallFileBounded(1)).isEmpty)
+    assert(t.timeline.completed().size === commits)
+    GraftTable.drop(dir)
+  }
+
   test("cow: bulk insert + snapshot round-trips") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
