@@ -1,8 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{
-  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import graft.sources.{GraftComputedRelation, GraftRelations}
 import graft.table._
 
@@ -41,7 +44,7 @@ import graft.table._
  *    table = insert_overwrite_table; `ErrorIfExists`/`Ignore` as usual.
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
   import DefaultSource._
 
   override def shortName(): String = "graft"
@@ -106,7 +109,44 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters)
   }
 
-  private def configFrom(parameters: Map[String, String], path: String): TableConfig = {
+  /** `df.writeStream.format("graft")...start(path)` — the reference's
+    * streaming front door (ref: hudi-spark-datasource/hudi-spark/src/main/
+    * scala/org/apache/hudi/HoodieStreamingSink.scala): each micro-batch runs
+    * the configured write operation with the checkpoint-scoped batch id
+    * recorded in the commit, so a replayed batch after a crash dedups —
+    * the same exactly-once scheme as GraftStreaming.upsertSink. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") streaming sink needs .start(<table base path>)"))
+    new GraftStreamSink(sqlContext.sparkSession, path, parameters)
+  }
+
+}
+
+class GraftStreamSink(spark: SparkSession, path: String,
+    parameters: Map[String, String]) extends Sink {
+  import DefaultSource._
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val t = if (GraftTable.exists(path)) GraftTable.load(spark, path)
+            else GraftTable.create(spark, path, configFrom(parameters, path))
+    // the checkpoint dir is the stream identity: batch ids restart at 0 for
+    // a fresh checkpoint, so the scope keeps a new query from skipping its
+    // first batches on a table with streaming history
+    val streamId = parameters.getOrElse("checkpointLocation", path)
+    if (!graft.streaming.GraftStreaming.batchCommitted(t, streamId, batchId)) {
+      val batch = org.apache.spark.sql.graftbridge.DatasetBridge.unstream(data)
+      t.writeBatch(batch, parameters.getOrElse(OPERATION, "upsert"),
+        Map("streamBatchId" -> s"$streamId#$batchId"))
+    }
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
+}
+
+object DefaultSource {
+  private[graft] def configFrom(parameters: Map[String, String], path: String): TableConfig = {
     val keys = parameters.getOrElse(RECORDKEY_FIELD,
       throw new IllegalArgumentException(
         s"creating a graft table requires $RECORDKEY_FIELD"))
@@ -127,11 +167,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       partitioning = partitioning,
       index = parameters.get(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
         .getOrElse(StatsIndex),
-      targetFileSizeRows = parameters.getOrElse(TARGET_FILE_ROWS, "1000000").toLong)
+      targetFileSizeRows = parameters.getOrElse(TARGET_FILE_ROWS, "1000000").toLong,
+      payload = MergePayload.of(parameters.getOrElse(PAYLOAD, "overwrite_latest")))
   }
-}
 
-object DefaultSource {
   // read options (ref: hudi DataSourceReadOptions)
   val QUERY_TYPE = "graft.query.type"
   val AS_OF_INSTANT = "as.of.instant"
@@ -148,4 +187,6 @@ object DefaultSource {
   val PARTITION_TS_FORMAT = "graft.partition.timestamp.format"
   val INDEX_BUCKETS = "graft.index.buckets"
   val TARGET_FILE_ROWS = "graft.target.file.rows"
+  // merge payload semantics (ref: hudi hoodie.datasource.write.payload.class)
+  val PAYLOAD = "graft.merge.payload"
 }

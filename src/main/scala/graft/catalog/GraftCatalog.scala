@@ -280,6 +280,7 @@ object GraftV2Table {
       partitioning = partitioning,
       index = p(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
         .getOrElse(StatsIndex),
-      targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong)
+      targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong,
+      payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")))
   }
 }

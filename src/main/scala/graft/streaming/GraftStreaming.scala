@@ -53,7 +53,7 @@ object GraftStreaming {
     * id per stream under "streamBatchIds" (batch ids are monotonic per
     * stream, so the max is a complete dedup watermark and the carry stays
     * O(#streams), not O(#batches)) — a replay after archival still dedups. */
-  private def batchCommitted(t: GraftTable, streamId: String, batchId: Long): Boolean = {
+  private[graft] def batchCommitted(t: GraftTable, streamId: String, batchId: Long): Boolean = {
     val key = s"$streamId#$batchId"
     t.timeline.metas(None).exists(m =>
       m.extra.get("streamBatchId").contains(key) ||

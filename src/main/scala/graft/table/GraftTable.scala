@@ -62,7 +62,8 @@ object GraftTable {
         case StatsIndex => Map("kind" -> "stats")
         case BucketIndex(n) => Map("kind" -> "bucket", "buckets" -> n)
       }),
-      "targetFileSizeRows" -> config.targetFileSizeRows)))
+      "targetFileSizeRows" -> config.targetFileSizeRows,
+      "payload" -> config.payload.name)))
     val t = new GraftTable(spark, path, config)
     t.timeline.init()
     t
@@ -86,7 +87,8 @@ object GraftTable {
       raw("name").toString, TableType.of(raw("tableType").toString),
       raw("keyFields").asInstanceOf[Seq[String]],
       Option(raw.getOrElse("precombineField", null)).map(_.toString),
-      part, idx, raw("targetFileSizeRows").toString.toLong))
+      part, idx, raw("targetFileSizeRows").toString.toLong,
+      MergePayload.of(raw.getOrElse("payload", "overwrite_latest").toString)))
   }
 
   def exists(path: String): Boolean =
@@ -804,12 +806,27 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             (cleaned, touchedExisting, touchedExisting)
           } else {
             val affected = touchedExisting.toSeq.flatMap(curByKey.get)
-            val oldRows =
-              if (affected.isEmpty) None
-              else Some(readSliceRows(affected, merged, needFileId = true)
-                .join(assigned.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_anti"))
-            val newRows = assigned.filter(!col(DELETED))
-            (oldRows.map(_.unionByName(newRows)).getOrElse(newRows), Set.empty[String], touchedExisting)
+            val out = config.payload match {
+              case EventTimeOrdered if affected.nonEmpty =>
+                // event-order merge: the stored row SURVIVES when its
+                // ordering value beats the incoming one's (a stale update
+                // or delete is ignored) — ref DefaultHoodieRecordPayload.
+                // Surviving old rows keep their original commit time and
+                // file id, so incremental reads and group layout hold.
+                mergeLatest(readSliceRows(affected, merged, needFileId = true)
+                  .unionByName(assigned)).filter(!col(DELETED))
+              case _ =>
+                // arrival-order merge: incoming rows replace stored ones
+                // outright — old versions of batch keys anti-join away
+                val oldRows =
+                  if (affected.isEmpty) None
+                  else Some(readSliceRows(affected, merged, needFileId = true)
+                    .join(assigned.select(col(KEY), col(PART)).distinct(),
+                      Seq(KEY, PART), "left_anti"))
+                val newRows = assigned.filter(!col(DELETED))
+                oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
+            }
+            (out, Set.empty[String], touchedExisting)
           }
         }
       val files = stageWrite(out, instant, logGroups)
@@ -841,10 +858,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     else mergeLatest(b.unionByName(readConformed(logsF, data, needFileId)))
   }
 
-  /** Latest-wins merge across base+log rows of the same keys. */
+  /** Latest-wins merge across base+log rows of the same keys. Ordering
+    * follows the table's [[MergePayload]]: arrival order (commit first,
+    * precombine as tiebreak) or event order (precombine first, newer
+    * commit wins ties — ref DefaultHoodieRecordPayload's
+    * needsUpdatingPersistedRecord). */
   private def mergeLatest(u: DataFrame): DataFrame = {
-    val ord = Seq(col(COMMIT).desc) ++
-      config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq
+    val ord = config.payload match {
+      case OverwriteLatest =>
+        Seq(col(COMMIT).desc) ++
+          config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq
+      case EventTimeOrdered =>
+        config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq :+
+          col(COMMIT).desc
+    }
     val w = Window.partitionBy(col(PART), col(KEY)).orderBy(ord: _*)
     u.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
   }

@@ -326,7 +326,27 @@ object LakeQueries {
     out(s.sql(s"SELECT * FROM graft.$n"))
   }
 
+  /** Event-time merge payload (ref: DefaultHoodieRecordPayload): a
+    * late-arriving STALE batch — ordering value below the stored row's —
+    * is ignored; a fresh batch with a higher ordering value wins. Keys
+    * divisible by 70 see both: the stale update loses, the fresh one
+    * lands. */
+  def lakeEventTime(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("eventtime", d),
+      ordersCfg(CopyOnWrite).copy(payload = EventTimeOrdered))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+      .withColumn("o_orderpriority", lit("STALE")))
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("FRESH")))
+    out(t.snapshot())
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_event_time" -> (lakeEventTime _),
     "lake_sql_call" -> (lakeSqlCall _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_dsv2_snapshot" -> (lakeDsv2Snapshot _),
@@ -346,6 +366,16 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_event_time" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN 'FRESH'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_sql_call" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,

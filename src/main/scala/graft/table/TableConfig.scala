@@ -101,6 +101,28 @@ case object ClusterAll extends ClusteringStrategy
 case class SmallFileBounded(smallFileBytes: Long,
     maxIOBytes: Long = Long.MaxValue) extends ClusteringStrategy
 
+/** Merge payload semantics across commits (ref: hudi
+  * hoodie.datasource.write.payload.class):
+  *  - [[OverwriteLatest]] ~ OverwriteWithLatestAvroPayload: ARRIVAL order —
+  *    the row from the newest commit wins (default).
+  *  - [[EventTimeOrdered]] ~ DefaultHoodieRecordPayload: EVENT order — the
+  *    row with the highest precombine value wins, so a late-arriving STALE
+  *    update (lower ordering value than the stored row) is ignored; ties go
+  *    to the newer commit. Applies to the standard upsert/delete/snapshot
+  *    merge; the partial/global upsert variants keep arrival order (as the
+  *    reference restricts payload support). */
+sealed trait MergePayload { def name: String }
+case object OverwriteLatest extends MergePayload { val name = "overwrite_latest" }
+case object EventTimeOrdered extends MergePayload { val name = "event_time" }
+object MergePayload {
+  def of(s: String): MergePayload = s match {
+    case "overwrite_latest" => OverwriteLatest
+    case "event_time" => EventTimeOrdered
+    case other => throw new IllegalArgumentException(
+      s"unknown merge payload $other (overwrite_latest | event_time)")
+  }
+}
+
 /**
  * Graft table configuration, persisted as `<base>/.graft/table.json`.
  *
@@ -110,6 +132,7 @@ case class SmallFileBounded(smallFileBytes: Long,
  *                        preCombine semantics)
  * @param targetFileSizeRows target rows per base file; inserts bin-pack into
  *                        under-sized file groups before opening new ones
+ * @param payload         cross-commit merge semantics (see [[MergePayload]])
  */
 case class TableConfig(
     name: String,
@@ -118,7 +141,8 @@ case class TableConfig(
     precombineField: Option[String] = None,
     partitioning: PartitionSpec = NonPartitioned,
     index: IndexType = StatsIndex,
-    targetFileSizeRows: Long = 1000000L) {
+    targetFileSizeRows: Long = 1000000L,
+    payload: MergePayload = OverwriteLatest) {
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).

@@ -23,4 +23,15 @@ object DatasetBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-plan a streaming micro-batch DataFrame as a BATCH frame over the
+    * same physical rows (`internalCreateDataFrame` is `private[sql]`) — a
+    * DSv1 Sink's input is an IncrementalExecution plan that batch writers
+    * must not re-analyze; this is the standard sink idiom (the reference's
+    * HoodieStreamingSink and Delta's sink do the same). */
+  def unstream(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -223,6 +223,41 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("writeStream.format(\"graft\") sinks micro-batches exactly-once") {
+    val dir = Files.createTempDirectory("graft_streamsink_").toString
+    val ckpt = Files.createTempDirectory("graft_streamsink_ckpt_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    def start() = mem.toDF().writeStream.format("graft")
+      .option("graft.recordkey.field", "event_id")
+      .option("graft.precombine.field", "value")
+      .option("graft.partitionpath.field", "event_type")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    val q = start()
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(2), 1, "click", 9.0), Event(3, ts(3), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("event_id") === 1)
+      .select("value").collect()(0).getDouble(0) === 9.0)
+    // restart from the SAME checkpoint: committed batches must not replay
+    val t = GraftTable.load(spark, dir)
+    val commits = t.timeline.completed().size
+    val q2 = start()
+    q2.processAllAvailable()
+    mem.addData(Event(4, ts(4), 2, "view", 4.0))
+    q2.processAllAvailable()
+    q2.stop()
+    t.timeline.refresh()
+    assert(t.timeline.completed().size === commits + 1, "replayed or skipped batches")
+    assert(spark.read.format("graft").load(dir).count() === 4)
+    GraftTable.drop(dir)
+  }
+
   test("CdcFeed polls change rows with op and before/after images") {
     val dir = Files.createTempDirectory("graft_cdcfeed_").toString
     val t = eventsTable(dir)

@@ -56,6 +56,38 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("event-time payload: stale updates and deletes lose against stored rows") {
+    import graft.TestSpark.spark.implicits._
+    for (tt <- Seq(CopyOnWrite, MergeOnRead)) {
+      val dir = tmp()
+      val t = GraftTable.create(spark, dir, TableConfig("et", tt,
+        keyFields = Seq("id"), precombineField = Some("v"),
+        partitioning = PartitionByColumns(Seq("p")),
+        payload = EventTimeOrdered))
+      t.bulkInsert(Seq((1L, "a", 5.0, "orig1"), (2L, "a", 3.0, "orig2"))
+        .toDF("id", "p", "v", "note"))
+      // stale update (4.0 < stored 5.0) ignored; fresh one (9.0 > 3.0) wins
+      t.upsert(Seq((1L, "a", 4.0, "stale")).toDF("id", "p", "v", "note"))
+      t.upsert(Seq((2L, "a", 9.0, "fresh")).toDF("id", "p", "v", "note"))
+      val rows = t.snapshot().select("id", "v", "note")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq((1L, 5.0, "orig1"), (2L, 9.0, "fresh")), s"$tt")
+      // stale delete ignored; fresh delete applies
+      t.delete(Seq((1L, "a", 1.0, "")).toDF("id", "p", "v", "note"))
+      assert(t.snapshot().filter(col("id") === 1).count() === 1, s"$tt stale delete applied")
+      t.delete(Seq((2L, "a", 99.0, "")).toDF("id", "p", "v", "note"))
+      assert(t.snapshot().filter(col("id") === 2).count() === 0, s"$tt fresh delete ignored")
+      if (tt == MergeOnRead) {
+        // compaction folds the event-order merge into the new bases
+        t.compact()
+        val ro = t.readOptimized().select("id", "v", "note")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        assert(ro.toSeq === Seq((1L, 5.0, "orig1")))
+      }
+      GraftTable.drop(dir)
+    }
+  }
+
   test("cow: bulk insert + snapshot round-trips") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
