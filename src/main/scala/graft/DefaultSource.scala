@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.sources.{
   BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSinkProvider}
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
 import graft.sources.{GraftComputedRelation, GraftRelations}
 import graft.table._
 
@@ -44,7 +45,7 @@ import graft.table._
  *    table = insert_overwrite_table; `ErrorIfExists`/`Ignore` as usual.
  */
 class DefaultSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
   import DefaultSource._
 
   override def shortName(): String = "graft"
@@ -109,6 +110,27 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters)
   }
 
+  /** `spark.readStream.format("graft").load(path)` — stream a table's
+    * commits (ref: hudi-spark-datasource/hudi-spark/src/main/scala/org/
+    * apache/hudi/HoodieStreamSource.scala): offsets are timeline instants,
+    * each micro-batch is the incremental query over (start, end] — only
+    * files committed in the window are scanned. `graft.begin.instanttime`
+    * sets the initial cursor (default "0" = from the earliest commit). */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") streaming source needs .load(<table base path>)"))
+    (shortName(), new GraftStreamSource(sqlContext.sparkSession, path, parameters).schema)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") streaming source needs .load(<table base path>)"))
+    new GraftStreamSource(sqlContext.sparkSession, path, parameters)
+  }
+
   /** `df.writeStream.format("graft")...start(path)` — the reference's
     * streaming front door (ref: hudi-spark-datasource/hudi-spark/src/main/
     * scala/org/apache/hudi/HoodieStreamingSink.scala): each micro-batch runs
@@ -122,6 +144,52 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     new GraftStreamSink(sqlContext.sparkSession, path, parameters)
   }
 
+}
+
+/** A timeline instant as a streaming offset. */
+case class GraftOffset(instant: String) extends OffsetV1 {
+  override def json(): String =
+    graft.table.Json.mapper.writeValueAsString(Map("instant" -> instant))
+}
+
+/** Streaming source over a Graft table's commit timeline: getOffset = the
+  * latest completed data instant, getBatch = the incremental query over
+  * (start, end] — per micro-batch only the files committed in that window
+  * are read (the CommitFeed pattern behind the native front door). */
+class GraftStreamSource(spark: SparkSession, path: String,
+    parameters: Map[String, String]) extends Source {
+  import DefaultSource._
+  require(GraftTable.exists(path), s"no graft table at $path")
+  private val t = GraftTable.load(spark, path)
+  private val startFrom = parameters.getOrElse(BEGIN_INSTANTTIME, "0")
+
+  /** Fixed for the query's lifetime; later schema evolution is projected
+    * back onto this shape (streaming sinks need a stable schema). */
+  override val schema: StructType = t.incremental(startFrom).schema
+
+  private def instantOf(o: OffsetV1): String = o match {
+    case GraftOffset(i) => i
+    case other =>
+      val parsed = graft.table.Json.mapper
+        .readValue[Map[String, String]](other.json().getBytes("UTF-8"))
+      parsed("instant")
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    t.timeline.refresh()
+    t.latestDataInstant.filter(_ > startFrom).map(GraftOffset(_))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(instantOf).getOrElse(startFrom)
+    val batch = t.incremental(from, Some(instantOf(end)))
+      .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
+    org.apache.spark.sql.graftbridge.DatasetBridge.stream(batch)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$path]"
 }
 
 class GraftStreamSink(spark: SparkSession, path: String,

@@ -6,10 +6,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{
-  Identifier, ProcedureCatalog, SupportsNamespaces, Table, TableCapability,
-  TableCatalog, TableChange}
+  Identifier, ProcedureCatalog, SupportsNamespaces, SupportsPartitionManagement,
+  Table, TableCapability, TableCatalog, TableChange, TruncatableTable}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+import org.apache.spark.sql.types.StructField
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -209,11 +211,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
  * format("graft") relation, DML to Graft commands) before capability checks
  * run, so Spark's generic V2 paths are never exercised.
  *
+ * It DOES implement the V2 partition-management and truncation interfaces,
+ * so `SHOW PARTITIONS`, `ALTER TABLE ... ADD/DROP PARTITION` and
+ * `TRUNCATE TABLE` work as literal SQL (ref: hudi's
+ * AlterHoodieTableDropPartitionCommand / TruncateHoodieTableCommand) —
+ * those plans carry a ResolvedTable, not a relation, so they take Spark's
+ * native V2 execs directly. Partition operations need column-valued
+ * partitioning (`PARTITIONED BY (col)`); timestamp-derived partitioning
+ * has no column↔value mapping to resolve specs against and throws.
+ *
  * The SQL surface exposes the LOGICAL schema only (no `_graft_*` meta
  * columns); lineage metadata stays on the DataFrame API reads.
  */
 class GraftV2Table(val path: String, fullName: String,
-    val asOf: Option[String] = None) extends Table {
+    val asOf: Option[String] = None) extends Table
+    with SupportsPartitionManagement with TruncatableTable {
   override def name(): String = fullName
 
   private lazy val table: GraftTable = GraftTable.load(SparkSession.active, path)
@@ -235,6 +247,102 @@ class GraftV2Table(val path: String, fullName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()
+
+  // -- partition management (SHOW PARTITIONS / ALTER TABLE DROP PARTITION) --
+
+  private def partCols: Seq[StructField] = table.config.partitioning match {
+    case PartitionByColumns(cols) => cols.map(c =>
+      schema.find(_.name == c).getOrElse(throw new IllegalStateException(
+        s"partition column $c missing from schema")))
+    case other => throw new UnsupportedOperationException(
+      s"partition operations need column-valued partitioning, table has $other")
+  }
+
+  override def partitionSchema(): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(partCols)
+
+  /** Hive-style path segment for one typed partition value — must mirror
+    * PartitionSpec.segment (cast-to-string + null sentinel). */
+  private def segment(field: StructField, row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) PartitionSpec.NullSegment
+    else String.valueOf(row.get(i, field.dataType))
+
+  private def pathOfIdent(ident: InternalRow): String = {
+    val cols = partCols
+    cols.zipWithIndex.map { case (f, i) => s"${f.name}=${segment(f, ident, i)}" }
+      .mkString("/")
+  }
+
+  private def livePartitionPaths: Seq[String] = {
+    table.timeline.refresh()
+    table.slices(None).map(_.partition).distinct.sorted
+  }
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val cols = partCols
+    val nameIdx = names.map(n => cols.indexWhere(_.name == n))
+    require(nameIdx.forall(_ >= 0), s"unknown partition column in ${names.mkString(",")}")
+    livePartitionPaths.flatMap { p =>
+      val values = p.split('/').map(_.split("=", 2)(1))
+      if (values.length != cols.length) None
+      else {
+        val typed: Array[Any] = cols.zip(values).map { case (f, v) =>
+          if (v == PartitionSpec.NullSegment) null
+          else f.dataType match {
+            case org.apache.spark.sql.types.StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v)
+            case org.apache.spark.sql.types.IntegerType => v.toInt
+            case org.apache.spark.sql.types.LongType => v.toLong
+            case org.apache.spark.sql.types.ShortType => v.toShort
+            case org.apache.spark.sql.types.BooleanType => v.toBoolean
+            case org.apache.spark.sql.types.DoubleType => v.toDouble
+            case dt => throw new UnsupportedOperationException(
+              s"partition column type $dt not supported for partition management")
+          }
+        }.toArray
+        val row = InternalRow.fromSeq(typed.toIndexedSeq)
+        val matches = nameIdx.zipWithIndex.forall { case (ci, ni) =>
+          val want = ident.get(ni, cols(ci).dataType)
+          val have = row.get(ci, cols(ci).dataType)
+          (want == null && have == null) || (want != null && want == have)
+        }
+        if (matches) Some(row) else None
+      }
+    }.toArray
+  }
+
+  /** Partitions materialize on write; ADD PARTITION is accepted as a no-op
+    * (as in the reference, where the partition appears with its first
+    * record). */
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = ()
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val p = pathOfIdent(ident)
+    if (!livePartitionPaths.contains(p)) false
+    else { table.deletePartitions(Seq(p)); true }
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = dropPartition(ident)
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft partitions carry no metadata to replace")
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
+
+  // -- TRUNCATE TABLE ------------------------------------------------------
+
+  override def truncateTable(): Boolean = {
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    table.insertOverwriteTable(empty)
+    true
+  }
 }
 
 object GraftV2Table {

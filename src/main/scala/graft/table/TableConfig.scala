@@ -32,7 +32,7 @@ case object NonPartitioned extends PartitionSpec {
   * null path would poison tagging: the (KEY, PART) equi-join never matches
   * null, so every re-upsert of such a record would DUPLICATE it (and
   * concat_ws would silently drop the segment, colliding namespaces). */
-private[table] object PartitionSpec {
+private[graft] object PartitionSpec {
   val NullSegment = "__HIVE_DEFAULT_PARTITION__"
   def segment(c: Column): Column = coalesce(c.cast("string"), lit(NullSegment))
 }

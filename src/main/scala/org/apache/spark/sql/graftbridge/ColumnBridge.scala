@@ -34,4 +34,14 @@ object DatasetBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** The inverse of [[unstream]]: tag a batch DataFrame as streaming — a
+    * DSv1 Source's getBatch must return `isStreaming = true` frames
+    * (MicroBatchExecution asserts it; FileStreamSource uses the same
+    * idiom). */
+  def stream(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

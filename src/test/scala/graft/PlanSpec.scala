@@ -22,6 +22,49 @@ class PlanSpec extends AnyFunSuite {
   private def codegenPlan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("codegen"))
 
+  test("stratified sample is a shuffle-free codegen'd filter over a pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val sampled = pipeline.Curation.stratifiedSample(
+      Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+      "lang", "doc_id", Map("en" -> 0.5))
+    val p = plan(sampled)
+    assert(!p.contains("Exchange"), "sampling must not shuffle:\n" + p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      "column pruning lost:\n" + p)
+  }
+
+  test("token-shard packing: no single-partition global window") {
+    import org.apache.spark.sql.functions.col
+    val packed = pipeline.Curation.packTokenShards(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      functions.TextFunctions.wsTokenCount(col("text")), budget = 2000L,
+      orderCol = "doc_id")
+    val p = plan(packed)
+    // the degenerate plan is Window over Exchange SinglePartition — the
+    // distributed prefix sum must partition by _pid instead
+    assert(!p.contains("Exchange SinglePartition"),
+      "global window collapsed to one partition:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "offset join must broadcast:\n" + p)
+  }
+
+  test("ivf ANN: corpus-sized query frame does not broadcast") {
+    val vecs = Tables.embeddings(spark, sf)
+    val small = pipeline.Similarity.ivfTopK(vecs, vecs.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 50 === 0), k = 3,
+      nlist = 4, nprobe = 2, broadcastQueries = Some(true))
+    assert(plan(small).contains("BroadcastHashJoin"))
+    // a tight threshold stands in for a 100 TB corpus vs the default 10 MB:
+    // without it Spark would auto-broadcast the tiny test frame anyway
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      val big = pipeline.Similarity.ivfTopK(vecs, vecs, k = 3,
+        nlist = 4, nprobe = 2)
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        "corpus-vs-corpus IVF must not broadcast the query side")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
+
   test("q6: selective filters are pushed to the parquet scan") {
     val p = plan(operators.AnalyticsQueries.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters:"), p)

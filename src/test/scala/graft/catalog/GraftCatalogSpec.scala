@@ -159,6 +159,26 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(sql(s"SELECT sum(id) AS s FROM graft.$c").collect()(0).getLong(0) === 19)
   }
 
+  test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION / TRUNCATE TABLE as literal SQL") {
+    val n = fresh("t_partddl")
+    createOrders(n)
+    val parts = sql(s"SHOW PARTITIONS graft.$n").collect().map(_.getString(0)).sorted
+    assert(parts.toSeq === Seq("status=F", "status=O"))
+    sql(s"ALTER TABLE graft.$n DROP PARTITION (status='F')")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 10)
+    assert(sql(s"SHOW PARTITIONS graft.$n").collect().map(_.getString(0)).toSeq
+      === Seq("status=O"))
+    // IF EXISTS tolerates a missing partition; without it the drop errors
+    sql(s"ALTER TABLE graft.$n DROP IF EXISTS PARTITION (status='Z')")
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n DROP PARTITION (status='Z')") }
+    sql(s"TRUNCATE TABLE graft.$n")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 0)
+    // still writable after truncate
+    sql(s"INSERT INTO graft.$n VALUES (100, 'O', 1.0, 'post')")
+    assert(sql(s"SELECT note FROM graft.$n").collect().map(_.getString(0)).toSeq
+      === Seq("post"))
+  }
+
   test("catalog ops: SHOW TABLES, DROP, external LOCATION registration") {
     val n = fresh("t_cat")
     createOrders(n, rows = 2)

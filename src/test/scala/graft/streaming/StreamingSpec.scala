@@ -258,6 +258,26 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("readStream.format(\"graft\") streams a table's commits incrementally") {
+    val dir = Files.createTempDirectory("graft_streamsrc_").toString
+    val t = eventsTable(dir)
+    t.bulkInsert(Seq(Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(1), 1, "view", 2.0)).toDF())
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("gsrc_mem").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("gsrc_mem").count() === 2)
+    // the next micro-batch carries only the CHANGED records
+    t.upsert(Seq(Event(1, ts(2), 1, "click", 9.0),
+      Event(3, ts(3), 2, "click", 3.0)).toDF())
+    q.processAllAvailable()
+    val rows = spark.table("gsrc_mem")
+    assert(rows.count() === 4, "incremental batch should add exactly the 2 changed rows")
+    assert(rows.filter(col("event_id") === 1 && col("value") === 9.0).count() === 1)
+    q.stop()
+    GraftTable.drop(dir)
+  }
+
   test("CdcFeed polls change rows with op and before/after images") {
     val dir = Files.createTempDirectory("graft_cdcfeed_").toString
     val t = eventsTable(dir)
