@@ -118,9 +118,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on graft tables is not supported; schema evolves on write")
+  /** ALTER TABLE — the DDL half of schema evolution (ref: hudi-spark/
+    * .../command/AlterHoodieTableAddColumnsCommand.scala:40,
+    * AlterHoodieTableChangeColumnCommand.scala:42, and HoodieCatalog's
+    * property-change path). ADD COLUMNS and widening ALTER COLUMN TYPE
+    * become a schema-only commit — no data rewrite at any table size;
+    * SET/UNSET TBLPROPERTIES re-persists the write config for the safe
+    * subset (file sizing, merge payload). Structural properties (keys,
+    * partitioning, table type, index) and destructive schema changes
+    * (DROP/RENAME COLUMN, narrowing) are rejected. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    import graft.DefaultSource.{PAYLOAD, TARGET_FILE_ROWS}
+    val path = pathOf(ident)
+    val t = GraftTable.load(SparkSession.active, path)
+    val committed = t.schemaAt(None)
+    var schema = committed.orElse(GraftV2Table.storedSchema(path))
+      .getOrElse(new StructType())
+    var cfg = t.config
+    var schemaChanged, cfgChanged = false
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$what supports only top-level columns, got ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = topLevel(add.fieldNames, "ADD COLUMNS")
+        if (schema.fieldNames.contains(name)) throw new IllegalArgumentException(
+          s"column '$name' already exists")
+        if (add.position != null) throw new UnsupportedOperationException(
+          "ADD COLUMNS FIRST/AFTER is not supported; columns append at the end")
+        val f = StructField(name, add.dataType, nullable = true)
+        schema = schema.add(
+          Option(add.comment).fold(f)(f.withComment))
+        schemaChanged = true
+      case ut: TableChange.UpdateColumnType =>
+        val name = topLevel(ut.fieldNames, "ALTER COLUMN TYPE")
+        if (!schema.fieldNames.contains(name)) throw new IllegalArgumentException(
+          s"column '$name' does not exist")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = ut.newDataType) else f))
+        schemaChanged = true
+      case _: TableChange.UpdateColumnNullability => () // all columns nullable on read
+      case _: TableChange.UpdateColumnComment => () // comments are not persisted
+      case sp: TableChange.SetProperty => sp.property match {
+        case TARGET_FILE_ROWS =>
+          cfg = cfg.copy(targetFileSizeRows = sp.value.toLong); cfgChanged = true
+        case PAYLOAD =>
+          cfg = cfg.copy(payload = MergePayload.of(sp.value)); cfgChanged = true
+        case other => throw new UnsupportedOperationException(
+          s"table property '$other' cannot be altered on a graft table " +
+            s"(mutable: $TARGET_FILE_ROWS, $PAYLOAD)")
+      }
+      case rp: TableChange.RemoveProperty => rp.property match {
+        case TARGET_FILE_ROWS =>
+          cfg = cfg.copy(targetFileSizeRows = 1000000L); cfgChanged = true
+        case PAYLOAD =>
+          cfg = cfg.copy(payload = OverwriteLatest); cfgChanged = true
+        case other => throw new UnsupportedOperationException(
+          s"table property '$other' cannot be unset on a graft table")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change ${other.getClass.getSimpleName} is not " +
+          "supported on graft tables")
+    }
+    if (schemaChanged) {
+      if (committed.isDefined) t.alterSchema(schema)
+      else GraftV2Table.storeSchema(path, schema) // declared-only: no commit yet
+    }
+    if (cfgChanged) GraftTable.saveConfig(path, cfg)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)

@@ -48,6 +48,16 @@ object GraftTable {
   val metaCols: Seq[String] = metaFields.map(_.name)
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    saveConfig(path, config)
+    val t = new GraftTable(spark, path, config)
+    t.timeline.init()
+    t
+  }
+
+  /** Persist (or re-persist: ALTER TABLE SET TBLPROPERTIES) the table
+    * config. Structural fields (keys, partitioning, type, index) must never
+    * change after data exists — callers enforce that; this is plain I/O. */
+  def saveConfig(path: String, config: TableConfig): Unit = {
     val dir = Paths.get(path, ".graft")
     Files.createDirectories(dir)
     Files.write(dir.resolve("table.json"), Json.mapper.writeValueAsBytes(Map(
@@ -64,9 +74,7 @@ object GraftTable {
       }),
       "targetFileSizeRows" -> config.targetFileSizeRows,
       "payload" -> config.payload.name)))
-    val t = new GraftTable(spark, path, config)
-    t.timeline.init()
-    t
+    ()
   }
 
   def load(spark: SparkSession, path: String): GraftTable = {
@@ -281,7 +289,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // services (compaction/clustering leave query results unchanged, so an
     // inequality validator would always reject them) — the reference
     // likewise runs them only in write-commit finalization
-    val service = Set("compact", "cluster")
+    val service = Set("compact", "cluster", "alter_schema")
     if (preCommitValidators.nonEmpty && dataActions(meta.action)
         && !service(meta.operation)) {
       val before = snapshot()
@@ -347,6 +355,49 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case _ if a == b => a
     case _ => StringType
+  }
+
+  /** DDL-driven schema evolution (ref: hudi-spark-datasource/hudi-spark/
+    * src/main/scala/org/apache/spark/sql/hudi/command/
+    * AlterHoodieTableAddColumnsCommand.scala:40 and
+    * AlterHoodieTableChangeColumnCommand.scala:42): record `target` as the
+    * table schema WITHOUT touching any data file — a schema-only commit.
+    * Existing files conform on read (absent columns come back null, narrower
+    * types cast up), so the cost is one timeline write at any table size.
+    * Only additive / widening changes are legal: every current column must
+    * survive under its own name with the same or a widenable type, and
+    * key / precombine / partition columns cannot change type at all (they
+    * define record identity — a widened key would re-route its own history
+    * on the next upsert). */
+  def alterSchema(target: StructType): Unit = {
+    val current = schemaAt(None).getOrElse(new StructType())
+    val tf = target.fields.map(f => f.name -> f).toMap
+    require(tf.size == target.fields.length,
+      s"duplicate column name in ALTER schema: ${target.fieldNames.mkString(", ")}")
+    val identity = (config.keyFields ++ config.precombineField ++
+      config.partitioning.columns).toSet
+    current.fields.foreach { f =>
+      val nf = tf.getOrElse(f.name, throw new IllegalArgumentException(
+        s"cannot drop column '${f.name}': graft schema evolution is additive"))
+      if (nf.dataType != f.dataType) {
+        if (identity(f.name)) throw new IllegalArgumentException(
+          s"cannot change the type of '${f.name}': key/precombine/partition " +
+            "columns define record identity")
+        if (widen(f.dataType, nf.dataType) != nf.dataType)
+          throw new IllegalArgumentException(
+            s"cannot change '${f.name}' from ${f.dataType.simpleString} to " +
+              s"${nf.dataType.simpleString}: not a widening conversion")
+      }
+    }
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val instant = timeline.startInstant("commit")
+    // anyCommit: ANY concurrent commit conflicts — a data write completing
+    // after our schema read could carry a schemaJson this ALTER would
+    // silently shadow. DDL is cheap to retry; strictness is free.
+    try commitGuarded(startLatest, Set.empty, Set.empty,
+      CommitMeta(instant, "commit", "alter_schema", schemaJson = target.json),
+      anyCommit = true)
+    catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
   }
 
   private def conform(df: DataFrame, target: StructType,

@@ -179,6 +179,68 @@ class GraftCatalogSpec extends AnyFunSuite {
       === Seq("post"))
   }
 
+  test("ALTER TABLE ADD COLUMNS: schema-only commit, old rows read null") {
+    val n = fresh("t_alter_add")
+    createOrders(n, rows = 4)
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(sql(s"SELECT * FROM graft.$n").columns.toSeq ===
+      Seq("id", "status", "price", "note", "score", "tag"))
+    // the ALTER itself wrote no data file — just a timeline instant
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n"
+    val last = GraftTable.load(spark, path).timeline.metas(None).last
+    assert(last.operation === "alter_schema" && last.files.isEmpty)
+    // pre-ALTER rows surface nulls; post-ALTER writes carry values
+    sql(s"INSERT INTO graft.$n VALUES (99L, 'O', 5.0, 'new', 0.5, 'x')")
+    val rows = sql(
+      s"SELECT id, score, tag FROM graft.$n WHERE id IN (1, 99) ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq ===
+      Seq((1L, None, None), (99L, Some(0.5), Some("x"))))
+    // destructive schema changes are rejected
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n DROP COLUMN note") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n RENAME COLUMN note TO memo") }
+  }
+
+  test("ALTER COLUMN TYPE widens in place; narrowing and key types rejected") {
+    val n = fresh("t_alter_widen")
+    createOrders(n, rows = 3)
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (qty INT)")
+    sql(s"INSERT INTO graft.$n VALUES (50L, 'O', 1.0, 'q', 7)")
+    sql(s"ALTER TABLE graft.$n ALTER COLUMN qty TYPE BIGINT")
+    // data written as INT reads back under the widened type
+    assert(sql(s"SELECT qty FROM graft.$n WHERE id = 50").collect()(0).getLong(0) === 7L)
+    intercept[Exception] { // DOUBLE -> FLOAT is narrowing
+      sql(s"ALTER TABLE graft.$n ALTER COLUMN price TYPE FLOAT") }
+    intercept[Exception] { // record-key type defines identity, even widening
+      sql(s"ALTER TABLE graft.$n ALTER COLUMN id TYPE DOUBLE") }
+  }
+
+  test("ALTER TABLE before the first write updates the declared schema") {
+    val n = fresh("t_alter_decl")
+    sql(s"""CREATE TABLE graft.$n (id BIGINT, v STRING) USING graft
+           |TBLPROPERTIES ('graft.recordkey.field' = 'id')""".stripMargin)
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (extra INT)")
+    sql(s"INSERT INTO graft.$n VALUES (1L, 'a', 5)")
+    assert(sql(s"SELECT id, v, extra FROM graft.$n").collect().toSeq ===
+      Seq(Row(1L, "a", 5)))
+  }
+
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES re-persists the write config") {
+    val n = fresh("t_alter_props")
+    createOrders(n, rows = 2)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n"
+    sql(s"""ALTER TABLE graft.$n SET TBLPROPERTIES (
+           |  'graft.target.file.rows' = '12345',
+           |  'graft.merge.payload' = 'event_time')""".stripMargin)
+    val cfg = GraftTable.load(spark, path).config
+    assert(cfg.targetFileSizeRows === 12345L)
+    assert(cfg.payload === graft.table.EventTimeOrdered)
+    sql(s"ALTER TABLE graft.$n UNSET TBLPROPERTIES ('graft.merge.payload')")
+    assert(GraftTable.load(spark, path).config.payload === graft.table.OverwriteLatest)
+    // structural properties are immutable once the table exists
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.$n SET TBLPROPERTIES ('graft.recordkey.field' = 'note')") }
+  }
+
   test("catalog ops: SHOW TABLES, DROP, external LOCATION registration") {
     val n = fresh("t_cat")
     createOrders(n, rows = 2)
