@@ -21,7 +21,7 @@ import graft.table._
  *
  * Read options:
  *  - `graft.query.type`: `snapshot` (default) | `read_optimized` |
- *    `incremental`  (ref: DataSourceReadOptions.QUERY_TYPE)
+ *    `incremental` | `cdc`  (ref: DataSourceReadOptions.QUERY_TYPE)
  *  - `as.of.instant`: time travel for snapshot/read_optimized
  *    (ref: DataSourceReadOptions.TIME_TRAVEL_AS_OF_INSTANT)
  *  - `graft.begin.instanttime` (required) / `graft.end.instanttime` for
@@ -76,8 +76,14 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
             s"incremental query requires $BEGIN_INSTANTTIME"))
         val end = parameters.get(END_INSTANTTIME)
         new GraftComputedRelation(spark, () => t.incremental(begin, end))
+      case "cdc" => // change feed: op + before/after images (ref: hudi RFC-51)
+        val begin = parameters.getOrElse(BEGIN_INSTANTTIME,
+          throw new IllegalArgumentException(
+            s"cdc query requires $BEGIN_INSTANTTIME"))
+        val end = parameters.get(END_INSTANTTIME)
+        new GraftComputedRelation(spark, () => t.incrementalCDC(begin, end))
       case other => throw new IllegalArgumentException(
-        s"unknown $QUERY_TYPE '$other' (snapshot | read_optimized | incremental)")
+        s"unknown $QUERY_TYPE '$other' (snapshot | read_optimized | incremental | cdc)")
     }
   }
 

@@ -146,6 +146,30 @@ class DataSourceSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("cdc query type through read options: op + before/after images") {
+    val dir = tmp()
+    writeOrders(dir)
+    val c1 = GraftTable.load(spark, dir).timeline.completed().last._1
+    val updates = orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    writeOrders(dir, op = "upsert", mode = "append", df = updates)
+    val cdc = spark.read.format("graft")
+      .option("graft.query.type", "cdc")
+      .option("graft.begin.instanttime", c1).load(dir)
+    assert(cdc.columns.contains("op") && cdc.columns.contains("before") &&
+      cdc.columns.contains("after"))
+    val ops = cdc.groupBy("op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.getOrElse("u", 0L) === updates.count())
+    assert(!ops.contains("i") && !ops.contains("d"))
+    // the after image carries the doubled price
+    assert(cdc.filter(col("after.o_totalprice") =!=
+      col("before.o_totalprice") * 2).count() === 0)
+    intercept[IllegalArgumentException] { // begin instant is mandatory
+      spark.read.format("graft").option("graft.query.type", "cdc").load(dir) }
+    GraftTable.drop(dir)
+  }
+
   test("SaveModes: ErrorIfExists throws, Ignore no-ops, Overwrite replaces") {
     val dir = tmp()
     writeOrders(dir)
