@@ -103,7 +103,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
                 else GraftTable.create(spark, path, configFrom(parameters, path))
         if (mode == SaveMode.Overwrite && exists) t.insertOverwriteTable(data)
         else parameters.getOrElse(OPERATION, "upsert") match {
-          case "bulk_insert" => t.bulkInsert(data)
+          case "bulk_insert" =>
+            t.bulkInsert(data, parameters.getOrElse(BULKINSERT_SORT_MODE, "hash"))
           case "insert" => t.insert(data)
           case "upsert" => t.upsert(data)
           case "delete" => t.delete(data)
@@ -252,6 +253,9 @@ object DefaultSource {
   val END_INSTANTTIME = "graft.end.instanttime"
   // write options (ref: hudi DataSourceWriteOptions)
   val OPERATION = "graft.operation"
+  /** `hash` (default) | `global_sort` — see [[graft.table.GraftTable.bulkInsert]]
+    * (ref: hoodie.bulkinsert.sort.mode). */
+  val BULKINSERT_SORT_MODE = "graft.bulkinsert.sort.mode"
   val TABLE_TYPE = "graft.table.type"
   val TABLE_NAME = "graft.table.name"
   val RECORDKEY_FIELD = "graft.recordkey.field"

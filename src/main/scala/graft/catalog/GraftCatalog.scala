@@ -310,9 +310,29 @@ class GraftV2Table(val path: String, fullName: String,
     case NonPartitioned => Array.empty
   }
 
-  override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_PROVIDER -> "graft",
-      TableCatalog.PROP_LOCATION -> path).asJava
+  /** Full config surfaced so DESCRIBE TABLE EXTENDED / SHOW CREATE TABLE
+    * render a faithful, re-runnable definition (the reference exposes its
+    * hoodie.* options the same way through HoodieCatalogTable). */
+  override def properties(): util.Map[String, String] = {
+    import graft.DefaultSource._
+    val cfg = table.config
+    (Map(TableCatalog.PROP_PROVIDER -> "graft",
+      TableCatalog.PROP_LOCATION -> path,
+      TABLE_TYPE -> cfg.tableType.name,
+      RECORDKEY_FIELD -> cfg.keyFields.mkString(","),
+      TARGET_FILE_ROWS -> cfg.targetFileSizeRows.toString,
+      PAYLOAD -> cfg.payload.name) ++
+      cfg.precombineField.map(PRECOMBINE_FIELD -> _) ++
+      (cfg.index match {
+        case BucketIndex(n) => Map(INDEX_BUCKETS -> n.toString)
+        case StatsIndex => Map.empty[String, String]
+      }) ++
+      (cfg.partitioning match {
+        case PartitionByTimestamp(c, f) =>
+          Map(PARTITION_TS_COL -> c, PARTITION_TS_FORMAT -> f)
+        case _ => Map.empty[String, String] // identity cols show as PARTITIONED BY
+      })).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.Collections.emptySet()

@@ -277,7 +277,42 @@ object GraftProcedures {
         "(ref: hudi metadata table files/column_stats partitions).",
       Seq(in("table", StringType)),
       (cat, a) => one(StructType(Seq(StructField("path", StringType))),
-        tableOf(cat, a.str(0)).syncMetadataTable()))
+        tableOf(cat, a.str(0)).syncMetadataTable())),
+
+    Proc("run_bootstrap",
+      "Adopt an EXISTING parquet directory as a graft table WITHOUT " +
+        "rewriting data — metadata-only bootstrap, one footer scan + one " +
+        "commit at any size (ref: RunBootstrapProcedure + " +
+        "BootstrapMode.METADATA_ONLY) — and register it under `table`.",
+      Seq(in("table", StringType),
+        in("location", StringType),
+        in("record_key_field", StringType),
+        in("precombine_field", StringType, "NULL"),
+        in("table_type", StringType, "'cow'"),
+        in("partition_fields", StringType, "NULL")),
+      (cat, a) => {
+        val parts0 = a.str(0).split('.').toSeq.filter(_.nonEmpty)
+        val parts =
+          if (parts0.headOption.contains(cat.name())) parts0.tail else parts0
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        require(!cat.tableExists(ident), s"table '${a.str(0)}' already exists")
+        val cfg = TableConfig(
+          name = parts.last,
+          tableType = TableType.of(a.strOpt(4).getOrElse("cow")),
+          keyFields = a.str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          precombineField = a.strOpt(3),
+          partitioning = a.strOpt(5)
+            .map(c => PartitionByColumns(
+              c.split(',').map(_.trim).filter(_.nonEmpty).toSeq): PartitionSpec)
+            .getOrElse(NonPartitioned))
+        val t = GraftTable.bootstrapInPlace(SparkSession.active, a.str(1), cfg)
+        val props = new util.HashMap[String, String]()
+        props.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION,
+          a.str(1))
+        cat.createTable(ident, new StructType(),
+          Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
+        one(instantResult, t.timeline.completed().last._1)
+      })
   ).map(p => p.procName -> p).toMap
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =

@@ -672,11 +672,14 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * then O(#files) metadata renames into place. `logGroups` names the
     * (partition|fileId) groups whose output is a MOR log file. */
   private def stageWrite(out: DataFrame, instant: String,
-      logGroups: Set[String]): Seq[FileMeta] = {
+      logGroups: Set[String], preArranged: Boolean = false): Seq[FileMeta] = {
     val staging = Paths.get(basePath, ".graft", s"staging_$instant")
-    out.withColumn("_gp", col(PART)).withColumn("_gf", col(FILE_ID))
-      .repartition(col(PART), col(FILE_ID))
-      .sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
+    val tagged = out.withColumn("_gp", col(PART)).withColumn("_gf", col(FILE_ID))
+    // preArranged: the caller already co-located each (partition, fileId)
+    // group in its own task (global-sort bulk insert) — skip the hash
+    // shuffle, keep only the in-task key sort
+    val arranged = if (preArranged) tagged else tagged.repartition(col(PART), col(FILE_ID))
+    arranged.sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
       .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
       .parquet(staging.toString)
     def dec(s: String): String = {
@@ -768,7 +771,25 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   // ------------------------------------------------------------ operations
 
   /** Fast append: no tagging, no precombine — the reference's bulk_insert. */
-  def bulkInsert(df: DataFrame): String = writeBatch(df, "bulk_insert")
+  /** @param sortMode file-layout mode for the new file groups (ref: hudi
+    *   `hoodie.bulkinsert.sort.mode`, BulkInsertSortMode.java):
+    *   - `"hash"` (default): rows hash-spread by key across the partition's
+    *     new files — balanced, one shuffle, but every file's key range spans
+    *     the partition, so later upsert tagging leans on bloom sidecars.
+    *   - `"global_sort"` (ref GLOBAL_SORT): a range shuffle on
+    *     (partition, key) slices DISJOINT key ranges per file, so key-range
+    *     stats alone prune candidate files to ~1 per probe at any scale —
+    *     the right on-ramp layout for a large keyed table.
+    *   The reference's PARTITION_SORT has no separate graft mode: files are
+    *   always key-sorted internally by the staged write. Ignored for
+    *   bucket-index tables (the bucket hash IS the layout invariant). */
+  def bulkInsert(df: DataFrame, sortMode: String = "hash"): String = {
+    require(Set("hash", "global_sort")(sortMode),
+      s"unknown bulk-insert sort mode '$sortMode' (hash | global_sort)")
+    writeBatch(df, "bulk_insert",
+      extra = if (sortMode == "hash") Map.empty
+              else Map("sort.mode" -> sortMode))
+  }
 
   /** Insert with precombine dedup and small-file bin-packing; does not
     * check for existing keys (reference `insert` semantics). */
@@ -821,8 +842,25 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       try {
       val cached = pin(batch1)
       val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
+      val globalSort = op == "bulk_insert" &&
+        extra.get("sort.mode").contains("global_sort") &&
+        !config.index.isInstanceOf[BucketIndex]
       val (out, logGroups, touched) =
-        if (!taggingOps(op)) {
+        if (globalSort) {
+          // GLOBAL_SORT layout: one range shuffle on (partition, key) slices
+          // disjoint key ranges per new file — each spark partition becomes
+          // (at most; at range boundaries two table partitions share a task)
+          // one file group, so no per-partition planning collect is needed,
+          // only a total count off the pinned batch
+          val total = cached.count()
+          val nFiles = math.max(1,
+            math.ceil(total.toDouble / config.targetFileSizeRows)).toInt
+          val ranged = cached
+            .repartitionByRange(nFiles, col(PART), col(KEY))
+            .withColumn(FILE_ID,
+              format_string(s"g$instant-r%05d", spark_partition_id()))
+          (ranged.filter(!col(DELETED)), Set.empty[String], Set.empty[String])
+        } else if (!taggingOps(op)) {
           val withFid = cached.withColumn("_g_fid", lit(null).cast(StringType))
           // one metadata-sized collect: inserts per partition
           val insertCounts = cached.groupBy(col(PART)).count().collect()
@@ -880,7 +918,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             (out, Set.empty[String], touchedExisting)
           }
         }
-      val files = stageWrite(out, instant, logGroups)
+      val files = stageWrite(out, instant, logGroups, preArranged = globalSort)
       // optimistic concurrency (ref: hudi SimpleConcurrentFileWritesConflict
       // ResolutionStrategy): fail if a commit completed since we started
       // touches any of the same file groups. The conflict set includes the

@@ -241,6 +241,19 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql(s"ALTER TABLE graft.$n SET TBLPROPERTIES ('graft.recordkey.field' = 'note')") }
   }
 
+  test("SHOW CREATE TABLE / DESCRIBE EXTENDED render the graft config") {
+    val n = fresh("t_showcreate")
+    createOrders(n, rows = 2)
+    val ddl = sql(s"SHOW CREATE TABLE graft.$n").collect()(0).getString(0)
+    assert(ddl.contains("USING graft"), ddl)
+    assert(ddl.contains("'graft.recordkey.field' = 'id'"), ddl)
+    assert(ddl.contains("'graft.precombine.field' = 'price'"), ddl)
+    assert(ddl.contains("PARTITIONED BY (status)"), ddl)
+    val desc = sql(s"DESCRIBE TABLE EXTENDED graft.$n").collect()
+      .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+    assert(desc.contains("graft.table.type") && desc.contains("cow"), desc)
+  }
+
   test("catalog ops: SHOW TABLES, DROP, external LOCATION registration") {
     val n = fresh("t_cat")
     createOrders(n, rows = 2)

@@ -42,6 +42,29 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(fsview.collect().map(_.getLong(5)).sum === 30)
   }
 
+  test("run_bootstrap adopts an existing parquet dir and registers the table") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_boot_").toString
+    (1 to 50).map(i => (i.toLong, s"v$i", i * 1.0)).toDF("k", "v", "price")
+      .write.mode("overwrite").parquet(dir)
+    sql("DROP TABLE IF EXISTS graft.p_boot")
+    val inst = sql(s"""CALL graft.run_bootstrap(`table` => 'p_boot',
+        |`location` => '$dir', `record_key_field` => 'k',
+        |`precombine_field` => 'price')""".stripMargin).collect()
+    assert(inst.length === 1 && inst(0).getString(0) != null)
+    assert(sql("SELECT count(*) AS c FROM graft.p_boot")
+      .collect()(0).getLong(0) === 50)
+    // the adopted files are live data: SQL DML works on them immediately
+    sql("UPDATE graft.p_boot SET v = 'updated' WHERE k = 7")
+    assert(sql("SELECT v FROM graft.p_boot WHERE k = 7")
+      .collect()(0).getString(0) === "updated")
+    assert(sql("SELECT count(*) AS c FROM graft.p_boot")
+      .collect()(0).getLong(0) === 50)
+    intercept[Exception] { // registering over an existing name is refused
+      sql(s"CALL graft.run_bootstrap('p_boot', '$dir', 'k')") }
+    sql("DROP TABLE graft.p_boot")
+  }
+
   test("show_commits honors the limit argument and its default") {
     freshMor("p_limit", rows = 4)
     (1 to 3).foreach { i =>

@@ -24,6 +24,47 @@ class GraftTableSpec extends AnyFunSuite {
   private def keys(df: DataFrame): Set[Long] =
     df.select("o_orderkey").collect().map(_.getLong(0)).toSet
 
+  test("bulk insert global_sort lays out disjoint per-file key ranges") {
+    import graft.TestSpark.spark.implicits._
+    def build(sortMode: String): (GraftTable, String) = {
+      val dir = tmp()
+      val t = GraftTable.create(spark, dir, TableConfig("gs", CopyOnWrite,
+        keyFields = Seq("k"), precombineField = None,
+        partitioning = NonPartitioned, targetFileSizeRows = 100))
+      // keys arrive scrambled — layout quality must come from the write path
+      t.bulkInsert((0 until 1000).map(i => (f"k${i * 7919 % 1000}%04d", i))
+        .toDF("k", "v"), sortMode)
+      (t, dir)
+    }
+    val (tg, dg) = build("global_sort")
+    val files = tg.timeline.metas(None).last.files
+    assert(files.size >= 8, s"expected ~10 files, got ${files.size}")
+    // disjoint, ordered ranges: sorted by keyMin, each file ends before the
+    // next begins — so a key-range probe hits exactly one file
+    val ranges = files.map(f => (f.keyMin, f.keyMax)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(CodePointOrder.le(aMax, bMin) && aMax != bMin,
+          s"overlapping file key ranges: $ranges")
+      case _ =>
+    }
+    val probe = "k0500"
+    def containing(fs: Seq[FileMeta]) = fs.count(f =>
+      CodePointOrder.le(f.keyMin, probe) && CodePointOrder.le(probe, f.keyMax))
+    assert(containing(files) === 1)
+    // the default hash layout spreads each partition's keys over every new
+    // file: ranges all contain the probe — blooms, not ranges, must prune
+    val (th, dh) = build("hash")
+    val hashFiles = th.timeline.metas(None).last.files
+    assert(containing(hashFiles) === hashFiles.size)
+    // identical content either way
+    assert(tg.snapshot().select("k", "v").collect().map(r => (r.getString(0),
+      r.getInt(1))).sorted.toSeq ===
+      th.snapshot().select("k", "v").collect().map(r => (r.getString(0),
+        r.getInt(1))).sorted.toSeq)
+    GraftTable.drop(dg); GraftTable.drop(dh)
+  }
+
   test("clustering SmallFileBounded consolidates only small groups within the IO budget") {
     import graft.TestSpark.spark.implicits._
     val dir = tmp()
