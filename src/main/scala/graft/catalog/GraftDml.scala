@@ -251,7 +251,14 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     import scala.jdk.CollectionConverters._
     val v2 = catalog.createTable(ident, df.schema, partitions.toArray,
       properties.asJava).asInstanceOf[GraftV2Table]
-    GraftTable.load(spark, v2.path).bulkInsert(df)
+    // TBLPROPERTIES picks the initial file layout (with or without Spark's
+    // option. prefix, like the rest of the CREATE TABLE vocabulary)
+    val sortMode = properties.get(graft.DefaultSource.BULKINSERT_SORT_MODE)
+      .orElse(properties.get(
+        org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX +
+          graft.DefaultSource.BULKINSERT_SORT_MODE))
+      .getOrElse("hash")
+    GraftTable.load(spark, v2.path).bulkInsert(df, sortMode)
     Seq.empty
   }
 }

@@ -241,6 +241,26 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql(s"ALTER TABLE graft.$n SET TBLPROPERTIES ('graft.recordkey.field' = 'note')") }
   }
 
+  test("CTAS honors graft.bulkinsert.sort.mode = global_sort") {
+    val n = fresh("t_ctas_gs")
+    sql(s"""CREATE TABLE graft.$n USING graft
+           |TBLPROPERTIES ('graft.recordkey.field' = 'id',
+           |  'graft.target.file.rows' = '50',
+           |  'graft.bulkinsert.sort.mode' = 'global_sort')
+           |AS SELECT id * 37 % 500 AS id, id AS v FROM range(500)""".stripMargin)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n"
+    val files = GraftTable.load(spark, path).timeline.metas(None).last.files
+    assert(files.size >= 8, s"expected ~10 files, got ${files.size}")
+    val ranges = files.map(f => (f.keyMin, f.keyMax)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"overlapping file key ranges: $ranges")
+      case _ =>
+    }
+    assert(sql(s"SELECT count(DISTINCT id) AS c FROM graft.$n")
+      .collect()(0).getLong(0) === 500)
+  }
+
   test("SHOW CREATE TABLE / DESCRIBE EXTENDED render the graft config") {
     val n = fresh("t_showcreate")
     createOrders(n, rows = 2)
