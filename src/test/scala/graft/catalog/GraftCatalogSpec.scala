@@ -214,6 +214,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       sql(s"ALTER TABLE graft.$n ALTER COLUMN id TYPE DOUBLE") }
   }
 
+  test("time travel to before an ALTER shows the pre-ALTER schema") {
+    val n = fresh("t_alter_tt")
+    createOrders(n, rows = 3)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n"
+    val v1 = GraftTable.load(spark, path).timeline.completed().last._1
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (score DOUBLE)")
+    assert(sql(s"SELECT * FROM graft.$n VERSION AS OF '$v1'").columns.toSeq ===
+      Seq("id", "status", "price", "note"))
+    assert(sql(s"SELECT * FROM graft.$n").columns.toSeq ===
+      Seq("id", "status", "price", "note", "score"))
+  }
+
   test("ALTER TABLE before the first write updates the declared schema") {
     val n = fresh("t_alter_decl")
     sql(s"""CREATE TABLE graft.$n (id BIGINT, v STRING) USING graft
