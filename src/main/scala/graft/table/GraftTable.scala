@@ -679,16 +679,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // group in its own task (global-sort bulk insert) — skip the hash
     // shuffle, keep only the in-task key sort
     val arranged = if (preArranged) tagged else tagged.repartition(col(PART), col(FILE_ID))
+    // Key-bloom sidecars are built WHILE writing ([[BloomParquetFormat]]) —
+    // no second Spark job re-reads freshly written files. preArranged
+    // (global_sort bulk insert) skips them: disjoint per-file key ranges
+    // already prune tagging to ~1 candidate file from range stats alone.
+    val withBlooms = config.index == StatsIndex && !preArranged
     arranged.sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
       .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
-      .parquet(staging.toString)
+      .format(if (withBlooms) BloomParquetFormat.name else "parquet")
+      .option("graft.bloom.expected", config.targetFileSizeRows.toString)
+      .save(staging.toString)
     def dec(s: String): String = {
       val v = GraftTable.unescapePath(s)
       if (v == "__HIVE_DEFAULT_PARTITION__") "" else v
     }
     // plan all renames, then execute them concurrently: at large file counts
     // the commit cost is these metadata ops, and they are independent
-    val planned = mutable.Buffer[(Path, Path, String, String, String)]()
+    val planned = mutable.Buffer[(Path, Path, String, String, String, Boolean)]()
     Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("_gp=")).foreach { pDir =>
         val partition = dec(pDir.getFileName.toString.stripPrefix("_gp="))
@@ -705,14 +712,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
                             else Paths.get(basePath, partition)
               Files.createDirectories(destDir)
               val rel = if (partition.isEmpty) name else s"$partition/$name"
-              planned += ((src, destDir.resolve(name), rel, partition, fid))
+              planned += ((src, destDir.resolve(name), rel, partition, fid, isLog))
             }
           }
       }
     import scala.collection.parallel.CollectionConverters._
-    val moved = planned.toSeq.par.map { case (src, dest, rel, partition, fid) =>
+    val moved = planned.toSeq.par.map { case (src, dest, rel, partition, fid, isLog) =>
       Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      (rel, partition, fid)
+      // the while-writing bloom sidecar travels with its base file; log
+      // files never consult blooms (merge reads every log row) -> drop
+      val side = Paths.get(src.toString + ".bloom")
+      val hasBloom =
+        if (!isLog && Files.exists(side)) {
+          Files.move(side, Paths.get(dest.toString + ".bloom"),
+            StandardCopyOption.ATOMIC_MOVE)
+          true
+        } else { Files.deleteIfExists(side); false }
+      (rel, partition, fid, hasBloom)
     }.seq
     GraftTable.drop(staging.toString)
     if (moved.isEmpty) return Nil
@@ -725,32 +741,31 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .filter(f => !metaCols.contains(f.name) && isStatType(f.dataType))
       .map(_.name).toSet
     val conf = spark.sessionState.newHadoopConf()
-    val stats = moved.toSeq.par.map { case (rel, _, _) =>
+    val stats = moved.toSeq.par.map { case (rel, _, _, _) =>
       rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
         spark.sessionState.conf.sessionLocalTimeZone)
     }.seq.toMap
-    val withBloom = writeKeyBlooms(moved.toSeq.collect {
-      case (rel, p, fid) if !logGroups.contains(s"$p|$fid") => rel
-    })
-    moved.toSeq.map { case (rel, partition, fid) =>
+    moved.toSeq.map { case (rel, partition, fid, hasBloom) =>
       val st = stats(rel)
       val (kmin, kmax) = st.minMax.getOrElse(KEY, ("", ""))
       FileMeta(rel, fid, partition, st.rows, isLog = logGroups.contains(s"$partition|$fid"),
         bytes = st.bytes,
         keyMin = kmin, keyMax = kmax,
         colStats = (st.minMax - KEY).map { case (c, (mn, mx)) => c -> Array(mn, mx) },
-        hasBloom = withBloom.contains(rel))
+        hasBloom = hasBloom)
     }
   }
 
-  /** Build `<file>.bloom` key-filter sidecars for freshly-written base
-    * files: ONE distributed pass reading back only the key column (pruned
-    * parquet read), aggregated per file with [[KeyBloomAgg]] — partial
-    * aggregation folds keys into per-task filters map-side, so the shuffle
-    * moves a few KB per file, not the keys — and each executor writes its
-    * files' sidecars. Bucket-index tables skip blooms (tagging is an
-    * expression, no file lookup to prune). */
-  private def writeKeyBlooms(baseRels: Seq[String]): Set[String] = {
+  /** BACKFILL `<file>.bloom` key-filter sidecars for EXISTING base files
+    * (CREATE INDEX on a pre-bloom table; the write path itself builds
+    * blooms while writing via [[BloomParquetFormat]]): ONE distributed pass
+    * reading only the key column (pruned parquet read), aggregated per file
+    * with [[KeyBloomAgg]] — partial aggregation folds keys into per-task
+    * filters map-side, so the shuffle moves a few KB per file, not the
+    * keys — and each executor writes its files' sidecars. Bucket-index
+    * tables skip blooms (tagging is an expression, no file lookup to
+    * prune). */
+  private[graft] def buildKeyBlooms(baseRels: Seq[String]): Set[String] = {
     if (baseRels.isEmpty || config.index != StatsIndex) return Set.empty
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge

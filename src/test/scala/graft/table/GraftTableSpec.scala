@@ -470,6 +470,56 @@ class GraftTableSpec extends AnyFunSuite {
     Files.deleteIfExists(lock)
   }
 
+  test("bloom sidecars are built by the write job itself — zero extra Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { counter.incrementAndGet(); () }
+    }
+    // job-start events post asynchronously; poll until the count stops moving
+    def jobsDuring(body: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        body
+        var last = -1
+        var stable = 0
+        while (stable < 5) {
+          Thread.sleep(100)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    def mk(dir: String, index: IndexType): GraftTable =
+      GraftTable.create(spark, dir, TableConfig("jobs_t", CopyOnWrite,
+        keyFields = Seq("o_orderkey"), precombineField = Some("o_totalprice"),
+        partitioning = PartitionByColumns(Seq("o_orderstatus")),
+        index = index, targetFileSizeRows = 200))
+    val (dStats, dBucket) = (tmp(), tmp())
+    val (tStats, tBucket) = (mk(dStats, StatsIndex), mk(dBucket, BucketIndex(8)))
+    val df = orders
+    // bucket tables never build blooms — same op, same data. The stats path
+    // legitimately runs ONE more job (its insert-planning broadcast join;
+    // bucket assigns file ids by pure expression). A separate bloom pass
+    // (the round-5 regression) would make the delta 2 — pin it at 1.
+    val statsJobs = jobsDuring(tStats.bulkInsert(df))
+    val bucketJobs = jobsDuring(tBucket.bulkInsert(df))
+    assert(tStats.slices(None).forall(_.baseFiles.forall(_.hasBloom)),
+      "stats-index commit must produce bloom sidecars")
+    assert(tBucket.slices(None).forall(_.baseFiles.forall(!_.hasBloom)))
+    assert(statsJobs === bucketJobs + 1,
+      s"bloom sidecar build added Spark jobs: $statsJobs vs $bucketJobs")
+    // global_sort skips sidecars: disjoint ranges already prune to ~1 file
+    val dGs = tmp()
+    val tGs = mk(dGs, StatsIndex)
+    tGs.bulkInsert(df, sortMode = "global_sort")
+    assert(tGs.slices(None).forall(_.baseFiles.forall(!_.hasBloom)),
+      "global_sort layout must not pay for bloom sidecars")
+    GraftTable.drop(dStats); GraftTable.drop(dBucket); GraftTable.drop(dGs)
+  }
+
   test("bloom index prunes candidate files where key ranges prune nothing") {
     val dir = tmp()
     // tiny target size -> many file groups per partition; hash assignment
