@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import graft.table._
 
 /**
@@ -276,14 +276,21 @@ case class GraftCtasCommand(catalog: GraftCatalog,
  * partitioned table the source must carry the partition columns under the
  * table's column names (as the typed API requires).
  *
- * Execution: source joins the live snapshot once on (keys, partition);
- * matched pairs take the FIRST matching WHEN clause (SQL order semantics),
- * update rows inherit unassigned columns from the target row; inserts come
- * from the anti-join; NOT MATCHED BY SOURCE clauses run on the reverse
- * anti-join. The union goes through the typed mergeInto, so liveness
- * classification, routing tags, precombine and conflict detection all
- * apply, and the whole statement is one commit. Duplicate source keys
- * resolve by precombine, as in the reference.
+ * Execution — the snapshot is scanned ONCE per statement: source
+ * full-outer-joins the latest key versions (values + routing file id +
+ * liveness) on (keys, partition); the three MERGE classes fall out of the
+ * join's null sides — matched (both present, target live), not-matched
+ * (target absent OR tombstoned: deleted keys are insertable again),
+ * not-matched-by-source (source absent, target live). When no NOT MATCHED
+ * BY SOURCE clause exists, the scan prunes to candidate files by recorded
+ * key ranges + blooms exactly as upsert tagging does. Each class takes its
+ * FIRST matching WHEN clause (SQL order semantics); update rows inherit
+ * unassigned columns from the target row. The batch carries the target's
+ * file id as the routing tag, so writeBatch never re-scans the table for
+ * tagging — the same single-scan discipline as the typed mergeInto — while
+ * precombine and conflict detection still apply, and the whole statement
+ * is one commit. Duplicate source keys resolve by precombine, as in the
+ * reference.
  */
 case class GraftMergeCommand(path: String, source: LogicalPlan,
     mergeCondition: Expression, matchedActions: Seq[MergeAction],
@@ -294,11 +301,21 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
 
   private val T = "_g_t"
   private val S = "_g_s"
-  private val MARK = "_g_m_del"
+  private val SEX = "_g_s_ex" // join-side existence markers (full outer)
+  private val FID = "_g_fid"
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    val (t, startLatest, routed) = classify(spark)
+    t.writeBatch(routed, "merge", sinceForConflict = Some(startLatest))
+    Seq.empty
+  }
+
+  /** Build the routed write batch (data columns + [[GraftTable.DELETED]] +
+    * `_g_fid` routing tag) from ONE scan of the table — exposed for the
+    * plan spec that pins the single-scan property. */
+  private[graft] def classify(spark: SparkSession): (GraftTable, String, DataFrame) = {
     val t = GraftTable.load(spark, path)
     val cfg = t.config
     val tIds = targetOutput.map(_.exprId).toSet
@@ -308,7 +325,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       .orElse(GraftV2Table.storedSchema(path)).getOrElse(
         throw new IllegalStateException(s"graft table at $path has no schema"))
     val dataCols = dataSchema.fields.map(_.name).toSeq
-    require(!dataCols.contains(MARK), s"column name $MARK is reserved")
+    require(!dataCols.contains(FID), s"column name $FID is reserved")
 
     // ON: every conjunct <target col> = <source expr>; keys all covered
     val eqs: Seq[(String, Expression)] = splitConjuncts(mergeCondition).map {
@@ -326,14 +343,28 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
     require(missing.isEmpty, "MERGE ON condition must equate every record " +
       s"key field; missing: ${missing.mkString(", ")} (as the reference requires)")
 
-    val tgt = t.snapshot().alias(T)
     val srcDf = ofRows(spark, source)
     val partCols = immutableCols(cfg) -- cfg.keyFields
     val missingPart = partCols.filterNot(srcDf.columns.contains)
     require(missingPart.isEmpty, "MERGE source must carry the partition " +
       s"column(s) ${missingPart.mkString(", ")} under the table's names " +
       "(matching is per key AND partition, as in the typed mergeInto)")
-    val src = srcDf.withColumn("_g_spart", cfg.partitioning.pathExpr).alias(S)
+    // conflict watermark read BEFORE any table state (as in mergeInto)
+    val startLatest = t.timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val src = srcDf.withColumn("_g_spart", cfg.partitioning.pathExpr)
+      .withColumn(SEX, lit(true)).alias(S)
+    // when every target row the statement can touch is source-matched,
+    // prune the snapshot scan to candidate files (key ranges + blooms) via
+    // a probe keyed like the table; NOT MATCHED BY SOURCE needs all rows
+    val probe = {
+      val keyVals = eqs.map { case (n, e) => both(e).as(n) }
+      val extraParts = (partCols -- eqs.map(_._1)).toSeq.map(col)
+      src.select(keyVals ++ extraParts: _*)
+        .withColumn(GraftTable.KEY, cfg.keyExpr)
+        .withColumn(GraftTable.PART, cfg.partitioning.pathExpr)
+    }
+    val tgt = t.latestVersions(
+      if (notMatchedBySourceActions.isEmpty) Some(probe) else None).alias(T)
     val joinCond = (eqs.map { case (name, e) => col(s"$T.$name") === both(e) } :+
       (col(s"$T.${GraftTable.PART}") === col(s"$S._g_spart"))).reduce(_ && _)
 
@@ -345,58 +376,72 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
         s"unsupported MERGE action: $other")
     }).map(both).getOrElse(lit(true))
 
-    /** SQL first-matching-clause-wins: rows for action i satisfy cond(i)
-      * and none of cond(0..i-1). */
-    def firstWins(frame: DataFrame, actions: Seq[MergeAction]): Seq[(MergeAction, DataFrame)] =
-      actions.zipWithIndex.map { case (a, i) =>
-        val prior = actions.take(i).map(actionCond)
-          .foldLeft(lit(false))(_ || _)
-        a -> frame.filter(actionCond(a) && !prior)
-      }
-
     def assignMap(assignments: Seq[Assignment]): Map[String, Column] =
       assignments.map(a => assignmentName(a) -> both(a.value)).toMap
 
-    /** Full-width row for one action over one classified frame. */
-    def rowsFor(a: MergeAction, frame: DataFrame): DataFrame = a match {
-      case UpdateAction(_, assignments, fromStar) =>
-        // UPDATE SET * assigns every column; keys are equal by the ON
-        // condition and the partition path is not updated (the reference's
-        // default: update.partition.path=false) — inherit both from target
-        val sets0 = assignMap(assignments)
-        val sets = if (fromStar) sets0 -- immutableCols(cfg) else sets0
-        val frozen = immutableCols(cfg) & sets.keySet
-        require(frozen.isEmpty, "MERGE UPDATE may not change record key / " +
-          s"partition columns: ${frozen.mkString(", ")} (rows cannot migrate)")
-        frame.select(dataCols.map(c =>
-          sets.getOrElse(c, col(s"$T.$c")).as(c)) :+ lit(false).as(MARK): _*)
-      case DeleteAction(_) =>
-        frame.select(dataCols.map(c => col(s"$T.$c").as(c)) :+ lit(true).as(MARK): _*)
-      case InsertAction(_, assignments) =>
-        val sets = assignMap(assignments)
-        val unkeyed = cfg.keyFields.filterNot(sets.contains)
-        require(unkeyed.isEmpty, "MERGE INSERT must assign every record " +
-          s"key field; missing: ${unkeyed.mkString(", ")}")
-        frame.select(dataSchema.fields.toSeq.map(f =>
-          sets.getOrElse(f.name, lit(null).cast(f.dataType)).as(f.name)) :+
-          lit(false).as(MARK): _*)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported MERGE action: $other")
-    }
+    val DEL = GraftTable.DELETED
+    val tFid = col(s"$T.${GraftTable.FILE_ID}")
 
-    val matchedPairs = src.join(tgt, joinCond, "inner")
-    val sourceOnly = src.join(tgt, joinCond, "left_anti")
-    val targetOnly = tgt.join(src, joinCond, "left_anti")
+    // ONE full-outer join; the three MERGE classes fall out of its null
+    // sides. "Matched" means the key's latest version is LIVE — a
+    // tombstoned key takes the not-matched (re-insert) branch, and
+    // tombstones are never not-matched-by-source targets.
+    val joined = src.join(tgt, joinCond, "full_outer")
+    val srcEx = col(s"$S.$SEX").isNotNull
+    val tgtLive = !coalesce(col(s"$T.$DEL"), lit(true))
 
-    val parts =
-      firstWins(matchedPairs, matchedActions).map((rowsFor _).tupled) ++
-      firstWins(sourceOnly, notMatchedActions).map((rowsFor _).tupled) ++
-      firstWins(targetOnly, notMatchedBySourceActions).map((rowsFor _).tupled)
-    if (parts.nonEmpty) {
-      val batch = parts.reduce(_ unionByName _)
-      t.mergeInto(batch, updateCond = !col(MARK), deleteCond = col(MARK),
-        insertCond = lit(true), dropCols = Seq(MARK))
+    // Every (class, WHEN clause) pair compiles into ONE projection over the
+    // join — a when-chain per output column. Classes are mutually
+    // exclusive, so chain order = SQL clause order within each class gives
+    // first-matching-clause-wins. No unioned per-clause branches: the plan
+    // holds exactly one scan of the snapshot, evaluated once.
+    val classed: Seq[(Column, MergeAction)] =
+      matchedActions.map((srcEx && tgtLive) -> _) ++
+      notMatchedActions.map((srcEx && !tgtLive) -> _) ++
+      notMatchedBySourceActions.map((!srcEx && tgtLive) -> _)
+    // per clause: (row condition, column expr, tombstone flag, routing tag)
+    val compiled: Seq[(Column, StructField => Column, Column, Column)] =
+      classed.map { case (classCond, a) =>
+        val cond = classCond && actionCond(a)
+        a match {
+          case UpdateAction(_, assignments, fromStar) =>
+            // UPDATE SET * assigns every column; keys are equal by the ON
+            // condition and the partition path is not updated (the
+            // reference's default: update.partition.path=false) — inherit
+            // both from target
+            val sets0 = assignMap(assignments)
+            val sets = if (fromStar) sets0 -- immutableCols(cfg) else sets0
+            val frozen = immutableCols(cfg) & sets.keySet
+            require(frozen.isEmpty, "MERGE UPDATE may not change record key" +
+              s" / partition columns: ${frozen.mkString(", ")} (rows cannot migrate)")
+            (cond, (f: StructField) => sets.getOrElse(f.name, col(s"$T.${f.name}")),
+              lit(false), tFid)
+          case DeleteAction(_) =>
+            (cond, (f: StructField) => col(s"$T.${f.name}"), lit(true), tFid)
+          case InsertAction(_, assignments) =>
+            val sets = assignMap(assignments)
+            val unkeyed = cfg.keyFields.filterNot(sets.contains)
+            require(unkeyed.isEmpty, "MERGE INSERT must assign every record " +
+              s"key field; missing: ${unkeyed.mkString(", ")}")
+            (cond, (f: StructField) => sets.getOrElse(f.name, lit(null).cast(f.dataType)),
+              lit(false), lit(null).cast(StringType))
+          case other => throw new UnsupportedOperationException(
+            s"unsupported MERGE action: $other")
+        }
+      }
+    def chain(of: ((Column, StructField => Column, Column, Column)) => Column): Column =
+      compiled.foldRight(lit(null): Column) { case (t, acc) => when(t._1, of(t)).otherwise(acc) }
+    val keep = compiled.map(_._1).reduce(_ || _)
+    val batch = joined.filter(keep).select(
+      dataSchema.fields.toSeq.map(f => chain(_._2(f)).as(f.name)) ++
+        Seq(chain(_._3).as(DEL), chain(_._4).as(FID)): _*)
+    // the target's file id rides into writeBatch as the routing tag (stats
+    // index), so the table is never re-scanned for tagging; bucket tables
+    // re-derive the tag as a pure expression
+    val routed = cfg.index match {
+      case StatsIndex => batch
+      case BucketIndex(_) => batch.drop(FID)
     }
-    Seq.empty
+    (t, startLatest, routed)
   }
 }

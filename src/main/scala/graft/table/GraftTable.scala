@@ -1196,6 +1196,26 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
   }
 
+  /** SQL MERGE classification input: the latest version of every existing
+    * key — full data columns, routing [[FILE_ID]], liveness as [[DELETED]] —
+    * produced by ONE snapshot scan. `probe` (a frame carrying KEY/PART)
+    * prunes candidate files by recorded key ranges + blooms, exactly as
+    * upsert tagging does; None reads every live slice (required when NOT
+    * MATCHED BY SOURCE clauses must see all target rows). */
+  private[graft] def latestVersions(probe: Option[DataFrame]): DataFrame =
+    probe match {
+      case Some(df) => existingRows(df)
+      case None =>
+        val data = schemaAt(None).getOrElse(new StructType())
+        val cur = slices(None)
+        config.tableType match {
+          case CopyOnWrite => readConformed(
+            cur.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data,
+            needFileId = true)
+          case MergeOnRead => readSliceRows(cur, data, needFileId = true)
+        }
+    }
+
   /** [[candidateSlices]] ignoring partitions: slices in ANY partition whose
     * key range intersects the batch's global key range. */
   private def candidateSlicesGlobal(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {

@@ -121,6 +121,45 @@ class GraftCatalogSpec extends AnyFunSuite {
       (3L, 30.0, "untouched"), (4L, 40.0, "untouched"), (5L, 50.0, "untouched")))
   }
 
+  test("MERGE INTO scans the target snapshot exactly once") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansOf(mergeSql: String): (GraftMergeCommand, Int) = {
+      val parsed = spark.sessionState.sqlParser.parsePlan(mergeSql)
+      // analysis only — the command must NOT run, we inspect its batch plan
+      val cmd = spark.sessionState.executePlan(parsed).analyzed.collectFirst {
+        case c: GraftMergeCommand => c
+      }.getOrElse(fail("MERGE did not resolve to GraftMergeCommand"))
+      val batch = cmd.classify(spark)._3
+      val scans = batch.queryExecution.analyzed.collect {
+        case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] &&
+          l.relation.asInstanceOf[HadoopFsRelation].location.rootPaths
+            .exists(_.toString.contains(cmd.path)) => l
+      }
+      (cmd, scans.size)
+    }
+    val n = fresh("t_onescan")
+    createOrders(n)
+    Seq("s1" -> (1 to 5), "s2" -> (18 to 25)).foreach { case (v, r) =>
+      r.map(i => (i.toLong, if (i % 2 == 0) "O" else "F", i * 100.0, s"m$i"))
+        .toDF("id", "status", "price", "note").createOrReplaceTempView(v)
+    }
+    // matched + not-matched clauses: pruned candidate scan, still ONE
+    val (_, nA) = scansOf(
+      s"""MERGE INTO graft.$n t USING s1 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price
+         |WHEN NOT MATCHED THEN INSERT (id, status, price, note)
+         |  VALUES (s.id, s.status, s.price, s.note)""".stripMargin)
+    assert(nA === 1, s"matched/not-matched MERGE scanned the snapshot $nA times")
+    // NOT MATCHED BY SOURCE forces the full snapshot — still ONE scan
+    val (_, nB) = scansOf(
+      s"""MERGE INTO graft.$n t USING s2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET price = s.price
+         |WHEN NOT MATCHED THEN INSERT (id, status, price, note)
+         |  VALUES (s.id, s.status, s.price, s.note)
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(nB === 1, s"by-source MERGE scanned the snapshot $nB times")
+  }
+
   test("MERGE INTO requires key equality in ON") {
     val n = fresh("t_merge_bad")
     createOrders(n, rows = 3)
