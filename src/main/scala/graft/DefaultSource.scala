@@ -267,4 +267,7 @@ object DefaultSource {
   val TARGET_FILE_ROWS = "graft.target.file.rows"
   // merge payload semantics (ref: hudi hoodie.datasource.write.payload.class)
   val PAYLOAD = "graft.merge.payload"
+  // schema-on-read evolution: RENAME/DROP COLUMN resolved by column id
+  // (ref: hudi hoodie.schema.on.read.enable)
+  val SCHEMA_ON_READ = "graft.schema.on.read"
 }

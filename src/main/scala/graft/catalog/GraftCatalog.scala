@@ -120,33 +120,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   /** ALTER TABLE — the DDL half of schema evolution (ref: hudi-spark/
     * .../command/AlterHoodieTableAddColumnsCommand.scala:40,
-    * AlterHoodieTableChangeColumnCommand.scala:42, and HoodieCatalog's
-    * property-change path). ADD COLUMNS and widening ALTER COLUMN TYPE
-    * become a schema-only commit — no data rewrite at any table size;
-    * SET/UNSET TBLPROPERTIES re-persists the write config for the safe
-    * subset (file sizing, merge payload). Structural properties (keys,
-    * partitioning, table type, index) and destructive schema changes
-    * (DROP/RENAME COLUMN, narrowing) are rejected. */
+    * AlterHoodieTableChangeColumnCommand.scala:42,
+    * Spark33ResolveHudiAlterTableCommand.scala, and HoodieCatalog's
+    * property-change path). ADD COLUMNS, widening ALTER COLUMN TYPE, and —
+    * when the table sets `graft.schema.on.read` — RENAME/DROP COLUMN
+    * become a schema-only commit (renames resolve by column id on read) —
+    * no data rewrite at any table size; SET/UNSET TBLPROPERTIES
+    * re-persists the write config for the safe subset (file sizing, merge
+    * payload, schema-on-read). Structural properties (keys, partitioning,
+    * table type, index), narrowing type changes, and rename/drop of
+    * identity columns are rejected. New column names must be unique under
+    * the session resolver (case-insensitive by default) and may not shadow
+    * graft meta columns. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    import graft.DefaultSource.{PAYLOAD, TARGET_FILE_ROWS}
+    import graft.DefaultSource.{PAYLOAD, SCHEMA_ON_READ, TARGET_FILE_ROWS}
     val path = pathOf(ident)
-    val t = GraftTable.load(SparkSession.active, path)
+    val spark = SparkSession.active
+    val t = GraftTable.load(spark, path)
     val committed = t.schemaAt(None)
     var schema = committed.orElse(GraftV2Table.storedSchema(path))
       .getOrElse(new StructType())
     var cfg = t.config
     var schemaChanged, cfgChanged = false
+    val resolver = spark.sessionState.conf.resolver
     def topLevel(fieldNames: Array[String], what: String): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
         s"$what supports only top-level columns, got ${fieldNames.mkString(".")}")
       fieldNames(0)
     }
+    val identityCols = (cfg.keyFields ++ cfg.precombineField ++
+      cfg.partitioning.columns).toSet
+    def checkNewName(name: String): Unit = {
+      if (GraftTable.metaCols.exists(m => resolver(m, name)))
+        throw new IllegalArgumentException(
+          s"column name '$name' is reserved (graft meta column)")
+      if (schema.fieldNames.exists(e => resolver(e, name)))
+        throw new IllegalArgumentException(s"column '$name' already exists " +
+          "(names resolve case-insensitively)")
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         val name = topLevel(add.fieldNames, "ADD COLUMNS")
-        if (schema.fieldNames.contains(name)) throw new IllegalArgumentException(
-          s"column '$name' already exists")
+        checkNewName(name)
         if (add.position != null) throw new UnsupportedOperationException(
           "ADD COLUMNS FIRST/AFTER is not supported; columns append at the end")
         val f = StructField(name, add.dataType, nullable = true)
@@ -160,22 +176,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) f.copy(dataType = ut.newDataType) else f))
         schemaChanged = true
-      case _: TableChange.UpdateColumnNullability => () // all columns nullable on read
+      case rn: TableChange.RenameColumn =>
+        val name = topLevel(rn.fieldNames, "RENAME COLUMN")
+        if (!schema.fieldNames.contains(name)) throw new IllegalArgumentException(
+          s"column '$name' does not exist")
+        if (identityCols(name)) throw new IllegalArgumentException(
+          s"cannot rename '$name': key/precombine/partition columns define " +
+            "record identity")
+        if (!cfg.schemaOnRead) throw new UnsupportedOperationException(
+          s"RENAME COLUMN requires TBLPROPERTIES ('$SCHEMA_ON_READ' = 'true')" +
+            " (renames resolve by column id on read)")
+        checkNewName(rn.newName)
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(name = rn.newName) else f))
+        schemaChanged = true
+      case dc: TableChange.DeleteColumn =>
+        val name = topLevel(dc.fieldNames, "DROP COLUMN")
+        if (!schema.fieldNames.contains(name)) {
+          if (dc.ifExists) () // no-op
+          else throw new IllegalArgumentException(s"column '$name' does not exist")
+        } else {
+          if (identityCols(name)) throw new IllegalArgumentException(
+            s"cannot drop '$name': key/precombine/partition columns define " +
+              "record identity")
+          if (!cfg.schemaOnRead) throw new UnsupportedOperationException(
+            s"DROP COLUMN requires TBLPROPERTIES ('$SCHEMA_ON_READ' = 'true')")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          schemaChanged = true
+        }
+      case un: TableChange.UpdateColumnNullability =>
+        // SET NOT NULL would claim a guarantee reads never enforce
+        if (!un.nullable) throw new UnsupportedOperationException(
+          "ALTER COLUMN ... SET NOT NULL is not supported: graft columns " +
+            "are nullable on read (schema evolution fills absent columns " +
+            "with null)")
+        () // DROP NOT NULL matches actual behavior — no-op
       case _: TableChange.UpdateColumnComment => () // comments are not persisted
       case sp: TableChange.SetProperty => sp.property match {
         case TARGET_FILE_ROWS =>
           cfg = cfg.copy(targetFileSizeRows = sp.value.toLong); cfgChanged = true
         case PAYLOAD =>
           cfg = cfg.copy(payload = MergePayload.of(sp.value)); cfgChanged = true
+        case SCHEMA_ON_READ =>
+          cfg = cfg.copy(schemaOnRead = sp.value.toBoolean); cfgChanged = true
         case other => throw new UnsupportedOperationException(
           s"table property '$other' cannot be altered on a graft table " +
-            s"(mutable: $TARGET_FILE_ROWS, $PAYLOAD)")
+            s"(mutable: $TARGET_FILE_ROWS, $PAYLOAD, $SCHEMA_ON_READ)")
       }
       case rp: TableChange.RemoveProperty => rp.property match {
         case TARGET_FILE_ROWS =>
           cfg = cfg.copy(targetFileSizeRows = 1000000L); cfgChanged = true
         case PAYLOAD =>
           cfg = cfg.copy(payload = OverwriteLatest); cfgChanged = true
+        case SCHEMA_ON_READ =>
+          cfg = cfg.copy(schemaOnRead = false); cfgChanged = true
         case other => throw new UnsupportedOperationException(
           s"table property '$other' cannot be unset on a graft table")
       }
@@ -478,6 +532,7 @@ object GraftV2Table {
       index = p(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
         .getOrElse(StatsIndex),
       targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong,
-      payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")))
+      payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")),
+      schemaOnRead = p(SCHEMA_ON_READ).exists(_.toBoolean))
   }
 }

@@ -73,7 +73,8 @@ object GraftTable {
         case BucketIndex(n) => Map("kind" -> "bucket", "buckets" -> n)
       }),
       "targetFileSizeRows" -> config.targetFileSizeRows,
-      "payload" -> config.payload.name)))
+      "payload" -> config.payload.name,
+      "schemaOnRead" -> config.schemaOnRead)))
     ()
   }
 
@@ -96,7 +97,8 @@ object GraftTable {
       raw("keyFields").asInstanceOf[Seq[String]],
       Option(raw.getOrElse("precombineField", null)).map(_.toString),
       part, idx, raw("targetFileSizeRows").toString.toLong,
-      MergePayload.of(raw.getOrElse("payload", "overwrite_latest").toString)))
+      MergePayload.of(raw.getOrElse("payload", "overwrite_latest").toString),
+      raw.getOrElse("schemaOnRead", false).toString.toBoolean))
   }
 
   def exists(path: String): Boolean =
@@ -333,19 +335,34 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(p => DataType.fromJson(p._2).asInstanceOf[StructType])
   }
 
+  /** Write-driven evolution matches by NAME (incoming user frames carry no
+    * ids); existing columns keep their committed ids, genuinely new columns
+    * get fresh ones, so every committed schemaJson is fully id-mapped. */
   private def mergeSchemas(old: Option[StructType], incoming: StructType): StructType = old match {
-    case None => incoming
+    case None => ColIds.assign(incoming, maxColId())
     case Some(o) =>
       val byName = incoming.fields.map(f => f.name -> f).toMap
       val kept = o.fields.map { f =>
         byName.get(f.name) match {
           case Some(nf) if nf.dataType != f.dataType =>
-            StructField(f.name, widen(f.dataType, nf.dataType), nullable = true)
+            f.copy(dataType = widen(f.dataType, nf.dataType), nullable = true)
           case _ => f
         }
       }
       val added = incoming.fields.filterNot(f => o.fieldNames.contains(f.name))
-      StructType(kept ++ added)
+      ColIds.assign(StructType(kept ++ added), maxColId())
+  }
+
+  /** High-water column id over every schema epoch ever committed — dropped
+    * columns retire their ids permanently. */
+  private def maxColId(): Long = {
+    val ids = for {
+      sj <- schemaByInstant().values.toSet[String]
+      if sj.nonEmpty
+      f <- DataType.fromJson(sj).asInstanceOf[StructType].fields
+      id <- ColIds.idOf(f)
+    } yield id
+    if (ids.isEmpty) 0L else ids.max
   }
 
   private def widen(a: DataType, b: DataType): DataType = (a, b) match {
@@ -357,36 +374,87 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     case _ => StringType
   }
 
+  /** Explicit whitelist for ALTER COLUMN TYPE (ref: hudi-common/.../
+    * internal/schema/utils/SchemaChangeUtils.java type-promotion matrix):
+    * numeric widenings plus numeric/decimal→string. Unlike [[widen]] (whose
+    * merge fallback is "union as string" for conflicting WRITE batches),
+    * DDL must not silently reformat temporal/boolean/complex values as
+    * cast strings. */
+  private def alterWiden(a: DataType, b: DataType): Boolean = (a, b) match {
+    case _ if a == b => true
+    case (IntegerType, LongType | FloatType | DoubleType | StringType) => true
+    case (LongType, DoubleType | StringType) => true
+    case (FloatType, DoubleType | StringType) => true
+    case (DoubleType, StringType) => true
+    case (_: DecimalType, StringType) => true
+    case _ => false
+  }
+
   /** DDL-driven schema evolution (ref: hudi-spark-datasource/hudi-spark/
     * src/main/scala/org/apache/spark/sql/hudi/command/
-    * AlterHoodieTableAddColumnsCommand.scala:40 and
-    * AlterHoodieTableChangeColumnCommand.scala:42): record `target` as the
-    * table schema WITHOUT touching any data file — a schema-only commit.
-    * Existing files conform on read (absent columns come back null, narrower
-    * types cast up), so the cost is one timeline write at any table size.
-    * Only additive / widening changes are legal: every current column must
-    * survive under its own name with the same or a widenable type, and
-    * key / precombine / partition columns cannot change type at all (they
-    * define record identity — a widened key would re-route its own history
-    * on the next upsert). */
-  def alterSchema(target: StructType): Unit = {
+    * AlterHoodieTableAddColumnsCommand.scala:40,
+    * AlterHoodieTableChangeColumnCommand.scala:42, and — for rename/drop —
+    * Spark33ResolveHudiAlterTableCommand.scala under
+    * `hoodie.schema.on.read.enable`): record `target` as the table schema
+    * WITHOUT touching any data file — a schema-only commit. Existing files
+    * conform on read (absent columns come back null, narrower types cast
+    * up, renamed columns resolve by column id), so the cost is one
+    * timeline write at any table size.
+    *
+    * Legal changes: ADD (anywhere), explicit type WIDENING from
+    * [[alterWiden]]'s whitelist, and — when the table enables
+    * `schemaOnRead` — RENAME and DROP, resolved by column id. Key /
+    * precombine / partition columns define record identity and admit no
+    * change at all. New names must be unique under the session resolver
+    * (case-insensitive by default) and may not shadow graft meta columns. */
+  def alterSchema(target0: StructType): Unit = {
     val current = schemaAt(None).getOrElse(new StructType())
-    val tf = target.fields.map(f => f.name -> f).toMap
-    require(tf.size == target.fields.length,
-      s"duplicate column name in ALTER schema: ${target.fieldNames.mkString(", ")}")
+    val target = ColIds.assign(target0, maxColId())
+    val resolver = spark.sessionState.conf.resolver
+    target.fields.foreach { f =>
+      if (GraftTable.metaCols.exists(m => resolver(m, f.name)))
+        throw new IllegalArgumentException(
+          s"column name '${f.name}' is reserved (graft meta column)")
+    }
+    for (i <- target.fields.indices; j <- 0 until i)
+      if (resolver(target.fields(i).name, target.fields(j).name))
+        throw new IllegalArgumentException(
+          s"duplicate column name in ALTER schema: '${target.fields(i).name}'" +
+            " (names resolve case-insensitively)")
     val identity = (config.keyFields ++ config.precombineField ++
       config.partitioning.columns).toSet
-    current.fields.foreach { f =>
-      val nf = tf.getOrElse(f.name, throw new IllegalArgumentException(
-        s"cannot drop column '${f.name}': graft schema evolution is additive"))
-      if (nf.dataType != f.dataType) {
-        if (identity(f.name)) throw new IllegalArgumentException(
-          s"cannot change the type of '${f.name}': key/precombine/partition " +
-            "columns define record identity")
-        if (widen(f.dataType, nf.dataType) != nf.dataType)
-          throw new IllegalArgumentException(
-            s"cannot change '${f.name}' from ${f.dataType.simpleString} to " +
-              s"${nf.dataType.simpleString}: not a widening conversion")
+    current.fields.foreach { cf =>
+      // committed columns resolve forward by id; legacy id-less by name
+      val tf = ColIds.idOf(cf) match {
+        case Some(id) => target.fields.find(t => ColIds.idOf(t).contains(id))
+        case None => target.fields.find(_.name == cf.name)
+      }
+      tf match {
+        case None =>
+          if (identity(cf.name)) throw new IllegalArgumentException(
+            s"cannot drop '${cf.name}': key/precombine/partition columns " +
+              "define record identity")
+          if (!config.schemaOnRead) throw new IllegalArgumentException(
+            s"cannot drop column '${cf.name}': schema evolution is additive " +
+              "unless the table sets graft.schema.on.read = true")
+        case Some(nf) =>
+          if (nf.name != cf.name) {
+            if (identity(cf.name)) throw new IllegalArgumentException(
+              s"cannot rename '${cf.name}': key/precombine/partition " +
+                "columns define record identity")
+            if (!config.schemaOnRead) throw new IllegalArgumentException(
+              s"cannot rename column '${cf.name}': schema evolution is " +
+                "additive unless the table sets graft.schema.on.read = true")
+          }
+          if (nf.dataType != cf.dataType) {
+            if (identity(cf.name)) throw new IllegalArgumentException(
+              s"cannot change the type of '${cf.name}': key/precombine/" +
+                "partition columns define record identity")
+            if (!alterWiden(cf.dataType, nf.dataType))
+              throw new IllegalArgumentException(
+                s"cannot change '${cf.name}' from ${cf.dataType.simpleString}" +
+                  s" to ${nf.dataType.simpleString}: not a widening conversion")
+          }
       }
     }
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
@@ -406,6 +474,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq ++ keep.filter(df.columns.contains).map(col): _*)
+
+  /** Epoch→target mapping for schema-on-read evolution: a target column
+    * resolves in a write-epoch frame by COLUMN ID when both sides carry one
+    * (renames follow the id across epochs), by name when either side
+    * predates ids (legacy epochs, meta columns). A dropped-then-re-added
+    * name holds a FRESH id, so old epochs' values do not resurrect. */
+  private def conformFrom(df: DataFrame, from: StructType,
+      target: StructType): DataFrame = {
+    val fromById = from.fields.flatMap(f => ColIds.idOf(f).map(_ -> f)).toMap
+    val fromByName = from.fields.map(f => f.name -> f).toMap
+    df.select(target.fields.map { tf =>
+      val sf = ColIds.idOf(tf) match {
+        case Some(id) => fromById.get(id)
+          .orElse(fromByName.get(tf.name).filter(f => ColIds.idOf(f).isEmpty))
+        case None => fromByName.get(tf.name)
+      }
+      sf match {
+        case Some(f) => col(f.name).cast(tf.dataType).as(tf.name)
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }.toSeq: _*)
+  }
 
   // ------------------------------------------------------------ file slices
 
@@ -503,7 +593,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         case Some(f) => coalesce(col(FILE_ID), lit(f))
         case None => col(FILE_ID)
       }
-      conform(spark.read.schema(fileSchema).parquet(paths: _*), tgt)
+      conformFrom(spark.read.schema(fileSchema).parquet(paths: _*), fileSchema, tgt)
         .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
         .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
         .withColumn(COMMIT, coalesce(col(COMMIT), lit("0")))

@@ -133,6 +133,11 @@ object MergePayload {
  * @param targetFileSizeRows target rows per base file; inserts bin-pack into
  *                        under-sized file groups before opening new ones
  * @param payload         cross-commit merge semantics (see [[MergePayload]])
+ * @param schemaOnRead    allow RENAME/DROP COLUMN as schema-only commits,
+ *                        resolved by column id on read (ref:
+ *                        HoodieCommonConfig.java:34
+ *                        `hoodie.schema.on.read.enable`; off by default,
+ *                        as in the reference)
  */
 case class TableConfig(
     name: String,
@@ -142,7 +147,8 @@ case class TableConfig(
     partitioning: PartitionSpec = NonPartitioned,
     index: IndexType = StatsIndex,
     targetFileSizeRows: Long = 1000000L,
-    payload: MergePayload = OverwriteLatest) {
+    payload: MergePayload = OverwriteLatest,
+    schemaOnRead: Boolean = false) {
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).

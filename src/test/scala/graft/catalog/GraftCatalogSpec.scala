@@ -265,6 +265,84 @@ class GraftCatalogSpec extends AnyFunSuite {
       Seq("id", "status", "price", "note", "score"))
   }
 
+  test("schema-on-read: RENAME/DROP COLUMN resolve old files by column id") {
+    val n = fresh("t_sor")
+    sql(s"""CREATE TABLE graft.$n (
+           |  id BIGINT, status STRING, price DOUBLE, note STRING, tag STRING)
+           |USING graft PARTITIONED BY (status)
+           |TBLPROPERTIES (
+           |  'graft.recordkey.field' = 'id',
+           |  'graft.precombine.field' = 'price',
+           |  'graft.schema.on.read' = 'true')""".stripMargin)
+    sql(s"INSERT INTO graft.$n VALUES (1L, 'O', 10.0, 'keep', 'x1'), " +
+      "(2L, 'F', 20.0, 'old-note', 'x2')")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/$n"
+    val v1 = GraftTable.load(spark, path).timeline.completed().last._1
+    // RENAME: schema-only commit; files written under the OLD name must
+    // serve the renamed column by id
+    sql(s"ALTER TABLE graft.$n RENAME COLUMN note TO comment")
+    assert(sql(s"SELECT * FROM graft.$n").columns.toSeq ===
+      Seq("id", "status", "price", "comment", "tag"))
+    assert(sql(s"SELECT comment FROM graft.$n WHERE id = 2")
+      .collect()(0).getString(0) === "old-note")
+    // writes after the rename use the new name; both epochs read coherently
+    sql(s"INSERT INTO graft.$n VALUES (3L, 'O', 30.0, 'new-note', 'x3')")
+    assert(sql(s"SELECT id, comment FROM graft.$n ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "keep"), (2L, "old-note"), (3L, "new-note")))
+    // DROP then re-ADD under the same name: fresh column id — old values
+    // must NOT resurrect
+    sql(s"ALTER TABLE graft.$n DROP COLUMN tag")
+    assert(!sql(s"SELECT * FROM graft.$n").columns.contains("tag"))
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (tag STRING)")
+    assert(sql(s"SELECT tag FROM graft.$n").collect().forall(_.isNullAt(0)),
+      "dropped-then-readded column resurrected old values")
+    // time travel before the ALTERs shows the original schema AND data
+    val old = sql(s"SELECT * FROM graft.$n VERSION AS OF '$v1'")
+    assert(old.columns.toSeq === Seq("id", "status", "price", "note", "tag"))
+    assert(old.where("id = 2").select("note", "tag").collect()(0) ===
+      Row("old-note", "x2"))
+    // upserts still route correctly after the evolution
+    sql(s"INSERT INTO graft.$n VALUES (2L, 'F', 99.0, 'bumped', 't2')")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 3)
+    assert(sql(s"SELECT comment, tag FROM graft.$n WHERE id = 2").collect()(0) ===
+      Row("bumped", "t2"))
+  }
+
+  test("ALTER guards: gate, identity columns, reserved/duplicate names, NOT NULL") {
+    val n = fresh("t_alter_guard")
+    createOrders(n, rows = 2) // no schema.on.read property
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n RENAME COLUMN note TO c") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n DROP COLUMN note") }
+    sql(s"ALTER TABLE graft.$n SET TBLPROPERTIES ('graft.schema.on.read' = 'true')")
+    // identity columns stay frozen even with the gate open
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n RENAME COLUMN id TO id2") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n DROP COLUMN status") }
+    // reserved meta names and case-insensitive duplicates are rejected
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.$n ADD COLUMNS (_graft_record_key STRING)") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n ADD COLUMNS (NOTE STRING)") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n RENAME COLUMN note TO PRICE") }
+    // SET NOT NULL advertises a guarantee reads never enforce — rejected
+    intercept[Exception] {
+      sql(s"ALTER TABLE graft.$n ALTER COLUMN note SET NOT NULL") }
+    // any→string DDL casts are NOT widening (merge fallback does not apply)
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (ts TIMESTAMP, flag BOOLEAN)")
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n ALTER COLUMN ts TYPE STRING") }
+    intercept[Exception] { sql(s"ALTER TABLE graft.$n ALTER COLUMN flag TYPE STRING") }
+    // numeric→string stays legal (non-identity column)
+    sql(s"ALTER TABLE graft.$n ADD COLUMNS (qty INT)")
+    sql(s"INSERT INTO graft.$n VALUES " +
+      "(9L, 'O', 90.0, 'n9', CAST(NULL AS TIMESTAMP), NULL, 7)")
+    sql(s"ALTER TABLE graft.$n ALTER COLUMN qty TYPE STRING")
+    assert(sql(s"SELECT qty FROM graft.$n WHERE id = 9").collect()(0)
+      .getString(0) === "7")
+    // rename still works after the property flip, end to end
+    sql(s"ALTER TABLE graft.$n RENAME COLUMN note TO remark")
+    assert(sql(s"SELECT remark FROM graft.$n WHERE id = 1")
+      .collect()(0).getString(0) === "n1")
+  }
+
   test("ALTER TABLE before the first write updates the declared schema") {
     val n = fresh("t_alter_decl")
     sql(s"""CREATE TABLE graft.$n (id BIGINT, v STRING) USING graft
