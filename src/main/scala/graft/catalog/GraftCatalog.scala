@@ -53,7 +53,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private def dirOf(ident: Identifier): NioPath =
     Paths.get(warehouse, ident.namespace :+ ident.name: _*)
 
-  private def linkOf(ident: Identifier): NioPath =
+  private[catalog] def linkOf(ident: Identifier): NioPath =
     dirOf(ident).resolveSibling(dirOf(ident).getFileName.toString + ".link")
 
   /** The table's base path: the warehouse-derived directory, unless a .link

@@ -249,15 +249,20 @@ case class GraftCtasCommand(catalog: GraftCatalog,
     }
     val df = GraftDml.ofRows(spark, query)
     import scala.jdk.CollectionConverters._
-    val v2 = catalog.createTable(ident, df.schema, partitions.toArray,
-      properties.asJava).asInstanceOf[GraftV2Table]
     // TBLPROPERTIES picks the initial file layout (with or without Spark's
-    // option. prefix, like the rest of the CREATE TABLE vocabulary)
+    // option. prefix, like the rest of the CREATE TABLE vocabulary) —
+    // validated BEFORE createTable, so a typo cannot leave an empty
+    // committed table registered behind the failed CTAS
     val sortMode = properties.get(graft.DefaultSource.BULKINSERT_SORT_MODE)
       .orElse(properties.get(
         org.apache.spark.sql.connector.catalog.TableCatalog.OPTION_PREFIX +
           graft.DefaultSource.BULKINSERT_SORT_MODE))
       .getOrElse("hash")
+    require(Set("hash", "global_sort")(sortMode),
+      s"unknown ${graft.DefaultSource.BULKINSERT_SORT_MODE} '$sortMode' " +
+        "(hash | global_sort)")
+    val v2 = catalog.createTable(ident, df.schema, partitions.toArray,
+      properties.asJava).asInstanceOf[GraftV2Table]
     GraftTable.load(spark, v2.path).bulkInsert(df, sortMode)
     Seq.empty
   }

@@ -291,11 +291,20 @@ object GraftProcedures {
         in("table_type", StringType, "'cow'"),
         in("partition_fields", StringType, "NULL")),
       (cat, a) => {
+        import java.nio.file.{Files, Paths}
         val parts0 = a.str(0).split('.').toSeq.filter(_.nonEmpty)
         val parts =
           if (parts0.headOption.contains(cat.name())) parts0.tail else parts0
         val ident = Identifier.of(parts.init.toArray, parts.last)
         require(!cat.tableExists(ident), s"table '${a.str(0)}' already exists")
+        // normalize LOCATION exactly like createTable's PROP_LOCATION path
+        val location = {
+          val raw = a.str(1)
+          val u = try new java.net.URI(raw) catch { case _: Exception => null }
+          if (u != null && u.getScheme == "file") u.getPath else raw
+        }
+        require(Files.isDirectory(Paths.get(location)),
+          s"bootstrap location '$location' is not a directory")
         val cfg = TableConfig(
           name = parts.last,
           tableType = TableType.of(a.strOpt(4).getOrElse("cow")),
@@ -305,13 +314,25 @@ object GraftProcedures {
             .map(c => PartitionByColumns(
               c.split(',').map(_.trim).filter(_.nonEmpty).toSeq): PartitionSpec)
             .getOrElse(NonPartitioned))
-        val t = GraftTable.bootstrapInPlace(SparkSession.active, a.str(1), cfg)
-        val props = new util.HashMap[String, String]()
-        props.put(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION,
-          a.str(1))
-        cat.createTable(ident, new StructType(),
-          Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
-        one(instantResult, t.timeline.completed().last._1)
+        // register (catalog link) BEFORE mutating the source directory, so
+        // a failed registration leaves the location untouched; if adoption
+        // fails, roll back both the link and the freshly created .graft
+        // state — the leave-untouched-on-failure contract
+        Files.createDirectories(cat.linkOf(ident).getParent)
+        Files.write(cat.linkOf(ident), location.getBytes("UTF-8"))
+        try {
+          val t = GraftTable.bootstrapInPlace(SparkSession.active, location, cfg)
+          one(instantResult, t.timeline.completed().last._1)
+        } catch { case e: Throwable =>
+          Files.deleteIfExists(cat.linkOf(ident))
+          val meta = Paths.get(location, ".graft")
+          if (Files.exists(meta)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(meta).iterator().asScala.toSeq.reverse
+              .foreach(Files.deleteIfExists(_))
+          }
+          throw e
+        }
       })
   ).map(p => p.procName -> p).toMap
 

@@ -388,6 +388,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
     assert(sql(s"SELECT count(DISTINCT id) AS c FROM graft.$n")
       .collect()(0).getLong(0) === 500)
+    // a bad sort mode fails BEFORE the table is created — no empty table
+    // left registered behind a failed CTAS
+    val bad = fresh("t_ctas_bad")
+    intercept[Exception] {
+      sql(s"""CREATE TABLE graft.$bad USING graft
+             |TBLPROPERTIES ('graft.recordkey.field' = 'id',
+             |  'graft.bulkinsert.sort.mode' = 'zorder_typo')
+             |AS SELECT id FROM range(10)""".stripMargin)
+    }
+    assert(sql("SHOW TABLES IN graft").collect()
+      .forall(r => r.getString(1) != bad), "failed CTAS left a table behind")
   }
 
   test("SHOW CREATE TABLE / DESCRIBE EXTENDED render the graft config") {

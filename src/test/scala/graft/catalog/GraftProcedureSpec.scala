@@ -65,6 +65,30 @@ class GraftProcedureSpec extends AnyFunSuite {
     sql("DROP TABLE graft.p_boot")
   }
 
+  test("run_bootstrap failure leaves the source directory untouched") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bootfail_").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    sql("DROP TABLE IF EXISTS graft.p_bootfail")
+    // key field that does not exist in the parquet -> adoption must fail
+    intercept[Exception] {
+      sql(s"CALL graft.run_bootstrap('p_bootfail', '$dir', 'missing_col')") }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".graft")),
+      "failed bootstrap left .graft state in the source directory")
+    assert(sql("SHOW TABLES IN graft").collect()
+      .forall(_.getString(1) != "p_bootfail"),
+      "failed bootstrap left the identifier registered")
+    // file:-URI locations normalize like createTable's LOCATION handling
+    val ok = sql(s"""CALL graft.run_bootstrap(`table` => 'p_bootfile',
+        |`location` => 'file:$dir', `record_key_field` => 'k')""".stripMargin)
+      .collect()
+    assert(ok.length === 1)
+    assert(sql("SELECT count(*) AS c FROM graft.p_bootfile")
+      .collect()(0).getLong(0) === 10)
+    sql("DROP TABLE graft.p_bootfile")
+  }
+
   test("show_commits honors the limit argument and its default") {
     freshMor("p_limit", rows = 4)
     (1 to 3).foreach { i =>
