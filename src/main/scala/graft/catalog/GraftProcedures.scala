@@ -230,6 +230,47 @@ object GraftProcedures {
       (cat, a) => collect(tableOf(cat, a.str(0)).showCommits()
         .orderBy(col("instant").desc).limit(a.int(1)))),
 
+    Proc("show_compaction",
+      "Compaction instants, newest first (ref: ShowCompactionProcedure; " +
+        "graft compactions are synchronous, so all rows are COMPLETED).",
+      Seq(in("table", StringType), in("limit", IntegerType, "20")),
+      (cat, a) => collect(GraftSql.showCompaction(tableOf(cat, a.str(0)))
+        .orderBy(col("instant").desc).limit(a.int(1)))),
+
+    Proc("show_clustering",
+      "Clustering replacecommits, newest first (ref: ShowClusteringProcedure).",
+      Seq(in("table", StringType), in("limit", IntegerType, "20")),
+      (cat, a) => collect(GraftSql.showClustering(tableOf(cat, a.str(0)))
+        .orderBy(col("instant").desc).limit(a.int(1)))),
+
+    Proc("show_commit_write_stats",
+      "Per-commit write totals: files, records, bytes " +
+        "(ref: ShowCommitWriteStatsProcedure).",
+      Seq(in("table", StringType), in("limit", IntegerType, "20")),
+      (cat, a) => collect(GraftSql.showCommitWriteStats(tableOf(cat, a.str(0)))
+        .orderBy(col("instant").desc).limit(a.int(1)))),
+
+    Proc("show_commit_files",
+      "Files written by one commit (ref: ShowCommitFilesProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => collect(
+        GraftSql.showCommitFiles(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("show_rollbacks",
+      "Rollback instants with the data instant each undid " +
+        "(ref: ShowRollbacksProcedure).",
+      Seq(in("table", StringType), in("limit", IntegerType, "20")),
+      (cat, a) => collect(GraftSql.showRollbacks(tableOf(cat, a.str(0)))
+        .orderBy(col("rollback_instant").desc).limit(a.int(1)))),
+
+    Proc("export_instants",
+      "Copy the newest timeline instant files to a local directory " +
+        "(ref: ExportInstantsProcedure).",
+      Seq(in("table", StringType), in("local_path", StringType),
+        in("limit", IntegerType, "50")),
+      (cat, a) => collect(
+        GraftSql.exportInstants(tableOf(cat, a.str(0)), a.str(1), a.int(2)))),
+
     Proc("show_fsview_all",
       "Latest file slice per file group (ref: ShowFileSystemViewProcedure).",
       Seq(in("table", StringType)),

@@ -79,4 +79,81 @@ object GraftSql {
       (bi -- ai).toSeq.sorted.map(i => (i, "only_right")))
       .toDF("instant", "presence")
   }
+
+  /** show_compaction (ref: ShowCompactionProcedure): compaction instants.
+    * Graft compactions run synchronously inside one commit, so every row is
+    * COMPLETED — the reference's REQUESTED/INFLIGHT states belong to its
+    * async plan files. */
+  def showCompaction(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None).filter(_.operation == "compact")
+      .map(m => (m.instant, "COMPLETED", m.files.size, m.files.map(_.rows).sum,
+        m.replaced.size))
+      .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_compacted")
+  }
+
+  /** show_clustering (ref: ShowClusteringProcedure): clustering
+    * replacecommits, all COMPLETED (same synchronous-service note as
+    * [[showCompaction]]). */
+  def showClustering(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None).filter(_.operation == "cluster")
+      .map(m => (m.instant, "COMPLETED", m.files.size, m.files.map(_.rows).sum,
+        m.replaced.size))
+      .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_replaced")
+  }
+
+  /** show_commit_write_stats (ref: ShowCommitWriteStatsProcedure):
+    * per-commit totals of the write it performed. */
+  def showCommitWriteStats(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None).filter(_.files.nonEmpty)
+      .map(m => (m.instant, m.action, m.operation, m.files.size,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum))
+      .toDF("instant", "action", "operation", "total_files_added",
+        "total_records_written", "total_bytes_written")
+  }
+
+  /** show_commit_files (ref: ShowCommitFilesProcedure): the files one
+    * commit wrote. */
+  def showCommitFiles(t: GraftTable, instant: String): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val m = t.timeline.metas(None).find(_.instant == instant).getOrElse(
+      throw new IllegalArgumentException(s"no instant $instant on the timeline"))
+    m.files.map(f => (f.partition, f.fileId, f.path, f.rows, f.bytes, f.isLog))
+      .toDF("partition", "file_id", "path", "rows", "bytes", "is_log")
+  }
+
+  /** show_rollbacks (ref: ShowRollbacksProcedure): rollback instants, the
+    * data instant each undid, and how many files it deleted. */
+  def showRollbacks(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None).filter(_.action == "rollback")
+      .map(m => (m.instant, m.extra.getOrElse("rolledBack", ""),
+        m.deletedPaths.size))
+      .toDF("rollback_instant", "rolled_back_instant", "n_files_deleted")
+  }
+
+  /** export_instants (ref: ExportInstantsProcedure): copy the newest
+    * `limit` timeline instant files to a local directory for offline
+    * inspection/backup. Returns one row per exported instant. */
+  def exportInstants(t: GraftTable, outDir: String, limit: Int): DataFrame = {
+    import t.spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    t.timeline.refresh()
+    val dir = Paths.get(outDir)
+    Files.createDirectories(dir)
+    val exported = t.timeline.completed().takeRight(limit).map { case (i, action) =>
+      val name = s"$i.$action.json"
+      Files.copy(Paths.get(t.basePath, ".graft", "timeline", name),
+        dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      (i, action, dir.resolve(name).toString)
+    }
+    exported.toDF("instant", "action", "exported_to")
+  }
 }

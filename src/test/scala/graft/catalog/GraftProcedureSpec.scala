@@ -42,6 +42,63 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(fsview.collect().map(_.getLong(5)).sum === 30)
   }
 
+  test("show_compaction / show_clustering / show_commit_write_stats / show_commit_files") {
+    freshMor("p_svc", rows = 20)
+    // a second batch -> MOR logs -> something to compact; then cluster
+    sql("INSERT INTO graft.p_svc VALUES (1L, 'F', 999.0, 'upd')")
+    sql("CALL graft.run_compaction(`table` => 'p_svc')")
+    sql("CALL graft.run_clustering(`table` => 'p_svc', `order` => 'id')")
+    val comp = sql("CALL graft.show_compaction(`table` => 'p_svc')").collect()
+    assert(comp.nonEmpty && comp(0).getString(1) === "COMPLETED")
+    assert(comp(0).schema.fieldNames.toSeq === Seq("instant", "state",
+      "n_files_written", "rows_written", "n_groups_compacted"))
+    val clus = sql("CALL graft.show_clustering(`table` => 'p_svc')").collect()
+    assert(clus.nonEmpty && clus(0).getString(1) === "COMPLETED")
+    assert(clus(0).schema.fieldNames.toSeq === Seq("instant", "state",
+      "n_files_written", "rows_written", "n_groups_replaced"))
+    val stats = sql("CALL graft.show_commit_write_stats(`table` => 'p_svc')").collect()
+    assert(stats.nonEmpty)
+    assert(stats(0).schema.fieldNames.toSeq === Seq("instant", "action",
+      "operation", "total_files_added", "total_records_written",
+      "total_bytes_written"))
+    assert(stats.map(_.getLong(4)).sum >= 21, "write stats lost records")
+    assert(stats.forall(_.getLong(5) > 0), "bytes_written missing")
+    val first = sql("CALL graft.show_commits(`table` => 'p_svc', `limit` => 100)")
+      .collect().map(_.getString(0)).min
+    val files = sql(s"CALL graft.show_commit_files('p_svc', '$first')").collect()
+    assert(files.nonEmpty)
+    assert(files(0).schema.fieldNames.toSeq ===
+      Seq("partition", "file_id", "path", "rows", "bytes", "is_log"))
+    assert(files.map(_.getLong(3)).sum === 20)
+    intercept[Exception] {
+      sql("CALL graft.show_commit_files('p_svc', '00000000000000000')") }
+  }
+
+  test("show_rollbacks / export_instants") {
+    freshMor("p_roll", rows = 6)
+    sql("INSERT INTO graft.p_roll VALUES (99L, 'O', 1.0, 'extra')")
+    sql("CALL graft.run_rollback(`table` => 'p_roll')")
+    val rb = sql("CALL graft.show_rollbacks(`table` => 'p_roll')").collect()
+    assert(rb.length === 1)
+    assert(rb(0).schema.fieldNames.toSeq ===
+      Seq("rollback_instant", "rolled_back_instant", "n_files_deleted"))
+    assert(rb(0).getString(1).nonEmpty && rb(0).getInt(2) >= 1)
+    assert(sql("SELECT count(*) AS c FROM graft.p_roll")
+      .collect()(0).getLong(0) === 6)
+    val out = java.nio.file.Files.createTempDirectory("graft_export_").toString
+    val exp = sql(s"CALL graft.export_instants('p_roll', '$out')").collect()
+    assert(exp.nonEmpty)
+    assert(exp(0).schema.fieldNames.toSeq === Seq("instant", "action", "exported_to"))
+    exp.foreach { r =>
+      assert(java.nio.file.Files.isRegularFile(
+        java.nio.file.Paths.get(r.getString(2))), s"missing export ${r.getString(2)}")
+    }
+    // limit caps the export
+    val out2 = java.nio.file.Files.createTempDirectory("graft_export2_").toString
+    val exp2 = sql(s"CALL graft.export_instants('p_roll', '$out2', 1)").collect()
+    assert(exp2.length === 1)
+  }
+
   test("run_bootstrap adopts an existing parquet dir and registers the table") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_boot_").toString
