@@ -257,17 +257,23 @@ object Dedup {
     * radius derived from corpus size — see [[simhashAutoParams]]), verified
     * with bit_count(xor) ≤ maxHamming.
     *
-    * NOTE: when `corpusSize` is None this runs an EAGER `docs.count()` Spark
-    * job at call time — the input lineage executes once for the count and
-    * again for the pipeline. For expensive derived inputs either pass
+    * When `corpusSize` is None the sizing count PINS `docs` (persist) before
+    * counting, so the input lineage executes ONCE — the pipeline reads the
+    * same materialization instead of recomputing upstream. Pass
     * `corpusSize` (an estimate within ~2× is fine — the parameter choice is
-    * coarse) or cache/persist `docs` around the call. */
+    * coarse) to skip both the count job and the cache; callers that pass
+    * None may `docs.unpersist()` after consuming the result. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
       idCol: String = "doc_id", textCol: String = "text",
       corpusSize: Option[Long] = None): DataFrame = {
-    val n = corpusSize.getOrElse(docs.count())
+    val (input, n) = corpusSize match {
+      case Some(c) => (docs, c)
+      case None =>
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (docs, docs.count())
+    }
     val (w, r) = simhashAutoParams(n, maxHamming)
-    simhashCandidates(simhash64(docs, idCol, textCol), w, r, idCol)
+    simhashCandidates(simhash64(input, idCol, textCol), w, r, idCol)
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -128,6 +128,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
   }
 
+  test("simhashPairs without corpusSize evaluates the input lineage once") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val tick = udf { (s: String) => acc.add(1); s }
+    val docs = (1 to 200).map(i => (i.toLong, s"doc body number $i with words"))
+      .toDF("doc_id", "text")
+      .withColumn("text", tick(col("text")))
+    val n = Dedup.simhashPairs(docs, maxHamming = 3).count()
+    assert(n >= 0)
+    // the sizing count pins the input before materializing: the pipeline
+    // reads the cached rows, so the lineage (and the udf) ran exactly once
+    assert(acc.value === 200L,
+      s"input lineage evaluated ${acc.value / 200.0} times, expected once")
+    docs.unpersist()
+  }
+
   test("simhashAutoParams: corpus-sized chunks, tractable bound enforced") {
     // a web-scale corpus must take 32-bit chunks: 8/16-bit chunk joins are
     // O(n^2/2^w) random collisions — the round-3 scale-killer
