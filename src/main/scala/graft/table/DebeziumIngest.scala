@@ -1,0 +1,73 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Debezium-shaped CDC ingest (ref: hudi-common/src/main/java/org/apache/
+ * hudi/common/model/debezium/MySqlDebeziumAvroPayload.java,
+ * PostgresDebeziumAvroPayload.java, AbstractDebeziumAvroPayload.java): map
+ * a change stream of `(op, before, after, <ordering>)` envelopes onto
+ * graft upserts/deletes, ordered by the source's change position (Postgres
+ * LSN / MySQL binlog pos) so OUT-OF-ORDER application converges to the
+ * source state.
+ *
+ * The ordering contract composes with [[EventTimeOrdered]] exactly as the
+ * reference's payloads do (`shouldPickCurrentRecord` compares LSN/pos):
+ * the target table must use `payload = EventTimeOrdered` with the ordering
+ * column as its precombine field, then
+ *  - within a batch, the highest-position change per key wins (precombine);
+ *  - across commits, a stored row survives any change with a LOWER
+ *    position — stale deletes cannot kill newer rows, and a
+ *    delete-then-reinsert replayed in any order lands on the reinsert.
+ *
+ * Row mapping (ref AbstractDebeziumAvroPayload.handleDeleteOperation):
+ * `op` in (c, u, r) take the `after` image as an upsert; `op` = d takes
+ * the `before` image as a delete; Kafka-compaction tombstones (both
+ * images null) are dropped; any other op fails the batch. The ordering
+ * column rides into the written row, so it is both the precombine field
+ * and a queryable audit column.
+ *
+ * Out-of-order robustness around DELETES needs a MergeOnRead table: MOR
+ * logs keep tombstones with their position, so a change older than the
+ * tombstone still loses after the delete has been applied. COW base files
+ * hold no tombstones (same as the reference after compaction), so COW
+ * converges only for streams ordered per key at batch granularity.
+ * Deletes for keys the table has never seen are dropped, as in the
+ * reference.
+ */
+object DebeziumIngest {
+
+  /** Apply one batch of Debezium envelopes to `t`; returns the commit
+    * instant (None when the batch held only compaction tombstones).
+    *
+    * @param orderCol top-level position column (Postgres `lsn`, MySQL a
+    *                 file/pos-derived long) — must equal the table's
+    *                 precombine field */
+  def apply(t: GraftTable, changes: DataFrame, opCol: String = "op",
+      beforeCol: String = "before", afterCol: String = "after",
+      orderCol: String = "lsn"): Option[String] = {
+    require(t.config.payload == EventTimeOrdered,
+      "Debezium ingest needs payload = event_time: change position must " +
+        "out-rank arrival order, or replays would resurrect stale states")
+    require(t.config.precombineField.contains(orderCol),
+      s"Debezium ingest orders by '$orderCol', but the table precombines " +
+        s"on ${t.config.precombineField.getOrElse("<none>")} — they must match")
+    val isDel = col(opCol) === "d"
+    // the unknown-op guard lives INSIDE the kept tombstone column, so
+    // column pruning cannot optimize the check away (same idiom as
+    // TableConfig.keyExpr's null-key guard)
+    val del = when(col(opCol).isin("c", "u", "r"), lit(false))
+      .when(isDel, lit(true))
+      .otherwise(raise_error(concat(lit("unknown Debezium op '"),
+        col(opCol), lit("'"))).cast("boolean"))
+    val live = changes
+      // compaction tombstones carry no state at all — drop, don't fail
+      .filter(col(beforeCol).isNotNull || col(afterCol).isNotNull)
+      .withColumn("_g_img", when(isDel, col(beforeCol)).otherwise(col(afterCol)))
+    if (live.isEmpty) return None
+    val batch = live.select(
+      (col("_g_img.*") +: Seq(col(orderCol), del.as(GraftTable.DELETED))): _*)
+    Some(t.writeBatch(batch, "upsert"))
+  }
+}

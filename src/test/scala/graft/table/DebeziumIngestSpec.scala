@@ -1,0 +1,89 @@
+package graft.table
+
+import java.nio.file.Files
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Debezium envelope image used across tests (top-level for the encoder). */
+case class DbzImg(id: Long, v: String)
+
+/** Debezium-shaped CDC ingest: op/before/after envelopes applied with
+  * LSN ordering over an event_time MOR table must converge to the source
+  * state under out-of-order replay. */
+class DebeziumIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_dbz_").toString
+
+  private def mk(dir: String): GraftTable =
+    GraftTable.create(spark, dir, TableConfig("dbz", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("lsn"),
+      payload = EventTimeOrdered))
+
+  private def env(rows: Seq[(String, Option[DbzImg], Option[DbzImg], Long)]) =
+    rows.toDF("op", "before", "after", "lsn")
+
+  test("out-of-order replay incl. delete-then-reinsert converges to source state") {
+    val dir = tmp()
+    val t = mk(dir)
+    // source truth: k1: c(v1,1) u(v2,2) d(3) c(v3,4) → alive as v3
+    //               k2: c(w1,5) u(w2,6)             → alive as w2
+    //               k3: c(x1,7) d(8)                → deleted
+    // replayed scrambled across batches:
+    DebeziumIngest(t, env(Seq(
+      ("c", None, Some(DbzImg(1, "v1")), 1L),
+      ("c", None, Some(DbzImg(2, "w1")), 5L))))
+    // reinsert (lsn 4) and the OLDER update (lsn 2) in one batch: the
+    // batch precombine must pick lsn 4
+    DebeziumIngest(t, env(Seq(
+      ("c", None, Some(DbzImg(1, "v3")), 4L),
+      ("u", Some(DbzImg(1, "v1")), Some(DbzImg(1, "v2")), 2L),
+      ("c", None, Some(DbzImg(3, "x1")), 7L))))
+    // the delete (lsn 3) arrives AFTER the reinsert it preceded at the
+    // source — it must LOSE against the stored lsn-4 row
+    DebeziumIngest(t, env(Seq(
+      ("d", Some(DbzImg(1, "v2")), None, 3L),
+      ("d", Some(DbzImg(3, "x1")), None, 8L),
+      ("u", Some(DbzImg(2, "w1")), Some(DbzImg(2, "w2")), 6L))))
+    // a stale update older than everything stored changes nothing
+    DebeziumIngest(t, env(Seq(
+      ("u", Some(DbzImg(2, "w1")), Some(DbzImg(2, "w0")), 4L))))
+    val state = t.snapshot().select("id", "v", "lsn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(state === Seq((1L, "v3", 4L), (2L, "w2", 6L)),
+      s"converged to $state")
+    // compaction folds the log history without changing the answer
+    t.compact()
+    assert(t.snapshot().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((1L, "v3"), (2L, "w2")))
+    GraftTable.drop(dir)
+  }
+
+  test("snapshot reads, tombstone-only batches, and guardrails") {
+    val dir = tmp()
+    val t = mk(dir)
+    // 'r' (snapshot read) rows upsert like creates
+    assert(DebeziumIngest(t, env(Seq(
+      ("r", None, Some(DbzImg(10, "s1")), 1L)))).nonEmpty)
+    // Kafka-compaction tombstones (both images null) are dropped; a batch
+    // of only tombstones commits nothing
+    assert(DebeziumIngest(t, env(Seq(("d", None, None, 2L)))).isEmpty)
+    assert(t.snapshot().count() === 1)
+    // unknown ops fail the batch
+    intercept[Exception] {
+      DebeziumIngest(t, env(Seq(("z", None, Some(DbzImg(11, "bad")), 3L)))) }
+    // misconfigured tables are rejected up front
+    val plain = GraftTable.create(spark, tmp(), TableConfig("plain", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("lsn")))
+    intercept[IllegalArgumentException] {
+      DebeziumIngest(plain, env(Seq(("c", None, Some(DbzImg(1, "a")), 1L)))) }
+    val wrongPc = GraftTable.create(spark, tmp(), TableConfig("wpc", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("v"),
+      payload = EventTimeOrdered))
+    intercept[IllegalArgumentException] {
+      DebeziumIngest(wrongPc, env(Seq(("c", None, Some(DbzImg(1, "a")), 1L)))) }
+    GraftTable.drop(dir)
+  }
+}
