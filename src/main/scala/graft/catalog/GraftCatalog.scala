@@ -348,10 +348,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
  */
 class GraftV2Table(val path: String, fullName: String,
     val asOf: Option[String] = None) extends Table
-    with SupportsPartitionManagement with TruncatableTable {
+    with SupportsPartitionManagement with TruncatableTable
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
   override def name(): String = fullName
 
   private lazy val table: GraftTable = GraftTable.load(SparkSession.active, path)
+
+  // ---- SupportsIndex: CREATE/DROP INDEX as bloom-sidecar backfill (ref:
+  // hudi-spark/.../command/IndexCommands.scala:28). The only index type is
+  // the record-key bloom; columns, when given, must name the key fields.
+  override def createIndex(indexName: String,
+      columns: Array[org.apache.spark.sql.connector.expressions.NamedReference],
+      columnsProperties: util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        util.Map[String, String]],
+      properties: util.Map[String, String]): Unit = {
+    val cols = columns.map(_.fieldNames.mkString(".")).toSeq
+    require(cols.isEmpty || cols == table.config.keyFields,
+      s"graft indexes cover the record key ${table.config.keyFields.mkString(",")}" +
+        s"; got (${cols.mkString(",")})")
+    if (table.bloomIndexName.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.IndexAlreadyExistsException(
+        table.bloomIndexName.get, fullName, scala.None)
+    table.createBloomIndex(indexName)
+  }
+
+  override def dropIndex(indexName: String): Unit = {
+    if (!table.bloomIndexName.contains(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
+        indexName, fullName, scala.None)
+    table.dropBloomIndex()
+  }
+
+  override def indexExists(indexName: String): Boolean =
+    table.bloomIndexName.contains(indexName)
+
+  override def listIndexes(): Array[org.apache.spark.sql.connector.catalog.index.TableIndex] =
+    table.bloomIndexName.map { n =>
+      new org.apache.spark.sql.connector.catalog.index.TableIndex(n,
+        "bloom_filters",
+        table.config.keyFields.map(Expressions.column).toArray,
+        util.Collections.emptyMap(), new java.util.Properties())
+    }.toArray
 
   override lazy val schema: StructType =
     table.schemaAt(asOf).orElse(GraftV2Table.storedSchema(path)).getOrElse(
@@ -376,6 +413,8 @@ class GraftV2Table(val path: String, fullName: String,
       RECORDKEY_FIELD -> cfg.keyFields.mkString(","),
       TARGET_FILE_ROWS -> cfg.targetFileSizeRows.toString,
       PAYLOAD -> cfg.payload.name) ++
+      (if (cfg.schemaOnRead) Map(SCHEMA_ON_READ -> "true")
+       else Map.empty[String, String]) ++
       cfg.precombineField.map(PRECOMBINE_FIELD -> _) ++
       (cfg.index match {
         case BucketIndex(n) => Map(INDEX_BUCKETS -> n.toString)

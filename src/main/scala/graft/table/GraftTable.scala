@@ -635,7 +635,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * and merge classification — they must never disagree on which files
     * hold a key. Empty recorded range = unknown (e.g. bootstrapped file)
     * -> always a candidate. */
-  private[table] def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
+  private[graft] def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
     val ranges = df.groupBy(col(PART))
       .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
@@ -657,8 +657,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * dropped before its files are ever read. No false negatives: every
     * written key is in its file's filter, so upserts can't duplicate. */
   private def bloomRefine(df: DataFrame, cands: Seq[FileSlice]): Seq[FileSlice] = {
+    // a CREATE INDEX backfill covers files whose commit predates the
+    // hasBloom flag — with the marker present, try every slice's sidecars
+    val backfilled = bloomIndexName.nonEmpty
     val (bloomable, rest) = cands.partition(s =>
-      s.baseFiles.nonEmpty && s.baseFiles.forall(_.hasBloom))
+      s.baseFiles.nonEmpty && (backfilled || s.baseFiles.forall(_.hasBloom)))
     // below 2 prunable slices the batch pass costs more than it saves
     if (bloomable.size < 2) return cands
     import scala.collection.parallel.CollectionConverters._
@@ -855,6 +858,52 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * keys — and each executor writes its files' sidecars. Bucket-index
     * tables skip blooms (tagging is an expression, no file lookup to
     * prune). */
+  /** CREATE INDEX backfill marker: present when bloom sidecars were built
+    * for files committed BEFORE their FileMeta.hasBloom flag could record
+    * it — candidate pruning then consults sidecars regardless of the flag
+    * (missing/corrupt sidecars stay conservative candidates). */
+  private def bloomIndexMarker = Paths.get(basePath, ".graft", "bloom_index.json")
+
+  private[graft] def bloomIndexName: Option[String] =
+    if (!Files.isRegularFile(bloomIndexMarker)) None
+    else {
+      val m = Json.mapper.readValue[Map[String, String]](
+        Files.readAllBytes(bloomIndexMarker))
+      Some(m("name"))
+    }
+
+  /** CREATE INDEX — backfill `<file>.bloom` key-filter sidecars for every
+    * live base file that predates bloom-on-write, then mark the index so
+    * tagging consults sidecars on old files too (ref: hudi-spark/.../
+    * command/IndexCommands.scala:28; the write path keeps building blooms
+    * inline via [[BloomParquetFormat]]). One distributed key-column pass
+    * over the unindexed files at any table size. */
+  def createBloomIndex(name: String = "record_key_bloom"): Unit = {
+    require(config.index == StatsIndex,
+      "bloom index applies to stats-index tables (bucket tagging is a pure" +
+        " expression and never consults blooms)")
+    require(bloomIndexName.isEmpty,
+      s"bloom index '${bloomIndexName.get}' already exists")
+    val missing = slices(None).flatMap(_.baseFiles)
+      .filterNot(f => f.external || f.hasBloom)
+      .map(_.path)
+      .filterNot(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
+    buildKeyBlooms(missing)
+    Files.write(bloomIndexMarker,
+      Json.mapper.writeValueAsBytes(Map("name" -> name)))
+    ()
+  }
+
+  /** DROP INDEX: remove the marker and every backfilled/bloom-on-write
+    * sidecar; pruning falls back to key-range stats alone. */
+  def dropBloomIndex(): Unit = {
+    require(bloomIndexName.nonEmpty, "no bloom index to drop")
+    Files.deleteIfExists(bloomIndexMarker)
+    slices(None).flatMap(_.baseFiles).foreach { f =>
+      Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(f.path)))
+    }
+  }
+
   private[graft] def buildKeyBlooms(baseRels: Seq[String]): Set[String] = {
     if (baseRels.isEmpty || config.index != StatsIndex) return Set.empty
     import spark.implicits._
