@@ -321,16 +321,19 @@ object GraftProcedures {
         tableOf(cat, a.str(0)).syncMetadataTable())),
 
     Proc("run_bootstrap",
-      "Adopt an EXISTING parquet directory as a graft table WITHOUT " +
-        "rewriting data — metadata-only bootstrap, one footer scan + one " +
-        "commit at any size (ref: RunBootstrapProcedure + " +
-        "BootstrapMode.METADATA_ONLY) — and register it under `table`.",
+      "Adopt an EXISTING parquet directory as a graft table and register " +
+        "it under `table` (ref: RunBootstrapProcedure + BootstrapMode). " +
+        "mode => 'metadata_only' (default) adopts without rewriting data — " +
+        "one footer scan + one commit at any size; mode => 'full_record' " +
+        "rewrites the source into keyed graft file groups (one bulk_insert)" +
+        " so upserts never pay the adoption-format penalty.",
       Seq(in("table", StringType),
         in("location", StringType),
         in("record_key_field", StringType),
         in("precombine_field", StringType, "NULL"),
         in("table_type", StringType, "'cow'"),
-        in("partition_fields", StringType, "NULL")),
+        in("partition_fields", StringType, "NULL"),
+        in("mode", StringType, "'metadata_only'")),
       (cat, a) => {
         import java.nio.file.{Files, Paths}
         val parts0 = a.str(0).split('.').toSeq.filter(_.nonEmpty)
@@ -355,6 +358,9 @@ object GraftProcedures {
             .map(c => PartitionByColumns(
               c.split(',').map(_.trim).filter(_.nonEmpty).toSeq): PartitionSpec)
             .getOrElse(NonPartitioned))
+        val mode = a.strOpt(6).getOrElse("metadata_only")
+        require(Set("metadata_only", "full_record")(mode),
+          s"unknown bootstrap mode '$mode' (metadata_only | full_record)")
         // register (catalog link) BEFORE mutating the source directory, so
         // a failed registration leaves the location untouched; if adoption
         // fails, roll back both the link and the freshly created .graft
@@ -362,7 +368,10 @@ object GraftProcedures {
         Files.createDirectories(cat.linkOf(ident).getParent)
         Files.write(cat.linkOf(ident), location.getBytes("UTF-8"))
         try {
-          val t = GraftTable.bootstrapInPlace(SparkSession.active, location, cfg)
+          val t =
+            if (mode == "full_record")
+              GraftTable.bootstrapFullRecord(SparkSession.active, location, cfg)
+            else GraftTable.bootstrapInPlace(SparkSession.active, location, cfg)
           one(instantResult, t.timeline.completed().last._1)
         } catch { case e: Throwable =>
           Files.deleteIfExists(cat.linkOf(ident))

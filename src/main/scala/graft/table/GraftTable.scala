@@ -202,6 +202,54 @@ object GraftTable {
     t
   }
 
+  /** FULL_RECORD bootstrap (ref: hudi-client-common/.../bootstrap/
+    * BootstrapMode.java FULL_RECORD vs METADATA_ONLY): REWRITE the adopted
+    * parquet into keyed graft file groups — one bulk_insert over the source
+    * — then remove the originals, whose rows now live in graft files. The
+    * adopted table pays the rewrite once and never again pays
+    * [[bootstrapInPlace]]'s adoption-format penalty on reads and upserts
+    * (external files carry no meta columns, no per-row file id, no blooms).
+    *
+    * Failure atomicity: the rewrite stages under `.graft/` and originals
+    * are deleted only AFTER the bulk_insert commit completes; any earlier
+    * failure removes `.graft`, leaving the source directory untouched
+    * (stray staged files are invisible to readers — slices resolve from
+    * commit metadata only). */
+  def bootstrapFullRecord(spark: SparkSession, path: String,
+      config: TableConfig): GraftTable = {
+    val base = Paths.get(path)
+    require(Files.exists(base), s"bootstrap source $path does not exist")
+    require(!exists(path), s"$path is already a graft table")
+    val originals = Files.walk(base).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !p.getFileName.toString.startsWith(".") &&
+        !base.relativize(p).toString.contains(".graft"))
+      .toSeq.sortBy(_.toString)
+    require(originals.nonEmpty, s"no parquet files under $path to bootstrap")
+    // dir-level read rehydrates hive partition columns into the frame, so
+    // the configured partitioning can re-derive the layout on write
+    val df = spark.read.parquet(path)
+    try {
+      val t = create(spark, path, config)
+      t.bulkInsert(df)
+      originals.foreach(Files.deleteIfExists(_))
+      // prune now-empty source partition dirs the rewrite abandoned
+      Files.walk(base).iterator().asScala.toSeq.reverse
+        .filter(p => Files.isDirectory(p) && p != base &&
+          !base.relativize(p).toString.contains(".graft"))
+        .foreach { d =>
+          if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+        }
+      t
+    } catch { case e: Throwable =>
+      val meta = base.resolve(".graft")
+      if (Files.exists(meta))
+        Files.walk(meta).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      throw e
+    }
+  }
+
   /** Fail fast (still before any table state exists) if the directory-derived
     * partition disagrees with what the configured partitioning derives from
     * the DATA — wrong column order, a 'date=' vs 'dt=' prefix, or an

@@ -122,6 +122,43 @@ class GraftProcedureSpec extends AnyFunSuite {
     sql("DROP TABLE graft.p_boot")
   }
 
+  test("run_bootstrap mode => full_record rewrites into keyed file groups") {
+    import TestSpark.spark.implicits._
+    import java.nio.file.{Files => NioFiles, Paths => NioPaths}
+    import scala.jdk.CollectionConverters._
+    val dir = NioFiles.createTempDirectory("graft_fullrec_").toString
+    (1 to 40).map(i => (i.toLong, s"v$i", i * 1.0, if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "price", "side")
+      .write.mode("overwrite").partitionBy("side").parquet(dir)
+    val originals = NioFiles.walk(NioPaths.get(dir)).iterator()
+      .asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(originals.nonEmpty)
+    sql("DROP TABLE IF EXISTS graft.p_fullrec")
+    sql(s"""CALL graft.run_bootstrap(`table` => 'p_fullrec',
+        |`location` => '$dir', `record_key_field` => 'k',
+        |`precombine_field` => 'price', `partition_fields` => 'side',
+        |`mode` => 'full_record')""".stripMargin)
+    // originals are gone — their rows live in keyed graft file groups now
+    assert(originals.forall(p => !NioFiles.exists(p)),
+      "full_record bootstrap left the adopted originals behind")
+    val t = graft.table.GraftTable.load(spark, dir)
+    val bases = t.slices(None).flatMap(_.baseFiles)
+    assert(bases.nonEmpty && bases.forall(f => !f.external && f.hasBloom),
+      "rewritten files must be first-class graft files (meta cols + blooms)")
+    assert(sql("SELECT count(*) AS c FROM graft.p_fullrec")
+      .collect()(0).getLong(0) === 40)
+    // upsert + delete behave exactly as on a natively written table
+    sql("UPDATE graft.p_fullrec SET v = 'upd' WHERE k <= 3")
+    sql("DELETE FROM graft.p_fullrec WHERE k % 10 = 0")
+    assert(sql("SELECT count(*) AS c FROM graft.p_fullrec")
+      .collect()(0).getLong(0) === 36)
+    assert(sql("SELECT count(*) AS c FROM graft.p_fullrec WHERE v = 'upd'")
+      .collect()(0).getLong(0) === 3)
+    assert(sql("SELECT sum(k) AS s FROM graft.p_fullrec").collect()(0).getLong(0) ===
+      (1 to 40).filter(_ % 10 != 0).sum)
+    sql("DROP TABLE graft.p_fullrec")
+  }
+
   test("run_bootstrap failure leaves the source directory untouched") {
     import TestSpark.spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bootfail_").toString
