@@ -211,11 +211,33 @@ class GraftStreamSink(spark: SparkSession, path: String,
     // first batches on a table with streaming history
     val streamId = parameters.getOrElse("checkpointLocation", path)
     if (!graft.streaming.GraftStreaming.batchCommitted(t, streamId, batchId)) {
-      val batch = org.apache.spark.sql.graftbridge.DatasetBridge.unstream(data)
+      val batch = transform(
+        org.apache.spark.sql.graftbridge.DatasetBridge.unstream(data))
       t.writeBatch(batch, parameters.getOrElse(OPERATION, "upsert"),
         Map("streamBatchId" -> s"$streamId#$batchId"))
     }
   }
+
+  /** Ingest-time SQL transform between source and table (ref:
+    * hudi-utilities/.../transform/SqlQueryBasedTransformer.java, option
+    * `hoodie.deltastreamer.transformer.sql`): the micro-batch registers as
+    * a temp view and `<SRC>` in the query substitutes its name, so
+    * projections/filters/enrichment run inside the same exactly-once
+    * commit. The transform stays a lazy plan — no extra materialization. */
+  private def transform(batch: DataFrame): DataFrame =
+    parameters.get(TRANSFORMER_SQL) match {
+      case None => batch
+      case Some(q) =>
+        require(q.contains("<SRC>"),
+          s"$TRANSFORMER_SQL must reference the micro-batch as <SRC>")
+        val view = s"graft_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        // the micro-batch runs on a cloned session — the view must register
+        // and resolve on THAT session's catalog, not the sink's outer one
+        val ss = batch.sparkSession
+        batch.createOrReplaceTempView(view)
+        try ss.sql(q.replace("<SRC>", view))
+        finally ss.catalog.dropTempView(view)
+    }
 
   override def toString: String = s"GraftStreamSink[$path]"
 }
@@ -270,4 +292,7 @@ object DefaultSource {
   // schema-on-read evolution: RENAME/DROP COLUMN resolved by column id
   // (ref: hudi hoodie.schema.on.read.enable)
   val SCHEMA_ON_READ = "graft.schema.on.read"
+  // streaming-sink ingest transform, `<SRC>` = the micro-batch view
+  // (ref: hudi hoodie.deltastreamer.transformer.sql)
+  val TRANSFORMER_SQL = "graft.transformer.sql"
 }

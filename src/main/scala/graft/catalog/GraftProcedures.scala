@@ -271,6 +271,67 @@ object GraftProcedures {
       (cat, a) => collect(
         GraftSql.exportInstants(tableOf(cat, a.str(0)), a.str(1), a.int(2)))),
 
+    Proc("stats_wa",
+      "Write amplification per commit: rows written vs incoming batch rows" +
+        " (ref: StatsWriteAmplificationProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.statsWriteAmplification(tableOf(cat, a.str(0))))),
+
+    Proc("stats_file_sizes",
+      "Live base-file size distribution per partition " +
+        "(ref: StatsFileSizeProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.statsFileSizes(tableOf(cat, a.str(0))))),
+
+    Proc("show_commit_partitions",
+      "Partitions one commit touched, with file/row/byte counts " +
+        "(ref: ShowCommitPartitionsProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => collect(
+        GraftSql.showCommitPartitions(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("show_logfile_metadata",
+      "MOR log files of one file group, oldest first " +
+        "(ref: ShowHoodieLogFileMetadataProcedure).",
+      Seq(in("table", StringType), in("file_id", StringType)),
+      (cat, a) => collect(
+        GraftSql.showLogFileMetadata(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("show_bootstrap_mapping",
+      "Metadata-only adopted (external) base files still live " +
+        "(ref: ShowBootstrapMappingProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.showBootstrapMapping(tableOf(cat, a.str(0))))),
+
+    Proc("repair_deduplicate",
+      "Rewrite one partition keeping the winning version per duplicate key" +
+        " (ref: RepairDeduplicateProcedure); returns duplicates removed.",
+      Seq(in("table", StringType), in("partition", StringType)),
+      (cat, a) => one(
+        StructType(Seq(StructField("duplicates_removed", LongType))),
+        GraftSql.repairDeduplicate(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("copy_to_table",
+      "Copy the live snapshot into a NEW graft table with the same config " +
+        "(ref: CopyToTableProcedure).",
+      Seq(in("table", StringType), in("new_table", StringType)),
+      (cat, a) => {
+        val src = tableOf(cat, a.str(0))
+        val parts0 = a.str(1).split('.').toSeq.filter(_.nonEmpty)
+        val parts =
+          if (parts0.headOption.contains(cat.name())) parts0.tail else parts0
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        require(!cat.tableExists(ident), s"table '${a.str(1)}' already exists")
+        val destPath = cat.pathOf(ident)
+        val df = src.snapshot().drop(GraftTable.metaCols: _*)
+        GraftSql.createTableAsSelect(SparkSession.active, destPath,
+          src.config.copy(name = parts.last), df)
+        one(instantResult,
+          GraftTable.load(SparkSession.active, destPath)
+            .timeline.completed().last._1)
+      }),
+
     Proc("show_fsview_all",
       "Latest file slice per file group (ref: ShowFileSystemViewProcedure).",
       Seq(in("table", StringType)),

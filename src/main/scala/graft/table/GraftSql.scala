@@ -139,6 +139,94 @@ object GraftSql {
       .toDF("rollback_instant", "rolled_back_instant", "n_files_deleted")
   }
 
+  /** stats_wa (ref: StatsWriteAmplificationProcedure): rows written per
+    * commit vs rows in its incoming batch — COW write amplification.
+    * batchRows is recorded at write time from counts the commit already
+    * collects; older commits without it report 0/amplification null. */
+  def statsWriteAmplification(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None)
+      .filter(m => m.files.nonEmpty && m.extra.contains("batchRows"))
+      .map { m =>
+        val batch = m.extra("batchRows").toLong
+        val written = m.files.map(_.rows).sum
+        (m.instant, m.operation, batch, written,
+          if (batch > 0) written.toDouble / batch else 0.0)
+      }
+      .toDF("instant", "operation", "batch_rows", "rows_written",
+        "write_amplification")
+  }
+
+  /** stats_file_sizes (ref: StatsFileSizeProcedure): live base-file size
+    * distribution per partition. */
+  def statsFileSizes(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.slices(None).flatMap(s => s.baseFiles.map(f => (s.partition, f.bytes)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (p, fs) =>
+        val sizes = fs.map(_._2)
+        (p, sizes.size.toLong, sizes.min, sizes.max, sizes.sum / sizes.size,
+          sizes.sum)
+      }
+      .toDF("partition", "n_files", "min_bytes", "max_bytes", "avg_bytes",
+        "total_bytes")
+  }
+
+  /** show_commit_partitions (ref: ShowCommitPartitionsProcedure). */
+  def showCommitPartitions(t: GraftTable, instant: String): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val m = t.timeline.metas(None).find(_.instant == instant).getOrElse(
+      throw new IllegalArgumentException(s"no instant $instant on the timeline"))
+    m.files.groupBy(_.partition).toSeq.sortBy(_._1)
+      .map { case (p, fs) =>
+        (p, fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum) }
+      .toDF("partition", "n_files", "rows_written", "bytes_written")
+  }
+
+  /** show_logfile_metadata (ref: ShowHoodieLogFileMetadataProcedure): the
+    * MOR log files of one file group, oldest first. */
+  def showLogFileMetadata(t: GraftTable, fileId: String): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.slices(None).filter(_.fileId == fileId)
+      .flatMap(s => s.logs.map { case (i, f) =>
+        (s.partition, s.fileId, i, f.path, f.rows, f.bytes) })
+      .sortBy(_._3)
+      .toDF("partition", "file_id", "instant", "path", "rows", "bytes")
+  }
+
+  /** show_bootstrap_mapping (ref: ShowBootstrapMappingProcedure): the
+    * metadata-only adopted (external) base files still live. */
+  def showBootstrapMapping(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.slices(None).flatMap(s => s.baseFiles.filter(_.external)
+        .map(f => (s.partition, s.fileId, f.path, f.rows, f.bytes)))
+      .toDF("partition", "file_id", "source_file", "rows", "bytes")
+  }
+
+  /** repair_deduplicate (ref: RepairDeduplicateProcedure): a partition
+    * polluted with duplicate keys (insert misuse) is rewritten keeping the
+    * winning version per key — precombine order, commit time as tiebreak —
+    * via one partition-scoped insert_overwrite. */
+  def repairDeduplicate(t: GraftTable, partition: String): Long = {
+    val snap = t.snapshot().filter(col(GraftTable.PART) === partition)
+    val ord = t.config.precombineField
+      .map(pc => col(pc).desc_nulls_last).toSeq :+ col(GraftTable.COMMIT).desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(GraftTable.KEY)).orderBy(ord: _*)
+    val deduped = snap.withColumn("_g_rn", row_number().over(w))
+      .filter(col("_g_rn") === 1)
+      .drop("_g_rn", GraftTable.COMMIT, GraftTable.KEY, GraftTable.PART)
+    val before = snap.count()
+    val after = deduped.count()
+    if (before != after) t.insertOverwrite(deduped)
+    before - after
+  }
+
   /** export_instants (ref: ExportInstantsProcedure): copy the newest
     * `limit` timeline instant files to a local directory for offline
     * inspection/backup. Returns one row per exported instant. */

@@ -1047,6 +1047,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val globalSort = op == "bulk_insert" &&
         extra.get("sort.mode").contains("global_sort") &&
         !config.index.isInstanceOf[BucketIndex]
+      // batch row count rides into the commit metadata (stats_wa write
+      // amplification) — every branch already collects it, no extra job
+      var batchRows = 0L
       val (out, logGroups, touched) =
         if (globalSort) {
           // GLOBAL_SORT layout: one range shuffle on (partition, key) slices
@@ -1055,6 +1058,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           // one file group, so no per-partition planning collect is needed,
           // only a total count off the pinned batch
           val total = cached.count()
+          batchRows = total
           val nFiles = math.max(1,
             math.ceil(total.toDouble / config.targetFileSizeRows)).toInt
           val ranged = cached
@@ -1067,6 +1071,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           // one metadata-sized collect: inserts per partition
           val insertCounts = cached.groupBy(col(PART)).count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
+          batchRows = insertCounts.values.sum
           val (assigned, packKeys) = assignInserts(withFid, cur, instant,
             allowBinpack = op != "bulk_insert", insertCounts)
           val packTargets = packKeys.toSeq.flatMap(curByKey.get)
@@ -1082,6 +1087,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           // (partition, tagged group); null group = insert
           val groupCounts = tagged.groupBy(col(PART), col("_g_fid")).count().collect()
             .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+          batchRows = groupCounts.map(_._3).sum
           val insertCounts = groupCounts.collect { case (p, None, n) => p -> n }.toMap
           val (assigned, packKeys) = assignInserts(tagged, cur, instant,
             allowBinpack = !mor, insertCounts)
@@ -1133,7 +1139,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       commitGuarded(startLatest, touched ++ written, Set.empty,
         CommitMeta(instant, action, op,
           schemaJson = merged.json, files = files,
-          replaced = (touched -- written).toSeq, extra = extra))
+          replaced = (touched -- written).toSeq,
+          extra = extra + ("batchRows" -> batchRows.toString)))
       instant
       } finally pinned.foreach(_.unpersist(blocking = false))
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }

@@ -122,6 +122,75 @@ class GraftProcedureSpec extends AnyFunSuite {
     sql("DROP TABLE graft.p_boot")
   }
 
+  test("stats_wa / stats_file_sizes / show_commit_partitions / show_logfile_metadata") {
+    freshMor("p_stats", rows = 20)
+    sql("INSERT INTO graft.p_stats VALUES (1L, 'F', 999.0, 'u1'), (2L, 'O', 999.0, 'u2')")
+    val wa = sql("CALL graft.stats_wa(`table` => 'p_stats')").collect()
+    assert(wa.length === 2)
+    assert(wa(0).schema.fieldNames.toSeq === Seq("instant", "operation",
+      "batch_rows", "rows_written", "write_amplification"))
+    val first = wa.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).minBy(_._1)
+    assert(first._2 === 20 && first._3 === 20, s"bulk batch stats: $first")
+    // the MOR upsert writes only log rows for the 2 touched groups
+    val second = wa.map(r => (r.getString(0), r.getLong(2), r.getDouble(4))).maxBy(_._1)
+    assert(second._2 === 2)
+    val sizes = sql("CALL graft.stats_file_sizes(`table` => 'p_stats')").collect()
+    assert(sizes.map(_.getString(0)).sorted.toSeq === Seq("status=F", "status=O"))
+    assert(sizes.forall(r => r.getLong(1) >= 1 && r.getLong(5) > 0))
+    val firstInstant = first._1
+    val cp = sql(s"CALL graft.show_commit_partitions('p_stats', '$firstInstant')").collect()
+    assert(cp.map(_.getString(0)).sorted.toSeq === Seq("status=F", "status=O"))
+    assert(cp.map(_.getLong(2)).sum === 20)
+    // log files of a touched group
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/p_stats"
+    val t = graft.table.GraftTable.load(spark, path)
+    val logged = t.slices(None).find(_.logs.nonEmpty).map(_.fileId)
+    assert(logged.nonEmpty, "MOR upsert produced no log files")
+    val lf = sql(s"CALL graft.show_logfile_metadata('p_stats', '${logged.get}')").collect()
+    assert(lf.nonEmpty && lf.forall(_.getString(1) == logged.get))
+    assert(lf(0).schema.fieldNames.toSeq ===
+      Seq("partition", "file_id", "instant", "path", "rows", "bytes"))
+  }
+
+  test("repair_deduplicate / copy_to_table / show_bootstrap_mapping") {
+    import TestSpark.spark.implicits._
+    // a table WITHOUT precombine: INSERT INTO inserts, so re-inserting an
+    // existing key plants real duplicates
+    sql("DROP TABLE IF EXISTS graft.p_dup")
+    sql("""CREATE TABLE graft.p_dup (id BIGINT, side STRING, v STRING)
+          |USING graft PARTITIONED BY (side)
+          |TBLPROPERTIES ('graft.recordkey.field' = 'id')""".stripMargin)
+    sql("INSERT INTO graft.p_dup VALUES (1L, 'A', 'v1'), (2L, 'A', 'v2'), (3L, 'B', 'v3')")
+    sql("INSERT INTO graft.p_dup VALUES (1L, 'A', 'v1dup'), (2L, 'A', 'v2dup')")
+    assert(sql("SELECT count(*) AS c FROM graft.p_dup").collect()(0).getLong(0) === 5)
+    val removed = sql("CALL graft.repair_deduplicate('p_dup', 'side=A')").collect()
+    assert(removed(0).getLong(0) === 2)
+    assert(sql("SELECT count(*) AS c FROM graft.p_dup").collect()(0).getLong(0) === 3)
+    // the kept version is the latest-committed one
+    assert(sql("SELECT v FROM graft.p_dup WHERE id = 1").collect()(0)
+      .getString(0) === "v1dup")
+    // copy_to_table clones data + config into a new catalog table
+    sql("DROP TABLE IF EXISTS graft.p_dup2")
+    sql("CALL graft.copy_to_table('p_dup', 'p_dup2')")
+    assert(sql("SELECT id, v FROM graft.p_dup2 ORDER BY id").collect().toSeq ===
+      sql("SELECT id, v FROM graft.p_dup ORDER BY id").collect().toSeq)
+    sql("INSERT INTO graft.p_dup2 VALUES (9L, 'B', 'nine')")
+    assert(sql("SELECT count(*) AS c FROM graft.p_dup2").collect()(0).getLong(0) === 4)
+    assert(sql("SELECT count(*) AS c FROM graft.p_dup").collect()(0).getLong(0) === 3)
+    sql("DROP TABLE graft.p_dup"); sql("DROP TABLE graft.p_dup2")
+    // bootstrap mapping lists external files; full-class tables list none
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmap_").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    sql("DROP TABLE IF EXISTS graft.p_bmap")
+    sql(s"CALL graft.run_bootstrap('p_bmap', '$dir', 'k')")
+    val bm = sql("CALL graft.show_bootstrap_mapping('p_bmap')").collect()
+    assert(bm.nonEmpty && bm.map(_.getLong(3)).sum === 10)
+    assert(bm(0).schema.fieldNames.toSeq ===
+      Seq("partition", "file_id", "source_file", "rows", "bytes"))
+    sql("DROP TABLE graft.p_bmap")
+  }
+
   test("run_bootstrap mode => full_record rewrites into keyed file groups") {
     import TestSpark.spark.implicits._
     import java.nio.file.{Files => NioFiles, Paths => NioPaths}

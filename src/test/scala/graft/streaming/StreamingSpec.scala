@@ -258,6 +258,45 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("sink transformer SQL reshapes each micro-batch before the commit") {
+    val dir = Files.createTempDirectory("graft_sinktx_").toString
+    val ckpt = Files.createTempDirectory("graft_sinktx_ckpt_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // the DeltaStreamer transform seam: filter + derive a column between
+    // source and sink, inside the same exactly-once commit
+    // table config references the POST-transform schema (value -> cents)
+    val q = mem.toDF().writeStream.format("graft")
+      .option("graft.recordkey.field", "event_id")
+      .option("graft.precombine.field", "cents")
+      .option("graft.transformer.sql",
+        "SELECT event_id, event_type, value * 100 AS cents " +
+          "FROM <SRC> WHERE event_type = 'click'")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    mem.addData(Event(1, ts(0), 1, "click", 1.5), Event(2, ts(1), 1, "view", 2.0),
+      Event(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft").load(dir)
+    assert(back.columns.toSet.intersect(Set("event_id", "event_type", "cents"))
+      === Set("event_id", "event_type", "cents"))
+    assert(back.count() === 2, "transform filter did not apply")
+    assert(back.filter(col("event_id") === 1)
+      .select("cents").collect()(0).getDouble(0) === 150.0)
+    // a transform without the <SRC> placeholder fails fast
+    val q2 = mem.toDF().writeStream.format("graft")
+      .option("graft.recordkey.field", "event_id")
+      .option("graft.transformer.sql", "SELECT 1")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sinktx_bad_").toString)
+      .start(Files.createTempDirectory("graft_sinktx_bad_t_").toString)
+    mem.addData(Event(9, ts(3), 3, "click", 1.0))
+    intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    GraftTable.drop(dir)
+  }
+
   test("readStream.format(\"graft\") streams a table's commits incrementally") {
     val dir = Files.createTempDirectory("graft_streamsrc_").toString
     val t = eventsTable(dir)
