@@ -444,7 +444,152 @@ object GraftProcedures {
           }
           throw e
         }
-      })
+      }),
+
+    Proc("import_parquet",
+      "Full-copy import of a parquet directory into a NEW graft table — " +
+        "one keyed bulk_insert, unlike run_bootstrap's in-place adoption " +
+        "(ref: HdfsParquetImportProcedure).",
+      Seq(in("table", StringType),
+        in("location", StringType),
+        in("record_key_field", StringType),
+        in("precombine_field", StringType, "NULL"),
+        in("partition_fields", StringType, "NULL")),
+      (cat, a) => {
+        val parts0 = a.str(0).split('.').toSeq.filter(_.nonEmpty)
+        val parts =
+          if (parts0.headOption.contains(cat.name())) parts0.tail else parts0
+        val ident = Identifier.of(parts.init.toArray, parts.last)
+        require(!cat.tableExists(ident), s"table '${a.str(0)}' already exists")
+        val cfg = TableConfig(
+          name = parts.last,
+          tableType = CopyOnWrite,
+          keyFields = a.str(2).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          precombineField = a.strOpt(3),
+          partitioning = a.strOpt(4)
+            .map(c => PartitionByColumns(
+              c.split(',').map(_.trim).filter(_.nonEmpty).toSeq): PartitionSpec)
+            .getOrElse(NonPartitioned))
+        val spark = SparkSession.active
+        val t = GraftSql.createTableAsSelect(spark, cat.pathOf(ident), cfg,
+          spark.read.parquet(a.str(1)))
+        one(instantResult, t.timeline.completed().last._1)
+      }),
+
+    Proc("show_commits_metadata",
+      "Per-commit detail: partitions, files, bytes, deletions, extra " +
+        "key/values (ref: ShowCommitsMetadataProcedure).",
+      Seq(in("table", StringType), in("limit", IntegerType, "10")),
+      (cat, a) => collect(
+        GraftSql.showCommitsMetadata(tableOf(cat, a.str(0)), a.int(1)))),
+
+    Proc("show_archived_commits_metadata",
+      "Full metadata of archived instants " +
+        "(ref: ShowArchivedCommitsMetadataProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.showArchivedCommitsMetadata(tableOf(cat, a.str(0))))),
+
+    Proc("show_fsview_latest",
+      "Latest file slice per group of ONE partition with log-debt detail " +
+        "(ref: ShowLatestFileSystemViewProcedure).",
+      Seq(in("table", StringType), in("partition", StringType)),
+      (cat, a) => collect(
+        GraftSql.showFsViewLatest(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("show_rollback_detail",
+      "Files one rollback instant physically deleted " +
+        "(ref: ShowRollbackDetailProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => collect(
+        GraftSql.showRollbackDetail(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("show_logfile_records",
+      "Sample raw (unmerged) records from one file group's MOR logs as " +
+        "JSON rows (ref: ShowHoodieLogFileRecordsProcedure).",
+      Seq(in("table", StringType), in("file_id", StringType),
+        in("limit", IntegerType, "10")),
+      (cat, a) => collect(
+        GraftSql.showLogFileRecords(tableOf(cat, a.str(0)), a.str(1), a.int(2)))),
+
+    Proc("show_bootstrap_partitions",
+      "Partitions still carrying metadata-only adopted files " +
+        "(ref: ShowBootstrapPartitionsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.showBootstrapPartitions(tableOf(cat, a.str(0))))),
+
+    Proc("show_fs_path_detail",
+      "Recursive file listing with sizes under any path " +
+        "(ref: ShowFsPathDetailProcedure).",
+      Seq(in("path", StringType), in("limit", IntegerType, "1000")),
+      (cat, a) => collect(
+        GraftSql.showFsPathDetail(SparkSession.active, a.str(0), a.int(1)))),
+
+    Proc("show_metadata_table_files",
+      "File listing of the persisted metadata table " +
+        "(ref: ShowMetadataTableFilesProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.showMetadataTableFiles(tableOf(cat, a.str(0))))),
+
+    Proc("show_metadata_table_partitions",
+      "Partitions of the persisted metadata table " +
+        "(ref: ShowMetadataTablePartitionsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.showMetadataTablePartitions(tableOf(cat, a.str(0))))),
+
+    Proc("show_metadata_table_stats",
+      "Per-partition file/row counts of the persisted metadata table " +
+        "(ref: ShowMetadataTableStatsProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.showMetadataTableStats(tableOf(cat, a.str(0))))),
+
+    Proc("validate_metadata_table_files",
+      "Diff the persisted metadata table's file listing against the live " +
+        "timeline; rows = discrepancies, none = in sync " +
+        "(ref: ValidateMetadataTableFilesProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.validateMetadataTableFiles(tableOf(cat, a.str(0))))),
+
+    Proc("delete_metadata_table",
+      "Remove the persisted metadata sidecar; reads fall back to timeline " +
+        "resolution (ref: DeleteMetadataTableProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => one(
+        StructType(Seq(StructField("existed", BooleanType))),
+        GraftSql.deleteMetadataTable(tableOf(cat, a.str(0))))),
+
+    Proc("delete_marker",
+      "Clear one instant's write-in-progress markers (inflight claim + " +
+        "staged files) after a writer died mid-commit " +
+        "(ref: DeleteMarkerProcedure).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => one(
+        StructType(Seq(StructField("markers_removed", LongType))),
+        GraftSql.deleteMarker(tableOf(cat, a.str(0)), a.str(1)))),
+
+    Proc("repair_corrupted_clean_files",
+      "Remove clean/rollback instant files that no longer parse so the " +
+        "timeline loads again (ref: RepairCorruptedCleanFilesProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.repairCorruptedCleanFiles(tableOf(cat, a.str(0))))),
+
+    Proc("repair_overwrite_props",
+      "Overwrite the mutable write-config subset from 'k=v,k2=v2' pairs " +
+        "(ref: RepairOverwriteHoodiePropsProcedure); returns the resulting" +
+        " effective properties.",
+      Seq(in("table", StringType), in("props", StringType)),
+      (cat, a) => collect(GraftSql.repairOverwriteProps(tableOf(cat, a.str(0)),
+        a.str(1).split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"bad property pair '$kv': expected k=v")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }.toMap)))
   ).map(p => p.procName -> p).toMap
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =

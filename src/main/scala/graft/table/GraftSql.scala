@@ -244,4 +244,237 @@ object GraftSql {
     }
     exported.toDF("instant", "action", "exported_to")
   }
+
+  /** show_commits_metadata (ref: ShowCommitsMetadataProcedure): per-commit
+    * detail beyond show_commits — partitions touched, bytes, deletions,
+    * and the extra key/values the write recorded. */
+  def showCommitsMetadata(t: GraftTable, limit: Int): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None).takeRight(limit)
+      .map(m => (m.instant, m.action, m.operation,
+        m.files.map(_.partition).distinct.size, m.files.size,
+        m.files.count(_.isLog), m.files.map(_.rows).sum,
+        m.files.map(_.bytes).sum, m.replaced.size, m.deletedPaths.size,
+        m.extra.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(", ")))
+      .toDF("instant", "action", "operation", "n_partitions", "n_files",
+        "n_log_files", "rows_written", "bytes_written", "n_replaced",
+        "n_deleted_paths", "extra")
+  }
+
+  /** show_archived_commits_metadata (ref:
+    * ShowArchivedCommitsMetadataProcedure): same detail for instants folded
+    * into the archive timeline. */
+  def showArchivedCommitsMetadata(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.archivedMetas()
+      .map(m => (m.instant, m.action, m.operation, m.files.size,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum, m.replaced.size))
+      .toDF("instant", "action", "operation", "n_files", "rows_written",
+        "bytes_written", "n_replaced")
+  }
+
+  /** show_fsview_latest (ref: ShowLatestFileSystemViewProcedure): the
+    * latest file slice per group of ONE partition, with the log-debt detail
+    * (delta bytes, delta/base ratio) compaction planning looks at. */
+  def showFsViewLatest(t: GraftTable, partition: String): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.slices(None).filter(_.partition == partition)
+      .map { s =>
+        val baseBytes = s.baseFiles.map(_.bytes).sum
+        val logBytes = s.logs.map(_._2.bytes).sum
+        (s.partition, s.fileId, s.baseInstant, baseBytes, s.logs.size,
+          logBytes,
+          if (baseBytes > 0) logBytes.toDouble / baseBytes else 0.0)
+      }
+      .toDF("partition", "file_id", "base_instant", "base_bytes", "n_logs",
+        "log_bytes", "log_to_base_ratio")
+  }
+
+  /** show_rollback_detail (ref: ShowRollbackDetailProcedure): the files one
+    * rollback instant physically deleted. */
+  def showRollbackDetail(t: GraftTable, instant: String): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val m = t.timeline.metas(None)
+      .find(mm => mm.instant == instant && mm.action == "rollback")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no rollback instant $instant on the timeline"))
+    m.deletedPaths.map(p => (m.instant, m.extra.getOrElse("rolledBack", ""), p))
+      .toDF("rollback_instant", "rolled_back_instant", "deleted_path")
+  }
+
+  /** show_logfile_records (ref: ShowHoodieLogFileRecordsProcedure): sample
+    * raw (unmerged) records from one file group's MOR logs, oldest log
+    * first — each row as JSON so the result schema is stable across
+    * tables. */
+  def showLogFileRecords(t: GraftTable, fileId: String, limit: Int): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val logPaths = t.slices(None).filter(_.fileId == fileId)
+      .flatMap(_.logs.sortBy(_._1).map(_._2.path))
+      .map(p => s"${t.basePath}/$p")
+    if (logPaths.isEmpty) Seq.empty[String].toDF("record")
+    else t.spark.read.parquet(logPaths: _*).limit(limit).toJSON.toDF("record")
+  }
+
+  /** show_bootstrap_partitions (ref: ShowBootstrapPartitionsProcedure):
+    * partitions still carrying metadata-only adopted (external) files. */
+  def showBootstrapPartitions(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.slices(None).filter(_.baseFiles.exists(_.external))
+      .map(_.partition).distinct.sorted.toDF("partition")
+  }
+
+  /** show_fs_path_detail (ref: ShowFsPathDetailProcedure): recursive file
+    * listing with sizes under any path — the storage-debugging view. */
+  def showFsPathDetail(spark: SparkSession, path: String, limit: Int): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    require(Files.exists(root), s"path '$path' does not exist")
+    val walk = Files.walk(root)
+    try walk.iterator().asScala.filter(Files.isRegularFile(_)).take(limit)
+      .map(p => (root.relativize(p).toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis))
+      .toSeq.sortBy(_._1)
+      .toDF("relative_path", "bytes", "modified_ms")
+    finally walk.close()
+  }
+
+  // ------------------------------------------------- metadata-table family
+
+  private def requireMetadataTable(t: GraftTable): DataFrame = {
+    require(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(t.basePath, ".graft", "metadata", "files")),
+      "no metadata table: run sync_metadata_table first")
+    t.metadataTable()
+  }
+
+  /** show_metadata_table_files (ref: ShowMetadataTableFilesProcedure). */
+  def showMetadataTableFiles(t: GraftTable): DataFrame =
+    requireMetadataTable(t)
+      .select("partition", "file_id", "instant", "path", "rows", "is_log")
+      .orderBy("partition", "file_id", "instant")
+
+  /** show_metadata_table_partitions (ref:
+    * ShowMetadataTablePartitionsProcedure). */
+  def showMetadataTablePartitions(t: GraftTable): DataFrame =
+    requireMetadataTable(t).select("partition").distinct().orderBy("partition")
+
+  /** show_metadata_table_stats (ref: ShowMetadataTableStatsProcedure). */
+  def showMetadataTableStats(t: GraftTable): DataFrame =
+    requireMetadataTable(t).groupBy("partition")
+      .agg(count("*").as("n_files"), sum("rows").as("rows"),
+        sum(when(col("is_log"), 1L).otherwise(0L)).as("n_log_files"))
+      .orderBy("partition")
+
+  /** validate_metadata_table_files (ref:
+    * ValidateMetadataTableFilesProcedure): diff the PERSISTED metadata
+    * table's file listing against the live timeline's — stale sync shows up
+    * as only_metadata / only_timeline rows; an in-sync table returns none. */
+  def validateMetadataTableFiles(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val metaPaths = requireMetadataTable(t).select("path").as[String]
+      .collect().toSet
+    val livePaths = t.slices(None)
+      .flatMap(s => s.baseFiles.map(_.path) ++ s.logs.map(_._2.path)).toSet
+    ((metaPaths -- livePaths).toSeq.sorted.map(p => (p, "only_metadata")) ++
+      (livePaths -- metaPaths).toSeq.sorted.map(p => (p, "only_timeline")))
+      .toDF("path", "presence")
+  }
+
+  /** delete_metadata_table (ref: DeleteMetadataTableProcedure): remove the
+    * persisted metadata sidecar (reads fall back to timeline resolution). */
+  def deleteMetadataTable(t: GraftTable): Boolean = {
+    val dir = java.nio.file.Paths.get(t.basePath, ".graft", "metadata")
+    val existed = java.nio.file.Files.isDirectory(dir)
+    if (existed) GraftTable.drop(dir.toString)
+    existed
+  }
+
+  // --------------------------------------------------- repair / marker ops
+
+  /** delete_marker (ref: DeleteMarkerProcedure): clear the write-in-progress
+    * markers of one instant — the leftover `.inflight` claim plus any
+    * staged-but-never-committed files — after a writer died mid-commit.
+    * Completed instants are untouched (their markers are already gone). */
+  def deleteMarker(t: GraftTable, instant: String): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    t.timeline.refresh()
+    require(!t.timeline.completed().exists(_._1 == instant),
+      s"instant $instant is completed — roll it back instead")
+    val tdir = Paths.get(t.basePath, ".graft", "timeline")
+    var removed = 0L
+    if (Files.isDirectory(tdir))
+      Files.list(tdir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$instant."))
+        .filter(_.getFileName.toString.endsWith(".inflight"))
+        .foreach { p => Files.deleteIfExists(p); removed += 1 }
+    val staging = Paths.get(t.basePath, ".graft", s"staging_$instant")
+    if (Files.isDirectory(staging)) {
+      val walk = Files.walk(staging)
+      val n = try walk.iterator().asScala.count(Files.isRegularFile(_))
+              finally walk.close()
+      GraftTable.drop(staging.toString)
+      removed += n
+    }
+    removed
+  }
+
+  /** repair_corrupted_clean_files (ref:
+    * RepairCorruptedCleanFilesProcedure): remove clean/rollback instant
+    * files that no longer parse (partial write, disk fault) so the timeline
+    * loads again. Data instants are never auto-deleted — a corrupt commit
+    * is surfaced, not destroyed. */
+  def repairCorruptedCleanFiles(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tdir = Paths.get(t.basePath, ".graft", "timeline")
+    val removed = (if (!Files.isDirectory(tdir)) Nil
+    else Files.list(tdir).iterator().asScala.toSeq
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".clean.json") || n.endsWith(".rollback.json")
+      }
+      .filter { p =>
+        try { Json.mapper.readValue[CommitMeta](Files.readAllBytes(p)); false }
+        catch { case _: Exception => true }
+      }
+      .map { p => val n = p.getFileName.toString; Files.delete(p); n })
+    t.timeline.refresh()
+    removed.toDF("removed_file")
+  }
+
+  /** repair_overwrite_props (ref: RepairOverwriteHoodiePropsProcedure):
+    * overwrite the MUTABLE write-config subset from `k=v` pairs — the same
+    * vocabulary ALTER TABLE SET TBLPROPERTIES accepts (file sizing, merge
+    * payload, schema-on-read). Structural config (keys, partitioning, type,
+    * index) is identity and cannot be repaired over. Returns the resulting
+    * effective properties. */
+  def repairOverwriteProps(t: GraftTable, props: Map[String, String]): DataFrame = {
+    import t.spark.implicits._
+    import graft.DefaultSource.{PAYLOAD, SCHEMA_ON_READ, TARGET_FILE_ROWS}
+    var cfg = t.config
+    props.foreach {
+      case (TARGET_FILE_ROWS, v) => cfg = cfg.copy(targetFileSizeRows = v.toLong)
+      case (PAYLOAD, v) => cfg = cfg.copy(payload = MergePayload.of(v))
+      case (SCHEMA_ON_READ, v) => cfg = cfg.copy(schemaOnRead = v.toBoolean)
+      case (other, _) => throw new IllegalArgumentException(
+        s"property '$other' is not repairable " +
+          s"(mutable: $TARGET_FILE_ROWS, $PAYLOAD, $SCHEMA_ON_READ)")
+    }
+    GraftTable.saveConfig(t.basePath, cfg)
+    Seq(
+      (TARGET_FILE_ROWS, cfg.targetFileSizeRows.toString),
+      (PAYLOAD, cfg.payload.name),
+      (SCHEMA_ON_READ, cfg.schemaOnRead.toString))
+      .toDF("property", "value")
+  }
 }

@@ -197,4 +197,16 @@ class Timeline(baseDir: String) {
     else Files.list(arch).iterator().asScala.map(_.getFileName.toString)
       .filter(_.endsWith(".json")).map(_.split('.')(0)).toSeq.sorted
   }
+
+  /** Full metadata of archived instants, oldest first (ref: hudi
+    * HoodieArchivedTimeline.loadInstants). Uncached: the archive is cold
+    * storage read only by inspection procedures. */
+  def archivedMetas(): Seq[CommitMeta] = {
+    val arch = dir.resolve("archive")
+    if (!Files.exists(arch)) Nil
+    else Files.list(arch).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(p => Json.mapper.readValue[CommitMeta](Files.readAllBytes(p)))
+  }
 }

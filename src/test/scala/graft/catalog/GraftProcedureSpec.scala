@@ -382,6 +382,154 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(desc.contains("run_clean") && desc.contains("file_versions"))
   }
 
+  test("show_commits_metadata / show_fsview_latest / show_rollback_detail / show_logfile_records") {
+    freshMor("p_meta", rows = 12)
+    sql("INSERT INTO graft.p_meta VALUES (1L, 'F', 999.0, 'u1'), (2L, 'O', 999.0, 'u2')")
+    val cm = sql("CALL graft.show_commits_metadata(`table` => 'p_meta')").collect()
+    assert(cm.length === 2)
+    assert(cm(0).schema.fieldNames.toSeq === Seq("instant", "action",
+      "operation", "n_partitions", "n_files", "n_log_files", "rows_written",
+      "bytes_written", "n_replaced", "n_deleted_paths", "extra"))
+    val bulk = cm.minBy(_.getString(0))
+    assert(bulk.getInt(3) === 2 && bulk.getLong(6) === 12)
+    assert(bulk.getString(10).contains("batchRows=12"))
+    // MOR upsert -> second commit carries log files
+    assert(cm.maxBy(_.getString(0)).getInt(5) >= 1)
+    val fsv = sql("CALL graft.show_fsview_latest('p_meta', 'status=F')").collect()
+    assert(fsv.nonEmpty && fsv.forall(_.getString(0) == "status=F"))
+    assert(fsv(0).schema.fieldNames.toSeq === Seq("partition", "file_id",
+      "base_instant", "base_bytes", "n_logs", "log_bytes", "log_to_base_ratio"))
+    val touched = fsv.find(_.getInt(4) >= 1)
+    assert(touched.nonEmpty, "upserted group shows no log debt")
+    assert(touched.get.getDouble(6) > 0.0)
+    // raw log records of that group, as JSON rows
+    val fid = touched.get.getString(1)
+    val recs = sql(s"CALL graft.show_logfile_records('p_meta', '$fid')").collect()
+    assert(recs.nonEmpty && recs(0).getString(0).contains("999"))
+    // rollback the upsert, then inspect its per-file detail
+    sql("CALL graft.run_rollback(`table` => 'p_meta')")
+    val rbInstant = sql("CALL graft.show_rollbacks('p_meta')")
+      .collect()(0).getString(0)
+    val det = sql(s"CALL graft.show_rollback_detail('p_meta', '$rbInstant')").collect()
+    assert(det.nonEmpty && det.forall(_.getString(2).nonEmpty))
+    assert(det(0).schema.fieldNames.toSeq ===
+      Seq("rollback_instant", "rolled_back_instant", "deleted_path"))
+    intercept[Exception] {
+      sql("CALL graft.show_rollback_detail('p_meta', '00000000000000000')") }
+  }
+
+  test("metadata-table procedures: show files/partitions/stats, validate, delete") {
+    freshMor("p_mdt", rows = 10)
+    sql("CALL graft.sync_metadata_table(`table` => 'p_mdt')")
+    val files = sql("CALL graft.show_metadata_table_files('p_mdt')").collect()
+    assert(files.nonEmpty)
+    assert(files(0).schema.fieldNames.toSeq ===
+      Seq("partition", "file_id", "instant", "path", "rows", "is_log"))
+    assert(files.map(_.getLong(4)).sum === 10)
+    val parts = sql("CALL graft.show_metadata_table_partitions('p_mdt')").collect()
+    assert(parts.map(_.getString(0)).toSeq === Seq("status=F", "status=O"))
+    val stats = sql("CALL graft.show_metadata_table_stats('p_mdt')").collect()
+    assert(stats.length === 2 && stats.map(_.getLong(2)).sum === 10)
+    // in sync -> no discrepancies
+    assert(sql("CALL graft.validate_metadata_table_files('p_mdt')").count() === 0)
+    // a commit the sidecar has not seen -> only_timeline rows
+    sql("INSERT INTO graft.p_mdt VALUES (1L, 'F', 999.0, 'upd')")
+    val diff = sql("CALL graft.validate_metadata_table_files('p_mdt')").collect()
+    assert(diff.nonEmpty && diff.forall(_.getString(1) == "only_timeline"))
+    val del = sql("CALL graft.delete_metadata_table('p_mdt')").collect()
+    assert(del(0).getBoolean(0))
+    intercept[Exception] {
+      sql("CALL graft.show_metadata_table_files('p_mdt')") }
+  }
+
+  test("delete_marker / repair_corrupted_clean_files / repair_overwrite_props") {
+    import java.nio.file.{Files => NioFiles, Paths => NioPaths}
+    freshMor("p_repair", rows = 8)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/p_repair"
+    // simulate a writer that died mid-commit: inflight claim + staged files
+    val dead = "99990101000000000"
+    NioFiles.createFile(
+      NioPaths.get(base, ".graft", "timeline", s"$dead.commit.inflight"))
+    val staging = NioPaths.get(base, ".graft", s"staging_$dead")
+    NioFiles.createDirectories(staging)
+    NioFiles.write(staging.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val removed = sql(s"CALL graft.delete_marker('p_repair', '$dead')").collect()
+    assert(removed(0).getLong(0) === 2)
+    assert(!NioFiles.exists(staging) && !NioFiles.exists(
+      NioPaths.get(base, ".graft", "timeline", s"$dead.commit.inflight")))
+    // completed instants are protected
+    val live = sql("CALL graft.show_commits('p_repair')").collect()(0).getString(0)
+    intercept[Exception] { sql(s"CALL graft.delete_marker('p_repair', '$live')") }
+    // a clean file that no longer parses is removed; data commits stay
+    NioFiles.write(
+      NioPaths.get(base, ".graft", "timeline", s"$dead.clean.json"),
+      "{not json".getBytes("UTF-8"))
+    val repaired = sql("CALL graft.repair_corrupted_clean_files('p_repair')").collect()
+    assert(repaired.map(_.getString(0)).toSeq === Seq(s"$dead.clean.json"))
+    assert(sql("SELECT count(*) AS c FROM graft.p_repair")
+      .collect()(0).getLong(0) === 8)
+    assert(sql("CALL graft.repair_corrupted_clean_files('p_repair')").count() === 0)
+    // overwrite the mutable config subset; structural keys are rejected
+    val props = sql("CALL graft.repair_overwrite_props('p_repair', " +
+      "'graft.target.file.rows=500, graft.merge.payload=event_time')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.target.file.rows") === "500")
+    assert(props("graft.merge.payload") === "event_time")
+    val t = graft.table.GraftTable.load(spark, base)
+    assert(t.config.targetFileSizeRows === 500)
+    intercept[Exception] {
+      sql("CALL graft.repair_overwrite_props('p_repair', 'graft.recordkey.field=x')") }
+  }
+
+  test("import_parquet / show_bootstrap_partitions / show_archived_commits_metadata") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_import_").toString
+    (1 to 25).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "E" else "O"))
+      .toDF("k", "v", "side").write.mode("overwrite").parquet(dir)
+    sql("DROP TABLE IF EXISTS graft.p_imp")
+    val inst = sql(s"""CALL graft.import_parquet(`table` => 'p_imp',
+        |`location` => '$dir', `record_key_field` => 'k',
+        |`partition_fields` => 'side')""".stripMargin).collect()
+    assert(inst.length === 1)
+    assert(sql("SELECT count(*) AS c FROM graft.p_imp")
+      .collect()(0).getLong(0) === 25)
+    // full copy, NOT adoption: no external files, source stays independent
+    assert(sql("CALL graft.show_bootstrap_mapping('p_imp')").count() === 0)
+    assert(sql("CALL graft.show_bootstrap_partitions('p_imp')").count() === 0)
+    sql("UPDATE graft.p_imp SET v = 'upd' WHERE k = 5")
+    assert(spark.read.parquet(dir).count() === 25, "import mutated the source")
+    // a bootstrapped table DOES list its partitions as bootstrap-carrying
+    sql("DROP TABLE IF EXISTS graft.p_bparts")
+    sql(s"CALL graft.run_bootstrap('p_bparts', '$dir', 'k')")
+    assert(sql("CALL graft.show_bootstrap_partitions('p_bparts')").count() >= 1)
+    sql("DROP TABLE graft.p_bparts") // drops the temp source dir too (adoption)
+    // archived commits expose their metadata
+    (1 to 3).foreach(i => sql(s"UPDATE graft.p_imp SET v = 'a$i' WHERE k = $i"))
+    sql("CALL graft.create_savepoint(`table` => 'p_imp')")
+    sql("CALL graft.archive_commits(`table` => 'p_imp', `keep_last` => 2)")
+    val arch = sql("CALL graft.show_archived_commits_metadata('p_imp')").collect()
+    assert(arch.nonEmpty)
+    assert(arch(0).schema.fieldNames.toSeq === Seq("instant", "action",
+      "operation", "n_files", "rows_written", "bytes_written", "n_replaced"))
+    assert(arch.forall(_.getLong(4) > 0))
+    sql("DROP TABLE graft.p_imp")
+  }
+
+  test("show_fs_path_detail lists files recursively with sizes") {
+    freshMor("p_fsd", rows = 5)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/p_fsd"
+    val rows = sql(s"CALL graft.show_fs_path_detail('$base')").collect()
+    assert(rows.nonEmpty)
+    assert(rows(0).schema.fieldNames.toSeq ===
+      Seq("relative_path", "bytes", "modified_ms"))
+    assert(rows.exists(_.getString(0).contains(".graft/")), "missing metadata files")
+    assert(rows.exists(_.getString(0).endsWith(".parquet")), "missing data files")
+    assert(rows.forall(_.getLong(1) >= 0))
+    // limit caps the listing
+    assert(sql(s"CALL graft.show_fs_path_detail('$base', 3)").count() === 3)
+    intercept[Exception] { sql("CALL graft.show_fs_path_detail('/nonexistent_xyz')") }
+  }
+
   test("unknown procedure fails with the known-procedure list") {
     val err = intercept[Exception] { sql("CALL graft.run_nonsense('t')") }
     // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
