@@ -360,6 +360,9 @@ object GraftProcedures {
           "partitioning" -> c.partitioning.toString,
           "index" -> c.index.toString,
           "target.file.rows" -> c.targetFileSizeRows.toString,
+          "payload" -> c.payload.name,
+          "schema.on.read" -> c.schemaOnRead.toString,
+          "version" -> c.version.toString,
           "path" -> t.basePath)
         (StructType(Seq(StructField("key", StringType), StructField("value", StringType))),
           props.map { case (k, v) =>
@@ -578,6 +581,57 @@ object GraftProcedures {
       Seq(in("table", StringType)),
       (cat, a) => collect(
         GraftSql.repairCorruptedCleanFiles(tableOf(cat, a.str(0))))),
+
+    Proc("upgrade_or_downgrade",
+      "Migrate the table format version: 1 = id-less schema epochs " +
+        "(by-name column resolution), 2 = id-mapped epochs (RENAME/DROP " +
+        "COLUMN capable). Downgrade is refused when id history is " +
+        "load-bearing (ref: UpgradeOrDowngradeProcedure, " +
+        "UpgradeDowngrade.java).",
+      Seq(in("table", StringType), in("to_version", IntegerType)),
+      (cat, a) => {
+        val from = tableOf(cat, a.str(0)).setFormatVersion(a.int(1))
+        one(StructType(Seq(StructField("from_version", IntegerType),
+          StructField("to_version", IntegerType))), from, a.int(1))
+      }),
+
+    Proc("create_metadata_table",
+      "Build the persisted metadata table; fails if one already exists " +
+        "(ref: CreateMetadataTableProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => {
+        val t = tableOf(cat, a.str(0))
+        require(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+          t.basePath, ".graft", "metadata", "files")),
+          "metadata table already exists: use init_metadata_table to rebuild")
+        one(StructType(Seq(StructField("path", StringType))),
+          t.syncMetadataTable())
+      }),
+
+    Proc("init_metadata_table",
+      "(Re)build the persisted metadata table from the live timeline, " +
+        "replacing any stale one (ref: InitMetadataTableProcedure).",
+      Seq(in("table", StringType)),
+      (cat, a) => one(StructType(Seq(StructField("path", StringType))),
+        tableOf(cat, a.str(0)).syncMetadataTable())),
+
+    Proc("validate_sync",
+      "Per-partition live row-count diff between a table and a replica " +
+        "(copy_to_table target); rows = discrepancies, none = in sync " +
+        "(ref: ValidateHoodieSyncProcedure).",
+      Seq(in("table", StringType), in("other", StringType)),
+      (cat, a) => collect(GraftSql.validateSync(
+        tableOf(cat, a.str(0)), tableOf(cat, a.str(1))))),
+
+    Proc("export_snapshot",
+      "Write the live snapshot as plain parquet/json/orc files under a " +
+        "fresh directory — the off-ramp for non-graft consumers " +
+        "(ref: hudi-utilities HoodieSnapshotExporter).",
+      Seq(in("table", StringType), in("location", StringType),
+        in("format", StringType, "'parquet'")),
+      (cat, a) => one(
+        StructType(Seq(StructField("files_exported", LongType))),
+        GraftSql.exportSnapshot(tableOf(cat, a.str(0)), a.str(1), a.str(2)))),
 
     Proc("repair_overwrite_props",
       "Overwrite the mutable write-config subset from 'k=v,k2=v2' pairs " +

@@ -452,6 +452,48 @@ object GraftSql {
     removed.toDF("removed_file")
   }
 
+  /** validate_sync (ref: ValidateHoodieSyncProcedure — src/dst count
+    * validation after a sync/copy): diff two tables' live row counts per
+    * partition. Rows = discrepancies; an in-sync replica returns none.
+    * Both sides stay fully distributed (two snapshot aggregates joined on
+    * the partition path); only the per-partition counts reach the driver. */
+  def validateSync(src: GraftTable, dst: GraftTable): DataFrame = {
+    def counts(t: GraftTable, as: String) =
+      t.snapshot().groupBy(col(GraftTable.PART).as("partition"))
+        .agg(count("*").as(as))
+    counts(src, "src_rows")
+      .join(counts(dst, "dst_rows"), Seq("partition"), "full_outer")
+      .withColumn("src_rows", coalesce(col("src_rows"), lit(0L)))
+      .withColumn("dst_rows", coalesce(col("dst_rows"), lit(0L)))
+      .filter(col("src_rows") =!= col("dst_rows"))
+      .orderBy("partition")
+  }
+
+  /** export_snapshot (ref: hudi-utilities HoodieSnapshotExporter): write
+    * the live snapshot as PLAIN files (parquet | json | orc) under a fresh
+    * directory — the off-ramp for consumers without the graft reader. Meta
+    * columns are dropped; `PartitionByColumns` tables keep their hive
+    * layout via partitionBy. One distributed write job; only the file
+    * count is collected. */
+  def exportSnapshot(t: GraftTable, outPath: String, format: String): Long = {
+    require(Set("parquet", "json", "orc")(format),
+      s"unknown export format '$format' (parquet | json | orc)")
+    require(!java.nio.file.Files.exists(java.nio.file.Paths.get(outPath)),
+      s"export target '$outPath' already exists (exporter refuses overwrite)")
+    val df = t.snapshot().drop(GraftTable.metaCols: _*)
+    val w = t.config.partitioning match {
+      case PartitionByColumns(cols) => df.write.partitionBy(cols: _*)
+      case _ => df.write
+    }
+    w.format(format).save(outPath)
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(outPath))
+    try walk.iterator().asScala.count(p =>
+      java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_"))
+    finally walk.close()
+  }
+
   /** repair_overwrite_props (ref: RepairOverwriteHoodiePropsProcedure):
     * overwrite the MUTABLE write-config subset from `k=v` pairs — the same
     * vocabulary ALTER TABLE SET TBLPROPERTIES accepts (file sizing, merge

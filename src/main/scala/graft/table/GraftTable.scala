@@ -74,7 +74,8 @@ object GraftTable {
       }),
       "targetFileSizeRows" -> config.targetFileSizeRows,
       "payload" -> config.payload.name,
-      "schemaOnRead" -> config.schemaOnRead)))
+      "schemaOnRead" -> config.schemaOnRead,
+      "version" -> config.version)))
     ()
   }
 
@@ -98,7 +99,9 @@ object GraftTable {
       Option(raw.getOrElse("precombineField", null)).map(_.toString),
       part, idx, raw("targetFileSizeRows").toString.toLong,
       MergePayload.of(raw.getOrElse("payload", "overwrite_latest").toString),
-      raw.getOrElse("schemaOnRead", false).toString.toBoolean))
+      raw.getOrElse("schemaOnRead", false).toString.toBoolean,
+      // absent = written by a pre-version writer = id-less epochs
+      raw.getOrElse("version", 1).toString.toInt))
   }
 
   def exists(path: String): Boolean =
@@ -385,9 +388,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Write-driven evolution matches by NAME (incoming user frames carry no
     * ids); existing columns keep their committed ids, genuinely new columns
-    * get fresh ones, so every committed schemaJson is fully id-mapped. */
+    * get fresh ones, so every committed schemaJson is fully id-mapped.
+    * Version-1 tables commit ID-LESS epochs instead (their whole history
+    * resolves by name — see [[setFormatVersion]]): assigning fresh ids after
+    * a downgrade would orphan the id-mapped epochs written before it. */
+  private def idMap(s: StructType): StructType =
+    if (config.version >= 2) ColIds.assign(s, maxColId()) else ColIds.strip(s)
+
   private def mergeSchemas(old: Option[StructType], incoming: StructType): StructType = old match {
-    case None => ColIds.assign(incoming, maxColId())
+    case None => idMap(incoming)
     case Some(o) =>
       val byName = incoming.fields.map(f => f.name -> f).toMap
       val kept = o.fields.map { f =>
@@ -398,7 +407,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         }
       }
       val added = incoming.fields.filterNot(f => o.fieldNames.contains(f.name))
-      ColIds.assign(StructType(kept ++ added), maxColId())
+      idMap(StructType(kept ++ added))
   }
 
   /** High-water column id over every schema epoch ever committed — dropped
@@ -457,7 +466,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * (case-insensitive by default) and may not shadow graft meta columns. */
   def alterSchema(target0: StructType): Unit = {
     val current = schemaAt(None).getOrElse(new StructType())
-    val target = ColIds.assign(target0, maxColId())
+    val target = idMap(target0)
     val resolver = spark.sessionState.conf.resolver
     target.fields.foreach { f =>
       if (GraftTable.metaCols.exists(m => resolver(m, f.name)))
@@ -485,6 +494,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           if (!config.schemaOnRead) throw new IllegalArgumentException(
             s"cannot drop column '${cf.name}': schema evolution is additive " +
               "unless the table sets graft.schema.on.read = true")
+          if (config.version < 2) throw new IllegalArgumentException(
+            s"cannot drop column '${cf.name}': table format version " +
+              s"${config.version} has no column ids — CALL " +
+              "upgrade_or_downgrade(table, 2) first")
         case Some(nf) =>
           if (nf.name != cf.name) {
             if (identity(cf.name)) throw new IllegalArgumentException(
@@ -493,6 +506,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             if (!config.schemaOnRead) throw new IllegalArgumentException(
               s"cannot rename column '${cf.name}': schema evolution is " +
                 "additive unless the table sets graft.schema.on.read = true")
+            if (config.version < 2) throw new IllegalArgumentException(
+              s"cannot rename column '${cf.name}': table format version " +
+                s"${config.version} has no column ids — CALL " +
+                "upgrade_or_downgrade(table, 2) first")
           }
           if (nf.dataType != cf.dataType) {
             if (identity(cf.name)) throw new IllegalArgumentException(
@@ -516,6 +533,103 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
   }
 
+  /** Migrate the table format version (ref: hudi-client-common .../upgrade/
+    * UpgradeDowngrade.java, SparkUpgradeDowngradeHelper): v1 = id-less
+    * schema epochs (by-name resolution, pre-version writers), v2 = id-mapped
+    * epochs (schema-on-read capable).
+    *
+    * Upgrade commits an id-mapped schema epoch (existing files keep
+    * resolving through the by-name legacy path), then stamps table.json.
+    * Downgrade strips ids — refused when id history is load-bearing: a
+    * rename (old files serve the column only by id) or a drop-and-re-add
+    * (by-name would resurrect the retired column's values). After a
+    * downgrade every subsequent epoch is committed id-less (see [[idMap]]),
+    * so mixed-id-space corruption cannot arise.
+    *
+    * Returns the version migrated FROM (== `to` when already there). */
+  def setFormatVersion(to: Int): Int = {
+    val from = config.version
+    require(to == 1 || to == TableConfig.CurrentVersion,
+      s"unknown table format version $to (1 | ${TableConfig.CurrentVersion})")
+    if (to == from) return from
+    val current = schemaAt(None)
+    val target = current.map { cur =>
+      if (to >= 2) {
+        // Re-adopt each column's most recent historical id by name before
+        // minting fresh ones: a table can reach v1 with id-mapped epochs in
+        // its history (written by a pre-version writer, or data committed
+        // before a downgrade). Fresh ids would orphan those epochs — their
+        // files resolve neither by the new id nor by the name fallback
+        // (which only fires for id-less epochs). Re-adopting by name is
+        // exactly v1's observable by-name semantics, so nothing changes for
+        // v1-era files; collisions (two live names claiming one id) keep
+        // the first claimant in schema order and mint fresh for the rest.
+        val latestIdByName: Map[String, Long] = schemaByInstant().toSeq
+          .sortBy(_._1)
+          .flatMap { case (_, sj) =>
+            if (sj.isEmpty) Nil
+            else DataType.fromJson(sj).asInstanceOf[StructType].fields
+              .flatMap(f => ColIds.idOf(f).map(f.name -> _))
+          }.toMap
+        val claimed = scala.collection.mutable.Set.empty[Long]
+        cur.fields.flatMap(ColIds.idOf).foreach(claimed += _)
+        val readopted = StructType(cur.fields.map { f =>
+          ColIds.idOf(f) match {
+            case Some(_) => f
+            case None => latestIdByName.get(f.name) match {
+              case Some(id) if !claimed(id) => claimed += id; ColIds.withId(f, id)
+              case _ => f
+            }
+          }
+        })
+        ColIds.assign(readopted, maxColId())
+      } else {
+        require(!config.schemaOnRead,
+          "downgrade to version 1 requires graft.schema.on.read = false " +
+            "(unset it via ALTER TABLE ... UNSET TBLPROPERTIES first)")
+        val liveById = cur.fields
+          .flatMap(f => ColIds.idOf(f).map(_ -> f)).toMap
+        for {
+          sj <- schemaByInstant().values.toSet[String]
+          if sj.nonEmpty
+          ef <- DataType.fromJson(sj).asInstanceOf[StructType].fields
+          id <- ColIds.idOf(ef)
+        } liveById.get(id) match {
+          case Some(lf) if lf.name != ef.name =>
+            throw new IllegalStateException(
+              s"cannot downgrade: column '${ef.name}' was renamed to " +
+                s"'${lf.name}' — files written before the rename serve it " +
+                "by column id, which version 1 cannot resolve")
+          case None if cur.fieldNames.contains(ef.name) =>
+            throw new IllegalStateException(
+              s"cannot downgrade: column '${ef.name}' was dropped and " +
+                "re-added — by-name resolution would resurrect the retired " +
+                "column's values from old files")
+          case _ => ()
+        }
+        ColIds.strip(cur)
+      }
+    }
+    // Crash-safety ordering: the config stamp and the epoch commit are two
+    // writes. DOWNGRADE stamps v1 FIRST — if we crash before the stripped
+    // epoch lands, a v1 writer strips on its next commit anyway; stamping
+    // last would leave a v2 config that assigns FRESH ids over a stripped
+    // epoch, orphaning older id-mapped epochs. UPGRADE commits the
+    // id-mapped epoch first for the symmetric reason.
+    if (to < 2) GraftTable.saveConfig(basePath, config.copy(version = to))
+    target.foreach { tgt =>
+      val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+      val instant = timeline.startInstant("commit")
+      try commitGuarded(startLatest, Set.empty, Set.empty,
+        CommitMeta(instant, "commit", if (to >= 2) "upgrade" else "downgrade",
+          schemaJson = tgt.json),
+        anyCommit = true)
+      catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
+    }
+    if (to >= 2) GraftTable.saveConfig(basePath, config.copy(version = to))
+    from
+  }
+
   private def conform(df: DataFrame, target: StructType,
       keep: Seq[String] = Nil): DataFrame =
     df.select(target.fields.map { f =>
@@ -527,15 +641,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * resolves in a write-epoch frame by COLUMN ID when both sides carry one
     * (renames follow the id across epochs), by name when either side
     * predates ids (legacy epochs, meta columns). A dropped-then-re-added
-    * name holds a FRESH id, so old epochs' values do not resurrect. */
+    * name holds a FRESH id, so old epochs' values do not resurrect.
+    *
+    * `originalNames` bridges id-LESS epochs written inside a version-1
+    * window (see [[setFormatVersion]]) to a later-renamed target: renames
+    * only happen in id-mapped epochs and downgrade refuses rename history,
+    * so an id's name in its EARLIEST id-mapped epoch is the name the column
+    * held throughout every id-less epoch. */
   private def conformFrom(df: DataFrame, from: StructType,
-      target: StructType): DataFrame = {
+      target: StructType, originalNames: Map[Long, String] = Map.empty): DataFrame = {
     val fromById = from.fields.flatMap(f => ColIds.idOf(f).map(_ -> f)).toMap
     val fromByName = from.fields.map(f => f.name -> f).toMap
     df.select(target.fields.map { tf =>
       val sf = ColIds.idOf(tf) match {
         case Some(id) => fromById.get(id)
           .orElse(fromByName.get(tf.name).filter(f => ColIds.idOf(f).isEmpty))
+          .orElse(originalNames.get(id)
+            .flatMap(n => fromByName.get(n).filter(f => ColIds.idOf(f).isEmpty)))
         case None => fromByName.get(tf.name)
       }
       sf match {
@@ -632,6 +754,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       needFileId: Boolean = false): DataFrame = {
     val schemaOf = schemaByInstant()
     val tgt = fullSchema(target)
+    // id -> the name it was minted under (earliest id-mapped epoch), the
+    // bridge that lets id-less v1-window epochs serve later-renamed columns
+    val origNames: Map[Long, String] = {
+      val seen = mutable.Map.empty[Long, String]
+      schemaOf.toSeq.sortBy(_._1).foreach { case (_, sj) =>
+        if (sj.nonEmpty)
+          DataType.fromJson(sj).asInstanceOf[StructType].fields.foreach(f =>
+            ColIds.idOf(f).foreach(id =>
+              if (!seen.contains(id)) seen(id) = f.name))
+      }
+      seen.toMap
+    }
     def scan(fs: Seq[(FileMeta, String)], sj: String, fidFill: Option[String]): DataFrame = {
       val fileSchema =
         if (sj.isEmpty) tgt
@@ -641,7 +775,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         case Some(f) => coalesce(col(FILE_ID), lit(f))
         case None => col(FILE_ID)
       }
-      conformFrom(spark.read.schema(fileSchema).parquet(paths: _*), fileSchema, tgt)
+      conformFrom(spark.read.schema(fileSchema).parquet(paths: _*), fileSchema,
+          tgt, origNames)
         .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
         .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
         .withColumn(COMMIT, coalesce(col(COMMIT), lit("0")))

@@ -138,6 +138,13 @@ object MergePayload {
  *                        HoodieCommonConfig.java:34
  *                        `hoodie.schema.on.read.enable`; off by default,
  *                        as in the reference)
+ * @param version         table format version (ref: hudi-common .../table/
+ *                        HoodieTableVersion.java + hudi-client-common
+ *                        .../upgrade/UpgradeDowngrade.java): 1 = id-less
+ *                        schema epochs, columns resolve by NAME only;
+ *                        2 = id-mapped epochs (RENAME/DROP COLUMN capable).
+ *                        Tables whose table.json predates the field load
+ *                        as 1; migration is upgrade_or_downgrade's job.
  */
 case class TableConfig(
     name: String,
@@ -148,7 +155,8 @@ case class TableConfig(
     index: IndexType = StatsIndex,
     targetFileSizeRows: Long = 1000000L,
     payload: MergePayload = OverwriteLatest,
-    schemaOnRead: Boolean = false) {
+    schemaOnRead: Boolean = false,
+    version: Int = TableConfig.CurrentVersion) {
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).
@@ -166,4 +174,9 @@ case class TableConfig(
     if (keyFields.size == 1) guarded(keyFields.head)
     else concat_ws(",", keyFields.map(f => concat(lit(f + ":"), guarded(f))): _*)
   }
+}
+
+object TableConfig {
+  /** Format version new tables are created at. */
+  val CurrentVersion = 2
 }

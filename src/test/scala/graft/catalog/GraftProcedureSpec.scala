@@ -530,6 +530,84 @@ class GraftProcedureSpec extends AnyFunSuite {
     intercept[Exception] { sql("CALL graft.show_fs_path_detail('/nonexistent_xyz')") }
   }
 
+  test("upgrade_or_downgrade migrates the schema-id format version") {
+    import graft.table.GraftTable
+    freshMor("p_ver", rows = 6)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/p_ver"
+    // regress the table to version 1 (as a pre-version writer would leave it)
+    val t0 = GraftTable.load(spark, base)
+    GraftTable.saveConfig(base, t0.config.copy(version = 1, schemaOnRead = true))
+    sql("INSERT INTO graft.p_ver VALUES (7L, 'F', 70.0, 'n7')") // id-less epoch
+    val props1 = sql("CALL graft.show_table_properties('p_ver')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props1("version") === "1")
+    // v1 has no column ids: RENAME is refused even with schema.on.read on
+    val err = intercept[Exception] {
+      sql("ALTER TABLE graft.p_ver RENAME COLUMN note TO memo") }
+    assert(err.getMessage.contains("upgrade_or_downgrade"))
+    // upgrade, then the same rename works and old files serve the column
+    val up = sql("CALL graft.upgrade_or_downgrade('p_ver', 2)").collect()
+    assert(up(0).getInt(0) === 1 && up(0).getInt(1) === 2)
+    sql("ALTER TABLE graft.p_ver RENAME COLUMN note TO memo")
+    val memos = sql("SELECT memo FROM graft.p_ver WHERE id = 3").collect()
+    assert(memos.map(_.getString(0)).toSeq === Seq("n3"))
+    // id history is now load-bearing: downgrade is refused
+    val soErr = intercept[Exception] {
+      sql("CALL graft.upgrade_or_downgrade('p_ver', 1)") }
+    assert(soErr.getMessage.contains("schema.on.read"))
+    sql("ALTER TABLE graft.p_ver UNSET TBLPROPERTIES ('graft.schema.on.read')")
+    val down = intercept[Exception] {
+      sql("CALL graft.upgrade_or_downgrade('p_ver', 1)") }
+    assert(down.getMessage.contains("renamed"))
+    // a no-rename v2 table downgrades cleanly and stays readable
+    freshMor("p_ver2", rows = 5)
+    sql("INSERT INTO graft.p_ver2 VALUES (9L, 'F', 90.0, 'n9')")
+    val d2 = sql("CALL graft.upgrade_or_downgrade('p_ver2', 1)").collect()
+    assert(d2(0).getInt(0) === 2 && d2(0).getInt(1) === 1)
+    assert(sql("SELECT count(*) AS c FROM graft.p_ver2")
+      .collect()(0).getLong(0) === 6)
+    // idempotent: migrating to the current version is a no-op
+    val same = sql("CALL graft.upgrade_or_downgrade('p_ver2', 1)").collect()
+    assert(same(0).getInt(0) === 1)
+    // writes at v1 commit id-less epochs; upgrading back restores ids
+    sql("INSERT INTO graft.p_ver2 VALUES (10L, 'O', 100.0, 'n10')")
+    sql("CALL graft.upgrade_or_downgrade('p_ver2', 2)")
+    sql("ALTER TABLE graft.p_ver2 SET TBLPROPERTIES ('graft.schema.on.read' = 'true')")
+    sql("ALTER TABLE graft.p_ver2 RENAME COLUMN note TO memo")
+    assert(sql("SELECT memo FROM graft.p_ver2 WHERE id = 10")
+      .collect()(0).getString(0) === "n10")
+  }
+
+  test("create_metadata_table / init_metadata_table / validate_sync / export_snapshot") {
+    freshMor("p_sync", rows = 10)
+    // create builds it; a second create is refused; init rebuilds
+    sql("CALL graft.create_metadata_table('p_sync')")
+    intercept[Exception] { sql("CALL graft.create_metadata_table('p_sync')") }
+    sql("INSERT INTO graft.p_sync VALUES (1L, 'F', 999.0, 'upd')")
+    assert(sql("CALL graft.validate_metadata_table_files('p_sync')").count() > 0)
+    sql("CALL graft.init_metadata_table('p_sync')")
+    assert(sql("CALL graft.validate_metadata_table_files('p_sync')").count() === 0)
+    // a fresh copy is in sync; divergence shows up per partition
+    sql("DROP TABLE IF EXISTS graft.p_sync2")
+    sql("CALL graft.copy_to_table('p_sync', 'p_sync2')")
+    assert(sql("CALL graft.validate_sync('p_sync', 'p_sync2')").count() === 0)
+    sql("INSERT INTO graft.p_sync VALUES (99L, 'F', 1.0, 'new')")
+    val diff = sql("CALL graft.validate_sync('p_sync', 'p_sync2')").collect()
+    assert(diff.length === 1 && diff(0).getString(0) === "status=F")
+    assert(diff(0).getLong(1) === diff(0).getLong(2) + 1)
+    // export the snapshot as plain partitioned parquet and read it back raw
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_export_${System.nanoTime()}"
+    val exp = sql(s"CALL graft.export_snapshot('p_sync', '$out')").collect()
+    assert(exp(0).getLong(0) >= 2) // >= one file per partition
+    val back = spark.read.parquet(out)
+    assert(back.count() === 11 && back.columns.contains("status"))
+    assert(back.columns.forall(!_.startsWith("_graft")))
+    intercept[Exception] { // refuses overwrite
+      sql(s"CALL graft.export_snapshot('p_sync', '$out')") }
+    intercept[Exception] { // unknown format
+      sql(s"CALL graft.export_snapshot('p_sync', '${out}_x', 'csvish')") }
+  }
+
   test("unknown procedure fails with the known-procedure list") {
     val err = intercept[Exception] { sql("CALL graft.run_nonsense('t')") }
     // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
