@@ -266,14 +266,20 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 7,
       idCol: String = "doc_id", textCol: String = "text",
       corpusSize: Option[Long] = None): DataFrame = {
-    val (input, n) = corpusSize match {
-      case Some(c) => (docs, c)
+    // Pin the SIMHASHED frame, not the raw docs: (id, hash64) is two narrow
+    // columns vs the full text corpus, the sizing count reads the pinned
+    // materialization instead of re-running upstream lineage, and the
+    // candidate self-join reuses the hashes instead of re-shingling the
+    // text on each side.
+    val sh0 = simhash64(docs, idCol, textCol)
+    val (sh, n) = corpusSize match {
+      case Some(c) => (sh0, c)
       case None =>
-        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (docs, docs.count())
+        sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (sh0, sh0.count())
     }
     val (w, r) = simhashAutoParams(n, maxHamming)
-    simhashCandidates(simhash64(input, idCol, textCol), w, r, idCol)
+    simhashCandidates(sh, w, r, idCol)
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -70,4 +70,31 @@ object DebeziumIngest {
       (col("_g_img.*") +: Seq(col(orderCol), del.as(GraftTable.DELETED))): _*)
     Some(t.writeBatch(batch, "upsert"))
   }
+
+  /** AWS DMS-shaped CDC ingest (ref: hudi-common/src/main/java/org/apache/
+    * hudi/common/model/AWSDmsAvroPayload.java): DMS emits FULL row images
+    * with an added `Op` column — `I`/`U` (or empty for initial-full-load
+    * rows) upsert, `D` deletes; there is no before/after envelope. The `Op`
+    * column is consumed here and does not land in the table.
+    *
+    * Ordering follows the table's own payload, as the reference does
+    * (AWSDmsAvroPayload extends OverwriteWithLatest): arrival order by
+    * default, or event order when the table precombines on a DMS
+    * timestamp column with `payload = event_time`. */
+  def applyDms(t: GraftTable, changes: DataFrame,
+      opCol: String = "Op"): Option[String] = {
+    require(changes.columns.contains(opCol),
+      s"DMS ingest expects an '$opCol' column on every row")
+    val op = upper(coalesce(col(opCol), lit("")))
+    // unknown-op guard inside the kept tombstone column (same idiom as
+    // apply() above) so pruning cannot optimize the check away
+    val del = when(op.isin("I", "U", ""), lit(false))
+      .when(op === "D", lit(true))
+      .otherwise(raise_error(concat(lit("unknown DMS op '"),
+        col(opCol), lit("'"))).cast("boolean"))
+    if (changes.isEmpty) return None
+    val rest = changes.columns.filterNot(_ == opCol).map(col).toSeq
+    Some(t.writeBatch(
+      changes.select(rest :+ del.as(GraftTable.DELETED): _*), "upsert"))
+  }
 }

@@ -86,4 +86,33 @@ class DebeziumIngestSpec extends AnyFunSuite {
       DebeziumIngest(wrongPc, env(Seq(("c", None, Some(DbzImg(1, "a")), 1L)))) }
     GraftTable.drop(dir)
   }
+
+  test("AWS DMS Op-column ingest: full-load, I/U/D, Op never lands") {
+    val dir = tmp()
+    // DMS ships full images; arrival order (OverwriteLatest) as in the ref
+    val t = GraftTable.create(spark, dir, TableConfig("dms", CopyOnWrite,
+      keyFields = Seq("id")))
+    def rows(rs: (Long, String, String)*) =
+      rs.toDF("id", "v", "Op")
+    // initial full load: empty/null Op upserts
+    DebeziumIngest.applyDms(t, Seq((1L, "a", null.asInstanceOf[String]),
+      (2L, "b", "")).toDF("id", "v", "Op"))
+    // ongoing replication: insert, update, delete
+    DebeziumIngest.applyDms(t, rows((3L, "c", "I"), (1L, "a2", "U")))
+    DebeziumIngest.applyDms(t, rows((2L, "b", "D")))
+    val state = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(state === Seq((1L, "a2"), (3L, "c")))
+    // the Op column is consumed, not written
+    assert(!t.snapshot().columns.contains("Op"))
+    // delete-then-reinsert lands on the reinsert (arrival order)
+    DebeziumIngest.applyDms(t, rows((2L, "b2", "I")))
+    assert(t.snapshot().filter($"id" === 2L).select("v").collect()
+      .map(_.getString(0)).toSeq === Seq("b2"))
+    // unknown ops fail the batch; a missing Op column is rejected up front
+    intercept[Exception] { DebeziumIngest.applyDms(t, rows((9L, "x", "Z"))) }
+    intercept[IllegalArgumentException] {
+      DebeziumIngest.applyDms(t, Seq((9L, "x")).toDF("id", "v")) }
+    GraftTable.drop(dir)
+  }
 }
