@@ -101,15 +101,33 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       case _ =>
         val t = if (exists) GraftTable.load(spark, path)
                 else GraftTable.create(spark, path, configFrom(parameters, path))
+        // options starting with the commit-meta prefix ride into the
+        // commit's extra metadata verbatim (ref: hoodie.datasource.write.
+        // commitmeta.key.prefix — how deltastreamer persists checkpoints)
+        val metaPrefix = parameters.getOrElse(COMMITMETA_KEY_PREFIX, "_")
+        val userMeta = parameters.filter { case (k, _) =>
+          k.startsWith(metaPrefix) }
         if (mode == SaveMode.Overwrite && exists) t.insertOverwriteTable(data)
         else parameters.getOrElse(OPERATION, "upsert") match {
           case "bulk_insert" =>
-            t.bulkInsert(data, parameters.getOrElse(BULKINSERT_SORT_MODE, "hash"))
-          case "insert" => t.insert(data)
-          case "upsert" => t.upsert(data)
-          case "delete" => t.delete(data)
+            t.bulkInsert(data,
+              parameters.getOrElse(BULKINSERT_SORT_MODE, "hash"), userMeta)
+          case "insert" =>
+            if (parameters.get(INSERT_DROP_DUPS).exists(_.toBoolean))
+              t.insertDropDuplicates(data, userMeta)
+            else t.insert(data, userMeta)
+          case "upsert" => t.upsert(data, userMeta)
+          case "delete" => t.delete(data, userMeta)
           case "insert_overwrite" => t.insertOverwrite(data)
           case "insert_overwrite_table" => t.insertOverwriteTable(data)
+          case "delete_partition" =>
+            // the frame is ignored, as in the reference: partitions come
+            // from the option (ref: hoodie.datasource.write.partitions.to.delete)
+            val parts = parameters.getOrElse(PARTITIONS_TO_DELETE,
+              throw new IllegalArgumentException(
+                s"operation delete_partition requires $PARTITIONS_TO_DELETE"))
+            t.deletePartitions(
+              parts.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           case other => throw new IllegalArgumentException(
             s"unknown $OPERATION '$other'")
         }
@@ -295,4 +313,10 @@ object DefaultSource {
   // streaming-sink ingest transform, `<SRC>` = the micro-batch view
   // (ref: hudi hoodie.deltastreamer.transformer.sql)
   val TRANSFORMER_SQL = "graft.transformer.sql"
+  // (ref: hoodie.datasource.write.insert.drop.duplicates)
+  val INSERT_DROP_DUPS = "graft.insert.drop.duplicates"
+  // (ref: hoodie.datasource.write.partitions.to.delete)
+  val PARTITIONS_TO_DELETE = "graft.partitions.to.delete"
+  // (ref: hoodie.datasource.write.commitmeta.key.prefix)
+  val COMMITMETA_KEY_PREFIX = "graft.commitmeta.key.prefix"
 }

@@ -1120,24 +1120,44 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     *   The reference's PARTITION_SORT has no separate graft mode: files are
     *   always key-sorted internally by the staged write. Ignored for
     *   bucket-index tables (the bucket hash IS the layout invariant). */
-  def bulkInsert(df: DataFrame, sortMode: String = "hash"): String = {
+  def bulkInsert(df: DataFrame, sortMode: String = "hash",
+      extra: Map[String, String] = Map.empty): String = {
     require(Set("hash", "global_sort")(sortMode),
       s"unknown bulk-insert sort mode '$sortMode' (hash | global_sort)")
     writeBatch(df, "bulk_insert",
-      extra = if (sortMode == "hash") Map.empty
-              else Map("sort.mode" -> sortMode))
+      extra = extra ++ (if (sortMode == "hash") Map.empty
+                        else Map("sort.mode" -> sortMode)))
   }
 
   /** Insert with precombine dedup and small-file bin-packing; does not
     * check for existing keys (reference `insert` semantics). */
-  def insert(df: DataFrame): String = writeBatch(df, "insert")
+  def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String =
+    writeBatch(df, "insert", extra)
+
+  /** Insert that silently DROPS records whose key is already LIVE in the
+    * table (ref: hoodie.datasource.write.insert.drop.duplicates, applied
+    * by HoodieWriteHelper tag-then-filter): the batch anti-joins the
+    * candidate key set — files pruned by recorded key ranges exactly as in
+    * upsert tagging, never a full table scan — so only genuinely new keys
+    * append and existing rows are never rewritten. */
+  def insertDropDuplicates(df: DataFrame,
+      extra: Map[String, String] = Map.empty): String = {
+    val keyed = df.withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+    val live = existingRows(keyed).filter(!col(DELETED))
+      .select(col(KEY), col(PART))
+    val fresh = keyed.join(live, Seq(KEY, PART), "left_anti")
+      .drop(KEY, PART)
+    writeBatch(fresh, "insert", extra)
+  }
 
   /** Record-level upsert: update-in-place by key, insert new keys. */
-  def upsert(df: DataFrame): String = writeBatch(df, "upsert")
+  def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String =
+    writeBatch(df, "upsert", extra)
 
   /** Record-level delete: df must contain the key (+ partition) columns. */
-  def delete(df: DataFrame): String =
-    writeBatch(df.withColumn(DELETED, lit(true)), "delete")
+  def delete(df: DataFrame, extra: Map[String, String] = Map.empty): String =
+    writeBatch(df.withColumn(DELETED, lit(true)), "delete", extra)
 
   /** @param sinceForConflict conflict-detection watermark override: a caller
     *                          that read table state BEFORE calling (mergeInto's

@@ -259,4 +259,51 @@ class DataSourceSpec extends AnyFunSuite {
     assert(!keeps(f53, cat.EqualTo(lcol, cat.Literal(big - 1))))
     assert(!keeps(f53, cat.GreaterThan(lcol, cat.Literal(big))))
   }
+
+  test("insert.drop.duplicates, delete_partition op, commit-meta passthrough") {
+    import spark.implicits._
+    val dir = tmp()
+    def write(df: DataFrame, opts: (String, String)*): Unit = {
+      val w = df.write.format("graft")
+        .option("graft.recordkey.field", "id")
+        .option("graft.partitionpath.field", "p")
+        .option("graft.operation", "insert")
+        .mode(SaveMode.Append)
+      opts.foldLeft(w) { case (ww, (k, v)) => ww.option(k, v) }.save(dir)
+    }
+    write(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "p"))
+    // drop-duplicates insert: key 1 exists -> dropped; key 3 appends
+    write(Seq((1L, "a2", "x"), (3L, "c", "x")).toDF("id", "v", "p"),
+      "graft.insert.drop.duplicates" -> "true",
+      "_checkpoint" -> "src-offset-42")
+    val t = GraftTable.load(spark, dir)
+    val state = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(state === Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "existing key must keep its original row")
+    // the commit-meta option landed in the commit's extra metadata
+    val metas = t.timeline.metas(None)
+    assert(metas.last.extra.get("_checkpoint").contains("src-offset-42"))
+    // a DELETED key no longer blocks re-insert under drop.duplicates
+    Seq((3L, "c", "x")).toDF("id", "v", "p").write.format("graft")
+      .option("graft.operation", "delete").mode(SaveMode.Append).save(dir)
+    write(Seq((3L, "c2", "x")).toDF("id", "v", "p"),
+      "graft.insert.drop.duplicates" -> "true")
+    t.timeline.refresh() // door writes used their own table instances
+    assert(t.snapshot().filter($"id" === 3L).select("v").collect()
+      .map(_.getString(0)).toSeq === Seq("c2"))
+    // delete_partition through the write door: frame content is ignored
+    Seq((0L, "ignored", "zz")).toDF("id", "v", "p").write.format("graft")
+      .option("graft.operation", "delete_partition")
+      .option("graft.partitions.to.delete", "p=y")
+      .mode(SaveMode.Append).save(dir)
+    t.timeline.refresh()
+    assert(t.snapshot().select("p").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("x"))
+    // missing option fails fast
+    intercept[Exception] {
+      Seq((0L, "i", "z")).toDF("id", "v", "p").write.format("graft")
+        .option("graft.operation", "delete_partition")
+        .mode(SaveMode.Append).save(dir) }
+  }
 }
