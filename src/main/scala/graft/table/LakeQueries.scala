@@ -345,7 +345,68 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** insert.drop.duplicates: seed every 3rd order, then a drop-dup insert
+    * of every 2nd order (transformed) — seeded keys must keep their
+    * ORIGINAL rows, only genuinely new keys append. */
+  def lakeInsertDedup(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("insdedup", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders.filter(col("o_orderkey") % 3 === 0))
+    t.insertDropDuplicates(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("DUP")))
+    out(t.snapshot())
+  }
+
+  /** The full schema-evolution machinery in one checked path: a table is
+    * created at format VERSION 1 (id-less epochs), loaded with data,
+    * upgraded to v2 (ids re-adopted/minted), then RENAME COLUMN + ADD
+    * COLUMN as schema-only commits, then upserted through the NEW schema.
+    * v1-era files must serve the renamed column via the id bridge and
+    * read null for the added one. */
+  def lakeSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val path = scratch("schevo", d)
+    val t = GraftTable.create(s, path,
+      ordersCfg(CopyOnWrite).copy(schemaOnRead = true, version = 1))
+    t.bulkInsert(Tables.orders(s, d))
+    t.setFormatVersion(2)
+    val t2 = GraftTable.load(s, path) // fresh config: version stamp
+    val cur = t2.schemaAt(None).get
+    t2.alterSchema(StructType(cur.fields.map(f =>
+      if (f.name == "o_orderpriority") f.copy(name = "priority") else f)
+      :+ StructField("note", StringType)))
+    val t3 = GraftTable.load(s, path)
+    t3.upsert(Tables.orders(s, d).filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumnRenamed("o_orderpriority", "priority")
+      .withColumn("note", lit("noted")))
+    t3.snapshot().select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+      col("priority"), col("note"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** AWS DMS Op-column ingest: a full load, an update wave, a delete wave —
+    * replayed through applyDms in arrival order. */
+  def lakeDms(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("dms", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    DebeziumIngest.applyDms(t, orders.withColumn("Op", lit("")))
+    DebeziumIngest.applyDms(t, orders.filter(col("o_orderkey") % 6 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("Op", lit("U")))
+    DebeziumIngest.applyDms(t, orders.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("Op", lit("D")))
+    out(t.snapshot())
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_insert_dedup" -> (lakeInsertDedup _),
+    "lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "lake_dms" -> (lakeDms _),
     "lake_event_time" -> (lakeEventTime _),
     "lake_sql_call" -> (lakeSqlCall _),
     "lake_sql_merge" -> (lakeSqlMerge _),
@@ -366,6 +427,32 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_insert_dedup" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |         o_orderdate, 'DUP' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_schema_evolution" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  o_orderpriority AS priority,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'noted' END AS note
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_dms" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 100
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 9 <> 0)
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_event_time" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus,
