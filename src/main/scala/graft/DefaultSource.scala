@@ -75,7 +75,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           throw new IllegalArgumentException(
             s"incremental query requires $BEGIN_INSTANTTIME"))
         val end = parameters.get(END_INSTANTTIME)
-        new GraftComputedRelation(spark, () => t.incremental(begin, end))
+        val fallback = parameters.get(INCR_FALLBACK_FULLSCAN).exists(_.toBoolean)
+        new GraftComputedRelation(spark, () => t.incremental(begin, end, fallback))
       case "cdc" => // change feed: op + before/after images (ref: hudi RFC-51)
         val begin = parameters.getOrElse(BEGIN_INSTANTTIME,
           throw new IllegalArgumentException(
@@ -319,4 +320,6 @@ object DefaultSource {
   val PARTITIONS_TO_DELETE = "graft.partitions.to.delete"
   // (ref: hoodie.datasource.write.commitmeta.key.prefix)
   val COMMITMETA_KEY_PREFIX = "graft.commitmeta.key.prefix"
+  // (ref: hoodie.datasource.read.incr.fallback.fulltablescan.enable)
+  val INCR_FALLBACK_FULLSCAN = "graft.incremental.fallback.fullscan"
 }

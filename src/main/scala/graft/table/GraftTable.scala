@@ -1153,7 +1153,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Record-level upsert: update-in-place by key, insert new keys. */
   def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String =
-    writeBatch(df, "upsert", extra)
+    config.payload match {
+      // table-level partial-update payload: every upsert front door inherits
+      // unspecified/null columns from the matched row
+      case PartialUpdate => upsertPartial(df, extra)
+      case _ => writeBatch(df, "upsert", extra)
+    }
 
   /** Record-level delete: df must contain the key (+ partition) columns. */
   def delete(df: DataFrame, extra: Map[String, String] = Map.empty): String =
@@ -1318,12 +1323,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * needsUpdatingPersistedRecord). */
   private def mergeLatest(u: DataFrame): DataFrame = {
     val ord = config.payload match {
-      case OverwriteLatest =>
-        Seq(col(COMMIT).desc) ++
-          config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq
       case EventTimeOrdered =>
         config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq :+
           col(COMMIT).desc
+      case _ => // OverwriteLatest + PartialUpdate: arrival order
+        Seq(col(COMMIT).desc) ++
+          config.precombineField.map(pc => col(pc).desc_nulls_last).toSeq
     }
     val w = Window.partitionBy(col(PART), col(KEY)).orderBy(ord: _*)
     u.withColumn("_g_rn", row_number().over(w)).filter(col("_g_rn") === 1).drop("_g_rn")
@@ -1431,7 +1436,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * reference); a key whose latest version is a tombstone takes the insert
    * path — nothing is inherited from deleted rows.
    */
-  def upsertPartial(source: DataFrame): String = {
+  def upsertPartial(source: DataFrame,
+      extra: Map[String, String] = Map.empty): String = {
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val keyed = source
       .withColumn(KEY, config.keyExpr)
@@ -1460,7 +1466,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case StatsIndex => batch
       case BucketIndex(_) => batch.drop("_g_fid")
     }
-    writeBatch(routed, "upsert_partial", sinceForConflict = Some(startLatest))
+    writeBatch(routed, "upsert_partial", extra,
+      sinceForConflict = Some(startLatest))
   }
 
   /**
@@ -1696,7 +1703,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   /** Incremental query: latest state of records changed in (from, to]
     * (ref: QUERY_TYPE incremental + BEGIN_INSTANTTIME). Scans only files
     * committed in the range. */
-  def incremental(fromExclusive: String, toInclusive: Option[String] = None): DataFrame = {
+  /** @param fallbackFullScan when files committed in the window have since
+    *   been CLEANED, serve the query from a snapshot-as-of-`to` scan
+    *   filtered to commit times in range instead of failing (ref:
+    *   hoodie.datasource.read.incr.fallback.fulltablescan.enable) —
+    *   bin-packed/clustered rows keep their ORIGINAL commit time, so the
+    *   filter is faithful; off by default because the full scan can cost
+    *   arbitrarily more than the windowed file read. */
+  def incremental(fromExclusive: String, toInclusive: Option[String] = None,
+      fallbackFullScan: Boolean = false): DataFrame = {
     assertNotArchived(Some(fromExclusive), "incremental read from")
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
@@ -1710,6 +1725,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         fullSchema(data)).drop(FILE_ID, DELETED)
+    val cleaned: Set[String] = timeline.metas(None)
+      .filter(_.action == "clean").flatMap(_.deletedPaths).toSet
+    val lost = files.collect { case (f, i) if cleaned(f.path) => (f.path, i) }
+    if (lost.nonEmpty) {
+      if (!fallbackFullScan) throw new IllegalStateException(
+        s"incremental read ($fromExclusive, $to]: ${lost.size} file(s) in " +
+          s"the window were cleaned (earliest: ${lost.minBy(_._2)._1}) — " +
+          "start from a newer instant, or enable the full-scan fallback " +
+          "(graft.incremental.fallback.fullscan)")
+      return snapshot(Some(to))
+        .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to)
+    }
     mergeLatest(readConformed(files, data)
       .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to))
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)

@@ -114,12 +114,21 @@ case class SmallFileBounded(smallFileBytes: Long,
 sealed trait MergePayload { def name: String }
 case object OverwriteLatest extends MergePayload { val name = "overwrite_latest" }
 case object EventTimeOrdered extends MergePayload { val name = "event_time" }
+/** ~ PartialUpdateAvroPayload / OverwriteNonDefaultsWithLatestAvroPayload:
+  * table-level partial-update semantics — every `upsert` (typed, write
+  * door, SQL UPDATE, streaming sink) treats a NULL/omitted column as "not
+  * provided" and inherits the matched row's value; merged rows are written
+  * COMPLETE, so snapshot/compaction stay whole-row latest-wins. Arrival
+  * order across commits (as the reference restricts payload support). */
+case object PartialUpdate extends MergePayload { val name = "partial_update" }
 object MergePayload {
   def of(s: String): MergePayload = s match {
     case "overwrite_latest" => OverwriteLatest
     case "event_time" => EventTimeOrdered
+    case "partial_update" => PartialUpdate
     case other => throw new IllegalArgumentException(
-      s"unknown merge payload $other (overwrite_latest | event_time)")
+      s"unknown merge payload $other " +
+        "(overwrite_latest | event_time | partial_update)")
   }
 }
 

@@ -321,6 +321,46 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("incremental over a cleaned window: fails fast, or full-scan fallback") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", lit(5.0)))
+    val c2 = t.timeline.completed().last._1
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", lit(6.0)))
+    // v1 retention physically deletes the bases the (0, c1] window needs
+    t.clean(retainVersions = 1)
+    val err = intercept[IllegalStateException] { t.incremental("0").collect() }
+    assert(err.getMessage.contains("cleaned") &&
+      err.getMessage.contains("fallback"))
+    // fallback: snapshot-as-of-to filtered to commit range — here the full
+    // window, so it must equal the live snapshot
+    val fb = t.incremental("0", fallbackFullScan = true)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val snap = t.snapshot().select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(fb === snap)
+    // a window whose files all survived still takes the precise file read
+    val sinceC2 = t.incremental(c2).select("o_orderkey").collect()
+    assert(sinceC2.length === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // the read-door option wires through
+    val doorFb = spark.read.format("graft")
+      .option("graft.query.type", "incremental")
+      .option("graft.begin.instanttime", "0")
+      .option("graft.incremental.fallback.fullscan", "true")
+      .load(dir)
+    assert(doorFb.count() === t.snapshot().count())
+    intercept[Exception] {
+      spark.read.format("graft")
+        .option("graft.query.type", "incremental")
+        .option("graft.begin.instanttime", "0")
+        .load(dir).collect() }
+    GraftTable.drop(dir)
+  }
+
   test("rollback undoes the last commit; savepoint/restore rewinds") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
@@ -1124,6 +1164,37 @@ class GraftTableSpec extends AnyFunSuite {
       snap.unpersist()
       GraftTable.drop(dir)
     }
+  }
+
+  test("payload = partial_update routes every upsert front door through partial semantics") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      TableConfig("orders_lake", CopyOnWrite, keyFields = Seq("o_orderkey"),
+        precombineField = Some("o_totalprice"),
+        partitioning = PartitionByColumns(Seq("o_orderstatus")),
+        payload = PartialUpdate))
+    t.bulkInsert(orders)
+    // plain upsert() with a narrow, partially-null frame inherits values
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit("ROUTED").as("o_orderpriority")))
+    val snap = t.snapshot().cache()
+    assert(snap.count() === orders.count())
+    val touched = snap.filter(col("o_orderkey") % 10 === 3)
+    assert(touched.filter(col("o_orderpriority") =!= "ROUTED").count() === 0)
+    // null price + omitted custkey/date inherited from the stored rows
+    assert(touched.filter(col("o_totalprice").isNull ||
+      col("o_custkey").isNull || col("o_orderdate").isNull).count() === 0)
+    snap.unpersist()
+    // SQL UPDATE under this payload: SET x = NULL keeps the stored value
+    // (hudi's partial-payload behavior, documented on PartialUpdate)
+    GraftSql.update(t,
+      Map("o_totalprice" -> lit(null).cast("double")),
+      col("o_orderkey") % 10 === 3)
+    assert(t.snapshot().filter(col("o_orderkey") % 10 === 3 &&
+      col("o_totalprice").isNull).count() === 0)
+    GraftTable.drop(dir)
   }
 
   test("upsertGlobal: key moves partition (old row tombstoned), in-place updates and inserts still work") {
