@@ -77,6 +77,24 @@ object TextFunctions {
   }
 
   /** DuckDB twins of the above, shared by the oracle SQL strings. */
+  /** PII redaction patterns (training-data scrubbing stage). Deliberately
+    * inside the COMMON subset of Java regex and RE2 — char classes,
+    * bounded repeats, \b — no lookaround/backrefs, so the DuckDB oracle
+    * states the same automaton. Application order matters: emails first
+    * (their digits would otherwise feed the phone run), then dotted IPv4,
+    * then phone-like digit runs (aggressive by design: any 8+ digit run
+    * with separators is treated as a dialable number). */
+  val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePat = "\\+?\\d[\\d .-]{6,}\\d"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPat, "<EMAIL>"),
+        ipv4Pat, "<IP>"),
+      phonePat, "<PHONE>")
+
   object sql {
     def cnt(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
     val wsTokens =
@@ -85,5 +103,11 @@ object TextFunctions {
     val bpeTokens = cnt("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
     val punct = cnt("text", "[^A-Za-z0-9\\s]")
     val stop = cnt("lower(text)", "\\b(" + stopwords.mkString("|") + ")\\b")
+    /** DuckDB needs the explicit 'g' flag (Spark replaces all by default). */
+    def redacted(expr: String): String =
+      s"regexp_replace(regexp_replace(regexp_replace($expr, " +
+        s"'$emailPat', '<EMAIL>', 'g'), " +
+        s"'$ipv4Pat', '<IP>', 'g'), " +
+        s"'$phonePat', '<PHONE>', 'g')"
   }
 }

@@ -132,4 +132,16 @@ object Curation {
       .drop("_pid", "_offset", "_start")
       .withColumnRenamed("_tokens", "tokens")
   }
+
+  /** Corpus vocabulary: top-k terms by frequency (vocab building / corpus
+    * inspection). Lower-cased alpha runs; ties broken by term so the cut
+    * is a total order and deterministic at any parallelism. One explode +
+    * one partial-aggregated groupBy — the shuffle carries (term, count)
+    * pairs, never documents. */
+  def vocabTopK(docs: DataFrame, textCol: Column, k: Int): DataFrame =
+    docs.select(explode(split(lower(textCol), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
 }

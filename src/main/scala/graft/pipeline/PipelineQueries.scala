@@ -97,6 +97,23 @@ object PipelineQueries {
       .select(col("doc_id"), RollingFingerprint(col("text"), 16).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing: plant deterministic synthetic PII (the corpus itself is
+    * clean), then redact emails / IPv4s / phone runs. */
+  def textRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("pii", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"),
+        lit(".7 or call +1 555-01"), col("doc_id").cast("string")))
+      .select(col("doc_id"),
+        TextFunctions.redact(col("pii")).as("redacted"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus vocabulary: top 200 lower-cased alpha terms by frequency. */
+  def textVocab(s: SparkSession, d: String): DataFrame =
+    Curation.vocabTopK(Tables.documents(s, d), col("text"), 200)
+
   /** Pairwise near-dup hits → dedup decisions: connected components over
     * the n-gram Jaccard pairs, one canonical doc kept per cluster. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -183,6 +200,8 @@ object PipelineQueries {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_redact" -> (textRedact _),
+    "text_vocab" -> (textVocab _),
     "mm_binary_meta" -> (mmBinaryMeta _)
   )
 
@@ -374,6 +393,21 @@ object PipelineQueries {
         |    'img/' || source AS format,
         |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS crc
         |  FROM documents WHERE text IS NOT NULL)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "text_redact" ->
+      s"""SELECT doc_id, ${TextFunctions.sql.redacted("pii")} AS redacted
+         |FROM (
+         |  SELECT doc_id, text || ' contact user' || doc_id ||
+         |    '@example.com from 10.0.' || (doc_id % 256) ||
+         |    '.7 or call +1 555-01' || doc_id AS pii
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """SELECT term, cnt FROM (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY term)
+        |ORDER BY cnt DESC, term ASC LIMIT 200""".stripMargin
   )
 }

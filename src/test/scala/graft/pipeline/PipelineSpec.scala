@@ -206,4 +206,29 @@ class PipelineSpec extends AnyFunSuite {
         Similarity.lshTopK(vecs, vecs, 3, broadcastQueries = Some(true))))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
   }
+
+  test("text_redact scrubs every planted PII token") {
+    val out = PipelineQueries.textRedact(spark, sf).cache()
+    val total = out.count()
+    assert(total > 0)
+    // the planted email / IP / phone must never survive
+    assert(out.filter(col("redacted").contains("@example.com")).count() === 0L)
+    assert(out.filter(col("redacted").rlike(
+      graft.functions.TextFunctions.ipv4Pat)).count() === 0L)
+    assert(out.filter(col("redacted").contains("555-01")).count() === 0L)
+    // and every row carries all three placeholders
+    assert(out.filter(col("redacted").contains("<EMAIL>") &&
+      col("redacted").contains("<IP>") &&
+      col("redacted").contains("<PHONE>")).count() === total)
+    out.unpersist()
+  }
+
+  test("vocabTopK is a deterministic total order: counts desc, term asc") {
+    val rows = Curation.vocabTopK(
+      Tables.documents(spark, sf), col("text"), 50).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
+      c1 > c2 || (c1 == c2 && t1 < t2) })
+  }
 }
