@@ -144,4 +144,96 @@ object Curation {
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
+
+  /**
+   * Domain-mixture sampling: downsample each source so the KEPT token mass
+   * approaches `weight(source) × budgetFrac × total corpus tokens` — the
+   * "data mixing" stage that rebalances web/wiki/books/code shares before
+   * training. Sources absent from `weights` are dropped.
+   *
+   * One tiny aggregate (per-source token totals — |sources| rows to the
+   * driver) fixes each source's keep-fraction
+   * `min(1, w·budgetFrac·total/tokens_s)`; rows are then kept by the same
+   * deterministic md5-threshold predicate as [[stratifiedSample]] — no
+   * RNG, no shuffle, idempotent re-runs, pushes into the scan. Fraction
+   * arithmetic uses a FIXED op order ((w × budgetFrac) × total) / tokens_s
+   * so an external oracle computing the same doubles lands on the same
+   * thresholds bit-for-bit.
+   */
+  def mixDomains(docs: DataFrame, tokenCol: Column, weights: Map[String, Double],
+      budgetFrac: Double, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac must be in (0, 1]")
+    val withTok = docs.withColumn("_tokens", tokenCol.cast("long"))
+    val perSource = withTok.groupBy(col(sourceCol)).agg(sum(col("_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perSource.values.sum.toDouble
+    val fractions = weights.collect { case (s, w) if perSource.contains(s) =>
+      s -> math.min(1.0, w * budgetFrac * total / perSource(s).toDouble)
+    }
+    stratifiedSample(withTok, sourceCol, idCol, fractions)
+      .withColumnRenamed("_tokens", "tokens")
+  }
+
+  /**
+   * Repetition signals (quality filtering à la the published "repetitious
+   * text" heuristics): per document, the fraction of duplicated words and
+   * the share of the most common bigram. High values flag boilerplate /
+   * degenerate generations. One explode + two partial-aggregated groupBys;
+   * the shuffle carries (doc, token) pairs — corpus-linear, no joins
+   * beyond doc-keyed equi-joins.
+   */
+  def repetitionSignals(docs: DataFrame, textCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(textCol), "[^a-z0-9]+"), t => t =!= "")
+    val base = docs.select(col(idCol), toks.as("_t"))
+    val words = base.select(col(idCol),
+      size(col("_t")).as("n_words"),
+      size(array_distinct(col("_t"))).as("n_distinct"))
+    val bigrams = base.select(col(idCol), explode(
+      when(size(col("_t")) >= 2,
+        transform(sequence(lit(0), size(col("_t")) - 2), i =>
+          concat_ws(" ", element_at(col("_t"), i + 1), element_at(col("_t"), i + 2))))
+        .otherwise(array())).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    words.join(bigrams, Seq(idCol), "left")
+      .select(col(idCol), col("n_words").cast("long").as("n_words"),
+        round((col("n_words") - col("n_distinct")).cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double"), 4).as("dup_word_frac"),
+        round(coalesce(col("top_bg"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bg"), lit(0L)), lit(1)).cast("double"), 4)
+          .as("top_bigram_frac"))
+  }
+
+  /**
+   * Line-level boilerplate removal (the CCNet/C4-style pass that strips
+   * "subscribe to our newsletter" lines): a line appearing in more than
+   * `maxDocFrac` of all documents is boilerplate; every occurrence is
+   * dropped and the per-document remainder is reassembled in line order.
+   *
+   * The line-frequency table is one (line, doc)-distinct aggregate; the
+   * boilerplate set (by construction ≤ 1/maxDocFrac lines, a handful) is
+   * broadcast into a left-anti join — the corpus shuffles once on the
+   * reassembly groupBy, lines never all-pair.
+   *
+   * Returns (id, n_units, n_kept, clean).
+   */
+  def stripBoilerplate(docs: DataFrame, textCol: Column, maxDocFrac: Double = 0.5,
+      idCol: String = "doc_id"): DataFrame = {
+    val nDocs = docs.count()
+    val units = docs.select(col(idCol),
+      posexplode(split(textCol, "\n")).as(Seq("pos", "unit")))
+    val hot = units.select(col(idCol), col("unit")).distinct()
+      .groupBy(col("unit")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(maxDocFrac) * lit(nDocs.toDouble))
+      .select(col("unit"))
+    val kept = units.join(broadcast(hot), Seq("unit"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s.getField("unit"))).as("clean"))
+    units.groupBy(col(idCol)).agg(count(lit(1)).as("n_units"))
+      .join(kept, Seq(idCol))
+  }
 }

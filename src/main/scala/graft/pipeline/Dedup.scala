@@ -299,4 +299,32 @@ object Dedup {
       .filter(col("sim") >= tau)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Semantic dedup (the published SemDeDup shape): k-means-cluster the
+    * embedding space COARSELY, then search for cosine-near pairs only
+    * WITHIN each cluster — the all-pairs comparison shrinks from O(n²) to
+    * O(Σ cluster²), and since identical/near-identical vectors share a
+    * nearest centroid, exact duplicates are never missed. Centroids train
+    * on an id-strided sample (Lloyd iterations as DataFrame aggs, see
+    * [[Similarity.trainIvfCentroids]]); assignment is one codegen'd map
+    * pass; the within-cluster self-join is an equi-join on cid. Returns
+    * (id_a, id_b, sim) candidate near-dup pairs with cosine ≥ tau. */
+  def semanticPairs(vecs: DataFrame, tau: Double, nlist: Int = 16,
+      trainIters: Int = 3, trainSampleMod: Long = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    import graft.functions.VectorExprs._
+    val cents = Similarity.trainIvfCentroids(vecs, nlist, trainIters,
+      trainSampleMod, idCol, vecCol)
+    val assigned = vecs.select(col(idCol), col(vecCol),
+      element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cid"))
+    val a = assigned.select(col("cid"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"), normF(col(vecCol)).as("n_a"))
+    val b = assigned.select(col("cid"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"), normF(col(vecCol)).as("n_b"))
+    a.join(b, Seq("cid")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dotF(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
 }

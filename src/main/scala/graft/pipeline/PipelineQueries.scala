@@ -114,6 +114,66 @@ object PipelineQueries {
   def textVocab(s: SparkSession, d: String): DataFrame =
     Curation.vocabTopK(Tables.documents(s, d), col("text"), 200)
 
+  /** BM25 keyword retrieval: three fixed queries, top-10 docs each. */
+  def searchBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq(
+      ("q1", "spark window merge"),
+      ("q2", "customer batch join"),
+      ("q3", "slow query scan")).toDF("query_id", "qtext")
+    Search.bm25TopK(Tables.documents(s, d), queries, k = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Benchmark decontamination: the eval set is the first 12 words of
+    * every 19th document (planted overlap by construction); flag corpus
+    * docs sharing >= 3 distinct 8-grams with an eval prompt. */
+  def contamOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evals = docs.filter(col("doc_id") % 19 === 3)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 12)).as("etext"))
+    Search.contaminationPairs(docs, evals, n = 8, minCommon = 3)
+      .orderBy(col("eval_id"), col("doc_id"))
+  }
+
+  /** Domain-mixture sampling: rebalance the 20 sources toward fixed
+    * target weights at a 10% token budget (src0's fraction caps at 1.0 —
+    * the cap path is exercised on purpose). */
+  def mixDomains(s: SparkSession, d: String): DataFrame =
+    Curation.mixDomains(Tables.documents(s, d),
+      TextFunctions.wsTokenCount(col("text")),
+      weights = Map("src0" -> 0.6, "src1" -> 0.3, "src2" -> 0.15,
+        "src3" -> 0.1, "src4" -> 0.05),
+      budgetFrac = 0.1)
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition signals per document. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Curation.repetitionSignals(Tables.documents(s, d), col("text"))
+      .orderBy(col("doc_id"))
+
+  /** Line-level boilerplate removal: plant two universal lines + one
+    * doc-unique line, then strip lines present in > 50% of docs. */
+  def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    Curation.stripBoilerplate(
+      Tables.documents(s, d).withColumn("ptext", concat(col("text"),
+        lit("\nsubscribe to our newsletter\ncopyright example corp\ndoc tail "),
+        col("doc_id").cast("string"))),
+      col("ptext"), maxDocFrac = 0.5)
+      .select(col("doc_id"), col("n_units"), col("n_kept"), col("clean"))
+      .orderBy(col("doc_id"))
+
+  /** SemDeDup: coarse k-means clusters, near-dup pairs within clusters
+    * only. Rows-only (centroid training is impl-specific); the ScalaTest
+    * oracle checks planted-duplicate recovery and pair-subset soundness
+    * against brute force. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame =
+    Dedup.semanticPairs(vecsWithDups(s, d), tau = 0.95, nlist = 8)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Pairwise near-dup hits → dedup decisions: connected components over
     * the n-gram Jaccard pairs, one canonical doc kept per cluster. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -202,6 +262,12 @@ object PipelineQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
     "text_vocab" -> (textVocab _),
+    "search_bm25" -> (searchBm25 _),
+    "contam_overlap" -> (contamOverlap _),
+    "mix_domains" -> (mixDomains _),
+    "text_repetition" -> (textRepetition _),
+    "dedup_paragraph" -> (dedupParagraph _),
+    "dedup_semantic" -> (dedupSemantic _),
     "mm_binary_meta" -> (mmBinaryMeta _)
   )
 
@@ -408,6 +474,112 @@ object PipelineQueries {
         |    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
         |    FROM documents)
         |  WHERE term <> '' GROUP BY term)
-        |ORDER BY cnt DESC, term ASC LIMIT 200""".stripMargin
+        |ORDER BY cnt DESC, term ASC LIMIT 200""".stripMargin,
+    // BM25 with the same FIXED-op-order formula as Search.bm25TopK; scores
+    // become integer micro-points BEFORE the per-(query, doc) sum, so
+    // ranking is exact integer arithmetic in both engines.
+    "search_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    ('q1', 'spark window merge'),
+        |    ('q2', 'customer batch join'),
+        |    ('q3', 'slow query scan')),
+        |qt AS (SELECT DISTINCT query_id, term FROM (
+        |    SELECT query_id, unnest(regexp_split_to_array(lower(qtext), '[^a-z0-9]+')) AS term
+        |    FROM q) WHERE term <> ''),
+        |dtok AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM dtok GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |                 CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |          FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM dtok
+        |       WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT qt.query_id, tf.doc_id,
+        |         CAST(round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |           ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+        |           * 1000000.0) AS BIGINT) AS u
+        |       FROM qt JOIN tf USING (term) JOIN df USING (term)
+        |       JOIN dl ON dl.doc_id = tf.doc_id, stats),
+        |tot AS (SELECT query_id, doc_id, CAST(sum(u) AS BIGINT) AS score_u
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rnk, score_u FROM (
+        |  SELECT query_id, doc_id, score_u,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY score_u DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM tot)
+        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "contam_overlap" ->
+      """WITH ev AS (
+        |  SELECT doc_id AS eval_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:12], ' ') AS etext
+        |  FROM documents WHERE doc_id % 19 = 3),
+        |et AS (SELECT eval_id, regexp_split_to_array(etext, ' ') AS t FROM ev),
+        |esh AS (SELECT DISTINCT eval_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |        FROM et, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+        |dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |        FROM dt, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8)
+        |SELECT eval_id, doc_id, count(*) AS n_common
+        |FROM esh JOIN dsh USING (shingle)
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY eval_id, doc_id""".stripMargin,
+    // thresholds derive from runtime per-source token totals; the SAME
+    // double op order ((w * budgetFrac) * total) / t and the same
+    // md5-threshold encoding reproduce them bit-for-bit
+    "mix_domains" ->
+      s"""WITH tok AS (SELECT doc_id, source, CAST(${T.wsTokens} AS BIGINT) AS tokens
+         |            FROM documents),
+         |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM tok),
+         |per AS (SELECT source, CAST(sum(tokens) AS DOUBLE) AS t FROM tok GROUP BY source),
+         |w(source, wt) AS (VALUES
+         |    ('src0', CAST(0.6 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+         |    ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE)),
+         |    ('src4', CAST(0.05 AS DOUBLE))),
+         |th AS (SELECT w.source,
+         |         printf('%08x', least(CAST(round(
+         |           least(1.0, wt * 0.1 * tot.total / per.t) * 4294967296.0)
+         |           AS BIGINT), 4294967295)) AS thr
+         |       FROM w JOIN per USING (source), tot)
+         |SELECT doc_id, source, tokens FROM tok JOIN th USING (source)
+         |WHERE md5(CAST(doc_id AS VARCHAR)) < thr
+         |ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |words AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+        |          FROM t),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS b
+        |       FROM t, unnest(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY 1)
+        |SELECT wo.doc_id, n_words,
+        |  round((n_words - n_distinct)::DOUBLE / greatest(n_words, 1)::DOUBLE, 4)
+        |    AS dup_word_frac,
+        |  round(coalesce(top_bg, 0)::DOUBLE / greatest(coalesce(n_bg, 0), 1)::DOUBLE, 4)
+        |    AS top_bigram_frac
+        |FROM words wo LEFT JOIN bga USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_paragraph" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+        |    'copyright example corp' || chr(10) || 'doc tail ' || doc_id AS ptext
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(ptext, chr(10)) AS u FROM p),
+        |un AS (SELECT doc_id, i AS pos, u[i] AS unit
+        |       FROM s, unnest(range(1, len(u) + 1)) AS r(i)),
+        |df AS (SELECT unit, count(DISTINCT doc_id) AS df FROM un GROUP BY unit),
+        |n AS (SELECT count(*) AS n FROM p),
+        |kept AS (SELECT un.doc_id, un.pos, un.unit
+        |         FROM un JOIN df USING (unit), n WHERE df.df <= 0.5 * n.n),
+        |res AS (SELECT doc_id, count(*) AS n_kept,
+        |               string_agg(unit, chr(10) ORDER BY pos) AS clean
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_units FROM un GROUP BY doc_id)
+        |SELECT doc_id, n_units, n_kept, clean FROM tot JOIN res USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -231,4 +231,89 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
       c1 > c2 || (c1 == c2 && t1 < t2) })
   }
+
+  test("bm25: per-query scores are ranked, bounded to k, and query-term docs only") {
+    val out = PipelineQueries.searchBm25(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getString(0))
+    assert(byQuery.keySet === Set("q1", "q2", "q3"))
+    byQuery.values.foreach { rows =>
+      assert(rows.length <= 10)
+      val ranked = rows.sortBy(_.getLong(2))
+      // scores non-increasing in rank order, ranks 1..n dense
+      assert(ranked.map(_.getLong(2)).toSeq === (1L to ranked.length).toSeq)
+      assert(ranked.sliding(2).forall {
+        case Array(a, b) => a.getLong(3) >= b.getLong(3); case _ => true })
+    }
+  }
+
+  test("contamination check recovers every planted eval prefix") {
+    val out = PipelineQueries.contamOverlap(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val evalIds = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 19 === 3).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(evalIds.nonEmpty)
+    // each eval prompt is a verbatim prefix of its source doc -> 5 shared
+    // 8-grams >= minCommon, so the (eval, source) pair must always surface
+    evalIds.foreach { id => assert(out.contains((id, id)),
+      s"eval $id did not flag its own source document") }
+  }
+
+  test("mix_domains keeps only weighted sources and respects the cap") {
+    val docs = Tables.documents(spark, sf)
+    val out = PipelineQueries.mixDomains(spark, sf).cache()
+    val sources = out.select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(sources.subsetOf(Set("src0", "src1", "src2", "src3", "src4")))
+    // src0's fraction caps at 1.0 -> every src0 doc is kept
+    val src0All = docs.filter(col("source") === "src0").count()
+    assert(out.filter(col("source") === "src0").count() === src0All)
+    // lower-weight sources are strictly downsampled
+    val src4All = docs.filter(col("source") === "src4").count()
+    assert(out.filter(col("source") === "src4").count() < src4All)
+    out.unpersist()
+  }
+
+  test("repetition signals are ratios in [0,1] and spike on degenerate text") {
+    import spark.implicits._
+    val out = PipelineQueries.textRepetition(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // a degenerate all-same-word doc maxes both signals
+    val degen = Seq((1L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val sig = Curation.repetitionSignals(degen, col("text")).head()
+    assert(sig.getDouble(2) > 0.8 && sig.getDouble(3) === 1.0)
+  }
+
+  test("boilerplate strip removes planted universal lines, keeps unique tails") {
+    val out = PipelineQueries.dedupParagraph(spark, sf).cache()
+    val total = out.count()
+    assert(total > 0)
+    assert(out.filter(col("clean").contains("subscribe to our newsletter") ||
+      col("clean").contains("copyright example corp")).count() === 0L)
+    // doc-unique tail line always survives; exactly the 2 planted
+    // boilerplate lines are dropped
+    assert(out.filter(col("clean").contains("doc tail")).count() === total)
+    assert(out.filter(col("n_kept") =!= col("n_units") - 2).count() === 0L)
+    out.unpersist()
+  }
+
+  test("semantic dedup recovers all planted duplicate vectors, no false positives") {
+    val vecs = Tables.embeddings(spark, sf)
+    val withDups = vecs.unionByName(vecs.withColumn("vec_id", col("vec_id") + 100000))
+    val pairs = Dedup.semanticPairs(withDups, tau = 0.95, nlist = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.embeddingPairs(withDups, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share a nearest centroid -> every planted pair found
+    val planted = vecs.select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 100000)).toSet
+    assert(planted.subsetOf(pairs),
+      s"semantic dedup missed ${(planted -- pairs).size} planted duplicate pairs")
+    // within-cluster pairs are exact-cosine-verified -> sound vs brute force
+    assert(pairs.subsetOf(exact), "semantic dedup produced a non-near-dup pair")
+  }
 }
