@@ -207,6 +207,38 @@ object Curation {
   }
 
   /**
+   * Unigram-LM surprisal scoring (the shape of a perplexity quality
+   * filter, with the corpus itself as the language model): p(term) =
+   * corpus frequency; each document scores Σ −ln p(term) over its tokens.
+   * Low-surprisal docs are repetitive/templated; high-surprisal docs are
+   * rare-token noise — both tails get filtered in curation.
+   *
+   * Per-token surprisal is rounded to integer micro-nats BEFORE the
+   * per-document sum (integer addition is associative — the result is
+   * bit-stable at any parallelism and an external oracle reproduces it
+   * exactly). The frequency table is a (term, count) aggregate —
+   * corpus-linear, partial-aggregated; the scoring join is an equi-join
+   * on term. Returns (id, n_tokens, nats_u).
+   */
+  def unigramSurprisal(docs: DataFrame, textCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(lower(textCol), "[^a-z0-9]+")).as("term"))
+      .filter(col("term") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt"))).head().getLong(0).toDouble
+    val out = toks.join(freq, Seq("term"))
+      .withColumn("u",
+        round(-log(col("cnt").cast("double") / lit(total)) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("u")).as("nats_u"))
+    val materialized = out.localCheckpoint(eager = true)
+    toks.unpersist(blocking = false)
+    materialized
+  }
+
+  /**
    * Line-level boilerplate removal (the CCNet/C4-style pass that strips
    * "subscribe to our newsletter" lines): a line appearing in more than
    * `maxDocFrac` of all documents is boilerplate; every occurrence is

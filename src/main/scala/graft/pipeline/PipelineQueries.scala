@@ -154,6 +154,12 @@ object PipelineQueries {
     Curation.repetitionSignals(Tables.documents(s, d), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Unigram-LM surprisal (perplexity-filter shape) in integer
+    * micro-nats. */
+  def textPerplexity(s: SparkSession, d: String): DataFrame =
+    Curation.unigramSurprisal(Tables.documents(s, d), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Line-level boilerplate removal: plant two universal lines + one
     * doc-unique line, then strip lines present in > 50% of docs. */
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
@@ -266,6 +272,7 @@ object PipelineQueries {
     "contam_overlap" -> (contamOverlap _),
     "mix_domains" -> (mixDomains _),
     "text_repetition" -> (textRepetition _),
+    "text_perplexity" -> (textPerplexity _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_semantic" -> (dedupSemantic _),
     "mm_binary_meta" -> (mmBinaryMeta _)
@@ -563,6 +570,18 @@ object PipelineQueries {
         |    AS top_bigram_frac
         |FROM words wo LEFT JOIN bga USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "text_perplexity" ->
+      """WITH tok AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |freq AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        |stats AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq),
+        |u AS (SELECT doc_id,
+        |        CAST(round(-ln(CAST(cnt AS DOUBLE) / stats.total) * 1000000.0) AS BIGINT) AS u
+        |      FROM tok JOIN freq USING (term), stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(u) AS BIGINT) AS nats_u
+        |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH p AS (SELECT doc_id,
         |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||

@@ -288,6 +288,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.getDouble(2) > 0.8 && sig.getDouble(3) === 1.0)
   }
 
+  test("unigram surprisal: rare tokens score higher, exact micro-nat arithmetic") {
+    import spark.implicits._
+    val docs = Seq((1L, "common common common common"), (2L, "common rare"))
+      .toDF("doc_id", "text")
+    val out = Curation.unigramSurprisal(docs, col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p(common)=5/6, p(rare)=1/6; per-token micro-nats round(-ln(p)*1e6)
+    val uCommon = math.round(-math.log(5.0 / 6.0) * 1e6)
+    val uRare = math.round(-math.log(1.0 / 6.0) * 1e6)
+    assert(out(1L) === ((4L, 4 * uCommon)))
+    assert(out(2L) === ((2L, uCommon + uRare)))
+    // per-token average: the rare-token doc is more surprising
+    assert(out(2L)._2.toDouble / 2 > out(1L)._2.toDouble / 4)
+    // corpus-level invariants
+    val corpus = PipelineQueries.textPerplexity(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0))
+  }
+
   test("boilerplate strip removes planted universal lines, keeps unique tails") {
     val out = PipelineQueries.dedupParagraph(spark, sf).cache()
     val total = out.count()
