@@ -284,7 +284,9 @@ object DefaultSource {
       index = parameters.get(INDEX_BUCKETS).map(n => BucketIndex(n.toInt): IndexType)
         .getOrElse(StatsIndex),
       targetFileSizeRows = parameters.getOrElse(TARGET_FILE_ROWS, "1000000").toLong,
-      payload = MergePayload.of(parameters.getOrElse(PAYLOAD, "overwrite_latest")))
+      payload = MergePayload.of(parameters.getOrElse(PAYLOAD, "overwrite_latest")),
+      populateMetaFields =
+        parameters.getOrElse(POPULATE_META_FIELDS, "true").toBoolean)
   }
 
   // read options (ref: hudi DataSourceReadOptions)
@@ -311,6 +313,9 @@ object DefaultSource {
   // schema-on-read evolution: RENAME/DROP COLUMN resolved by column id
   // (ref: hudi hoodie.schema.on.read.enable)
   val SCHEMA_ON_READ = "graft.schema.on.read"
+  // virtual keys: append-only tables with no materialized `_g_*` columns
+  // (ref: hudi hoodie.populate.meta.fields, HoodieTableConfig.java:178)
+  val POPULATE_META_FIELDS = "graft.populate.meta.fields"
   // streaming-sink ingest transform, `<SRC>` = the micro-batch view
   // (ref: hudi hoodie.deltastreamer.transformer.sql)
   val TRANSFORMER_SQL = "graft.transformer.sql"

@@ -415,6 +415,8 @@ class GraftV2Table(val path: String, fullName: String,
       PAYLOAD -> cfg.payload.name) ++
       (if (cfg.schemaOnRead) Map(SCHEMA_ON_READ -> "true")
        else Map.empty[String, String]) ++
+      (if (!cfg.populateMetaFields) Map(POPULATE_META_FIELDS -> "false")
+       else Map.empty[String, String]) ++
       cfg.precombineField.map(PRECOMBINE_FIELD -> _) ++
       (cfg.index match {
         case BucketIndex(n) => Map(INDEX_BUCKETS -> n.toString)
@@ -572,6 +574,7 @@ object GraftV2Table {
         .getOrElse(StatsIndex),
       targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong,
       payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")),
-      schemaOnRead = p(SCHEMA_ON_READ).exists(_.toBoolean))
+      schemaOnRead = p(SCHEMA_ON_READ).exists(_.toBoolean),
+      populateMetaFields = p(POPULATE_META_FIELDS).forall(_.toBoolean))
   }
 }

@@ -110,16 +110,35 @@ object GraftProcedures {
     Proc("run_compaction",
       "Fold log files into new base slices (ref: RunCompactionProcedure). " +
         "With max_io_bytes set, compacts worst-log-debt groups within the " +
-        "IO budget (ref: LogFileSizeBasedCompactionStrategy); else all.",
+        "IO budget (ref: LogFileSizeBasedCompactionStrategy); else all. " +
+        "op => 'execute' (inline, default) | 'schedule' (persist a plan " +
+        "instant only) | 'run' (execute the pending plan named by " +
+        "instant =>, or the oldest pending one) — the reference's " +
+        "schedule/execute split (ref: RunCompactionProcedure.scala:72).",
       Seq(in("table", StringType),
         in("min_log_bytes", LongType, "0"),
-        in("max_io_bytes", LongType, "-1")),
+        in("max_io_bytes", LongType, "-1"),
+        in("op", StringType, "'execute'"),
+        in("instant", StringType, "''")),
       (cat, a) => {
+        val t = tableOf(cat, a.str(0))
         val strategy =
           if (a.long(2) >= 0 || a.long(1) > 0)
             LogSizeBounded(a.long(1), if (a.long(2) >= 0) a.long(2) else Long.MaxValue)
           else CompactAll
-        one(instantResult, tableOf(cat, a.str(0)).compact(strategy = strategy).orNull)
+        val res = a.str(3).toLowerCase match {
+          case "execute" => t.compact(strategy = strategy)
+          case "schedule" => t.scheduleCompaction(strategy = strategy)
+          case "run" =>
+            val plan = Some(a.str(4)).filter(_.nonEmpty).orElse(
+              t.pendingPlans().collectFirst {
+                case (i, "compaction_schedule") => i
+              })
+            plan.flatMap(t.runCompaction)
+          case other => throw new IllegalArgumentException(
+            s"unknown op '$other': use execute | schedule | run")
+        }
+        one(instantResult, res.orNull)
       }),
 
     Proc("run_clustering",
@@ -127,20 +146,36 @@ object GraftProcedures {
         "(ref: RunClusteringProcedure); order => comma-separated sort " +
         "columns, zorder => multi-column Z-order layout; small_file_bytes " +
         "> 0 consolidates only small groups within max_io_bytes " +
-        "(ref: SparkSizeBasedClusteringPlanStrategy).",
+        "(ref: SparkSizeBasedClusteringPlanStrategy). op => 'execute' | " +
+        "'schedule' | 'run' as in run_compaction.",
       Seq(in("table", StringType),
-        in("order", StringType),
+        in("order", StringType, "''"),
         in("zorder", BooleanType, "false"),
         in("small_file_bytes", LongType, "-1"),
-        in("max_io_bytes", LongType, "-1")),
+        in("max_io_bytes", LongType, "-1"),
+        in("op", StringType, "'execute'"),
+        in("instant", StringType, "''")),
       (cat, a) => {
+        val t = tableOf(cat, a.str(0))
         val strategy =
           if (a.long(3) > 0)
             SmallFileBounded(a.long(3), if (a.long(4) >= 0) a.long(4) else Long.MaxValue)
           else ClusterAll
-        one(instantResult, tableOf(cat, a.str(0))
-          .cluster(a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq,
-            a.bool(2), strategy = strategy).orNull)
+        val sortCols = a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val res = a.str(5).toLowerCase match {
+          case "execute" => t.cluster(sortCols, a.bool(2), strategy = strategy)
+          case "schedule" =>
+            t.scheduleClustering(sortCols, a.bool(2), strategy = strategy)
+          case "run" =>
+            val plan = Some(a.str(6)).filter(_.nonEmpty).orElse(
+              t.pendingPlans().collectFirst {
+                case (i, "clustering_schedule") => i
+              })
+            plan.flatMap(t.runClustering)
+          case other => throw new IllegalArgumentException(
+            s"unknown op '$other': use execute | schedule | run")
+        }
+        one(instantResult, res.orNull)
       }),
 
     Proc("run_clean",
@@ -195,11 +230,12 @@ object GraftProcedures {
       }),
 
     Proc("create_savepoint",
-      "Savepoint the latest data commit — its files survive cleaning " +
-        "(ref: CreateSavepointProcedure).",
-      Seq(in("table", StringType)),
+      "Savepoint a data commit — its files survive cleaning (ref: " +
+        "CreateSavepointProcedure). commit_time => a specific active-" +
+        "timeline instant; default the latest.",
+      Seq(in("table", StringType), in("commit_time", StringType, "''")),
       (cat, a) => one(StructType(Seq(StructField("saved_instant", StringType))),
-        tableOf(cat, a.str(0)).savepoint())),
+        tableOf(cat, a.str(0)).savepoint(Some(a.str(1)).filter(_.nonEmpty)))),
 
     Proc("delete_savepoint",
       "Drop a savepoint by its savepoint instant (ref: " +

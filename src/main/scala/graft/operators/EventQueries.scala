@@ -42,7 +42,7 @@ object EventQueries {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ts").isNull ||
-             col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1).otherwise(0))
+             timestamp_diff("MICROSECOND", col("prev_ts"), col("ts")) > 1800000000L, 1).otherwise(0))
       .groupBy(col("user_id"))
       .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
@@ -91,7 +91,7 @@ object EventQueries {
       """WITH g AS (
         |  SELECT user_id,
         |    CASE WHEN prev_ts IS NULL
-        |           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |           OR date_diff('microseconds', prev_ts, ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM (SELECT user_id, ts,
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |        FROM events))

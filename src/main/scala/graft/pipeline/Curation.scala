@@ -253,12 +253,20 @@ object Curation {
    */
   def stripBoilerplate(docs: DataFrame, textCol: Column, maxDocFrac: Double = 0.5,
       idCol: String = "doc_id"): DataFrame = {
-    val nDocs = docs.count()
+    // Pin the exploded units ONCE: they feed the hot-line aggregate, the
+    // left-anti reassembly AND the per-doc totals — unpersisted, that is
+    // three full corpus explodes (and at 100 TB three corpus scans).
     val units = docs.select(col(idCol),
       posexplode(split(textCol, "\n")).as(Seq("pos", "unit")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // doc count as a lazy 1-row aggregate folded into the hot-line plan —
+    // no eager driver-side count() scan of the raw corpus (split("") is
+    // never empty, so every doc contributes at least one unit)
+    val nDocs = units.agg(countDistinct(col(idCol)).as("nd"))
     val hot = units.select(col(idCol), col("unit")).distinct()
       .groupBy(col("unit")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > lit(maxDocFrac) * lit(nDocs.toDouble))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > lit(maxDocFrac) * col("nd"))
       .select(col("unit"))
     val kept = units.join(broadcast(hot), Seq("unit"), "left_anti")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_kept"),

@@ -80,37 +80,60 @@ object GraftSql {
       .toDF("instant", "presence")
   }
 
-  /** show_compaction (ref: ShowCompactionProcedure): compaction instants.
-    * Graft compactions run synchronously inside one commit, so every row is
-    * COMPLETED — the reference's REQUESTED/INFLIGHT states belong to its
-    * async plan files. */
+  /** One row per service instant — inline executions, plus scheduled plans
+    * as REQUESTED until an execution commit carries their `planInstant`
+    * marker, COMPLETED (at the plan instant) after. Mirrors the reference's
+    * requested/completed compaction timeline states. */
+  private def serviceRows(t: GraftTable, planAction: String, op: String) = {
+    t.timeline.refresh()
+    val ms = t.timeline.metas(None)
+    val executedBy = ms.filter(_.operation == op)
+      .flatMap(m => m.extra.get("planInstant").map(_ -> m)).toMap
+    def nGroups(m: graft.table.CommitMeta): Int =
+      if (m.replaced.nonEmpty) m.replaced.size
+      else m.files.map(f => (f.partition, f.fileId)).distinct.size
+    val plans = ms.filter(_.action == planAction).map { p =>
+      executedBy.get(p.instant) match {
+        case Some(m) => (p.instant, "COMPLETED", m.files.size,
+          m.files.map(_.rows).sum, nGroups(m))
+        case None => (p.instant, "REQUESTED", 0, 0L,
+          p.extra.get("baseInstants").map(_.split('\n').count(_.nonEmpty)).getOrElse(0))
+      }
+    }
+    val inline = ms
+      .filter(m => m.operation == op && !m.extra.contains("planInstant"))
+      .map(m => (m.instant, "COMPLETED", m.files.size, m.files.map(_.rows).sum,
+        nGroups(m)))
+    (plans ++ inline).sortBy(_._1)
+  }
+
+  /** show_compaction (ref: ShowCompactionProcedure): compaction instants —
+    * inline runs are COMPLETED; scheduled plans show REQUESTED until
+    * executed. */
   def showCompaction(t: GraftTable): DataFrame = {
     import t.spark.implicits._
-    t.timeline.refresh()
-    t.timeline.metas(None).filter(_.operation == "compact")
-      .map(m => (m.instant, "COMPLETED", m.files.size, m.files.map(_.rows).sum,
-        m.replaced.size))
+    serviceRows(t, "compactionreq", "compact")
       .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_compacted")
   }
 
   /** show_clustering (ref: ShowClusteringProcedure): clustering
-    * replacecommits, all COMPLETED (same synchronous-service note as
+    * replacecommits plus scheduled plans (same state model as
     * [[showCompaction]]). */
   def showClustering(t: GraftTable): DataFrame = {
     import t.spark.implicits._
-    t.timeline.refresh()
-    t.timeline.metas(None).filter(_.operation == "cluster")
-      .map(m => (m.instant, "COMPLETED", m.files.size, m.files.map(_.rows).sum,
-        m.replaced.size))
+    serviceRows(t, "clusteringreq", "cluster")
       .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_replaced")
   }
 
   /** show_commit_write_stats (ref: ShowCommitWriteStatsProcedure):
-    * per-commit totals of the write it performed. */
+    * per-commit totals of the write it performed. Data actions only — a
+    * service PLAN instant also records files (its pinned inputs), which are
+    * reads, not writes. */
   def showCommitWriteStats(t: GraftTable): DataFrame = {
     import t.spark.implicits._
     t.timeline.refresh()
-    t.timeline.metas(None).filter(_.files.nonEmpty)
+    t.timeline.metas(None).filter(m => m.files.nonEmpty &&
+        Set("commit", "deltacommit", "replacecommit")(m.action))
       .map(m => (m.instant, m.action, m.operation, m.files.size,
         m.files.map(_.rows).sum, m.files.map(_.bytes).sum))
       .toDF("instant", "action", "operation", "total_files_added",

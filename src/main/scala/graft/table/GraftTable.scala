@@ -48,6 +48,11 @@ object GraftTable {
   val metaCols: Seq[String] = metaFields.map(_.name)
 
   def create(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+    // virtual-key MOR would need key extraction into log blocks for the
+    // merge — the reference likewise gates POPULATE_META_FIELDS=false to
+    // the append-only COW shape
+    require(config.populateMetaFields || config.tableType == CopyOnWrite,
+      "graft.populate.meta.fields=false requires a copy-on-write table")
     saveConfig(path, config)
     val t = new GraftTable(spark, path, config)
     t.timeline.init()
@@ -75,7 +80,8 @@ object GraftTable {
       "targetFileSizeRows" -> config.targetFileSizeRows,
       "payload" -> config.payload.name,
       "schemaOnRead" -> config.schemaOnRead,
-      "version" -> config.version)))
+      "version" -> config.version,
+      "populateMetaFields" -> config.populateMetaFields)))
     ()
   }
 
@@ -101,7 +107,8 @@ object GraftTable {
       MergePayload.of(raw.getOrElse("payload", "overwrite_latest").toString),
       raw.getOrElse("schemaOnRead", false).toString.toBoolean,
       // absent = written by a pre-version writer = id-less epochs
-      raw.getOrElse("version", 1).toString.toInt))
+      raw.getOrElse("version", 1).toString.toInt,
+      raw.getOrElse("populateMetaFields", true).toString.toBoolean))
   }
 
   def exists(path: String): Boolean =
@@ -730,14 +737,45 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * checkpoint-recorded schemas for archived instants (checkpoint-carried
     * files resolve at their ORIGINAL instants, which are no longer on the
     * active timeline after archive()). */
-  private def schemaByInstant(): Map[String, String] = {
+  private def schemaByInstant(): Map[String, String] = schemaInfo()._1
+
+  // Memoized per timeline state: the epoch map and the id→minted-name bridge
+  // are pure functions of the completed-instant listing (instant metadata is
+  // immutable once written). readConformed runs once per SCAN, and at
+  // 100 TB a snapshot read issues many of them — re-parsing every epoch's
+  // schemaJson on every call was the r6 per-commit write drift. The key is
+  // the Timeline's own cached listing instance: a refresh() (any commit
+  // through this instance, or an explicit observe-other-writers call)
+  // produces a new Seq and invalidates this memo with it.
+  @volatile private var schemaMemo:
+    (Seq[(String, String)], Map[String, String], Map[Long, String]) = null
+
+  private def schemaInfo(): (Map[String, String], Map[Long, String]) = {
+    val key = timeline.completed()
+    val memo = schemaMemo
+    if (memo != null && ((memo._1 eq key) || memo._1 == key))
+      return (memo._2, memo._3)
     val ms = timeline.metas(None)
     var last = ""
     val active = ms.map { m =>
       if (m.schemaJson.nonEmpty) last = m.schemaJson
       m.instant -> last
     }.toMap
-    ms.flatMap(_.carriedSchemas).toMap ++ active
+    val schemaOf = ms.flatMap(_.carriedSchemas).toMap ++ active
+    // id -> the name it was minted under (earliest id-mapped epoch), the
+    // bridge that lets id-less v1-window epochs serve later-renamed columns
+    val origNames: Map[Long, String] = {
+      val seen = mutable.Map.empty[Long, String]
+      schemaOf.toSeq.sortBy(_._1).foreach { case (_, sj) =>
+        if (sj.nonEmpty)
+          DataType.fromJson(sj).asInstanceOf[StructType].fields.foreach(f =>
+            ColIds.idOf(f).foreach(id =>
+              if (!seen.contains(id)) seen(id) = f.name))
+      }
+      seen.toMap
+    }
+    schemaMemo = (key, schemaOf, origNames)
+    (schemaOf, origNames)
   }
 
   /** Read a set of files, conforming each commit-epoch schema to `target`.
@@ -752,20 +790,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * single multi-path scan. */
   private def readConformed(files: Seq[(FileMeta, String)], target: StructType,
       needFileId: Boolean = false): DataFrame = {
-    val schemaOf = schemaByInstant()
+    val (schemaOf, origNames) = schemaInfo()
     val tgt = fullSchema(target)
-    // id -> the name it was minted under (earliest id-mapped epoch), the
-    // bridge that lets id-less v1-window epochs serve later-renamed columns
-    val origNames: Map[Long, String] = {
-      val seen = mutable.Map.empty[Long, String]
-      schemaOf.toSeq.sortBy(_._1).foreach { case (_, sj) =>
-        if (sj.nonEmpty)
-          DataType.fromJson(sj).asInstanceOf[StructType].fields.foreach(f =>
-            ColIds.idOf(f).foreach(id =>
-              if (!seen.contains(id)) seen(id) = f.name))
-      }
-      seen.toMap
-    }
     def scan(fs: Seq[(FileMeta, String)], sj: String, fidFill: Option[String]): DataFrame = {
       val fileSchema =
         if (sj.isEmpty) tgt
@@ -775,11 +801,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         case Some(f) => coalesce(col(FILE_ID), lit(f))
         case None => col(FILE_ID)
       }
+      // COMMIT fallback for rows whose file carries no meta columns:
+      // bootstrapped external files read as "0" (sorts before any real
+      // instant, so later upserts win); virtual-key files derive the
+      // instant from their own name (`<fid>_<instant>[_part].parquet`,
+      // stageWrite's naming) — codegen'd, no per-instant scan fan-out
+      val commitFill: Column =
+        if (config.populateMetaFields) lit("0")
+        else {
+          val fromName = regexp_extract(input_file_name(),
+            "_([0-9]{15,})(?:_[0-9]{1,9})?\\.parquet$", 1)
+          when(fromName =!= "", fromName).otherwise(lit("0"))
+        }
       conformFrom(spark.read.schema(fileSchema).parquet(paths: _*), fileSchema,
           tgt, origNames)
         .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
         .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
-        .withColumn(COMMIT, coalesce(col(COMMIT), lit("0")))
+        .withColumn(COMMIT, coalesce(col(COMMIT), commitFill))
         .withColumn(FILE_ID, fid)
         .withColumn(DELETED, coalesce(col(DELETED), lit(false)))
     }
@@ -959,9 +997,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // no second Spark job re-reads freshly written files. preArranged
     // (global_sort bulk insert) skips them: disjoint per-file key ranges
     // already prune tagging to ~1 candidate file from range stats alone.
-    val withBlooms = config.index == StatsIndex && !preArranged
-    arranged.sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
-      .write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
+    val withBlooms =
+      config.index == StatsIndex && !preArranged && config.populateMetaFields
+    val sorted = arranged.sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
+    // virtual keys: the `_g_*` columns never reach the files — key and
+    // partition re-derive from expressions, the commit instant from the
+    // file name (readConformed's coalesce fallbacks). The drop is AFTER
+    // the sort, so the physical key order (and footer stats) still hold.
+    val toWrite =
+      if (config.populateMetaFields) sorted else sorted.drop(metaCols: _*)
+    toWrite.write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
       .format(if (withBlooms) BloomParquetFormat.name else "parquet")
       .option("graft.bloom.expected", config.targetFileSizeRows.toString)
       .save(staging.toString)
@@ -1173,6 +1218,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       sinceForConflict: Option[String] = None): String = {
     val mor = config.tableType == MergeOnRead
     val taggingOps = Set("upsert", "delete", "merge", "upsert_partial", "upsert_global")
+    require(config.populateMetaFields || !taggingOps(op),
+      s"$op needs materialized meta fields: a populate.meta.fields=false " +
+        "table is append-only (bulk_insert / insert / insert_overwrite / " +
+        "delete_partition)")
     val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
     val startLatest = sinceForConflict
       .orElse(timeline.completed().lastOption.map(_._1)).getOrElse("0")
@@ -1640,9 +1689,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         DataType.fromJson(sj).asInstanceOf[StructType] == latest)
     }
     if (!uniform) return None
-    Some((bases.map(_._1), StructType(Seq(
-      StructField(COMMIT, StringType), StructField(KEY, StringType),
-      StructField(PART, StringType)) ++ latest.fields)))
+    // virtual-key files hold no meta columns at all: the fast scan serves
+    // the pure data schema (the reference's BaseFileOnlyRelation with
+    // populate.meta.fields=false reads the same shape)
+    val schema =
+      if (config.populateMetaFields) StructType(Seq(
+        StructField(COMMIT, StringType), StructField(KEY, StringType),
+        StructField(PART, StringType)) ++ latest.fields)
+      else latest
+    Some((bases.map(_._1), schema))
   }
 
   // ----------------------------------------------------------------- reads
@@ -1681,7 +1736,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           spark, basePath, files.filter(f => partitionPred(f.partition)), schema))
       case None =>
         val data = schemaAt(asOf).getOrElse(new StructType())
-        snapshotFull(asOf, data, s => partitionPred(s.partition)).drop(FILE_ID, DELETED)
+        val full = snapshotFull(asOf, data, s => partitionPred(s.partition))
+          .drop(FILE_ID, DELETED)
+        // virtual-key tables never expose meta columns, whichever path serves
+        if (config.populateMetaFields) full else full.drop(COMMIT, KEY, PART)
     }
   }
 
@@ -1696,8 +1754,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case None =>
     }
     val data = schemaAt(asOf).getOrElse(new StructType())
-    readConformed(slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
+    val ro = readConformed(
+        slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)
+    if (config.populateMetaFields) ro else ro.drop(COMMIT, KEY, PART)
   }
 
   /** Incremental query: latest state of records changed in (from, to]
@@ -1819,28 +1879,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       strategy: CompactionStrategy = CompactAll): Option[String] = {
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val withLogs = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
-    val todo = strategy match {
-      case CompactAll => withLogs
-      case LogSizeBounded(minLogBytes, maxIOBytes) =>
-        def bytes(f: FileMeta): Long =
-          if (f.bytes > 0) f.bytes
-          else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
-        // order by descending log size (largest debt first), spend the IO
-        // budget: read base + logs, write a ~base-sized new file
-        val sized = withLogs.map { s =>
-          val logB = s.logs.map(l => bytes(l._2)).sum
-          val baseB = s.baseFiles.map(bytes).sum
-          (s, logB, 2 * baseB + logB)
-        }.filter(_._2 >= minLogBytes).sortBy { case (s, logB, _) =>
-          (-logB, s.partition, s.fileId) // deterministic tie-break
-        }
-        var budget = maxIOBytes
-        sized.takeWhile { case (_, _, io) =>
-          val fits = io <= budget
-          if (fits) budget -= io
-          fits
-        }.map(_._1)
-    }
+    val todo = pickCompactionTargets(withLogs, strategy)
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("commit")
     try {
@@ -1858,6 +1897,198 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     } catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
   }
 
+  /** Strategy-driven compaction target selection (shared by the inline
+    * [[compact]] and the scheduled [[scheduleCompaction]] paths). */
+  private def pickCompactionTargets(withLogs: Seq[FileSlice],
+      strategy: CompactionStrategy): Seq[FileSlice] = strategy match {
+    case CompactAll => withLogs
+    case LogSizeBounded(minLogBytes, maxIOBytes) =>
+      def bytes(f: FileMeta): Long =
+        if (f.bytes > 0) f.bytes
+        else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
+      // order by descending log size (largest debt first), spend the IO
+      // budget: read base + logs, write a ~base-sized new file
+      val sized = withLogs.map { s =>
+        val logB = s.logs.map(l => bytes(l._2)).sum
+        val baseB = s.baseFiles.map(bytes).sum
+        (s, logB, 2 * baseB + logB)
+      }.filter(_._2 >= minLogBytes).sortBy { case (s, logB, _) =>
+        (-logB, s.partition, s.fileId) // deterministic tie-break
+      }
+      var budget = maxIOBytes
+      sized.takeWhile { case (_, _, io) =>
+        val fits = io <= budget
+        if (fits) budget -= io
+        fits
+      }.map(_._1)
+  }
+
+  // ------------------------------------- scheduled (async) table services
+
+  private def groupKey(s: FileSlice): String = s"${s.partition}|${s.fileId}"
+
+  // group -> base instant, "\t"-separated (a hive partition path can
+  // contain '=' and even '|'-free text; fileIds never contain '\t')
+  private def encodePlanGroups(ss: Seq[FileSlice]): String =
+    ss.map(s => s"${groupKey(s)}\t${s.baseInstant}").mkString("\n")
+  private def decodePlanGroups(s: String): Seq[(String, String)] =
+    s.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val i = line.lastIndexOf('\t')
+      (line.substring(0, i), line.substring(i + 1))
+    }
+
+  /** Group keys pinned by not-yet-executed service plans: excluded from new
+    * plans so two pending plans never target the same file group. */
+  private def pendingPlanGroups(): Set[String] = {
+    val ms = timeline.metas(None)
+    val executed: Set[String] = ms.flatMap(_.extra.get("planInstant")).toSet
+    ms.filter(m => planActions(m.action) && !executed(m.instant))
+      .flatMap(m => m.files.map(f => s"${f.partition}|${f.fileId}")).toSet
+  }
+
+  private def planActions = Set("compactionreq", "clusteringreq")
+
+  private def assertNotExecuted(planInstant: String): Unit =
+    require(!timeline.metas(None).exists(m =>
+        m.extra.get("planInstant").contains(planInstant)),
+      s"service plan $planInstant was already executed")
+
+  /** Schedule a compaction PLAN without executing it (ref:
+    * BaseHoodieWriteClient.java:998 scheduleCompaction +
+    * RunCompactionProcedure.scala:72 op => 'schedule'): pins the target
+    * file groups (and the log files visible now) in a completed
+    * `compactionreq` instant; [[runCompaction]] executes it later, possibly
+    * from a different process (ref: AsyncCompactService.java:41).
+    *
+    * At 100 TB this split is what keeps MOR ingest latency flat: the
+    * ingest writer pays only for this metadata listing, while the rewrite
+    * IO runs out-of-band on its own executors. Log files appended AFTER the
+    * plan stay layered on the compacted base (they resolve at instants
+    * above the plan) and are picked up by the next plan. */
+  def scheduleCompaction(partitionPred: String => Boolean = _ => true,
+      strategy: CompactionStrategy = CompactAll): Option[String] = {
+    val pinned = pendingPlanGroups()
+    val withLogs = slices(None).filter(s => s.logs.nonEmpty &&
+      partitionPred(s.partition) && !pinned(groupKey(s)))
+    val todo = pickCompactionTargets(withLogs, strategy)
+    if (todo.isEmpty) return None
+    val instant = timeline.startInstant("compactionreq")
+    try {
+      // completed but NOT a data action: invisible to slice resolution,
+      // conflict detection, cleaning and archival sweeps
+      timeline.complete(CommitMeta(instant, "compactionreq", "compaction_schedule",
+        files = todo.flatMap(s => s.baseFiles ++ s.logs.map(_._2)),
+        extra = Map("baseInstants" -> encodePlanGroups(todo))))
+      Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "compactionreq"); throw e }
+  }
+
+  /** Execute a previously scheduled compaction plan. The new base files are
+    * recorded with `origInstant = planInstant`, so they slot UNDER any log
+    * file appended since the plan: interleaved deltacommits stay readable
+    * on top and are folded by the next plan — the reference's pending-
+    * compaction log-file semantics (ref: HoodieCompactionPlan,
+    * CompactionUtils.getAllPendingCompactionOperations).
+    *
+    * A planned group whose base changed since the plan (inline compaction,
+    * clustering, replace) is superseded and skipped. Returns None when
+    * every planned group was superseded (the plan is marked executed). */
+  def runCompaction(planInstant: String): Option[String] = {
+    val plan = timeline.read(planInstant, "compactionreq")
+    assertNotExecuted(planInstant)
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val live = slices(None).map(s => groupKey(s) -> s).toMap
+    val fold = decodePlanGroups(plan.extra("baseInstants")).flatMap { case (k, bi) =>
+      live.get(k) match {
+        case Some(s) if s.baseInstant == bi =>
+          // fold ONLY logs visible at plan time; later appends stay layered
+          val logs = s.logs.filter(_._1 <= planInstant)
+          if (logs.isEmpty) None else Some(s.copy(logs = logs))
+        case _ => None // group rewritten since the plan — superseded
+      }
+    }
+    val instant = timeline.startInstant("commit")
+    try {
+      // write with the schema epoch the output resolves at: the new base
+      // carries origInstant=planInstant, so readers conform it with the
+      // plan-time epoch — an ALTER between schedule and execute must not
+      // change this file's layout (it bridges by column id on read).
+      // schemaJson stays empty so a later epoch is never rolled back.
+      val data = schemaAt(Some(planInstant)).getOrElse(new StructType())
+      val files =
+        if (fold.isEmpty) Nil
+        else {
+          val merged = readSliceRows(fold, data, needFileId = true).filter(!col(DELETED))
+          stageWrite(merged, instant, Set.empty).map(_.copy(origInstant = planInstant))
+        }
+      val groups = fold.map(groupKey).toSet ++
+        files.map(f => s"${f.partition}|${f.fileId}")
+      commitGuarded(startLatest, groups, Set.empty,
+        CommitMeta(instant, "commit", "compact", files = files,
+          extra = Map("planInstant" -> planInstant)))
+      if (fold.isEmpty) None else Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
+  }
+
+  /** Schedule a clustering PLAN (ref: BaseHoodieWriteClient
+    * .scheduleClustering + RunClusteringProcedure op => 'schedule'): pins
+    * target groups and layout (sort columns / z-order) for a later
+    * [[runClustering]]. */
+  def scheduleClustering(sortCols: Seq[String], zorder: Boolean = false,
+      partitionPred: String => Boolean = _ => true,
+      strategy: ClusteringStrategy = ClusterAll): Option[String] = {
+    val pinned = pendingPlanGroups()
+    val live = slices(None).filter(s =>
+      partitionPred(s.partition) && !pinned(groupKey(s)))
+    val cur = pickClusteringTargets(live, strategy)
+    if (cur.isEmpty) return None
+    val instant = timeline.startInstant("clusteringreq")
+    try {
+      timeline.complete(CommitMeta(instant, "clusteringreq", "clustering_schedule",
+        files = cur.flatMap(s => s.baseFiles ++ s.logs.map(_._2)),
+        extra = Map("baseInstants" -> encodePlanGroups(cur),
+          "sortCols" -> sortCols.mkString(","), "zorder" -> zorder.toString)))
+      Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "clusteringreq"); throw e }
+  }
+
+  /** Execute a scheduled clustering plan. Unlike compaction, clustering
+    * REPLACES whole file groups, so a group touched since the plan (new
+    * base, or any log appended after the plan) cannot be clustered from it
+    * — the replace would drop the interleaved rows. Such groups are
+    * skipped and stay available for a later plan (the reference instead
+    * aborts the conflicting WRITER under strict OCC; skipping keeps ingest
+    * first-class, which is the right trade at continuous-ingest scale). */
+  def runClustering(planInstant: String): Option[String] = {
+    val plan = timeline.read(planInstant, "clusteringreq")
+    assertNotExecuted(planInstant)
+    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val live = slices(None).map(s => groupKey(s) -> s).toMap
+    val cur = decodePlanGroups(plan.extra("baseInstants")).flatMap { case (k, bi) =>
+      live.get(k).filter(s => s.baseInstant == bi && s.logs.forall(_._1 <= planInstant))
+    }
+    val sortCols = plan.extra("sortCols").split(',').toSeq.filter(_.nonEmpty)
+    val zorder = plan.extra.get("zorder").contains("true")
+    if (cur.isEmpty) {
+      // every group superseded: mark the plan executed with an empty replace
+      val instant = timeline.startInstant("replacecommit")
+      try commitGuarded(startLatest, Set.empty, Set.empty,
+        CommitMeta(instant, "replacecommit", "cluster",
+          extra = Map("planInstant" -> planInstant)))
+      catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
+      None
+    } else clusterSlices(cur, sortCols, zorder, startLatest,
+      Map("planInstant" -> planInstant))
+  }
+
+  /** Pending (not yet executed) service plans: (instant, operation). */
+  def pendingPlans(): Seq[(String, String)] = {
+    val ms = timeline.metas(None)
+    val executed: Set[String] = ms.flatMap(_.extra.get("planInstant")).toSet
+    ms.filter(m => planActions(m.action) && !executed(m.instant))
+      .map(m => (m.instant, m.operation))
+  }
+
   /** Clustering (ref: RunClusteringProcedure): rewrite the table's live data
     * into range-partitioned, sorted file groups — linear sort or Z-order —
     * via a replacecommit. Original commit times are preserved per row, so
@@ -1869,27 +2100,44 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def cluster(sortCols: Seq[String], zorder: Boolean = false,
       partitionPred: String => Boolean = _ => true,
       strategy: ClusteringStrategy = ClusterAll): Option[String] = {
+    require(config.populateMetaFields,
+      "clustering preserves per-row commit times, which a virtual-key " +
+        "(populate.meta.fields=false) table does not materialize")
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val live = slices(None).filter(s => partitionPred(s.partition))
+    val cur = pickClusteringTargets(live, strategy)
+    if (cur.isEmpty) None
+    else clusterSlices(cur, sortCols, zorder, startLatest, Map.empty)
+  }
+
+  /** Strategy-driven clustering target selection (shared by the inline
+    * [[cluster]] and the scheduled [[scheduleClustering]] paths). Returns
+    * Nil when fewer than two small-file groups qualify (nothing to merge). */
+  private def pickClusteringTargets(live: Seq[FileSlice],
+      strategy: ClusteringStrategy): Seq[FileSlice] = {
+    val cur = strategy match {
+      case ClusterAll => live
+      case SmallFileBounded(limit, budget) =>
+        def sliceBytes(s: FileSlice): Long =
+          (s.baseFiles ++ s.logs.map(_._2)).map { f =>
+            if (f.bytes > 0) f.bytes
+            else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
+          }.sum
+        val small = live.map(s => (s, sliceBytes(s))).filter(_._2 < limit)
+          .sortBy { case (s, b) => (b, s.partition, s.fileId) }
+        var io = 0L
+        small.takeWhile { case (_, b) => io += 2 * b; io <= budget }.map(_._1)
+    }
+    if (strategy != ClusterAll && cur.sizeIs < 2) Nil else cur
+  }
+
+  /** The clustering rewrite itself: sort/z-order `cur`'s live rows into
+    * range-partitioned file groups and commit them as a replacecommit. */
+  private def clusterSlices(cur: Seq[FileSlice], sortCols: Seq[String],
+      zorder: Boolean, startLatest: String,
+      extraMeta: Map[String, String]): Option[String] = {
     val instant = timeline.startInstant("replacecommit")
     try {
-      val live = slices(None).filter(s => partitionPred(s.partition))
-      val cur = strategy match {
-        case ClusterAll => live
-        case SmallFileBounded(limit, budget) =>
-          def sliceBytes(s: FileSlice): Long =
-            (s.baseFiles ++ s.logs.map(_._2)).map { f =>
-              if (f.bytes > 0) f.bytes
-              else Files.size(Paths.get(basePath, f.path)) // pre-bytes commits
-            }.sum
-          val small = live.map(s => (s, sliceBytes(s))).filter(_._2 < limit)
-            .sortBy { case (s, b) => (b, s.partition, s.fileId) }
-          var io = 0L
-          small.takeWhile { case (_, b) => io += 2 * b; io <= budget }.map(_._1)
-      }
-      if (cur.isEmpty || (strategy != ClusterAll && cur.sizeIs < 2)) {
-        timeline.abort(instant, "replacecommit")
-        return None
-      }
       val data = schemaAt(None).getOrElse(new StructType())
       val zordered = zorder && sortCols.size >= 2
       val rows0 = readSliceRows(cur, data).filter(!col(DELETED))
@@ -1915,7 +2163,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           files.map(f => s"${f.partition}|${f.fileId}"), Set.empty,
         CommitMeta(instant, "replacecommit", "cluster",
           schemaJson = data.json, files = files,
-          replaced = cur.map(s => s"${s.partition}|${s.fileId}")))
+          replaced = cur.map(s => s"${s.partition}|${s.fileId}"),
+          extra = extraMeta))
       Some(instant)
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
   }
@@ -1986,9 +2235,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           val liveLogs = live.get((p, fid)).map(_.logs.map(_._2.path).toSet).getOrElse(Set.empty)
           (policy, earliestRetained) match {
             case (KeepLatestFileVersions(retainVersions), _) =>
-              val keep = baseInstants.take(retainVersions).toSet
+              // per savepoint: the base version serving it, plus the logs
+              // layered on that base up to the savepointed instant — time
+              // travel back to any savepoint must keep working (ref:
+              // SavepointHelpers.validateSavepointRestore)
+              val savedBases = savepointed.flatMap(s => baseInstants.find(_ <= s))
+              val keep = baseInstants.take(retainVersions).toSet ++ savedBases
+              def savepointedLog(i: String): Boolean =
+                savepointed.exists(s => i <= s && baseInstants.find(_ <= s).exists(_ < i))
               for ((i, f) <- files)
-                if ((!f.isLog && !keep.contains(i)) || (f.isLog && !liveLogs.contains(f.path)))
+                if ((!f.isLog && !keep.contains(i)) ||
+                    (f.isLog && !liveLogs.contains(f.path) && !savepointedLog(i)))
                   doomed += f.path
             case (_, None) => // window covers everything: keep all
             case (_, Some(er)) =>
@@ -2038,9 +2295,27 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     Some(target.instant)
   }
 
-  /** Savepoint the current latest instant (ref: CreateSavepointProcedure). */
-  def savepoint(): String = {
-    val saved = timeline.metas(None).filter(m => dataActions(m.action)).last.instant
+  /** Savepoint an instant so cleaning never makes it unreadable (ref:
+    * CreateSavepointProcedure — takes a commit_time). Default: the latest
+    * data instant. An explicit `at` must be a data instant still on the
+    * active timeline whose state is reconstructible (not partially
+    * cleaned). */
+  def savepoint(at: Option[String] = None): String = {
+    val dataMs = timeline.metas(None).filter(m => dataActions(m.action))
+    val saved = at match {
+      case None => dataMs.last.instant
+      case Some(i) =>
+        require(dataMs.exists(_.instant == i),
+          s"savepoint: $i is not a data instant on the active timeline")
+        val cleaned = timeline.metas(None).filter(_.action == "clean")
+          .flatMap(_.deletedPaths).toSet
+        val missing = slices(Some(i))
+          .flatMap(s => s.baseFiles ++ s.logs.map(_._2)).filter(f => cleaned(f.path))
+        require(missing.isEmpty,
+          s"savepoint: state at $i is no longer reconstructible — " +
+            s"${missing.size} file(s) already cleaned (e.g. ${missing.head.path})")
+        i
+    }
     val instant = timeline.startInstant("savepoint")
     timeline.complete(CommitMeta(instant, "savepoint", "savepoint",
       extra = Map("saved" -> saved)))

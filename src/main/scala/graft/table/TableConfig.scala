@@ -165,7 +165,13 @@ case class TableConfig(
     targetFileSizeRows: Long = 1000000L,
     payload: MergePayload = OverwriteLatest,
     schemaOnRead: Boolean = false,
-    version: Int = TableConfig.CurrentVersion) {
+    version: Int = TableConfig.CurrentVersion,
+    // Virtual keys (ref: HoodieTableConfig.java:178 POPULATE_META_FIELDS):
+    // false = append-only table whose `_g_*` meta columns are never
+    // materialized in files — key/partition derive from expressions and the
+    // commit instant from the file name on read. A real storage win at PB
+    // scale (five columns fewer per row); tagging ops are rejected.
+    populateMetaFields: Boolean = true) {
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).

@@ -325,6 +325,36 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(err.getMessage.contains("no savepoint"))
   }
 
+  test("create_savepoint at a mid-history instant survives cleaning") {
+    freshMor("p_spmid", rows = 6)
+    // three more versions of id=1 → four versions of its file group
+    (1 to 3).foreach(i => sql(s"UPDATE graft.p_spmid SET price = $i.0 WHERE id = 1"))
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse/p_spmid"
+    val t = graft.table.GraftTable.load(spark, path)
+    val instants = t.timeline.metas(None)
+      .filter(m => Set("commit", "deltacommit", "replacecommit")(m.action)).map(_.instant)
+    val mid = instants(1) // the state after "SET price = 1.0"
+    val saved = sql(
+      s"CALL graft.create_savepoint(`table` => 'p_spmid', `commit_time` => '$mid')")
+      .collect()(0).getString(0)
+    assert(saved === mid)
+    // aggressive clean: keep only the latest file version — except savepoints
+    sql("CALL graft.run_clean(`table` => 'p_spmid', `policy` => 'file_versions', `retain` => 1)")
+    // latest state reads fine AND time travel to the savepoint still works
+    assert(sql("SELECT price FROM graft.p_spmid WHERE id = 1")
+      .collect()(0).getDouble(0) === 3.0)
+    val atMid = t.snapshot(Some(mid))
+    assert(atMid.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .collect()(0).getAs[Double]("price") === 1.0)
+    assert(atMid.count() === 6)
+    // an instant that never existed is rejected
+    val bad = intercept[Exception] {
+      sql("CALL graft.create_savepoint(`table` => 'p_spmid', `commit_time` => '19700101000000000')")
+    }
+    assert(bad.getMessage.contains("not a data instant"))
+    sql("DROP TABLE graft.p_spmid")
+  }
+
   test("run_clean with the commits policy keeps the retained window readable") {
     freshMor("p_clean", rows = 8)
     (1 to 3).foreach(i => sql(s"UPDATE graft.p_clean SET price = price + $i WHERE id = 1"))

@@ -1,0 +1,158 @@
+package graft.table
+
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The schedule/execute split for table services (ref:
+  * BaseHoodieWriteClient.scheduleCompaction + AsyncCompactService +
+  * RunCompactionProcedure op => 'schedule' | 'run'): a plan pins target
+  * file groups in a `compactionreq`/`clusteringreq` instant; ingest
+  * continues; a later execution folds exactly the planned state, leaving
+  * interleaved log files layered on top for the NEXT plan. */
+class ScheduledServicesSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def tmp(): String = Files.createTempDirectory("graft_sched_").toString
+  private def orders: DataFrame = Tables.orders(spark, sf)
+
+  private def ordersTable(tableType: TableType, dir: String): GraftTable =
+    GraftTable.create(spark, dir, TableConfig("orders_t", tableType,
+      keyFields = Seq("o_orderkey"), precombineField = Some("o_totalprice"),
+      partitioning = PartitionByColumns(Seq("o_orderstatus")),
+      targetFileSizeRows = 400))
+
+  test("scheduled compaction: plan survives interleaved ingest; " +
+      "interleaved logs land in the next plan") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    val batchA = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderpriority", lit("A"))
+    t.upsert(batchA)
+    val planned = t.slices(None).filter(_.logs.nonEmpty)
+      .map(s => (s.partition, s.fileId)).toSet
+    val untouchedBases = t.slices(None).filter(s => !planned((s.partition, s.fileId)))
+      .map(s => (s.partition, s.fileId) -> s.baseInstant).toMap
+
+    val Some(plan) = t.scheduleCompaction(): @unchecked
+    assert(t.pendingPlans().map(_._1) === Seq(plan))
+    // the plan is NOT a data commit: readers and conflict detection are blind to it
+    assert(t.snapshot().count() === orders.count())
+
+    // interleaved ingest lands AFTER the plan
+    val batchB = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderpriority", lit("B"))
+    t.upsert(batchB)
+
+    val Some(_) = t.runCompaction(plan): @unchecked
+    val after = t.slices(None)
+    for (s <- after; k = (s.partition, s.fileId)) {
+      if (planned(k)) {
+        // new base resolves AT the plan instant; only post-plan logs remain
+        assert(s.baseInstant === plan, s"group $k base not at plan instant")
+        assert(s.logs.forall(_._1 > plan), s"pre-plan log survived in $k")
+      } else {
+        // exactly the planned groups were compacted
+        assert(s.baseInstant === untouchedBases(k), s"unplanned group $k rewritten")
+      }
+    }
+    // interleaved batch-B logs are still readable (snapshot) but not folded (RO)
+    assert(after.exists(_.logs.nonEmpty))
+    assert(t.snapshot().filter(col("o_orderpriority") === "B").count() === batchB.count())
+    assert(t.snapshot().filter(col("o_orderpriority") === "A").count()
+      === batchA.count() - batchB.count())
+    assert(t.readOptimized().filter(col("o_orderpriority") === "A").count()
+      === batchA.count())
+    assert(t.readOptimized().filter(col("o_orderpriority") === "B").count() === 0)
+    // time travel to the plan instant: batch B does not exist yet
+    assert(t.snapshot(Some(plan)).filter(col("o_orderpriority") === "B").count() === 0)
+    assert(t.snapshot(Some(plan)).filter(col("o_orderpriority") === "A").count()
+      === batchA.count())
+
+    // the interleaved logs are exactly what the NEXT plan picks up
+    val Some(plan2) = t.scheduleCompaction(): @unchecked
+    val Some(_) = t.runCompaction(plan2): @unchecked
+    assert(t.slices(None).forall(_.logs.isEmpty))
+    assert(t.snapshot().count() === orders.count())
+    assert(t.snapshot().filter(col("o_orderpriority") === "B").count() === batchB.count())
+
+    // an executed plan cannot run twice; nothing stays pending
+    intercept[IllegalArgumentException](t.runCompaction(plan))
+    assert(t.pendingPlans().isEmpty)
+    GraftTable.drop(dir)
+  }
+
+  test("scheduled compaction: a plan superseded by an inline compact executes as a no-op") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.limit(50).withColumn("o_totalprice", lit(1.0)))
+    val Some(plan) = t.scheduleCompaction(): @unchecked
+    val Some(_) = t.compact(): @unchecked // inline compaction wins the race
+    assert(t.runCompaction(plan).isEmpty) // every planned group superseded
+    assert(t.pendingPlans().isEmpty) // ...but the plan is marked executed
+    intercept[IllegalArgumentException](t.runCompaction(plan))
+    assert(t.snapshot().count() === orders.count())
+    GraftTable.drop(dir)
+  }
+
+  test("scheduled clustering: groups touched since the plan are skipped, not lost") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val Some(plan) = t.scheduleClustering(Seq("o_orderkey")): @unchecked
+    // interleaved COW upsert rewrites some planned groups at newer instants
+    val touched = orders.filter(col("o_orderstatus") === "F").limit(20)
+      .withColumn("o_orderpriority", lit("TOUCHED"))
+    t.upsert(touched)
+    val rewritten = t.slices(None).filter(_.baseInstant > plan)
+      .map(s => (s.partition, s.fileId)).toSet
+    assert(rewritten.nonEmpty)
+
+    val Some(_) = t.runClustering(plan): @unchecked
+    val after = t.slices(None)
+    // the interleaved write's groups survive untouched...
+    assert(rewritten.subsetOf(after.map(s => (s.partition, s.fileId)).toSet))
+    // ...while the unchanged planned groups were replaced by clustered ones
+    assert(after.exists(_.fileId.startsWith("c")))
+    assert(t.snapshot().count() === orders.count())
+    assert(t.snapshot().filter(col("o_orderpriority") === "TOUCHED").count()
+      === touched.count())
+    assert(t.pendingPlans().isEmpty)
+    GraftTable.drop(dir)
+  }
+
+  test("CALL surface: run_compaction op => schedule / run + show_compaction states") {
+    def sql(q: String) = spark.sql(q)
+    sql("DROP TABLE IF EXISTS graft.p_sched")
+    sql("""CREATE TABLE graft.p_sched (
+          |  id BIGINT, status STRING, price DOUBLE)
+          |USING graft PARTITIONED BY (status)
+          |TBLPROPERTIES (
+          |  'graft.recordkey.field' = 'id',
+          |  'graft.precombine.field' = 'price',
+          |  'graft.table.type' = 'mor')""".stripMargin)
+    val vals = (1 to 30).map(i => s"(${i}L, '${if (i % 2 == 0) "O" else "F"}', $i.0)")
+    sql(s"INSERT INTO graft.p_sched VALUES ${vals.mkString(", ")}")
+    sql(s"INSERT INTO graft.p_sched VALUES ${vals.take(10).mkString(", ")}") // logs
+
+    val planRow = sql(
+      "CALL graft.run_compaction(`table` => 'p_sched', `op` => 'schedule')").collect()
+    assert(planRow.length === 1 && planRow(0).getString(0) != null)
+    val states0 = sql("CALL graft.show_compaction(`table` => 'p_sched')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states0(planRow(0).getString(0)) === "REQUESTED")
+
+    val execRow = sql(
+      "CALL graft.run_compaction(`table` => 'p_sched', `op` => 'run')").collect()
+    assert(execRow.length === 1 && execRow(0).getString(0) != null)
+    val states1 = sql("CALL graft.show_compaction(`table` => 'p_sched')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states1(planRow(0).getString(0)) === "COMPLETED")
+    assert(sql("SELECT count(*) FROM graft.p_sched").collect()(0).getLong(0) === 30L)
+    sql("DROP TABLE graft.p_sched")
+  }
+}
