@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.util.concurrent.Executors
+import scala.concurrent.{ExecutionContext, Future}
+import org.apache.spark.sql.DataFrame
+import graft.table.{GraftTable, MergeOnRead}
+
+/**
+ * DeltaStreamer-style continuous ingest (ref: hudi-utilities
+ * .../HoodieDeltaStreamer.java continuous mode + DeltaSync.java sync loop +
+ * async/AsyncCompactService.java:41): pull the next batch from a source,
+ * optionally SQL-transform it, upsert it with the source checkpoint riding
+ * in the commit metadata, and keep the table serviced — compaction is
+ * SCHEDULED on the ingest thread (a metadata-only listing) and EXECUTED on
+ * a background thread via the schedule/execute split, so at 100 TB the
+ * ingest cadence never pays rewrite IO.
+ *
+ * The source is a pull function `() => Option[(checkpoint, batch)]` —
+ * [[CommitFeed]]/[[CdcFeed]] have exactly this shape, and a Kafka/file
+ * source adapts in a line. `checkpoint` is an opaque resume token: the
+ * latest one is recoverable via [[ContinuousIngest.lastCheckpoint]] (ref:
+ * DeltaSync's CHECKPOINT_KEY in HoodieCommitMetadata).
+ */
+class ContinuousIngest(
+    t: GraftTable,
+    source: () => Option[(String, DataFrame)],
+    transformerSql: Option[String] = None,
+    operation: String = "upsert",
+    compactEvery: Int = 5,
+    cleanRetainVersions: Int = 0, // 0 = cleaning off
+    archiveKeepLast: Int = 0 // 0 = archival off
+) extends AutoCloseable {
+  require(compactEvery >= 0, "compactEvery must be >= 0 (0 = off)")
+  transformerSql.foreach(q => require(q.contains("<SRC>"),
+    "transformerSql must reference the micro-batch as <SRC>"))
+
+  private val pool = Executors.newSingleThreadExecutor((r: Runnable) => {
+    val th = new Thread(r, s"graft-ingest-services-${t.config.name}")
+    th.setDaemon(true)
+    th
+  })
+  implicit private val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+  private var ingested = 0L
+  @volatile private var pendingService: Future[Option[String]] = Future.successful(None)
+
+  /** The last table-service execution kicked off by the loop (tests and
+    * shutdown drain it). */
+  def lastService: Future[Option[String]] = pendingService
+
+  // ref: SqlQueryBasedTransformer — the batch registers as a temp view and
+  // <SRC> substitutes its name; the transform stays a lazy plan
+  private def transform(batch: DataFrame): DataFrame = transformerSql match {
+    case None => batch
+    case Some(q) =>
+      val view = s"graft_ci_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val ss = batch.sparkSession
+      batch.createOrReplaceTempView(view)
+      try ss.sql(q.replace("<SRC>", view))
+      finally ss.catalog.dropTempView(view)
+  }
+
+  /** One sync cycle: ingest the next batch if the source has one, then keep
+    * the table serviced. Returns the ingest's commit instant. Synchronous
+    * and re-entrant-free by design — tests drive it directly; [[run]] loops
+    * it. */
+  def step(): Option[String] = source().map { case (checkpoint, batch) =>
+    val instant = t.writeBatch(transform(batch), operation,
+      extra = Map("checkpoint" -> checkpoint))
+    ingested += 1
+    if (compactEvery > 0 && t.config.tableType == MergeOnRead &&
+        ingested % compactEvery == 0 && pendingService.isCompleted) {
+      // plan on THIS thread (metadata listing only), execute off it
+      t.scheduleCompaction().foreach { plan =>
+        pendingService = Future(t.runCompaction(plan))
+      }
+    }
+    if (cleanRetainVersions > 0 && ingested % math.max(1, compactEvery * 2) == 0)
+      t.clean(cleanRetainVersions)
+    if (archiveKeepLast > 0 && ingested % math.max(1, compactEvery * 2) == 0)
+      t.archive(archiveKeepLast)
+    instant
+  }
+
+  /** Loop until `maxCycles` ingests happened or `stop()` is called,
+    * sleeping `idleMs` when the source is dry (ref: continuous-mode
+    * min-sync-interval). */
+  @volatile private var stopped = false
+  def stop(): Unit = stopped = true
+
+  def run(maxCycles: Long = Long.MaxValue, idleMs: Long = 1000): Long = {
+    var n = 0L
+    while (!stopped && n < maxCycles) {
+      if (step().isDefined) n += 1
+      else if (!stopped) Thread.sleep(idleMs)
+    }
+    n
+  }
+
+  /** Ingest until the source reports dry ONCE, then return the cycle count
+    * — the one-shot (non-continuous) DeltaStreamer mode (ref:
+    * HoodieDeltaStreamer without --continuous). */
+  def drain(): Long = {
+    var n = 0L
+    while (!stopped && step().isDefined) n += 1
+    n
+  }
+
+  def close(): Unit = {
+    stopped = true
+    // drain the in-flight service so its commit is not torn down mid-write
+    try scala.concurrent.Await.result(pendingService,
+      scala.concurrent.duration.Duration(120, "s"))
+    catch { case _: Throwable => }
+    pool.shutdown()
+  }
+}
+
+object ContinuousIngest {
+  /** The newest source checkpoint recorded in the table's commit metadata —
+    * where a restarted ingest resumes from (ref: DeltaSync
+    * .getLatestCommitMetadataWithValidCheckpointInfo). Falls back to the
+    * archived timeline (a one-off cold read on restart) when every
+    * checkpointed commit has been archived. */
+  def lastCheckpoint(t: GraftTable): Option[String] = {
+    t.timeline.refresh()
+    t.timeline.metas(None).reverseIterator
+      .flatMap(_.extra.get("checkpoint")).nextOption()
+      .orElse(t.timeline.archivedMetas().reverseIterator
+        .flatMap(_.extra.get("checkpoint")).nextOption())
+  }
+}

@@ -356,8 +356,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val after = snapshotPending(meta)
       preCommitValidators.foreach(_.validate(before, after))
     }
+    // A scheduled-compaction EXECUTION only rewrites state at/below its plan
+    // instant; rows committed above the plan resolve on top of its output.
+    // So it is mutually non-conflicting with any commit whose instant is
+    // above the plan — in both directions: an ingest writer tolerates a
+    // concurrent execution of an older plan, and an execution tolerates
+    // ingest that landed after its plan (the reference's pending-compaction
+    // + log-append concurrency model). Everything at/below the plan instant
+    // still conflicts — a straggler deltacommit below the plan would have
+    // its log folded UNDER the new base and lost. Clustering executions
+    // stay strict: a replace drops interleaved logs, so they must conflict.
+    val tolerated: CommitMeta => Boolean = other =>
+      (other.operation == "compact" &&
+        other.extra.get("planInstant").exists(_ < meta.instant)) ||
+      (meta.operation == "compact" &&
+        meta.extra.get("planInstant").exists(_ < other.instant))
     lockProvider.withLock {
-      if (detectConflict(startLatest, groups, partitions, anyCommit))
+      if (detectConflict(startLatest, groups, partitions, anyCommit, tolerated))
         throw new ConcurrentWriteException(
           s"instant ${meta.instant} conflicts with a commit completed after $startLatest")
       // last-line defense: if our lock was lost while the conflict check ran
@@ -2342,14 +2357,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * the optimistic-concurrency conflict test. `anyCommit` treats every later
     * data commit as a conflict (whole-table replace). */
   def detectConflict(sinceExclusive: String, groups: Set[String],
-      partitions: Set[String] = Set.empty, anyCommit: Boolean = false): Boolean = {
+      partitions: Set[String] = Set.empty, anyCommit: Boolean = false,
+      tolerated: CommitMeta => Boolean = _ => false): Boolean = {
     timeline.refresh() // must observe other writers' commits
     (groups.nonEmpty || partitions.nonEmpty || anyCommit) &&
       timeline.metas(None).exists { m =>
         // archival checkpoints re-record (not modify) nearly every live file
         // group; counting them would fail every writer overlapping a
         // background archive() with a spurious conflict
-        dataActions(m.action) && m.operation != "checkpoint" &&
+        dataActions(m.action) && m.operation != "checkpoint" && !tolerated(m) &&
           m.instant > sinceExclusive && (anyCommit ||
           (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
             .exists(groups.contains) ||

@@ -61,8 +61,13 @@ case class KeyBloomAgg(child: Expression, expected: Long,
     BloomFilter.create(math.max(64L, expected), KeyBloom.Fpp)
 
   override def update(b: BloomFilter, row: InternalRow): BloomFilter = {
-    val v = child.eval(row)
-    if (v != null) b.putString(v.toString)
+    child.eval(row) match {
+      case null =>
+      // putBinary(utf8 bytes) == putString(String) (BloomFilterBase
+      // .putString hashes the UTF-8 bytes) — skip the String round trip
+      case u: org.apache.spark.unsafe.types.UTF8String => b.putBinary(u.getBytes)
+      case v => b.putString(v.toString)
+    }
     b
   }
 

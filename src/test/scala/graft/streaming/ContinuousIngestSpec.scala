@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.{Tables, TestSpark}
+import graft.table._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DeltaStreamer-style continuous ingest: pull-transform-upsert cycles with
+  * the source checkpoint in commit metadata, compaction scheduled on the
+  * ingest thread and executed off it (the schedule/execute split). */
+class ContinuousIngestSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def tmp(): String = Files.createTempDirectory("graft_ci_").toString
+
+  test("ingest loop: batches land exactly once, checkpoint resumes, compaction keeps up") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("ci_t", MergeOnRead,
+      keyFields = Seq("o_orderkey"), precombineField = Some("o_totalprice"),
+      partitioning = PartitionByColumns(Seq("o_orderstatus")),
+      targetFileSizeRows = 400))
+    t.bulkInsert(Tables.orders(spark, sf))
+    val total = Tables.orders(spark, sf).count()
+
+    // a 4-batch source: each batch re-upserts a key slice with a marker
+    var cursor = 0
+    val batches = (1 to 4).map(i => (s"ckpt-$i",
+      Tables.orders(spark, sf).filter(col("o_orderkey") % 4 === i % 4)
+        .withColumn("o_orderpriority", lit(s"B$i"))))
+    val source = () => {
+      if (cursor >= batches.length) None
+      else { val b = batches(cursor); cursor += 1; Some(b) }
+    }
+
+    val ci = new ContinuousIngest(t, source,
+      transformerSql = Some("SELECT * FROM <SRC> WHERE o_orderkey IS NOT NULL"),
+      compactEvery = 2)
+    try {
+      assert(ci.drain() === 4) // source dries up after 4 batches
+      // exactly-once shape: every batch's marker present, row count stable
+      assert(t.snapshot().count() === total)
+      for (i <- 1 to 4) {
+        val expect = Tables.orders(spark, sf)
+          .filter(col("o_orderkey") % 4 === i % 4).count()
+        val got = t.snapshot().filter(col("o_orderpriority") === s"B$i").count()
+        // batch i's slice may be re-marked by a later batch only if slices
+        // collide — they don't (disjoint mod classes)
+        assert(got === expect, s"batch $i: $got != $expect")
+      }
+      // the checkpoint token of the LAST ingested batch is recoverable
+      assert(ContinuousIngest.lastCheckpoint(t) === Some("ckpt-4"))
+    } finally ci.close()
+    // after close() drains the async service, scheduled compactions have
+    // executed: log debt is bounded by the batches since the last plan
+    val pending = t.pendingPlans()
+    assert(pending.isEmpty, s"unexecuted plans: $pending")
+    assert(t.snapshot().count() === total)
+    GraftTable.drop(dir)
+  }
+
+  test("restart resumes from the recorded checkpoint") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("ci_r", CopyOnWrite,
+      keyFields = Seq("id")))
+    import spark.implicits._
+    def batchFrom(ck: Option[String]): Option[(String, org.apache.spark.sql.DataFrame)] = {
+      val start = ck.map(_.stripPrefix("off-").toInt).getOrElse(0)
+      if (start >= 20) None
+      else Some((s"off-${start + 10}", (start until start + 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")))
+    }
+    // first process ingests one batch, then "crashes"
+    val ci1 = new ContinuousIngest(t, () => batchFrom(ContinuousIngest.lastCheckpoint(t)),
+      operation = "insert", compactEvery = 0)
+    try assert(ci1.step().isDefined) finally ci1.close()
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("off-10"))
+    // a fresh process resumes where the first left off — no replay, no gap
+    val ci2 = new ContinuousIngest(t, () => batchFrom(ContinuousIngest.lastCheckpoint(t)),
+      operation = "insert", compactEvery = 0)
+    try assert(ci2.drain() === 1) finally ci2.close()
+    assert(t.snapshot().count() === 20)
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("off-20"))
+    GraftTable.drop(dir)
+  }
+}
