@@ -61,13 +61,15 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       case "snapshot" =>
         val asOf = parameters.get(AS_OF_INSTANT)
         t.fastScanFiles(asOf, baseOnly = false) match {
-          case Some((files, schema)) => GraftRelations.fast(spark, path, files, schema)
+          case Some((files, schema)) =>
+            GraftRelations.fast(spark, path, files, schema, t.config.baseFileFormat)
           case None => new GraftComputedRelation(spark, () => t.snapshot(asOf))
         }
       case "read_optimized" =>
         val asOf = parameters.get(AS_OF_INSTANT)
         t.fastScanFiles(asOf, baseOnly = true) match {
-          case Some((files, schema)) => GraftRelations.fast(spark, path, files, schema)
+          case Some((files, schema)) =>
+            GraftRelations.fast(spark, path, files, schema, t.config.baseFileFormat)
           case None => new GraftComputedRelation(spark, () => t.readOptimized(asOf))
         }
       case "incremental" =>
@@ -286,7 +288,9 @@ object DefaultSource {
       targetFileSizeRows = parameters.getOrElse(TARGET_FILE_ROWS, "1000000").toLong,
       payload = MergePayload.of(parameters.getOrElse(PAYLOAD, "overwrite_latest")),
       populateMetaFields =
-        parameters.getOrElse(POPULATE_META_FIELDS, "true").toBoolean)
+        parameters.getOrElse(POPULATE_META_FIELDS, "true").toBoolean,
+      baseFileFormat =
+        parameters.getOrElse(BASE_FILE_FORMAT, "parquet").toLowerCase)
   }
 
   // read options (ref: hudi DataSourceReadOptions)
@@ -316,6 +320,9 @@ object DefaultSource {
   // virtual keys: append-only tables with no materialized `_g_*` columns
   // (ref: hudi hoodie.populate.meta.fields, HoodieTableConfig.java:178)
   val POPULATE_META_FIELDS = "graft.populate.meta.fields"
+  // base file format: parquet (default) | orc
+  // (ref: hoodie.table.base.file.format, HoodieOrcWriter)
+  val BASE_FILE_FORMAT = "graft.base.file.format"
   // streaming-sink ingest transform, `<SRC>` = the micro-batch view
   // (ref: hudi hoodie.deltastreamer.transformer.sql)
   val TRANSFORMER_SQL = "graft.transformer.sql"

@@ -417,6 +417,9 @@ class GraftV2Table(val path: String, fullName: String,
        else Map.empty[String, String]) ++
       (if (!cfg.populateMetaFields) Map(POPULATE_META_FIELDS -> "false")
        else Map.empty[String, String]) ++
+      (if (cfg.baseFileFormat != "parquet")
+         Map(BASE_FILE_FORMAT -> cfg.baseFileFormat)
+       else Map.empty[String, String]) ++
       cfg.precombineField.map(PRECOMBINE_FIELD -> _) ++
       (cfg.index match {
         case BucketIndex(n) => Map(INDEX_BUCKETS -> n.toString)
@@ -575,6 +578,7 @@ object GraftV2Table {
       targetFileSizeRows = p(TARGET_FILE_ROWS).getOrElse("1000000").toLong,
       payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")),
       schemaOnRead = p(SCHEMA_ON_READ).exists(_.toBoolean),
-      populateMetaFields = p(POPULATE_META_FIELDS).forall(_.toBoolean))
+      populateMetaFields = p(POPULATE_META_FIELDS).forall(_.toBoolean),
+      baseFileFormat = p(BASE_FILE_FORMAT).getOrElse("parquet").toLowerCase)
   }
 }

@@ -39,13 +39,15 @@ object GraftRelations {
 
   /** Native pushdown-capable relation over the live base files. */
   def fast(spark: SparkSession, basePath: String, files: Seq[FileMeta],
-      schema: StructType): BaseRelation =
+      schema: StructType, format: String = "parquet"): BaseRelation =
     HadoopFsRelation(
       location = new GraftFileIndex(spark, basePath, files),
       partitionSchema = new StructType(),
       dataSchema = schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = if (format == "orc")
+        new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
+      else new ParquetFileFormat,
       options = Map.empty)(spark)
 }
 

@@ -339,7 +339,8 @@ object GraftSql {
       .flatMap(_.logs.sortBy(_._1).map(_._2.path))
       .map(p => s"${t.basePath}/$p")
     if (logPaths.isEmpty) Seq.empty[String].toDF("record")
-    else t.spark.read.parquet(logPaths: _*).limit(limit).toJSON.toDF("record")
+    else t.spark.read.format(t.config.baseFileFormat).load(logPaths: _*)
+      .limit(limit).toJSON.toDF("record")
   }
 
   /** show_bootstrap_partitions (ref: ShowBootstrapPartitionsProcedure):

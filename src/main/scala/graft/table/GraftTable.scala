@@ -81,7 +81,8 @@ object GraftTable {
       "payload" -> config.payload.name,
       "schemaOnRead" -> config.schemaOnRead,
       "version" -> config.version,
-      "populateMetaFields" -> config.populateMetaFields)))
+      "populateMetaFields" -> config.populateMetaFields,
+      "baseFileFormat" -> config.baseFileFormat)))
     ()
   }
 
@@ -108,7 +109,8 @@ object GraftTable {
       raw.getOrElse("schemaOnRead", false).toString.toBoolean,
       // absent = written by a pre-version writer = id-less epochs
       raw.getOrElse("version", 1).toString.toInt,
-      raw.getOrElse("populateMetaFields", true).toString.toBoolean))
+      raw.getOrElse("populateMetaFields", true).toString.toBoolean,
+      raw.getOrElse("baseFileFormat", "parquet").toString))
   }
 
   def exists(path: String): Boolean =
@@ -825,10 +827,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         if (config.populateMetaFields) lit("0")
         else {
           val fromName = regexp_extract(input_file_name(),
-            "_([0-9]{15,})(?:_[0-9]{1,9})?\\.parquet$", 1)
+            "_([0-9]{15,})(?:_[0-9]{1,9})?\\.(?:parquet|orc)$", 1)
           when(fromName =!= "", fromName).otherwise(lit("0"))
         }
-      conformFrom(spark.read.schema(fileSchema).parquet(paths: _*), fileSchema,
+      conformFrom(spark.read.schema(fileSchema).format(config.baseFileFormat)
+            .load(paths: _*), fileSchema,
           tgt, origNames)
         .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
         .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
@@ -1012,8 +1015,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // no second Spark job re-reads freshly written files. preArranged
     // (global_sort bulk insert) skips them: disjoint per-file key ranges
     // already prune tagging to ~1 candidate file from range stats alone.
-    val withBlooms =
-      config.index == StatsIndex && !preArranged && config.populateMetaFields
+    val orc = config.baseFileFormat == "orc"
+    val withBlooms = config.index == StatsIndex && !preArranged &&
+      config.populateMetaFields && !orc
     val sorted = arranged.sortWithinPartitions(col(PART), col(FILE_ID), col(KEY))
     // virtual keys: the `_g_*` columns never reach the files — key and
     // partition re-derive from expressions, the commit instant from the
@@ -1022,7 +1026,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val toWrite =
       if (config.populateMetaFields) sorted else sorted.drop(metaCols: _*)
     toWrite.write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
-      .format(if (withBlooms) BloomParquetFormat.name else "parquet")
+      .format(if (withBlooms) BloomParquetFormat.name else config.baseFileFormat)
       .option("graft.bloom.expected", config.targetFileSizeRows.toString)
       .save(staging.toString)
     def dec(s: String): String = {
@@ -1038,12 +1042,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         Files.list(pDir).iterator().asScala
           .filter(f => f.getFileName.toString.startsWith("_gf=")).foreach { fDir =>
             val fid = dec(fDir.getFileName.toString.stripPrefix("_gf="))
+            val ext = s".${config.baseFileFormat}"
             val parts = Files.list(fDir).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+              .filter(_.getFileName.toString.endsWith(ext)).toSeq.sortBy(_.toString)
             val isLog = logGroups.contains(s"$partition|$fid")
             parts.zipWithIndex.foreach { case (src, i) =>
               val sfx = if (parts.size > 1) s"_$i" else ""
-              val name = (if (isLog) s"log_$fid" else fid) + s"_$instant$sfx.parquet"
+              val name = (if (isLog) s"log_$fid" else fid) + s"_$instant$sfx$ext"
               val destDir = if (partition.isEmpty) Paths.get(basePath)
                             else Paths.get(basePath, partition)
               Files.createDirectories(destDir)
@@ -1078,8 +1083,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(_.name).toSet
     val conf = spark.sessionState.newHadoopConf()
     val stats = moved.toSeq.par.map { case (rel, _, _, _) =>
-      rel -> FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
-        spark.sessionState.conf.sessionLocalTimeZone)
+      rel -> (if (orc) OrcFooterStats.read(conf, Paths.get(basePath, rel),
+          statCols + KEY)
+        else FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
+          spark.sessionState.conf.sessionLocalTimeZone))
     }.seq.toMap
     moved.toSeq.map { case (rel, partition, fid, hasBloom) =>
       val st = stats(rel)
@@ -1154,7 +1161,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val bloomAgg = ColumnBridge.column(
       KeyBloomAgg(ColumnBridge.expression(col(KEY)), config.targetFileSizeRows)
         .toAggregateExpression())
-    spark.read.parquet(baseRels.map(r => s"$basePath/$r"): _*)
+    spark.read.format(config.baseFileFormat)
+      .load(baseRels.map(r => s"$basePath/$r"): _*)
       .groupBy(input_file_name().as("f"))
       .agg(bloomAgg.as("bloom"))
       .as[(String, Array[Byte])]
@@ -1296,8 +1304,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           val insertCounts = cached.groupBy(col(PART)).count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
           batchRows = insertCounts.values.sum
+          // virtual-key tables never bin-pack: the rewrite needs per-row
+          // FILE_ID (not materialized) and would break filename-derived
+          // commit attribution — inserts append new groups only
           val (assigned, packKeys) = assignInserts(withFid, cur, instant,
-            allowBinpack = op != "bulk_insert", insertCounts)
+            allowBinpack = op != "bulk_insert" && config.populateMetaFields,
+            insertCounts)
           val packTargets = packKeys.toSeq.flatMap(curByKey.get)
           // bin-packed groups must be rewritten (old rows + new rows)
           val withOld =
@@ -1748,7 +1760,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     fastScanFiles(asOf, baseOnly = false) match {
       case Some((files, schema)) =>
         spark.baseRelationToDataFrame(graft.sources.GraftRelations.fast(
-          spark, basePath, files.filter(f => partitionPred(f.partition)), schema))
+          spark, basePath, files.filter(f => partitionPred(f.partition)), schema,
+          config.baseFileFormat))
       case None =>
         val data = schemaAt(asOf).getOrElse(new StructType())
         val full = snapshotFull(asOf, data, s => partitionPred(s.partition))
@@ -1765,7 +1778,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     fastScanFiles(asOf, baseOnly = true) match {
       case Some((files, schema)) =>
         return spark.baseRelationToDataFrame(
-          graft.sources.GraftRelations.fast(spark, basePath, files, schema))
+          graft.sources.GraftRelations.fast(spark, basePath, files, schema,
+            config.baseFileFormat))
       case None =>
     }
     val data = schemaAt(asOf).getOrElse(new StructType())

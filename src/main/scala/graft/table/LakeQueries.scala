@@ -403,7 +403,57 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** Scheduled compaction round trip: plan → interleaved upsert → execute.
+    * The snapshot must reflect BOTH the folded pre-plan updates and the
+    * interleaved post-plan ones — the async-services concurrency model
+    * (plan pinning, origInstant layering, OCC tolerance) in one
+    * oracle-checked query. */
+  def lakeScheduledCompaction(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("schedcomp", d), ordersCfg(MergeOnRead))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("PREPLAN")))
+    val plan = t.scheduleCompaction().get
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+      .withColumn("o_orderpriority", lit("POSTPLAN")))
+    t.runCompaction(plan)
+    out(t.snapshot())
+  }
+
+  /** Virtual keys: append-only COW with no materialized meta columns —
+    * bulk insert + insert + partition delete, snapshot from meta-free
+    * files with key/partition derived on read. */
+  def lakeVirtualKeys(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("vkeys", d),
+      ordersCfg(CopyOnWrite).copy(populateMetaFields = false))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders.filter(col("o_orderkey") % 2 === 0))
+    t.insert(orders.filter(col("o_orderkey") % 2 =!= 0))
+    t.deletePartitions(Seq("o_orderstatus=F"))
+    out(t.snapshot())
+  }
+
+  /** ORC base files: the MOR write/merge/compact path entirely over ORC. */
+  def lakeOrc(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("orc", d),
+      ordersCfg(MergeOnRead).copy(baseFileFormat = "orc"))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("ORCUP")))
+    t.compact()
+    t.delete(orders.filter(col("o_orderkey") % 13 === 0))
+    out(t.snapshot())
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_scheduled_compaction" -> (lakeScheduledCompaction _),
+    "lake_virtual_keys" -> (lakeVirtualKeys _),
+    "lake_orc" -> (lakeOrc _),
     "lake_insert_dedup" -> (lakeInsertDedup _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "lake_dms" -> (lakeDms _),
@@ -427,6 +477,36 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_scheduled_compaction" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 3 AS o_totalprice,
+         |         o_orderdate, 'POSTPLAN' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |         o_orderdate, 'PREPLAN'
+         |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 5 <> 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_virtual_keys" ->
+      s"""SELECT $oracleCols FROM orders
+         |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin,
+    "lake_orc" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 2 AS o_totalprice,
+         |         o_orderdate, 'ORCUP' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0)
+         |WHERE o_orderkey % 13 <> 0
+         |ORDER BY o_orderkey""".stripMargin,
     "lake_insert_dedup" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -171,7 +171,15 @@ case class TableConfig(
     // materialized in files — key/partition derive from expressions and the
     // commit instant from the file name on read. A real storage win at PB
     // scale (five columns fewer per row); tagging ops are rejected.
-    populateMetaFields: Boolean = true) {
+    populateMetaFields: Boolean = true,
+    // Base file format (ref: HoodieTableConfig BASE_FILE_FORMAT,
+    // HoodieOrcWriter): "parquet" (default; while-writing bloom sidecars)
+    // or "orc" (commit-time footer stats from the ORC file tail; blooms
+    // via CREATE INDEX backfill only).
+    baseFileFormat: String = "parquet") {
+
+  require(Set("parquet", "orc")(baseFileFormat),
+    s"unsupported base file format '$baseFileFormat' (parquet | orc)")
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).
