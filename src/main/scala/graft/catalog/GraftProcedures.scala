@@ -130,10 +130,13 @@ object GraftProcedures {
           case "execute" => t.compact(strategy = strategy)
           case "schedule" => t.scheduleCompaction(strategy = strategy)
           case "run" =>
-            val plan = Some(a.str(4)).filter(_.nonEmpty).orElse(
-              t.pendingPlans().collectFirst {
+            // no pending plan → schedule one first, then execute it
+            // (ref: RunCompactionProcedure.scala:87-91)
+            val plan = Some(a.str(4)).filter(_.nonEmpty)
+              .orElse(t.pendingPlans().collectFirst {
                 case (i, "compaction_schedule") => i
               })
+              .orElse(t.scheduleCompaction(strategy = strategy))
             plan.flatMap(t.runCompaction)
           case other => throw new IllegalArgumentException(
             s"unknown op '$other': use execute | schedule | run")
@@ -167,10 +170,15 @@ object GraftProcedures {
           case "schedule" =>
             t.scheduleClustering(sortCols, a.bool(2), strategy = strategy)
           case "run" =>
-            val plan = Some(a.str(6)).filter(_.nonEmpty).orElse(
-              t.pendingPlans().collectFirst {
+            // no pending plan → schedule one first, then execute it
+            // (ref: RunCompactionProcedure.scala:87-91, same shape for
+            // clustering)
+            val plan = Some(a.str(6)).filter(_.nonEmpty)
+              .orElse(t.pendingPlans().collectFirst {
                 case (i, "clustering_schedule") => i
               })
+              .orElse(t.scheduleClustering(sortCols, a.bool(2),
+                strategy = strategy))
             plan.flatMap(t.runClustering)
           case other => throw new IllegalArgumentException(
             s"unknown op '$other': use execute | schedule | run")

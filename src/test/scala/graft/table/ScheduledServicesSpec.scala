@@ -153,6 +153,13 @@ class ScheduledServicesSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(states1(planRow(0).getString(0)) === "COMPLETED")
     assert(sql("SELECT count(*) FROM graft.p_sched").collect()(0).getLong(0) === 30L)
+    // run with NO pending plan schedules one itself (ref:
+    // RunCompactionProcedure): new logs → schedule+run in one call
+    sql(s"INSERT INTO graft.p_sched VALUES ${vals.take(5).mkString(", ")}")
+    val auto = sql(
+      "CALL graft.run_compaction(`table` => 'p_sched', `op` => 'run')").collect()
+    assert(auto.length === 1 && auto(0).getString(0) != null)
+    assert(sql("SELECT count(*) FROM graft.p_sched").collect()(0).getLong(0) === 30L)
     sql("DROP TABLE graft.p_sched")
   }
 }
