@@ -239,6 +239,51 @@ object Curation {
   }
 
   /**
+   * Bigram-LM surprisal with add-one smoothing — the n-gram upgrade of
+   * [[unigramSurprisal]] (perplexity filters in CCNet/RedPajama score with
+   * an n-gram LM, not unigrams): p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)
+   * where V is the corpus vocabulary size and c(w1·) counts w1 as a
+   * bigram left context. Per-position surprisal rounds to integer
+   * micro-nats BEFORE the per-document sum, so the result is bit-stable
+   * at any parallelism and exactly reproducible by an external oracle.
+   *
+   * Scale shape: bigrams form PER ROW from adjacent array slots — no
+   * window shuffle, no self-join; the two count tables are
+   * partial-aggregated groupBys carrying only (w1[,w2],count); scoring is
+   * an equi-join on (w1,w2) plus a (w1) join. Docs with <2 tokens keep a
+   * zero row. Returns (id, n_bigrams, nats2_u).
+   */
+  def bigramSurprisal(docs: DataFrame, textCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val withArr = docs.select(col(idCol),
+      array_remove(split(lower(textCol), "[^a-z0-9]+"), "").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bg = withArr
+      .select(col(idCol), explode(when(size(col("w")) >= 2,
+        expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .otherwise(expr("array()"))).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = withArr.select(explode(col("w")).as("term")).distinct().count()
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("u", round(-log(
+        (col("c2").cast("double") + lit(1.0)) /
+          (col("c1") + lit(vocab)).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("u")).as("nats2_u"))
+    val out = withArr.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nats2_u"), lit(0L)).as("nats2_u"))
+    val materialized = out.localCheckpoint(eager = true)
+    bg.unpersist(blocking = false)
+    withArr.unpersist(blocking = false)
+    materialized
+  }
+
+  /**
    * Line-level boilerplate removal (the CCNet/C4-style pass that strips
    * "subscribe to our newsletter" lines): a line appearing in more than
    * `maxDocFrac` of all documents is boilerplate; every occurrence is

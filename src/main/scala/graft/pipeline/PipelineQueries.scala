@@ -160,6 +160,11 @@ object PipelineQueries {
     Curation.unigramSurprisal(Tables.documents(s, d), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Bigram-LM surprisal with add-one smoothing, integer micro-nats. */
+  def textPerplexityBigram(s: SparkSession, d: String): DataFrame =
+    Curation.bigramSurprisal(Tables.documents(s, d), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Line-level boilerplate removal: plant two universal lines + one
     * doc-unique line, then strip lines present in > 50% of docs. */
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
@@ -273,6 +278,7 @@ object PipelineQueries {
     "mix_domains" -> (mixDomains _),
     "text_repetition" -> (textRepetition _),
     "text_perplexity" -> (textPerplexity _),
+    "text_perplexity_bigram" -> (textPerplexityBigram _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_semantic" -> (dedupSemantic _),
     "mm_binary_meta" -> (mmBinaryMeta _)
@@ -582,6 +588,30 @@ object PipelineQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |       CAST(sum(u) AS BIGINT) AS nats_u
         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_perplexity_bigram" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT term) AS vocab
+        |      FROM (SELECT unnest(w) AS term FROM t)),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM t, unnest(range(1, len(w))) AS r(i) WHERE len(w) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        |u AS (SELECT doc_id,
+        |        CAST(round(-ln((CAST(c2 AS DOUBLE) + 1.0) /
+        |                       CAST(c1 + vocab AS DOUBLE)) * 1000000.0)
+        |             AS BIGINT) AS u
+        |      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(u) AS BIGINT) AS nats2_u
+        |        FROM u GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(nats2_u, 0) AS BIGINT) AS nats2_u
+        |FROM t LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH p AS (SELECT doc_id,
         |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
