@@ -318,7 +318,18 @@ object Curation {
         concat_ws("\n", transform(
           array_sort(collect_list(struct(col("pos"), col("unit")))),
           s => s.getField("unit"))).as("clean"))
-    units.groupBy(col(idCol)).agg(count(lit(1)).as("n_units"))
-      .join(kept, Seq(idCol))
+    // LEFT join: a document whose every line was boilerplate still comes
+    // back (n_kept = 0, empty clean) instead of silently vanishing
+    val out = units.groupBy(col(idCol)).agg(count(lit(1)).as("n_units"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_units"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"))
+    // materialize, then release the pinned units: the function owns the
+    // persist, so the caller must never inherit a leaked cache entry
+    // (same discipline as unigramSurprisal)
+    val materialized = out.localCheckpoint(eager = true)
+    units.unpersist(blocking = false)
+    materialized
   }
 }

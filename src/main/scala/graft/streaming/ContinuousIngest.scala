@@ -75,9 +75,13 @@ class ContinuousIngest(
         pendingService = Future(t.runCompaction(plan))
       }
     }
-    if (cleanRetainVersions > 0 && ingested % math.max(1, compactEvery * 2) == 0)
+    // clean/archive cadence decoupled from compaction: 2× the compaction
+    // period when compaction is on, every 10 batches otherwise — never
+    // every batch (a full clean sweep on the ingest hot path)
+    val houseEvery = if (compactEvery > 0) compactEvery * 2 else 10
+    if (cleanRetainVersions > 0 && ingested % houseEvery == 0)
       t.clean(cleanRetainVersions)
-    if (archiveKeepLast > 0 && ingested % math.max(1, compactEvery * 2) == 0)
+    if (archiveKeepLast > 0 && ingested % houseEvery == 0)
       t.archive(archiveKeepLast)
     instant
   }

@@ -368,11 +368,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // still conflicts — a straggler deltacommit below the plan would have
     // its log folded UNDER the new base and lost. Clustering executions
     // stay strict: a replace drops interleaved logs, so they must conflict.
+    // ...but two executions of the SAME plan must still conflict — both
+    // would commit a base at the same plan instant and every compacted row
+    // would read twice. The same-plan exclusion makes the racing second
+    // execution abort on the first one's commit.
+    def samePlan(a: CommitMeta, b: CommitMeta): Boolean =
+      a.extra.get("planInstant").exists(b.extra.get("planInstant").contains)
     val tolerated: CommitMeta => Boolean = other =>
-      (other.operation == "compact" &&
-        other.extra.get("planInstant").exists(_ < meta.instant)) ||
-      (meta.operation == "compact" &&
-        meta.extra.get("planInstant").exists(_ < other.instant))
+      !samePlan(meta, other) && (
+        (other.operation == "compact" &&
+          other.extra.get("planInstant").exists(_ < meta.instant)) ||
+        (meta.operation == "compact" &&
+          meta.extra.get("planInstant").exists(_ < other.instant)))
     lockProvider.withLock {
       if (detectConflict(startLatest, groups, partitions, anyCommit, tolerated))
         throw new ConcurrentWriteException(
@@ -1132,6 +1139,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     require(config.index == StatsIndex,
       "bloom index applies to stats-index tables (bucket tagging is a pure" +
         " expression and never consults blooms)")
+    require(config.populateMetaFields,
+      "bloom index folds the materialized key column; a virtual-key " +
+        "(populate.meta.fields=false) table has none — and no tagging op " +
+        "that would consult it")
     require(bloomIndexName.isEmpty,
       s"bloom index '${bloomIndexName.get}' already exists")
     val missing = slices(None).flatMap(_.baseFiles)
@@ -1810,10 +1821,21 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val ms = timeline.metas(Some(to))
       .filter(m => dataActions(m.action) && m.operation != "checkpoint" &&
         m.instant > fromExclusive)
-    val files = ms.flatMap(m => m.files.map(_ -> m.instant))
+    // pair each file with its EFFECTIVE instant: a scheduled-compaction
+    // execution records files at origInstant (the plan instant), and that
+    // is the schema epoch the file was written with — pairing with the
+    // execution instant would conform it against a post-plan ALTER's epoch
+    val files = ms.flatMap(m => m.files.map(f =>
+      f -> (if (f.origInstant.nonEmpty) f.origInstant else m.instant)))
+    // virtual-key tables never expose meta columns (same surface as
+    // snapshot/readOptimized)
+    def surface(df: DataFrame): DataFrame = {
+      val d = df.drop(FILE_ID, DELETED)
+      if (config.populateMetaFields) d else d.drop(COMMIT, KEY, PART)
+    }
     if (files.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        fullSchema(data)).drop(FILE_ID, DELETED)
+      return surface(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fullSchema(data)))
     val cleaned: Set[String] = timeline.metas(None)
       .filter(_.action == "clean").flatMap(_.deletedPaths).toSet
     val lost = files.collect { case (f, i) if cleaned(f.path) => (f.path, i) }
@@ -1823,12 +1845,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           s"the window were cleaned (earliest: ${lost.minBy(_._2)._1}) — " +
           "start from a newer instant, or enable the full-scan fallback " +
           "(graft.incremental.fallback.fullscan)")
-      return snapshot(Some(to))
-        .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to)
+      // snapshotFull (not the public snapshot): the commit-range filter
+      // needs the COMMIT column, which a virtual-key snapshot() hides
+      return surface(snapshotFull(Some(to), data, _ => true)
+        .filter(!col(DELETED))
+        .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to))
     }
-    mergeLatest(readConformed(files, data)
+    surface(mergeLatest(readConformed(files, data)
       .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to))
-      .filter(!col(DELETED)).drop(FILE_ID, DELETED)
+      .filter(!col(DELETED)))
   }
 
   /**
@@ -2066,6 +2091,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def scheduleClustering(sortCols: Seq[String], zorder: Boolean = false,
       partitionPred: String => Boolean = _ => true,
       strategy: ClusteringStrategy = ClusterAll): Option[String] = {
+    require(config.populateMetaFields,
+      "clustering preserves per-row commit times, which a virtual-key " +
+        "(populate.meta.fields=false) table does not materialize")
     val pinned = pendingPlanGroups()
     val live = slices(None).filter(s =>
       partitionPred(s.partition) && !pinned(groupKey(s)))
@@ -2165,6 +2193,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   private def clusterSlices(cur: Seq[FileSlice], sortCols: Seq[String],
       zorder: Boolean, startLatest: String,
       extraMeta: Map[String, String]): Option[String] = {
+    // belt for every entry path (inline, scheduled): a virtual-key table's
+    // rows would be re-attributed to the clustering instant on read
+    require(config.populateMetaFields,
+      "clustering preserves per-row commit times, which a virtual-key " +
+        "(populate.meta.fields=false) table does not materialize")
     val instant = timeline.startInstant("replacecommit")
     try {
       val data = schemaAt(None).getOrElse(new StructType())
@@ -2449,6 +2482,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
       carriedSchemas = carriedSchemas, extra = extra))
     toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
+    // an executed service PLAN must leave the active timeline WITH its
+    // execution commit — otherwise the surviving `<plan>.compactionreq`
+    // reads as pending again (pendingPlans / the executed-marker check
+    // only see active metas), pinning its file groups against every
+    // future plan while the execution that satisfied it sits archived
+    val executedPlans = toArchive.flatMap(_.extra.get("planInstant")).toSet
+    if (executedPlans.nonEmpty)
+      timeline.completed()
+        .filter { case (i, a) => planActions(a) && executedPlans(i) }
+        .foreach { case (i, a) => timeline.archiveInstant(i, a) }
     toArchive.size
   }
 

@@ -125,6 +125,24 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("archival keeps an executed plan executed (no pending-plan resurrection)") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.limit(40).withColumn("o_totalprice", lit(5.0)))
+    val Some(plan) = t.scheduleCompaction(): @unchecked
+    val Some(_) = t.runCompaction(plan): @unchecked
+    // pad the timeline so the execution commit falls out of the keep window
+    (1 to 3).foreach(i => t.upsert(orders.limit(5).withColumn("o_totalprice", lit(i.toDouble))))
+    assert(t.archive(keepLast = 2) > 0)
+    // the plan left the active timeline WITH its execution commit: it must
+    // not read as pending again (which would pin its groups forever)
+    assert(t.pendingPlans().isEmpty, "archived execution resurrected its plan")
+    assert(!GraftSql.showCompaction(t).collect().exists(_.getString(1) == "REQUESTED"))
+    assert(t.snapshot().count() === orders.count())
+    GraftTable.drop(dir)
+  }
+
   test("CALL surface: run_compaction op => schedule / run + show_compaction states") {
     def sql(q: String) = spark.sql(q)
     sql("DROP TABLE IF EXISTS graft.p_sched")
