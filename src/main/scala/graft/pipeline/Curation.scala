@@ -176,6 +176,41 @@ object Curation {
   }
 
   /**
+   * Temperature-based domain re-weighting (the multilingual-LM "alpha
+   * sampling" rule, mC4/XLM-R-style): a source with natural token share
+   * p_s is sampled toward q_s ∝ p_s^alpha — alpha < 1 flattens the
+   * distribution (up-samples the tail), alpha > 1 sharpens it. Per-source
+   * keep fraction = min(1, budgetFrac · total · q_s / tokens_s); rows kept
+   * by the deterministic md5-threshold predicate — no RNG, no shuffle,
+   * idempotent at any cluster size.
+   *
+   * Exactness: p_s^alpha goes through sqrt for alpha = 0.5 (IEEE
+   * correctly-rounded on every platform, so the oracle reproduces the
+   * thresholds bit-for-bit); the normalizer folds over sources in name
+   * order so the double sum is order-fixed.
+   */
+  def mixTemperature(docs: DataFrame, tokenCol: Column, alpha: Double,
+      budgetFrac: Double, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha > 0, "alpha must be > 0")
+    require(budgetFrac > 0 && budgetFrac <= 1, "budgetFrac must be in (0, 1]")
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    val withTok = docs.withColumn("_tokens", tokenCol.cast("long"))
+    val perSource = withTok.groupBy(col(sourceCol)).agg(sum(col("_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perSource.values.sum.toDouble
+    val pows = perSource.toSeq.sortBy(_._1)
+      .map { case (s, t) => s -> powA(t.toDouble / total) }
+    val z = pows.foldLeft(0.0) { case (acc, (_, p)) => acc + p }
+    val fractions = pows.map { case (s, p) =>
+      s -> math.min(1.0, budgetFrac * total * (p / z) / perSource(s).toDouble)
+    }.toMap
+    stratifiedSample(withTok, sourceCol, idCol, fractions)
+      .withColumnRenamed("_tokens", "tokens")
+  }
+
+  /**
    * Repetition signals (quality filtering à la the published "repetitious
    * text" heuristics): per document, the fraction of duplicated words and
    * the share of the most common bigram. High values flag boilerplate /

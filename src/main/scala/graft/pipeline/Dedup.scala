@@ -25,6 +25,22 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_h", "_rn")
   }
 
+  /** Exact dedup after text NORMALIZATION — the "near-exact" first pass of
+    * C4/RefinedWeb-style curation (case, punctuation and whitespace
+    * variants of the same document collapse before any fuzzy method runs).
+    * Normalization stays in the ASCII-safe subset (strip non-alphanumerics
+    * first, lowercase after) so an external oracle states byte-identical
+    * strings. Same shuffle shape as [[exact]]: one hash groupBy. */
+  def exactNormalized(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val norm = lower(trim(regexp_replace(col(textCol), "[^A-Za-z0-9]+", " ")))
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    docs.withColumn("_h",
+      coalesce(md5(norm), concat(lit("null:"), col(idCol).cast("string"))))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_h", "_rn")
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

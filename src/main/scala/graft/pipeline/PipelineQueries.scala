@@ -149,6 +149,26 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("tokens"))
       .orderBy(col("doc_id"))
 
+  /** Temperature (alpha = 0.5) domain re-weighting at a 25% token budget:
+    * tail sources up-sample toward sqrt-share, head sources down-sample. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame =
+    Curation.mixTemperature(Tables.documents(s, d),
+      TextFunctions.wsTokenCount(col("text")), alpha = 0.5, budgetFrac = 0.25)
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Near-exact dedup: case/punctuation/whitespace variants collapse via
+    * ASCII-safe normalization before hashing (planted: each doc re-appears
+    * with extra punctuation + padding and must dedup away). */
+  def dedupExactNormalized(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val variants = docs.withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(lit("  "), col("text"), lit(" ... !!")))
+    Dedup.exactNormalized(docs.unionByName(variants))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Gopher-style repetition signals per document. */
   def textRepetition(s: SparkSession, d: String): DataFrame =
     Curation.repetitionSignals(Tables.documents(s, d), col("text"))
@@ -276,6 +296,8 @@ object PipelineQueries {
     "search_bm25" -> (searchBm25 _),
     "contam_overlap" -> (contamOverlap _),
     "mix_domains" -> (mixDomains _),
+    "mix_temperature" -> (mixTemperature _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
     "text_repetition" -> (textRepetition _),
     "text_perplexity" -> (textPerplexity _),
     "text_perplexity_bigram" -> (textPerplexityBigram _),
@@ -558,6 +580,32 @@ object PipelineQueries {
          |SELECT doc_id, source, tokens FROM tok JOIN th USING (source)
          |WHERE md5(CAST(doc_id AS VARCHAR)) < thr
          |ORDER BY doc_id""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH tok AS (SELECT doc_id, source, CAST(${T.wsTokens} AS BIGINT) AS tokens
+         |            FROM documents),
+         |tot AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total FROM tok),
+         |per AS (SELECT source, CAST(sum(tokens) AS DOUBLE) AS t FROM tok GROUP BY source),
+         |pw AS (SELECT source, t, sqrt(t / tot.total) AS p FROM per, tot),
+         |z AS (SELECT list_sum(list(p ORDER BY source)) AS z FROM pw),
+         |th AS (SELECT pw.source,
+         |         printf('%08x', least(CAST(round(
+         |           least(1.0, 0.25 * tot.total * (p / z.z) / t) * 4294967296.0)
+         |           AS BIGINT), 4294967295)) AS thr
+         |       FROM pw, z, tot)
+         |SELECT doc_id, source, tokens FROM tok JOIN th USING (source)
+         |WHERE md5(CAST(doc_id AS VARCHAR)) < thr
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_exact_normalized" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (
+        |      PARTITION BY lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))
+        |      ORDER BY doc_id) AS rn
+        |  FROM (SELECT doc_id, text, lang, source FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 10000, '  ' || text || ' ... !!', lang, source
+        |        FROM documents))
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
