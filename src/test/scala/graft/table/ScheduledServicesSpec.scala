@@ -125,6 +125,63 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("racing two executions of the SAME plan: exactly one commits, no duplicate rows") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", lit(7.0)))
+    val Some(plan) = t.scheduleCompaction(): @unchecked
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Option[String]]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Right(t.runCompaction(plan)))
+        catch { case e: Throwable => results.add(Left(e)) }
+        ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val (failures, successes) = results.toArray.toSeq
+      .map(_.asInstanceOf[Either[Throwable, Option[String]]])
+      .partitionMap(identity)
+    // exactly one execution lands; the loser dies on the already-executed
+    // check or on the OCC same-plan conflict — never commits a second base
+    assert(successes.count(_.isDefined) === 1,
+      s"expected exactly one winning execution, got $results")
+    assert(failures.forall(e => e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[ConcurrentWriteException]), failures.map(_.getClass).toString)
+    // one base generation at the plan instant per group — and no row dupes
+    for (s <- t.slices(None) if s.baseInstant == plan)
+      assert(s.baseFiles.map(_.path).distinct.size === s.baseFiles.size)
+    assert(t.snapshot().count() === orders.count())
+    assert(t.snapshot().groupBy(col("o_orderkey")).count()
+      .filter(col("count") > 1).count() === 0, "duplicate keys after race")
+    GraftTable.drop(dir)
+  }
+
+  test("soak: 8 ingest batches with a schedule+execute cycle after every one") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    for (i <- 1 to 8) {
+      t.upsert(orders.filter(col("o_orderkey") % 8 === i % 8)
+        .withColumn("o_orderpriority", lit(s"S$i")))
+      t.scheduleCompaction().foreach(p => t.runCompaction(p))
+    }
+    // every batch's marker survives on exactly its residue class
+    for (i <- 1 to 8) {
+      val expect = orders.filter(col("o_orderkey") % 8 === i % 8).count()
+      assert(t.snapshot().filter(col("o_orderpriority") === s"S$i").count()
+        === expect, s"batch $i lost rows")
+    }
+    assert(t.snapshot().count() === orders.count())
+    assert(t.pendingPlans().isEmpty)
+    assert(t.slices(None).forall(_.logs.isEmpty)) // every cycle folded its debt
+    GraftTable.drop(dir)
+  }
+
   test("archival keeps an executed plan executed (no pending-plan resurrection)") {
     val dir = tmp()
     val t = ordersTable(MergeOnRead, dir)
