@@ -150,14 +150,17 @@ object GraftProcedures {
         "columns, zorder => multi-column Z-order layout; small_file_bytes " +
         "> 0 consolidates only small groups within max_io_bytes " +
         "(ref: SparkSizeBasedClusteringPlanStrategy). op => 'execute' | " +
-        "'schedule' | 'run' as in run_compaction.",
+        "'schedule' | 'run' as in run_compaction. curve => 'zorder' " +
+        "(default) | 'hilbert' for the multi-column layout (ref: " +
+        "HilbertCurveUtils / hoodie.layout.optimize.curve.build.method).",
       Seq(in("table", StringType),
         in("order", StringType, "''"),
         in("zorder", BooleanType, "false"),
         in("small_file_bytes", LongType, "-1"),
         in("max_io_bytes", LongType, "-1"),
         in("op", StringType, "'execute'"),
-        in("instant", StringType, "''")),
+        in("instant", StringType, "''"),
+        in("curve", StringType, "'zorder'")),
       (cat, a) => {
         val t = tableOf(cat, a.str(0))
         val strategy =
@@ -165,10 +168,13 @@ object GraftProcedures {
             SmallFileBounded(a.long(3), if (a.long(4) >= 0) a.long(4) else Long.MaxValue)
           else ClusterAll
         val sortCols = a.str(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val curve = a.str(7).toLowerCase
         val res = a.str(5).toLowerCase match {
-          case "execute" => t.cluster(sortCols, a.bool(2), strategy = strategy)
+          case "execute" =>
+            t.cluster(sortCols, a.bool(2), strategy = strategy, curve = curve)
           case "schedule" =>
-            t.scheduleClustering(sortCols, a.bool(2), strategy = strategy)
+            t.scheduleClustering(sortCols, a.bool(2), strategy = strategy,
+              curve = curve)
           case "run" =>
             // no pending plan → schedule one first, then execute it
             // (ref: RunCompactionProcedure.scala:87-91, same shape for
@@ -178,7 +184,7 @@ object GraftProcedures {
                 case (i, "clustering_schedule") => i
               })
               .orElse(t.scheduleClustering(sortCols, a.bool(2),
-                strategy = strategy))
+                strategy = strategy, curve = curve))
             plan.flatMap(t.runClustering)
           case other => throw new IllegalArgumentException(
             s"unknown op '$other': use execute | schedule | run")

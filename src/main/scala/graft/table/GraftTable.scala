@@ -2090,10 +2090,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * [[runClustering]]. */
   def scheduleClustering(sortCols: Seq[String], zorder: Boolean = false,
       partitionPred: String => Boolean = _ => true,
-      strategy: ClusteringStrategy = ClusterAll): Option[String] = {
+      strategy: ClusteringStrategy = ClusterAll,
+      curve: String = "zorder"): Option[String] = {
     require(config.populateMetaFields,
       "clustering preserves per-row commit times, which a virtual-key " +
         "(populate.meta.fields=false) table does not materialize")
+    require(Set("zorder", "hilbert")(curve),
+      s"unknown layout curve '$curve' (zorder | hilbert)")
     val pinned = pendingPlanGroups()
     val live = slices(None).filter(s =>
       partitionPred(s.partition) && !pinned(groupKey(s)))
@@ -2104,7 +2107,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       timeline.complete(CommitMeta(instant, "clusteringreq", "clustering_schedule",
         files = cur.flatMap(s => s.baseFiles ++ s.logs.map(_._2)),
         extra = Map("baseInstants" -> encodePlanGroups(cur),
-          "sortCols" -> sortCols.mkString(","), "zorder" -> zorder.toString)))
+          "sortCols" -> sortCols.mkString(","), "zorder" -> zorder.toString,
+          "curve" -> curve)))
       Some(instant)
     } catch { case e: Throwable => timeline.abort(instant, "clusteringreq"); throw e }
   }
@@ -2135,7 +2139,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
       None
     } else clusterSlices(cur, sortCols, zorder, startLatest,
-      Map("planInstant" -> planInstant))
+      Map("planInstant" -> planInstant),
+      plan.extra.getOrElse("curve", "zorder"))
   }
 
   /** Pending (not yet executed) service plans: (instant, operation). */
@@ -2156,7 +2161,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * budget and returns None when fewer than two qualify (nothing to merge). */
   def cluster(sortCols: Seq[String], zorder: Boolean = false,
       partitionPred: String => Boolean = _ => true,
-      strategy: ClusteringStrategy = ClusterAll): Option[String] = {
+      strategy: ClusteringStrategy = ClusterAll,
+      curve: String = "zorder"): Option[String] = {
     require(config.populateMetaFields,
       "clustering preserves per-row commit times, which a virtual-key " +
         "(populate.meta.fields=false) table does not materialize")
@@ -2164,7 +2170,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val live = slices(None).filter(s => partitionPred(s.partition))
     val cur = pickClusteringTargets(live, strategy)
     if (cur.isEmpty) None
-    else clusterSlices(cur, sortCols, zorder, startLatest, Map.empty)
+    else clusterSlices(cur, sortCols, zorder, startLatest, Map.empty, curve)
   }
 
   /** Strategy-driven clustering target selection (shared by the inline
@@ -2192,7 +2198,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * range-partitioned file groups and commit them as a replacecommit. */
   private def clusterSlices(cur: Seq[FileSlice], sortCols: Seq[String],
       zorder: Boolean, startLatest: String,
-      extraMeta: Map[String, String]): Option[String] = {
+      extraMeta: Map[String, String],
+      curve: String = "zorder"): Option[String] = {
+    require(Set("zorder", "hilbert")(curve),
+      s"unknown layout curve '$curve' (zorder | hilbert)")
     // belt for every entry path (inline, scheduled): a virtual-key table's
     // rows would be re-attributed to the clustering instant on read
     require(config.populateMetaFields,
@@ -2212,6 +2221,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val nGroups = math.max(1, math.ceil(totalRows.toDouble / config.targetFileSizeRows).toInt)
       val layoutCol: Column =
         if (!zordered) struct(sortCols.map(col): _*)
+        else if (curve == "hilbert") ZOrder.hvalue(rows, sortCols.take(2))
         else ZOrder.zvalue(rows, sortCols.take(2))
       val arranged = rows.withColumn("_g_z", layoutCol)
         .repartitionByRange(nGroups, col(PART), col("_g_z"))
@@ -2588,7 +2598,8 @@ object ZOrder {
     v
   }
 
-  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
+  /** The two columns' 16-bit ranks (one min/max aggregate pass). */
+  private def ranks(df: DataFrame, cols: Seq[String]): (Column, Column) = {
     val Seq(a, b) = cols
     val r = df.agg(min(col(a)).cast("double").as("amn"), max(col(a)).cast("double").as("amx"),
       min(col(b)).cast("double").as("bmn"), max(col(b)).cast("double").as("bmx")).collect()(0)
@@ -2599,7 +2610,20 @@ object ZOrder {
       if (mx <= mn) lit(0L)
       else ((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
         lit(mx - mn) * lit(65535.0)).cast("long")
-    spread(norm(a, d(0), d(1)))
-      .bitwiseOR(shiftleft(spread(norm(b, d(2), d(3))), 1))
+    (norm(a, d(0), d(1)), norm(b, d(2), d(3)))
+  }
+
+  def zvalue(df: DataFrame, cols: Seq[String]): Column = {
+    val (x, y) = ranks(df, cols)
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+  }
+
+  /** Hilbert layout value (ref: hudi HilbertCurveUtils): same ranks, the
+    * curve index computed by the native codegen kernel. */
+  def hvalue(df: DataFrame, cols: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val (x, y) = ranks(df, cols)
+    ColumnBridge.column(graft.functions.HilbertIndexExpr(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
   }
 }
