@@ -195,10 +195,16 @@ object GraftProcedures {
     Proc("run_clean",
       "Remove unreferenced old file versions (ref: RunCleanProcedure). " +
         "policy => file_versions | commits | hours; retain => versions/" +
-        "commits to keep or hour window.",
+        "commits to keep or hour window. op => 'execute' (inline, default) " +
+        "| 'schedule' (pin the doomed set in a cleanreq plan instant — " +
+        "ref: CleanPlanActionExecutor's .clean.requested) | 'run' (execute " +
+        "the pending plan named by instant =>, or the oldest pending one, " +
+        "scheduling first if none — ref: AsyncCleanerService).",
       Seq(in("table", StringType),
         in("policy", StringType, "'file_versions'"),
-        in("retain", DoubleType, "1")),
+        in("retain", DoubleType, "1"),
+        in("op", StringType, "'execute'"),
+        in("instant", StringType, "''")),
       (cat, a) => {
         val policy = a.str(1).toLowerCase match {
           case "file_versions" => KeepLatestFileVersions(a.double(2).toInt)
@@ -207,7 +213,21 @@ object GraftProcedures {
           case other => throw new IllegalArgumentException(
             s"unknown clean policy '$other': use file_versions | commits | hours")
         }
-        one(instantResult, tableOf(cat, a.str(0)).clean(policy))
+        val t = tableOf(cat, a.str(0))
+        val res = a.str(3).toLowerCase match {
+          case "execute" => Some(t.clean(policy))
+          case "schedule" => t.scheduleClean(policy)
+          case "run" =>
+            val plan = Some(a.str(4)).filter(_.nonEmpty)
+              .orElse(t.pendingPlans().collectFirst {
+                case (i, "clean_schedule") => i
+              })
+              .orElse(t.scheduleClean(policy))
+            plan.flatMap(t.runClean)
+          case other => throw new IllegalArgumentException(
+            s"unknown op '$other': use execute | schedule | run")
+        }
+        one(instantResult, res.orNull)
       }),
 
     Proc("archive_commits",

@@ -319,6 +319,59 @@ object Curation {
   }
 
   /**
+   * Bad-word document filter (the C4 "blocklist" pass: drop any document
+   * containing a blocklisted token). The blocklist is a LITERAL array —
+   * compiled straight into the codegen'd predicate, so the filter is a
+   * map-side scan predicate: no join, no shuffle, no broadcast exchange,
+   * nothing to skew. At 100 TB this is the cheapest possible corpus pass —
+   * one read, one whole-stage-codegen'd filter. Tokenization matches the
+   * other curation ops (lower-cased alnum runs).
+   */
+  def badwordFilter(docs: DataFrame, textCol: Column,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist filters nothing")
+    val toks = array_remove(split(lower(textCol), "[^a-z0-9]+"), "")
+    docs.filter(!arrays_overlap(toks, lit(blocklist.map(_.toLowerCase).toArray)))
+  }
+
+  /**
+   * Linear quality classifier (the fastText-classifier filtering shape of
+   * DCLM/FineWeb-Edu, reduced to a fixed linear model over handcrafted
+   * features): logit = b + Σ wᵢ·fᵢ over word count (log), stopword ratio,
+   * punctuation ratio and lexical diversity. The logit is computed in a
+   * FIXED left-associative op order and then rounded to integer
+   * micro-logits, so the score is bit-stable at any parallelism and an
+   * external oracle states the same doubles. A real deployment swaps the
+   * hand-set weights for trained ones — the execution shape (pure
+   * per-row codegen expression, no UDF, no shuffle) is what matters at
+   * 100 TB.
+   *
+   * Returns (id, n_words, logit_u, keep) with keep = logit_u >= 0.
+   */
+  def qualityClassifier(docs: DataFrame, textCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.TextFunctions
+    val nWords = TextFunctions.wsTokenCount(textCol)
+    val nStop = TextFunctions.stopwordCount(textCol)
+    val nPunct = TextFunctions.punctCount(textCol)
+    val toks = array_remove(split(lower(textCol), "[^a-z0-9]+"), "")
+    val denom = greatest(nWords, lit(1L)).cast("double")
+    val stopRatio = nStop.cast("double") / denom
+    val punctRatio = nPunct.cast("double") /
+      greatest(length(textCol), lit(1)).cast("double")
+    val distinctRatio = size(array_distinct(toks)).cast("double") / denom
+    // fixed left-assoc fold: ((((b + w1·f1) + w2·f2) + w3·f3) + w4·f4)
+    val logit = lit(-2.5) +
+      lit(0.5) * log(greatest(nWords, lit(1L)).cast("double")) +
+      lit(3.0) * stopRatio +
+      lit(-8.0) * punctRatio +
+      lit(1.5) * distinctRatio
+    docs.select(col(idCol), nWords.as("n_words"),
+      round(logit * lit(1e6)).cast("long").as("logit_u"))
+      .withColumn("keep", (col("logit_u") >= 0L).cast("int"))
+  }
+
+  /**
    * Line-level boilerplate removal (the CCNet/C4-style pass that strips
    * "subscribe to our newsletter" lines): a line appearing in more than
    * `maxDocFrac` of all documents is boilerplate; every occurrence is

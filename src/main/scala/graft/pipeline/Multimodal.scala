@@ -58,6 +58,27 @@ object Multimodal {
       }
   }
 
+  /** Batched per-partition "feature extraction" over media payloads — the
+    * embedding-model shape (decode → featurize) with the model STUBBED by
+    * a digest: four 16-bit features from the payload's MD5. The Spark
+    * plumbing is the real thing a vision/audio encoder needs at scale:
+    * per-partition model init, one iterator pass, fixed-dim output columns
+    * feeding straight into the ANN/quantize operators. */
+  def extractFeatures(withPayload: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition init
+        it.filter(_._2 != null).map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          def f(i: Int): Int = Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16)
+          (id, f(0), f(1), f(2), f(3))
+        }
+      }.toDF("doc_id", "f0", "f1", "f2", "f3")
+  }
+
   /** Deterministic frame sampling stub over a "video" payload: pick every
     * `stride`-th byte offset as a frame marker — exercises the explode /
     * one-to-many shape of real frame extraction. */

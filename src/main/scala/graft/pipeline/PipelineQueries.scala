@@ -273,6 +273,31 @@ object PipelineQueries {
       .toDF().orderBy(col("doc_id"))
   }
 
+  /** Frame sampling over "video" payloads: every 64th byte offset. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.attachPayload(Tables.documents(s, d)), stride = 64)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Batched per-partition feature extraction (stubbed encoder). */
+  def mmFeatures(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    Multimodal.extractFeatures(Multimodal.attachPayload(Tables.documents(s, d)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style blocklist filter: drop docs containing a blocklisted token. */
+  def filterBadwords(s: SparkSession, d: String): DataFrame =
+    Curation.badwordFilter(Tables.documents(s, d), col("text"),
+      blocklist = Seq("slow", "dup"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Linear quality classifier in integer micro-logits. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame =
+    Curation.qualityClassifier(Tables.documents(s, d), col("text"))
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -303,7 +328,11 @@ object PipelineQueries {
     "text_perplexity_bigram" -> (textPerplexityBigram _),
     "dedup_paragraph" -> (dedupParagraph _),
     "dedup_semantic" -> (dedupSemantic _),
-    "mm_binary_meta" -> (mmBinaryMeta _)
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_features" -> (mmFeatures _),
+    "filter_badwords" -> (filterBadwords _),
+    "quality_classifier" -> (qualityClassifier _)
   )
 
   import TextFunctions.{sql => T}
@@ -660,6 +689,45 @@ object PipelineQueries {
         |  CAST(coalesce(nats2_u, 0) AS BIGINT) AS nats2_u
         |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(bo // 64 AS INTEGER) AS frame_idx,
+        |       CAST(bo AS INTEGER) AS byte_offset
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS blen FROM documents),
+        |     unnest(range(0, blen, 64)) AS u(bo)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) AS f0,
+        |  CAST(concat('0x', substr(md5(text), 5, 4)) AS INTEGER) AS f1,
+        |  CAST(concat('0x', substr(md5(text), 9, 4)) AS INTEGER) AS f2,
+        |  CAST(concat('0x', substr(md5(text), 13, 4)) AS INTEGER) AS f3
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "filter_badwords" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE len(list_intersect(
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                    x -> x <> ''),
+        |        ['slow', 'dup'])) = 0
+        |ORDER BY doc_id""".stripMargin,
+    "quality_classifier" ->
+      s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, logit_u,
+         |  CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END AS keep
+         |FROM (
+         |  SELECT doc_id, n_words,
+         |    CAST(round((-2.5 + 0.5 * ln(greatest(n_words, 1)::DOUBLE)
+         |      + 3.0 * stop_ratio + -8.0 * punct_ratio
+         |      + 1.5 * distinct_ratio) * 1000000.0) AS BIGINT) AS logit_u
+         |  FROM (
+         |    SELECT doc_id, ${T.wsTokens} AS n_words,
+         |      (${T.stop})::DOUBLE / greatest(${T.wsTokens}, 1)::DOUBLE AS stop_ratio,
+         |      (${T.punct})::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         |      len(list_distinct(list_filter(
+         |        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |        x -> x <> '')))::DOUBLE
+         |        / greatest(${T.wsTokens}, 1)::DOUBLE AS distinct_ratio
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin,
     "dedup_paragraph" ->
       """WITH p AS (SELECT doc_id,
         |    text || chr(10) || 'subscribe to our newsletter' || chr(10) ||

@@ -2000,7 +2000,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .flatMap(m => m.files.map(f => s"${f.partition}|${f.fileId}")).toSet
   }
 
-  private def planActions = Set("compactionreq", "clusteringreq")
+  private def planActions = Set("compactionreq", "clusteringreq", "cleanreq")
 
   private def assertNotExecuted(planInstant: String): Unit =
     require(!timeline.metas(None).exists(m =>
@@ -2270,6 +2270,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val instant = timeline.startInstant("clean")
       try {
         timeline.refresh() // must observe other writers' commits
+        val (doomed, earliestRetained) = cleanPlan(policy)
+        timeline.complete(CommitMeta(instant, "clean", "clean",
+          deletedPaths = doomed,
+          extra = earliestRetained.map("earliestRetained" -> _).toMap))
+        (instant, doomed)
+      } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
+    }
+    deleteCleaned(doomed)
+    instant
+  }
+
+  private def deleteCleaned(doomed: Seq[String]): Unit =
+    doomed.foreach { rel =>
+      Files.deleteIfExists(Paths.get(basePath, rel))
+      Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(rel)))
+    }
+
+  /** The doomed-file computation shared by inline [[clean]], the scheduled
+    * [[scheduleClean]] and the validating re-run inside [[runClean]].
+    * MUST be called under the commit lock after a timeline refresh. */
+  private def cleanPlan(policy: CleanPolicy): (Seq[String], Option[String]) = {
+    {
         val ms = timeline.metas(None).filter(m => dataActions(m.action))
         val byGroup = mutable.Map[(String, String), mutable.Buffer[(String, FileMeta)]]()
         // version by EFFECTIVE instant: a checkpoint re-records carried
@@ -2331,17 +2353,75 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
               for ((i, f) <- files) if (i < keepFrom) doomed += f.path
           }
         }
+        (doomed.toSeq, earliestRetained)
+    }
+  }
+
+  /** Schedule a clean PLAN without executing it — the same schedule/execute
+    * split as compaction/clustering (ref: CleanPlanActionExecutor writes a
+    * `.clean.requested` HoodieCleanerPlan; AsyncCleanerService executes it
+    * out-of-band): the doomed-file set and retention boundary are pinned in
+    * a completed `cleanreq` instant, the physical deletes (the expensive
+    * part at 100 TB — potentially millions of object-store DELETEs) run
+    * later via [[runClean]], possibly from a different process. Returns
+    * None when the policy dooms nothing. */
+  def scheduleClean(policy: CleanPolicy): Option[String] = lockProvider.withLock {
+    timeline.refresh()
+    val (doomed, earliestRetained) = cleanPlan(policy)
+    if (doomed.isEmpty) None
+    else {
+      val instant = timeline.startInstant("cleanreq")
+      try {
+        timeline.complete(CommitMeta(instant, "cleanreq", "clean_schedule",
+          deletedPaths = doomed,
+          extra = Map("policy" -> encodePolicy(policy)) ++
+            earliestRetained.map("earliestRetained" -> _).toMap))
+        Some(instant)
+      } catch { case e: Throwable => timeline.abort(instant, "cleanreq"); throw e }
+    }
+  }
+
+  /** Execute a scheduled clean plan. The plan's doomed set is REVALIDATED
+    * against current state: the same policy recomputes fresh, and only the
+    * intersection is deleted — so a savepoint created after the plan keeps
+    * its files, a rollback/restore that resurrected a version keeps it, and
+    * nothing outside the plan is ever touched. Returns None when every
+    * planned file was reprieved (the plan is still marked executed). */
+  def runClean(planInstant: String): Option[String] = {
+    val plan = timeline.read(planInstant, "cleanreq")
+    assertNotExecuted(planInstant)
+    val policy = decodePolicy(plan.extra("policy"))
+    val (instant, doomed) = lockProvider.withLock {
+      val instant = timeline.startInstant("clean")
+      try {
+        timeline.refresh()
+        val (fresh, _) = cleanPlan(policy)
+        val doomed = plan.deletedPaths.toSet.intersect(fresh.toSet).toSeq.sorted
         timeline.complete(CommitMeta(instant, "clean", "clean",
-          deletedPaths = doomed.toSeq,
-          extra = earliestRetained.map("earliestRetained" -> _).toMap))
-        (instant, doomed.toSeq)
+          deletedPaths = doomed,
+          extra = Map("planInstant" -> planInstant) ++
+            // the boundary is the PLAN's: execution enforces what was
+            // scheduled, not a window that kept sliding while it waited
+            plan.extra.get("earliestRetained")
+              .filter(_ => doomed.nonEmpty).map("earliestRetained" -> _)))
+        (instant, doomed)
       } catch { case e: Throwable => timeline.abort(instant, "clean"); throw e }
     }
-    doomed.foreach { rel =>
-      Files.deleteIfExists(Paths.get(basePath, rel))
-      Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(rel)))
-    }
-    instant
+    deleteCleaned(doomed)
+    if (doomed.isEmpty) None else Some(instant)
+  }
+
+  private def encodePolicy(p: CleanPolicy): String = p match {
+    case KeepLatestFileVersions(n) => s"file_versions:$n"
+    case KeepLatestCommits(n) => s"commits:$n"
+    case KeepLatestByHours(h) => s"hours:$h"
+  }
+
+  private def decodePolicy(s: String): CleanPolicy = s.split(':') match {
+    case Array("file_versions", n) => KeepLatestFileVersions(n.toInt)
+    case Array("commits", n) => KeepLatestCommits(n.toInt)
+    case Array("hours", h) => KeepLatestByHours(h.toDouble)
+    case _ => throw new IllegalArgumentException(s"bad clean policy '$s'")
   }
 
   /** Roll back the most recent data commit: delete its files, drop the

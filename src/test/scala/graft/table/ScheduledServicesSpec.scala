@@ -200,6 +200,89 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("scheduled clean: plan pins the doomed set; interleaved writes are untouched") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(1.0)))
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(2.0)))
+
+    val Some(plan) = t.scheduleClean(KeepLatestFileVersions(1)): @unchecked
+    val planned = t.timeline.read(plan, "cleanreq").deletedPaths
+    assert(planned.nonEmpty)
+    // a plan is metadata only: nothing deleted yet
+    assert(planned.forall(p => Files.exists(java.nio.file.Paths.get(dir, p))))
+    assert(t.pendingPlans().map(_._1) === Seq(plan))
+
+    // interleaved write creates ANOTHER old version the plan knows nothing about
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(3.0)))
+    val preRunSlices = t.slices(None)
+
+    val Some(_) = t.runClean(plan): @unchecked
+    // exactly the planned files died; the interleaved write's versions live
+    assert(planned.forall(p => !Files.exists(java.nio.file.Paths.get(dir, p))))
+    assert(preRunSlices.flatMap(_.baseFiles).forall(f =>
+      Files.exists(java.nio.file.Paths.get(dir, f.path))))
+    assert(t.snapshot().count() === orders.count())
+    assert(t.snapshot().filter(col("o_totalprice") === 3.0).count() === 60)
+    assert(t.pendingPlans().isEmpty)
+    intercept[IllegalArgumentException](t.runClean(plan))
+    GraftTable.drop(dir)
+  }
+
+  test("scheduled clean: a savepoint created after the plan reprieves its files") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val mid = t.timeline.completed().last._1
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(1.0)))
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(2.0)))
+
+    val Some(plan) = t.scheduleClean(KeepLatestFileVersions(1)): @unchecked
+    val midFiles = t.slices(Some(mid)).flatMap(_.baseFiles).map(_.path).toSet
+    assert(t.timeline.read(plan, "cleanreq").deletedPaths.exists(midFiles),
+      "plan should doom the mid-history version this test protects")
+    t.savepoint(Some(mid)) // lands AFTER the plan
+    t.runClean(plan)
+    // savepointed bases survived execution; time travel still works
+    assert(midFiles.forall(p => Files.exists(java.nio.file.Paths.get(dir, p))))
+    assert(t.snapshot(Some(mid)).count() === orders.count())
+    assert(t.snapshot(Some(mid)).filter(col("o_totalprice") === 2.0).count() === 0)
+    assert(t.pendingPlans().isEmpty)
+    GraftTable.drop(dir)
+  }
+
+  test("CALL surface: run_clean op => schedule / run") {
+    def sql(q: String) = spark.sql(q)
+    sql("DROP TABLE IF EXISTS graft.p_clean_sched")
+    sql("""CREATE TABLE graft.p_clean_sched (
+          |  id BIGINT, status STRING, price DOUBLE)
+          |USING graft PARTITIONED BY (status)
+          |TBLPROPERTIES (
+          |  'graft.recordkey.field' = 'id',
+          |  'graft.precombine.field' = 'price')""".stripMargin)
+    val vals = (1 to 30).map(i => s"(${i}L, '${if (i % 2 == 0) "O" else "F"}', $i.0)")
+    sql(s"INSERT INTO graft.p_clean_sched VALUES ${vals.mkString(", ")}")
+    sql(s"INSERT INTO graft.p_clean_sched VALUES ${vals.mkString(", ")}") // v2
+
+    val planRow = sql("CALL graft.run_clean(`table` => 'p_clean_sched', " +
+      "`op` => 'schedule')").collect()
+    assert(planRow.length === 1 && planRow(0).getString(0) != null)
+    val execRow = sql("CALL graft.run_clean(`table` => 'p_clean_sched', " +
+      "`op` => 'run')").collect()
+    assert(execRow.length === 1 && execRow(0).getString(0) != null)
+    assert(sql("SELECT count(*) FROM graft.p_clean_sched")
+      .collect()(0).getLong(0) === 30L)
+    // run with no pending plan schedules one itself (after new debt exists)
+    sql(s"INSERT INTO graft.p_clean_sched VALUES ${vals.take(10).mkString(", ")}")
+    val auto = sql("CALL graft.run_clean(`table` => 'p_clean_sched', " +
+      "`op` => 'run')").collect()
+    assert(auto.length === 1 && auto(0).getString(0) != null)
+    assert(sql("SELECT count(*) FROM graft.p_clean_sched")
+      .collect()(0).getLong(0) === 30L)
+    sql("DROP TABLE graft.p_clean_sched")
+  }
+
   test("CALL surface: run_compaction op => schedule / run + show_compaction states") {
     def sql(q: String) = spark.sql(q)
     sql("DROP TABLE IF EXISTS graft.p_sched")
