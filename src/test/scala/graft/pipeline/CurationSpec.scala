@@ -112,6 +112,38 @@ class CurationSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("badwordFilter: token-boundary semantics, no join in the plan") {
+    val docs = Seq(
+      (1L, "a clean document"),
+      (2L, "contains the badword here"),
+      (3L, "badwords is a different token"), // substring must NOT match
+      (4L, "punctuated BADWORD! caught"), // case + punctuation boundaries
+      (5L, "under_score x_badword_y splits on underscore")).toDF("doc_id", "text")
+    val out = Curation.badwordFilter(docs, col("text"), Seq("badword"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L))
+    // literal blocklist compiles into the predicate: no join, no exchange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"blocklist filter should be a map-side predicate:\n$plan")
+  }
+
+  test("qualityClassifier: monotone in stopword ratio, penalized by punctuation") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran in the park of town"),
+      (2L, "zx qv wk jm px lz tq vn mz kx wq zp nv xj qm lw"),
+      (3L, "!!! ??? ;;; ::: @@@ ### $$$ %%% ^^^ &&& *** ((( ))) ~~~ ```")
+    ).toDF("doc_id", "text")
+    val rows = Curation.qualityClassifier(docs, col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows(1L) > rows(2L), "stopword-rich prose must outscore gibberish")
+    assert(rows(2L) > rows(3L), "words must outscore pure punctuation")
+    // the classifier is a pure codegen expression — no shuffle, no UDF
+    val plan = Curation.qualityClassifier(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+
   test("stripBoilerplate: one pinned explode, leak-free, all-boilerplate doc survives") {
     import spark.implicits._
     val docs = Seq(
