@@ -60,7 +60,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
     parameters.getOrElse(QUERY_TYPE, "snapshot") match {
       case "snapshot" =>
         val asOf = parameters.get(AS_OF_INSTANT)
-        t.fastScanFiles(asOf, baseOnly = false) match {
+        if (parameters.get(MERGE_TYPE).contains("skip_merge"))
+          new GraftComputedRelation(spark, () => t.snapshotSkipMerge(asOf))
+        else t.fastScanFiles(asOf, baseOnly = false) match {
           case Some((files, schema)) =>
             GraftRelations.fast(spark, path, files, schema, t.config.baseFileFormat)
           case None => new GraftComputedRelation(spark, () => t.snapshot(asOf))
@@ -78,7 +80,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
             s"incremental query requires $BEGIN_INSTANTTIME"))
         val end = parameters.get(END_INSTANTTIME)
         val fallback = parameters.get(INCR_FALLBACK_FULLSCAN).exists(_.toBoolean)
-        new GraftComputedRelation(spark, () => t.incremental(begin, end, fallback))
+        val glob = parameters.get(INCR_PATH_GLOB).filter(_.nonEmpty)
+        new GraftComputedRelation(spark,
+          () => t.incremental(begin, end, fallback, glob))
       case "cdc" => // change feed: op + before/after images (ref: hudi RFC-51)
         val begin = parameters.getOrElse(BEGIN_INSTANTTIME,
           throw new IllegalArgumentException(
@@ -224,6 +228,20 @@ class GraftStreamSink(spark: SparkSession, path: String,
     parameters: Map[String, String]) extends Sink {
   import DefaultSource._
 
+  // async table service lane (ref: hoodie.datasource.compaction.async.enable
+  // + async/AsyncCompactService.java): plans are scheduled on the
+  // micro-batch thread (a metadata listing), executed on this single
+  // daemon thread so the streaming cadence never pays rewrite IO
+  private lazy val servicePool = java.util.concurrent.Executors
+    .newSingleThreadExecutor((r: Runnable) => {
+      val th = new Thread(r, s"graft-sink-services")
+      th.setDaemon(true)
+      th
+    })
+  @volatile private var pendingService: java.util.concurrent.Future[_] =
+    java.util.concurrent.CompletableFuture.completedFuture(null)
+  private var committed = 0L
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val t = if (GraftTable.exists(path)) GraftTable.load(spark, path)
             else GraftTable.create(spark, path, configFrom(parameters, path))
@@ -236,7 +254,30 @@ class GraftStreamSink(spark: SparkSession, path: String,
         org.apache.spark.sql.graftbridge.DatasetBridge.unstream(data))
       t.writeBatch(batch, parameters.getOrElse(OPERATION, "upsert"),
         Map("streamBatchId" -> s"$streamId#$batchId"))
+      committed += 1
+      maybeCompact(t)
     }
+  }
+
+  /** Async compaction, on by default for MOR (as in the reference): every
+    * `graft.compaction.async.every` committed batches, schedule a plan and
+    * execute it off-thread; runCompaction tolerates the deltacommits that
+    * land while it runs (they stay layered, fold into the next plan). */
+  private def maybeCompact(t: GraftTable): Unit = {
+    val enabled = parameters.get(ASYNC_COMPACT).map(_.toBoolean)
+      .getOrElse(t.config.tableType == MergeOnRead)
+    val every = parameters.getOrElse(ASYNC_COMPACT_EVERY, "5").toLong
+    if (enabled && t.config.tableType == MergeOnRead &&
+        committed % every == 0 && pendingService.isDone)
+      t.scheduleCompaction().foreach { plan =>
+        pendingService = servicePool.submit(new Runnable {
+          override def run(): Unit =
+            try t.runCompaction(plan)
+            catch { case e: Throwable =>
+              System.err.println(s"[graft-sink] async compaction failed: ${e.getMessage}")
+            }
+        })
+      }
   }
 
   /** Ingest-time SQL transform between source and table (ref:
@@ -334,4 +375,15 @@ object DefaultSource {
   val COMMITMETA_KEY_PREFIX = "graft.commitmeta.key.prefix"
   // (ref: hoodie.datasource.read.incr.fallback.fulltablescan.enable)
   val INCR_FALLBACK_FULLSCAN = "graft.incremental.fallback.fullscan"
+  // partition-path glob pruning for incremental reads
+  // (ref: hoodie.datasource.read.incr.path.glob)
+  val INCR_PATH_GLOB = "graft.incr.path.glob"
+  // MOR snapshot without the per-key merge: base + log rows as-is
+  // (ref: hoodie.datasource.merge.type = realtime_skip_merge)
+  val MERGE_TYPE = "graft.merge.type"
+  // streaming sink: schedule+execute compaction off the micro-batch path
+  // (ref: hoodie.datasource.compaction.async.enable, default true for MOR)
+  val ASYNC_COMPACT = "graft.compaction.async"
+  // plan cadence in committed batches (ref: hoodie.compact.inline.max.delta.commits)
+  val ASYNC_COMPACT_EVERY = "graft.compaction.async.every"
 }

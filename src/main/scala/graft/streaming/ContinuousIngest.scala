@@ -3,7 +3,7 @@ package graft.streaming
 import java.util.concurrent.Executors
 import scala.concurrent.{ExecutionContext, Future}
 import org.apache.spark.sql.DataFrame
-import graft.table.{GraftTable, MergeOnRead}
+import graft.table.{GraftTable, KeepLatestFileVersions, MergeOnRead}
 
 /**
  * DeltaStreamer-style continuous ingest (ref: hudi-utilities
@@ -43,10 +43,14 @@ class ContinuousIngest(
 
   private var ingested = 0L
   @volatile private var pendingService: Future[Option[String]] = Future.successful(None)
+  @volatile private var pendingClean: Future[Option[String]] = Future.successful(None)
 
   /** The last table-service execution kicked off by the loop (tests and
     * shutdown drain it). */
   def lastService: Future[Option[String]] = pendingService
+
+  /** The last scheduled-clean execution kicked off by the loop. */
+  def lastClean: Future[Option[String]] = pendingClean
 
   // ref: SqlQueryBasedTransformer — the batch registers as a temp view and
   // <SRC> substitutes its name; the transform stays a lazy plan
@@ -79,8 +83,16 @@ class ContinuousIngest(
     // period when compaction is on, every 10 batches otherwise — never
     // every batch (a full clean sweep on the ingest hot path)
     val houseEvery = if (compactEvery > 0) compactEvery * 2 else 10
-    if (cleanRetainVersions > 0 && ingested % houseEvery == 0)
-      t.clean(cleanRetainVersions)
+    if (cleanRetainVersions > 0 && ingested % houseEvery == 0 &&
+        pendingClean.isCompleted)
+      // same split as compaction: the PLAN (doomed-set listing) runs on the
+      // ingest thread, the physical deletes — at 100 TB potentially
+      // millions of object-store DELETEs — run on the service thread,
+      // serialized behind any in-flight compaction by the single-thread
+      // pool; runClean revalidates against whatever landed meanwhile
+      t.scheduleClean(KeepLatestFileVersions(cleanRetainVersions)).foreach { plan =>
+        pendingClean = Future(t.runClean(plan))
+      }
     if (archiveKeepLast > 0 && ingested % houseEvery == 0)
       t.archive(archiveKeepLast)
     instant
@@ -112,10 +124,11 @@ class ContinuousIngest(
 
   def close(): Unit = {
     stopped = true
-    // drain the in-flight service so its commit is not torn down mid-write
-    try scala.concurrent.Await.result(pendingService,
-      scala.concurrent.duration.Duration(120, "s"))
-    catch { case _: Throwable => }
+    // drain in-flight services so their commits are not torn down mid-write
+    for (f <- Seq(pendingService, pendingClean))
+      try scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(120, "s"))
+      catch { case _: Throwable => }
     pool.shutdown()
   }
 }

@@ -1800,6 +1800,46 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     if (config.populateMetaFields) ro else ro.drop(COMMIT, KEY, PART)
   }
 
+  /** Glob → predicate over partition paths: `**` crosses segments, `*`
+    * stays within one, `?` is one char; everything else is literal (ref:
+    * hudi GlobPattern used by IncrementalRelation's incr.path.glob). */
+  private[graft] def globMatcher(glob: String): String => Boolean = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+-^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    val p = java.util.regex.Pattern.compile(sb.toString())
+    s => p.matcher(s).matches()
+  }
+
+  /** Skip-merge snapshot (ref: hoodie.datasource.merge.type =
+    * realtime_skip_merge): base + log rows returned UNMERGED — a reader
+    * that tolerates stale/duplicate versions (bulk export, statistics,
+    * downstream dedup anyway) skips the per-key merge entirely. At 100 TB
+    * this turns the MOR snapshot's merge-window shuffle into a pure union
+    * of columnar scans: no exchange, no sort, full pushdown on every
+    * branch. Tombstoned rows are dropped; older versions of updated keys
+    * remain (that is the contract). */
+  def snapshotSkipMerge(asOf: Option[String] = None): DataFrame = {
+    assertNotArchived(asOf, "time travel to")
+    val data = schemaAt(asOf).getOrElse(new StructType())
+    val ss = slices(asOf)
+    val all = readConformed(
+      ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)) ++
+        ss.flatMap(_.logs.map { case (i, f) => f -> i }), data)
+      .filter(!col(DELETED)).drop(FILE_ID, DELETED)
+    if (config.populateMetaFields) all else all.drop(COMMIT, KEY, PART)
+  }
+
   /** Incremental query: latest state of records changed in (from, to]
     * (ref: QUERY_TYPE incremental + BEGIN_INSTANTTIME). Scans only files
     * committed in the range. */
@@ -1810,11 +1850,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     *   bin-packed/clustered rows keep their ORIGINAL commit time, so the
     *   filter is faithful; off by default because the full scan can cost
     *   arbitrarily more than the windowed file read. */
+  /** @param pathGlob restrict the read to partitions matching a glob
+    *   (`*` = within a path segment, `**` = across segments, `?` = one
+    *   char — ref: hoodie.datasource.read.incr.path.glob): the file list
+    *   prunes BEFORE any scan, so an incremental consumer of one region
+    *   of a 100 TB table never touches the rest. */
   def incremental(fromExclusive: String, toInclusive: Option[String] = None,
-      fallbackFullScan: Boolean = false): DataFrame = {
+      fallbackFullScan: Boolean = false,
+      pathGlob: Option[String] = None): DataFrame = {
     assertNotArchived(Some(fromExclusive), "incremental read from")
     val to = toInclusive.orElse(timeline.latestInstant()).getOrElse("0")
     val data = schemaAt(Some(to)).getOrElse(new StructType())
+    val globPred: String => Boolean =
+      pathGlob.map(globMatcher).getOrElse(_ => true)
     // checkpoints only re-record rows committed at or before the archival
     // boundary ≤ from (guarded above): including them would scan the whole
     // carried file set with the wrong schema epoch just to filter every row
@@ -1825,8 +1873,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // execution records files at origInstant (the plan instant), and that
     // is the schema epoch the file was written with — pairing with the
     // execution instant would conform it against a post-plan ALTER's epoch
-    val files = ms.flatMap(m => m.files.map(f =>
-      f -> (if (f.origInstant.nonEmpty) f.origInstant else m.instant)))
+    val files = ms.flatMap(m => m.files.collect {
+      case f if globPred(f.partition) =>
+        f -> (if (f.origInstant.nonEmpty) f.origInstant else m.instant)
+    })
     // virtual-key tables never expose meta columns (same surface as
     // snapshot/readOptimized)
     def surface(df: DataFrame): DataFrame = {
@@ -1847,7 +1897,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           "(graft.incremental.fallback.fullscan)")
       // snapshotFull (not the public snapshot): the commit-range filter
       // needs the COMMIT column, which a virtual-key snapshot() hides
-      return surface(snapshotFull(Some(to), data, _ => true)
+      return surface(snapshotFull(Some(to), data, s => globPred(s.partition))
         .filter(!col(DELETED))
         .filter(col(COMMIT) > fromExclusive && col(COMMIT) <= to))
     }

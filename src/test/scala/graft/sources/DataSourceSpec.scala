@@ -125,6 +125,58 @@ class DataSourceSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("skip_merge snapshot: base + log rows unmerged, no exchange in the plan") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("mor_sm", MergeOnRead,
+      Seq("o_orderkey"), Some("o_totalprice"),
+      PartitionByColumns(Seq("o_orderstatus")), targetFileSizeRows = 400))
+    t.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", lit(1.0))
+    t.upsert(updates)
+    val sm = spark.read.format("graft")
+      .option("graft.merge.type", "skip_merge").load(dir)
+    // unmerged: every base row PLUS every log row
+    assert(sm.count() === orders.count() + updates.count())
+    // updated keys appear twice (old base version + log version)
+    assert(sm.filter(col("o_orderkey") === 5).count() === 2)
+    // deletes: tombstones themselves are dropped, stale base rows remain
+    t.delete(orders.filter(col("o_orderkey") === 7))
+    val sm2 = spark.read.format("graft")
+      .option("graft.merge.type", "skip_merge").load(dir)
+    assert(sm2.filter(col("o_orderkey") === 7).count() === 1) // base version only
+    // the whole point: no merge window → no exchange anywhere in the plan
+    val p = plan(sm2)
+    assert(!p.contains("Exchange"), s"skip_merge must not shuffle:\n$p")
+    GraftTable.drop(dir)
+  }
+
+  test("incremental path glob prunes partitions before the scan") {
+    val dir = tmp()
+    writeOrders(dir)
+    val t = GraftTable.load(spark, dir)
+    val c1 = t.timeline.completed().last._1
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    writeOrders(dir, op = "upsert", mode = "append", df = updates)
+    val all = spark.read.format("graft")
+      .option("graft.query.type", "incremental")
+      .option("graft.begin.instanttime", c1).load(dir)
+    val globbed = spark.read.format("graft")
+      .option("graft.query.type", "incremental")
+      .option("graft.begin.instanttime", c1)
+      .option("graft.incr.path.glob", "o_orderstatus=F*").load(dir)
+    val expectF = updates.filter(col("o_orderstatus").startsWith("F")).count()
+    assert(globbed.count() === expectF)
+    assert(globbed.count() < all.count())
+    assert(globbed.filter(!col("o_orderstatus").startsWith("F")).count() === 0)
+    // glob semantics: * does not cross segments, ** does
+    assert(t.globMatcher("a/*")("a/b") && !t.globMatcher("a/*")("a/b/c"))
+    assert(t.globMatcher("a/**")("a/b/c") && t.globMatcher("x?z")("xyz"))
+    assert(!t.globMatcher("x?z")("xz"))
+    GraftTable.drop(dir)
+  }
+
   test("incremental + time travel through read options") {
     val dir = tmp()
     writeOrders(dir)

@@ -59,6 +59,35 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("ingest loop cleans via the schedule/execute split, off the ingest thread") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("ci_c", CopyOnWrite,
+      keyFields = Seq("id"), precombineField = Some("seq")))
+    import spark.implicits._
+    var cursor = 0
+    // 10 re-upserts of the same keys → 10 base versions of the same group
+    val source = () => {
+      if (cursor >= 10) None
+      else { cursor += 1
+        Some((s"ck-$cursor", (1 to 50).map(i => (i.toLong, cursor.toLong)).toDF("id", "seq"))) }
+    }
+    val ci = new ContinuousIngest(t, source, operation = "upsert",
+      compactEvery = 0, cleanRetainVersions = 2)
+    try assert(ci.drain() === 10) finally ci.close()
+    // the clean executed (plan + execution both recorded, nothing pending)
+    t.timeline.refresh()
+    assert(t.pendingPlans().isEmpty)
+    val metas = t.timeline.metas(None)
+    assert(metas.exists(_.action == "cleanreq"), "no clean plan scheduled")
+    val execs = metas.filter(m => m.action == "clean" && m.extra.contains("planInstant"))
+    assert(execs.nonEmpty, "clean plan never executed")
+    assert(execs.flatMap(_.deletedPaths).nonEmpty, "scheduled clean deleted nothing")
+    // table state intact: latest values, retained versions only
+    assert(t.snapshot().count() === 50)
+    assert(t.snapshot().agg(min(col("seq"))).collect()(0).getLong(0) === 10L)
+    GraftTable.drop(dir)
+  }
+
   test("restart resumes from the recorded checkpoint") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("ci_r", CopyOnWrite,

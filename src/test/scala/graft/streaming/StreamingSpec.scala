@@ -258,6 +258,46 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("MOR sink compacts asynchronously off the micro-batch path") {
+    val dir = Files.createTempDirectory("graft_sinkac_").toString
+    val ckpt = Files.createTempDirectory("graft_sinkac_ckpt_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.format("graft")
+      .option("graft.recordkey.field", "event_id")
+      .option("graft.precombine.field", "value")
+      .option("graft.table.type", "mor")
+      .option("graft.compaction.async.every", "1")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "view", 2.0))
+    q.processAllAvailable() // base
+    mem.addData(Event(1, ts(2), 1, "click", 5.0))
+    q.processAllAvailable() // log → schedules a plan, executes off-thread
+    mem.addData(Event(3, ts(3), 2, "click", 3.0))
+    q.processAllAvailable()
+    // the async execution lands without any further batch: poll the timeline
+    val t = GraftTable.load(spark, dir)
+    val deadline = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < deadline &&
+        { t.timeline.refresh()
+          !t.timeline.metas(None).exists(_.operation == "compact") })
+      Thread.sleep(200)
+    q.stop()
+    t.timeline.refresh()
+    assert(t.timeline.metas(None).exists(_.operation == "compact"),
+      "async compaction never executed")
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("event_id") === 1)
+      .select("value").collect()(0).getDouble(0) === 5.0)
+    // read-optimized sees the folded value too once compaction landed
+    assert(spark.read.format("graft")
+      .option("graft.query.type", "read_optimized").load(dir)
+      .filter(col("event_id") === 1 && col("value") === 5.0).count() === 1)
+    GraftTable.drop(dir)
+  }
+
   test("sink transformer SQL reshapes each micro-batch before the commit") {
     val dir = Files.createTempDirectory("graft_sinktx_").toString
     val ckpt = Files.createTempDirectory("graft_sinktx_ckpt_").toString
