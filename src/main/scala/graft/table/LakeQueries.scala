@@ -130,6 +130,36 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** MOR skip_merge snapshot: base + log rows UNMERGED (ref:
+    * hoodie.datasource.merge.type = realtime_skip_merge) — the result is
+    * exactly `orders UNION ALL the logged update batch`, which the oracle
+    * states literally. Updated keys appear twice by contract. */
+  def lakeSkipMerge(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("skipmerge", d), ordersCfg(MergeOnRead))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("LOGGED")))
+    // secondary sort key: duplicate o_orderkeys are the contract here, and
+    // (key, priority) is unique (the log copy is always 'LOGGED')
+    t.snapshotSkipMerge().select(outCols: _*)
+      .orderBy(col("o_orderkey"), col("o_orderpriority"))
+  }
+
+  /** Incremental pull pruned by partition-path glob (ref:
+    * hoodie.datasource.read.incr.path.glob): only the F-partition slice of
+    * the update window is read. */
+  def lakeIncrGlob(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("incrglob", d), ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    val c1 = t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("CHANGED")))
+    out(t.incremental(c1, pathGlob = Some("*=F")))
+  }
+
   /** MOR read-optimized: log updates invisible until compaction. */
   def lakeReadOptimized(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, scratch("ro", d), ordersCfg(MergeOnRead))
@@ -471,6 +501,8 @@ object LakeQueries {
     "lake_time_travel" -> (lakeTimeTravel _),
     "lake_merge_into" -> (lakeMergeInto _),
     "lake_mor_snapshot" -> (lakeMorSnapshot _),
+    "lake_skip_merge" -> (lakeSkipMerge _),
+    "lake_incr_glob" -> (lakeIncrGlob _),
     "lake_read_optimized" -> (lakeReadOptimized _),
     "lake_compaction" -> (lakeCompaction _),
     "lake_dedup_precombine" -> (lakeDedupPrecombine _)
@@ -688,6 +720,23 @@ object LakeQueries {
          |              ELSE o_totalprice END AS o_totalprice,
          |         o_orderdate, o_orderpriority
          |  FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_skip_merge" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2,
+         |         o_orderdate, 'LOGGED' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 3 = 0)
+         |ORDER BY o_orderkey, o_orderpriority""".stripMargin,
+    "lake_incr_glob" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2
+         |           AS o_totalprice,
+         |         o_orderdate, 'CHANGED' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0 AND o_orderstatus = 'F')
          |ORDER BY o_orderkey""".stripMargin,
     "lake_read_optimized" ->
       s"""SELECT $oracleCols FROM orders ORDER BY o_orderkey""".stripMargin,
