@@ -160,7 +160,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
       parameters: Map[String, String]): Source = {
     val path = parameters.getOrElse("path", throw new IllegalArgumentException(
       "format(\"graft\") streaming source needs .load(<table base path>)"))
-    new GraftStreamSource(sqlContext.sparkSession, path, parameters)
+    new GraftStreamSource(sqlContext.sparkSession, path, parameters,
+      Some(metadataPath))
   }
 
   /** `df.writeStream.format("graft")...start(path)` — the reference's
@@ -189,11 +190,36 @@ case class GraftOffset(instant: String) extends OffsetV1 {
   * (start, end] — per micro-batch only the files committed in that window
   * are read (the CommitFeed pattern behind the native front door). */
 class GraftStreamSource(spark: SparkSession, path: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String],
+    metadataPath: Option[String] = None) extends Source {
   import DefaultSource._
   require(GraftTable.exists(path), s"no graft table at $path")
   private val t = GraftTable.load(spark, path)
   private val startFrom = parameters.getOrElse(BEGIN_INSTANTTIME, "0")
+  // catch-up bound: at most N commits per micro-batch, so a stream started
+  // against months of history (or restarted after downtime) drains in
+  // bounded, checkpointable steps instead of one giant first batch — the
+  // same role as maxFilesPerTrigger on file sources. The cursor (the last
+  // offset this source RETURNED) persists in the source's own checkpoint
+  // subdir so a restarted query resumes bounding from where it left off —
+  // without it a fresh source instance could re-offer an offset BEHIND the
+  // query's committed one, replaying processed commits downstream.
+  private val maxInstants =
+    parameters.get(MAX_INSTANTS_PER_TRIGGER).map(_.toInt).filter(_ > 0)
+  private val cursorFile = metadataPath.map(p =>
+    java.nio.file.Paths.get(p, "graft-cursor"))
+  @volatile private var cursor: String = {
+    val persisted = cursorFile.filter(java.nio.file.Files.exists(_)).map(p =>
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
+    (Seq(startFrom) ++ persisted).max
+  }
+  private def advanceCursor(to: String): Unit = if (to > cursor) {
+    cursor = to
+    cursorFile.foreach { p =>
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, to.getBytes("UTF-8"))
+    }
+  }
 
   /** Fixed for the query's lifetime; later schema evolution is projected
     * back onto this shape (streaming sinks need a stable schema). */
@@ -208,12 +234,19 @@ class GraftStreamSource(spark: SparkSession, path: String,
   }
 
   override def getOffset: Option[OffsetV1] = {
-    t.timeline.refresh()
-    t.latestDataInstant.filter(_ > startFrom).map(GraftOffset(_))
+    val end = maxInstants match {
+      case Some(n) => t.dataInstantAfter(cursor, n).getOrElse(cursor)
+      case None => t.latestDataInstant.getOrElse(cursor)
+    }
+    advanceCursor(end)
+    Some(cursor).filter(_ > startFrom).map(GraftOffset(_))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(instantOf).getOrElse(startFrom)
+    // a restored batch (pre-cursor-file checkpoint) tells us the true
+    // position: never offer an offset behind it again
+    advanceCursor(instantOf(end))
     val batch = t.incremental(from, Some(instantOf(end)))
       .select(schema.fieldNames.map(org.apache.spark.sql.functions.col(_)): _*)
     org.apache.spark.sql.graftbridge.DatasetBridge.stream(batch)
@@ -386,4 +419,7 @@ object DefaultSource {
   val ASYNC_COMPACT = "graft.compaction.async"
   // plan cadence in committed batches (ref: hoodie.compact.inline.max.delta.commits)
   val ASYNC_COMPACT_EVERY = "graft.compaction.async.every"
+  // streaming source catch-up bound: at most N commits per micro-batch
+  // (the maxFilesPerTrigger pattern for a commit-timeline source)
+  val MAX_INSTANTS_PER_TRIGGER = "graft.max.instants.per.trigger"
 }

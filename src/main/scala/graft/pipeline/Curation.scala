@@ -319,6 +319,39 @@ object Curation {
   }
 
   /**
+   * Tokenizer-vocabulary coverage / OOV-rate scoring: build the top-`k`
+   * corpus vocabulary (total-order cut: count desc, term asc), then score
+   * each document's fraction of tokens OUTSIDE it — the "how well does a
+   * fixed tokenizer vocab cover this corpus slice" check run before
+   * committing to a tokenizer. High OOV docs are noise/foreign/binary
+   * spill; the signal also drives per-source vocab sizing.
+   *
+   * Scale shape: tokens explode ONCE (pinned), the vocab is a (term,count)
+   * aggregate cut to k rows and broadcast into the scoring join — the
+   * shuffle carries (doc, term) pairs once, corpus-linear.
+   * Returns (id, n_tokens, n_oov, oov_frac).
+   */
+  def vocabCoverage(docs: DataFrame, textCol: Column, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(array_remove(split(lower(textCol), "[^a-z0-9]+"), "")).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .select(col("term"), lit(1).as("_in"))
+    val out = toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double"), 4).as("oov_frac"))
+    val materialized = out.localCheckpoint(eager = true)
+    toks.unpersist(blocking = false)
+    materialized
+  }
+
+  /**
    * Bad-word document filter (the C4 "blocklist" pass: drop any document
    * containing a blocklisted token). The blocklist is a LITERAL array —
    * compiled straight into the codegen'd predicate, so the filter is a

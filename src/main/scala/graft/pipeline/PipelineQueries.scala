@@ -298,6 +298,11 @@ object PipelineQueries {
     Curation.qualityClassifier(Tables.documents(s, d), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Tokenizer-vocab coverage: OOV rate against the top-100 corpus vocab. */
+  def textOovRate(s: SparkSession, d: String): DataFrame =
+    Curation.vocabCoverage(Tables.documents(s, d), col("text"), k = 100)
+      .orderBy(col("doc_id"))
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -332,7 +337,8 @@ object PipelineQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_features" -> (mmFeatures _),
     "filter_badwords" -> (filterBadwords _),
-    "quality_classifier" -> (qualityClassifier _)
+    "quality_classifier" -> (qualityClassifier _),
+    "text_oov_rate" -> (textOovRate _)
   )
 
   import TextFunctions.{sql => T}
@@ -710,6 +716,19 @@ object PipelineQueries {
         |                    x -> x <> ''),
         |        ['slow', 'dup'])) = 0
         |ORDER BY doc_id""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, term FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        |    FROM documents) WHERE term <> ''),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |  ORDER BY cnt DESC, term ASC LIMIT 100)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+        |        / greatest(count(*), 1)::DOUBLE, 4) AS oov_frac
+        |FROM tok LEFT JOIN vocab v ON tok.term = v.term
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "quality_classifier" ->
       s"""SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, logit_u,
          |  CASE WHEN logit_u >= 0 THEN 1 ELSE 0 END AS keep

@@ -2539,6 +2539,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     timeline.metas(None).filter(m => dataActions(m.action)).lastOption.map(_.instant)
   }
 
+  /** The instant of the `limit`-th data commit after `fromExclusive` (or
+    * the latest one, whichever is earlier) — the bounded-catch-up cursor a
+    * rate-limited streaming read advances by. */
+  def dataInstantAfter(fromExclusive: String, limit: Int): Option[String] = {
+    timeline.refresh()
+    timeline.metas(None).iterator
+      .filter(m => dataActions(m.action) && m.instant > fromExclusive)
+      .take(limit).toSeq.lastOption.map(_.instant)
+  }
+
   /** True if a data commit after `sinceExclusive` touches any of `groups`
     * ("partition|fileId" keys) or writes into/replaces any of `partitions` —
     * the optimistic-concurrency conflict test. `anyCommit` treats every later

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import graft.TestSpark
 import graft.table._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -354,6 +355,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.count() === 4, "incremental batch should add exactly the 2 changed rows")
     assert(rows.filter(col("event_id") === 1 && col("value") === 9.0).count() === 1)
     q.stop()
+    GraftTable.drop(dir)
+  }
+
+  test("readStream catch-up bound: N commits per micro-batch, cursor survives restart") {
+    val dir = Files.createTempDirectory("graft_streamrate_").toString
+    val ckpt = Files.createTempDirectory("graft_streamrate_ckpt_").toString
+    val sink = Files.createTempDirectory("graft_streamrate_out_").toString
+    val t = eventsTable(dir)
+    // 5 commits of history BEFORE the stream starts
+    for (i <- 1 to 5)
+      t.upsert(Seq(Event(i, ts(i), i, "click", i.toDouble)).toDF())
+    def start() = spark.readStream.format("graft")
+      .option("graft.max.instants.per.trigger", "2").load(dir)
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    // history drained fully, in bounded steps (5 commits / 2 per batch ≥ 3 batches)
+    assert(spark.read.parquet(sink).count() === 5)
+    val offsetFiles = Files.list(java.nio.file.Paths.get(ckpt, "offsets"))
+      .iterator().asScala.count(p => p.getFileName.toString.forall(_.isDigit))
+    assert(offsetFiles >= 3, s"expected >= 3 bounded micro-batches, got $offsetFiles")
+    // restart with new commits: resumes cleanly, no replay of the 5
+    t.upsert(Seq(Event(9, ts(9), 9, "view", 9.0)).toDF())
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() === 6, "replayed or lost rows on restart")
+    assert(rows.filter(col("event_id") === 9).count() === 1)
     GraftTable.drop(dir)
   }
 
