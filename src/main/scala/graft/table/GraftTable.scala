@@ -2439,12 +2439,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * planned file was reprieved (the plan is still marked executed). */
   def runClean(planInstant: String): Option[String] = {
     val plan = timeline.read(planInstant, "cleanreq")
-    assertNotExecuted(planInstant)
+    assertNotExecuted(planInstant) // fail fast (cheap, unlocked)...
     val policy = decodePolicy(plan.extra("policy"))
     val (instant, doomed) = lockProvider.withLock {
       val instant = timeline.startInstant("clean")
       try {
         timeline.refresh()
+        // ...and re-check under the lock: two racing executions of the
+        // SAME plan must not both commit (the compaction path gets this
+        // from commitGuarded's OCC; clean commits bypass it)
+        assertNotExecuted(planInstant)
         val (fresh, _) = cleanPlan(policy)
         val doomed = plan.deletedPaths.toSet.intersect(fresh.toSet).toSeq.sorted
         timeline.complete(CommitMeta(instant, "clean", "clean",

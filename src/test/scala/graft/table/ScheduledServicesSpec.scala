@@ -252,6 +252,38 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("racing two executions of the SAME clean plan: exactly one commits") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.limit(60).withColumn("o_totalprice", lit(1.0)))
+    val Some(plan) = t.scheduleClean(KeepLatestFileVersions(1)): @unchecked
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Option[String]]]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try results.add(Right(t.runClean(plan)))
+        catch { case e: Throwable => results.add(Left(e)) }
+        ()
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    val (failures, successes) = results.toArray.toSeq
+      .map(_.asInstanceOf[Either[Throwable, Option[String]]])
+      .partitionMap(identity)
+    assert(successes.count(_.isDefined) === 1,
+      s"expected exactly one winning clean execution, got $results")
+    assert(failures.forall(_.isInstanceOf[IllegalArgumentException]),
+      failures.map(_.getClass).toString)
+    // exactly one clean execution commit for this plan on the timeline
+    t.timeline.refresh()
+    assert(t.timeline.metas(None).count(m =>
+      m.action == "clean" && m.extra.get("planInstant").contains(plan)) === 1)
+    assert(t.snapshot().count() === orders.count())
+    GraftTable.drop(dir)
+  }
+
   test("CALL surface: run_clean op => schedule / run") {
     def sql(q: String) = spark.sql(q)
     sql("DROP TABLE IF EXISTS graft.p_clean_sched")
