@@ -114,16 +114,20 @@ object GraftProcedures {
         "op => 'execute' (inline, default) | 'schedule' (persist a plan " +
         "instant only) | 'run' (execute the pending plan named by " +
         "instant =>, or the oldest pending one) — the reference's " +
-        "schedule/execute split (ref: RunCompactionProcedure.scala:72).",
+        "schedule/execute split (ref: RunCompactionProcedure.scala:72). " +
+        "max_partitions > 0 compacts only the latest N partitions " +
+        "(ref: DayBasedCompactionStrategy).",
       Seq(in("table", StringType),
         in("min_log_bytes", LongType, "0"),
         in("max_io_bytes", LongType, "-1"),
         in("op", StringType, "'execute'"),
-        in("instant", StringType, "''")),
+        in("instant", StringType, "''"),
+        in("max_partitions", IntegerType, "0")),
       (cat, a) => {
         val t = tableOf(cat, a.str(0))
         val strategy =
-          if (a.long(2) >= 0 || a.long(1) > 0)
+          if (a.int(5) > 0) PartitionBounded(a.int(5))
+          else if (a.long(2) >= 0 || a.long(1) > 0)
             LogSizeBounded(a.long(1), if (a.long(2) >= 0) a.long(2) else Long.MaxValue)
           else CompactAll
         val res = a.str(3).toLowerCase match {

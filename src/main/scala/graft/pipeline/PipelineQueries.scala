@@ -267,6 +267,24 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The round-7 operators COMPOSED: blocklist filter → classifier quality
+    * gate → normalized exact dedup → token-shard packing — the
+    * C4/DCLM-shaped sibling of [[pipelineCurate]] (rules swapped for the
+    * classifier, exact dedup for the normalized first pass). */
+  def pipelineCurate2(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val noBad = Curation.badwordFilter(docs, col("text"), Seq("slow", "dup"))
+    val keepIds = Curation.qualityClassifier(noBad, col("text"))
+      .filter(col("keep") === 1).select("doc_id")
+    val kept = noBad.join(keepIds, Seq("doc_id"), "left_semi")
+    val deduped = Dedup.exactNormalized(kept)
+    Curation.packTokenShards(
+      deduped.select(col("doc_id"), col("lang"), col("text")),
+      TextFunctions.wsTokenCount(col("text")), budget = 1500L, orderCol = "doc_id")
+      .select(col("doc_id"), col("lang"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
   def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     Multimodal.decodeMeta(Multimodal.attachPayload(Tables.documents(s, d)))
@@ -338,7 +356,8 @@ object PipelineQueries {
     "mm_features" -> (mmFeatures _),
     "filter_badwords" -> (filterBadwords _),
     "quality_classifier" -> (qualityClassifier _),
-    "text_oov_rate" -> (textOovRate _)
+    "text_oov_rate" -> (textOovRate _),
+    "pipeline_curate2" -> (pipelineCurate2 _)
   )
 
   import TextFunctions.{sql => T}
@@ -716,6 +735,41 @@ object PipelineQueries {
         |                    x -> x <> ''),
         |        ['slow', 'dup'])) = 0
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_curate2" ->
+      s"""WITH nb AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  WHERE len(list_intersect(
+         |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |                      x -> x <> ''),
+         |          ['slow', 'dup'])) = 0),
+         |q AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT doc_id, text, lang,
+         |      CAST(round((-2.5 + 0.5 * ln(greatest(n_words, 1)::DOUBLE)
+         |        + 3.0 * stop_ratio + -8.0 * punct_ratio
+         |        + 1.5 * distinct_ratio) * 1000000.0) AS BIGINT) AS logit_u
+         |    FROM (
+         |      SELECT doc_id, text, lang, ${T.wsTokens} AS n_words,
+         |        (${T.stop})::DOUBLE / greatest(${T.wsTokens}, 1)::DOUBLE AS stop_ratio,
+         |        (${T.punct})::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         |        len(list_distinct(list_filter(
+         |          regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |          x -> x <> '')))::DOUBLE
+         |          / greatest(${T.wsTokens}, 1)::DOUBLE AS distinct_ratio
+         |      FROM nb))
+         |  WHERE logit_u >= 0),
+         |d AS (
+         |  SELECT doc_id, text, lang FROM (
+         |    SELECT q.*, row_number() OVER (
+         |      PARTITION BY lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))
+         |      ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |p AS (SELECT doc_id, lang, CAST(${T.wsTokens} AS BIGINT) AS tokens FROM d)
+         |SELECT doc_id, lang, tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+         |    / 1500.0) AS BIGINT) AS shard
+         |FROM p ORDER BY doc_id""".stripMargin,
     "text_oov_rate" ->
       """WITH tok AS (SELECT doc_id, term FROM (
         |    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term

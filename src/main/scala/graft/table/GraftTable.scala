@@ -2025,6 +2025,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         if (fits) budget -= io
         fits
       }.map(_._1)
+    case PartitionBounded(n) =>
+      require(n >= 1, s"maxPartitions must be >= 1, got $n")
+      // latest partitions in path order (date-formatted paths sort by time)
+      val latest = withLogs.map(_.partition).distinct.sorted.reverse.take(n).toSet
+      withLogs.filter(s => latest(s.partition))
   }
 
   // ------------------------------------- scheduled (async) table services

@@ -83,11 +83,17 @@ case class KeepLatestByHours(hours: Double) extends CleanPolicy
   *  - [[CompactAll]]: every log-bearing group (the reference's UnBounded).
   *  - [[LogSizeBounded]]: only groups whose total log bytes reach
   *    `minLogBytes`, largest log debt first, stopping when the estimated IO
-  *    (read base + logs, write new base) exceeds `maxIOBytes`. */
+  *    (read base + logs, write new base) exceeds `maxIOBytes`.
+  *  - [[PartitionBounded]]: only the `maxPartitions` LATEST partitions
+  *    (descending path order — ref: DayBasedCompactionStrategy +
+  *    hoodie.compaction.daybased.target.partitions): on a time-partitioned
+  *    100 TB table, compaction debt concentrates in the partitions still
+  *    being written; old partitions stop paying rewrite IO. */
 sealed trait CompactionStrategy
 case object CompactAll extends CompactionStrategy
 case class LogSizeBounded(minLogBytes: Long = 0,
     maxIOBytes: Long = Long.MaxValue) extends CompactionStrategy
+case class PartitionBounded(maxPartitions: Int) extends CompactionStrategy
 
 /** Clustering target selection (ref: hudi-client-common .../cluster/strategy/
   * SparkSizeBasedClusteringPlanStrategy.java — `small.file.limit` +

@@ -200,6 +200,44 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("PartitionBounded compaction strategy folds only the latest partitions") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(9.0))) // logs in every partition
+    val loggedParts = t.slices(None).filter(_.logs.nonEmpty).map(_.partition).distinct.sorted
+    assert(loggedParts.size >= 2, "need multi-partition log debt for this test")
+    val latest = loggedParts.max
+    val Some(_) = t.compact(strategy = PartitionBounded(1)): @unchecked
+    val after = t.slices(None)
+    assert(after.filter(_.partition == latest).forall(_.logs.isEmpty),
+      s"latest partition $latest still has logs")
+    assert(after.exists(s => s.partition != latest && s.logs.nonEmpty),
+      "older partitions should keep their log debt")
+    assert(t.snapshot().count() === orders.count())
+    // CALL surface: max_partitions routes to the strategy
+    spark.sql("DROP TABLE IF EXISTS graft.p_daycompact")
+    spark.sql("""CREATE TABLE graft.p_daycompact (
+      |  id BIGINT, status STRING, price DOUBLE)
+      |USING graft PARTITIONED BY (status)
+      |TBLPROPERTIES (
+      |  'graft.recordkey.field' = 'id',
+      |  'graft.precombine.field' = 'price',
+      |  'graft.table.type' = 'mor')""".stripMargin)
+    val vals = (1 to 20).map(i => s"(${i}L, '${if (i % 2 == 0) "B" else "A"}', $i.0)")
+    spark.sql(s"INSERT INTO graft.p_daycompact VALUES ${vals.mkString(", ")}")
+    spark.sql(s"INSERT INTO graft.p_daycompact VALUES ${vals.mkString(", ")}") // logs A+B
+    spark.sql("CALL graft.run_compaction(`table` => 'p_daycompact', `max_partitions` => 1)")
+      .collect()
+    val t2 = GraftTable.load(spark, spark.sql("DESCRIBE EXTENDED graft.p_daycompact")
+      .filter(col("col_name") === "Location").select("data_type").collect()(0).getString(0))
+    assert(t2.slices(None).filter(_.partition == "status=B").forall(_.logs.isEmpty))
+    assert(t2.slices(None).exists(s => s.partition == "status=A" && s.logs.nonEmpty))
+    spark.sql("DROP TABLE graft.p_daycompact")
+    GraftTable.drop(dir)
+  }
+
   test("scheduled clean: plan pins the doomed set; interleaved writes are untouched") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
