@@ -204,7 +204,8 @@ object GraftStreaming {
  * QUERY_TYPE_INCREMENTAL from an upstream table). Each poll scans only the
  * files added by the new commits.
  */
-class CommitFeed(t: GraftTable, startFrom: Option[String] = None) {
+class CommitFeed(t: GraftTable, startFrom: Option[String] = None,
+    maxInstantsPerPoll: Int = 0) {
   private var last: String = startFrom.getOrElse("0")
   def lastSeen: String = last
 
@@ -212,9 +213,15 @@ class CommitFeed(t: GraftTable, startFrom: Option[String] = None) {
     * the cursor (incremental history no longer reconstructable), falls back
     * to a full snapshot as the catch-up batch — the reference's
     * incremental-query fallback-to-full-table-scan behavior — and resumes
-    * incrementally from there. */
+    * incrementally from there. With `maxInstantsPerPoll` > 0 each poll
+    * advances at most that many commits (bounded catch-up, the same knob
+    * as the native source's graft.max.instants.per.trigger). */
   def poll(): Option[(String, DataFrame)] =
-    t.latestDataInstant.filter(_ > last).map { l =>
+    t.latestDataInstant.filter(_ > last).map { latest =>
+      val l =
+        if (maxInstantsPerPoll > 0)
+          t.dataInstantAfter(last, maxInstantsPerPoll).getOrElse(latest)
+        else latest
       val boundary = t.timeline.archivedInstants().lastOption.getOrElse("0")
       val df =
         if (boundary > last) t.snapshot(asOf = Some(l))

@@ -19,6 +19,30 @@ class CurationSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponents matches a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(4207) // fixed seed: deterministic test
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val ids = (0 until n).map(_.toLong)
+      val edges = Seq.fill(n / 2)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference with min-id roots
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo }
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val got = Curation.connectedComponents(
+        ids.toDF("id"), edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("dupClusters keeps exactly the smallest id per cluster") {
     val verts = Seq(5L, 6L, 7L, 8L).toDF("id")
     val pairs = Seq((6L, 5L), (7L, 6L)).toDF("id_a", "id_b")

@@ -221,6 +221,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(changed.count() === 2)
     assert(changed.filter(col("event_id") === 2).select("value").collect()(0).getDouble(0) === 7.0)
     assert(feed.poll().isEmpty)
+    // bounded catch-up: maxInstantsPerPoll = 1 drains one commit per poll
+    t.upsert(Seq(Event(6, ts(5), 3, "click", 1.0)).toDF())
+    t.upsert(Seq(Event(7, ts(6), 3, "view", 2.0)).toDF())
+    t.upsert(Seq(Event(8, ts(7), 3, "view", 3.0)).toDF())
+    val bounded = new CommitFeed(t, startFrom = Some(second.get._1),
+      maxInstantsPerPoll = 1)
+    val polls = Iterator.continually(bounded.poll()).takeWhile(_.nonEmpty)
+      .map(_.get._2.collect().map(_.getAs[Long]("event_id")).toSet).toSeq
+    assert(polls.size === 3, s"expected 3 bounded polls, got ${polls.size}")
+    assert(polls === Seq(Set(6L), Set(7L), Set(8L)))
     GraftTable.drop(dir)
   }
 
