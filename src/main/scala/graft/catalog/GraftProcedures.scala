@@ -649,6 +649,21 @@ object GraftProcedures {
         StructType(Seq(StructField("markers_removed", LongType))),
         GraftSql.deleteMarker(tableOf(cat, a.str(0)), a.str(1)))),
 
+    Proc("rollback_failed_writes",
+      "Sweep ALL dangling writer debris: for every instant claimed but " +
+        "never completed (and at least older_than_ms old, judged by the " +
+        "instant's own timestamp), delete its staging dir, orphaned data " +
+        "files and inflight claim (ref: hoodie.cleaner.policy.failed." +
+        "writes + HoodieTable.rollbackInflights). Set older_than_ms above " +
+        "your longest commit so live writers are never swept.",
+      Seq(in("table", StringType), in("older_than_ms", LongType, "0")),
+      (cat, a) => {
+        val rolled = tableOf(cat, a.str(0)).rollbackFailedWrites(a.long(1))
+        (StructType(Seq(StructField("instant", StringType))),
+          rolled.map(i =>
+            InternalRow(UTF8String.fromString(i)): InternalRow).toArray)
+      }),
+
     Proc("repair_corrupted_clean_files",
       "Remove clean/rollback instant files that no longer parse so the " +
         "timeline loads again (ref: RepairCorruptedCleanFilesProcedure).",

@@ -2506,6 +2506,58 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     Some(target.instant)
   }
 
+  /** Roll back the debris of writers that DIED mid-commit (ref: hudi
+    * failed-writes cleaning — hoodie.cleaner.policy.failed.writes EAGER/
+    * LAZY + HoodieTable.rollbackInflights + marker-based reconciliation):
+    * an instant claimed (`.inflight`) but never completed may have left a
+    * staging dir and — if the crash hit between the renames and the
+    * timeline move — finalized-named data files that NO commit references.
+    * Readers never see them (slices resolve from commit metadata alone),
+    * but at 100 TB the orphaned bytes are real money.
+    *
+    * For every dangling inflight at least `olderThanMs` old (age from the
+    * instant's own timestamp — set it above your longest expected commit so
+    * a LIVE writer is never swept): delete its staging dir, every data
+    * file/sidecar carrying `_<instant>` in its name, and the inflight
+    * claim. Runs under the commit lock. Returns the rolled-back instants. */
+  def rollbackFailedWrites(olderThanMs: Long = 0): Seq[String] = lockProvider.withLock {
+    timeline.refresh()
+    val completed = timeline.completed().map(_._1).toSet
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
+    val cutoff = java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+      .minusNanos(olderThanMs * 1000000L)
+    def oldEnough(i: String): Boolean =
+      scala.util.Try(java.time.LocalDateTime.parse(i, fmt)).toOption
+        .forall(!_.isAfter(cutoff))
+    // an archived instant DID complete (its json just moved out of the
+    // active dir) — a stale inflight left by a crash between the json move
+    // and the inflight delete must not doom its live files
+    val archived = timeline.archivedInstants().toSet
+    val dangling = {
+      val it = Files.list(timeline.dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".inflight"))
+        .map(_.stripSuffix(".inflight").split('.'))
+        .collect { case Array(i, a) => (i, a) }.toSeq
+      it.filter { case (i, _) => !completed(i) && !archived(i) && oldEnough(i) }
+    }
+    dangling.map { case (instant, action) =>
+      GraftTable.drop(Paths.get(basePath, ".graft", s"staging_$instant").toString)
+      // orphan data files carry the instant inside their name:
+      // [log_]<fid>_<instant>[_i].<ext>[.bloom] — exact-segment match
+      val pat = java.util.regex.Pattern.compile(
+        s".*_${java.util.regex.Pattern.quote(instant)}(_\\d+)?\\.[A-Za-z0-9.]+")
+      val walk = Files.walk(Paths.get(basePath))
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.startsWith(Paths.get(basePath, ".graft")) &&
+          pat.matcher(p.getFileName.toString).matches())
+        .foreach(Files.deleteIfExists(_))
+      finally walk.close()
+      timeline.abort(instant, action)
+      instant
+    }
+  }
+
   /** Savepoint an instant so cleaning never makes it unreadable (ref:
     * CreateSavepointProcedure — takes a commit_time). Default: the latest
     * data instant. An explicit `at` must be a data instant still on the

@@ -322,6 +322,54 @@ class ScheduledServicesSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("rollbackFailedWrites sweeps dangling writer debris, respects age guard") {
+    val dir = tmp()
+    val t = ordersTable(CopyOnWrite, dir)
+    t.bulkInsert(orders)
+    val before = t.snapshot().count()
+    val committedFiles = t.slices(None).flatMap(_.baseFiles).map(_.path)
+
+    // simulate a writer that died between its renames and its commit
+    val dead = t.timeline.startInstant("commit")
+    val partDir = java.nio.file.Paths.get(dir, committedFiles.head).getParent
+    val orphan = partDir.resolve(s"gdeadbeef-00000_$dead.parquet")
+    Files.copy(java.nio.file.Paths.get(dir, committedFiles.head), orphan)
+    val staging = java.nio.file.Paths.get(dir, ".graft", s"staging_$dead")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("junk"), Array[Byte](1, 2, 3))
+
+    // age guard: a just-claimed instant is NOT swept with a high threshold
+    assert(t.rollbackFailedWrites(olderThanMs = 3600000L).isEmpty)
+    assert(Files.exists(orphan))
+
+    val rolled = t.rollbackFailedWrites()
+    assert(rolled === Seq(dead))
+    assert(!Files.exists(orphan), "orphan data file survived")
+    assert(!Files.exists(staging), "staging dir survived")
+    assert(!Files.exists(t.timeline.dir.resolve(s"$dead.commit.inflight")))
+    // committed state is untouched
+    assert(committedFiles.forall(p => Files.exists(java.nio.file.Paths.get(dir, p))))
+    assert(t.snapshot().count() === before)
+    assert(t.rollbackFailedWrites().isEmpty) // idempotent
+
+    // CALL surface
+    spark.sql("DROP TABLE IF EXISTS graft.p_failedw")
+    spark.sql("""CREATE TABLE graft.p_failedw (id BIGINT, v DOUBLE) USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'id')""".stripMargin)
+    spark.sql("INSERT INTO graft.p_failedw VALUES (1L, 1.0), (2L, 2.0)")
+    val loc = spark.sql("DESCRIBE EXTENDED graft.p_failedw")
+      .filter(col("col_name") === "Location").select("data_type").collect()(0).getString(0)
+    val t2 = GraftTable.load(spark, loc)
+    val dead2 = t2.timeline.startInstant("deltacommit")
+    val swept = spark.sql(
+      "CALL graft.rollback_failed_writes(`table` => 'p_failedw')").collect()
+    assert(swept.map(_.getString(0)).toSeq === Seq(dead2))
+    assert(spark.sql("SELECT count(*) FROM graft.p_failedw")
+      .collect()(0).getLong(0) === 2L)
+    spark.sql("DROP TABLE graft.p_failedw")
+    GraftTable.drop(dir)
+  }
+
   test("CALL surface: run_clean op => schedule / run") {
     def sql(q: String) = spark.sql(q)
     sql("DROP TABLE IF EXISTS graft.p_clean_sched")
