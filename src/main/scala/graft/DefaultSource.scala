@@ -285,10 +285,38 @@ class GraftStreamSink(spark: SparkSession, path: String,
     if (!graft.streaming.GraftStreaming.batchCommitted(t, streamId, batchId)) {
       val batch = transform(
         org.apache.spark.sql.graftbridge.DatasetBridge.unstream(data))
-      t.writeBatch(batch, parameters.getOrElse(OPERATION, "upsert"),
-        Map("streamBatchId" -> s"$streamId#$batchId"))
-      committed += 1
-      maybeCompact(t)
+      // transient-failure policy (ref: HoodieStreamingSink RETRY_CNT /
+      // RETRY_INTERVAL_MS / IGNORE_FAILED_BATCH): retry the micro-batch
+      // write in place — the batch id makes a half-landed retry idempotent
+      // (a committed attempt short-circuits) — then either surface the
+      // failure (default: the query dies, exactly-once preserved) or, if
+      // explicitly opted in, log and DROP the batch (availability over
+      // completeness, as the reference defaults to — data loss is the
+      // documented trade).
+      val retries = parameters.getOrElse(STREAMING_RETRY_COUNT, "3").toInt
+      val intervalMs = parameters.getOrElse(STREAMING_RETRY_INTERVAL_MS, "2000").toLong
+      val ignoreFailed = parameters.get(STREAMING_IGNORE_FAILED_BATCH).exists(_.toBoolean)
+      var attempt = 0
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= retries) {
+        if (attempt > 0) Thread.sleep(intervalMs)
+        try {
+          if (!graft.streaming.GraftStreaming.batchCommitted(t, streamId, batchId))
+            t.writeBatch(batch, parameters.getOrElse(OPERATION, "upsert"),
+              Map("streamBatchId" -> s"$streamId#$batchId"))
+          done = true
+        } catch { case e: Throwable => lastErr = e; attempt += 1 }
+      }
+      if (!done) {
+        if (!ignoreFailed) throw lastErr
+        System.err.println(s"[graft-sink] batch $batchId dropped after " +
+          s"${retries + 1} attempts ($STREAMING_IGNORE_FAILED_BATCH=true): " +
+          s"${lastErr.getMessage}")
+      } else {
+        committed += 1
+        maybeCompact(t)
+      }
     }
   }
 
@@ -422,4 +450,10 @@ object DefaultSource {
   // streaming source catch-up bound: at most N commits per micro-batch
   // (the maxFilesPerTrigger pattern for a commit-timeline source)
   val MAX_INSTANTS_PER_TRIGGER = "graft.max.instants.per.trigger"
+  // sink transient-failure policy (ref: hoodie.datasource.write.streaming.
+  // retry.count / retry.interval.ms / ignore.failed.batch — graft defaults
+  // ignore to FALSE: dropping a batch is explicit opt-in, not a default)
+  val STREAMING_RETRY_COUNT = "graft.streaming.retry.count"
+  val STREAMING_RETRY_INTERVAL_MS = "graft.streaming.retry.interval.ms"
+  val STREAMING_IGNORE_FAILED_BATCH = "graft.streaming.ignore.failed.batch"
 }

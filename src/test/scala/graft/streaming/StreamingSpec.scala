@@ -309,6 +309,38 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("sink retry policy: ignore.failed.batch drops a poisoned batch only on opt-in") {
+    implicit val sqlCtx = spark.sqlContext
+    // a transform yielding NULL record keys poisons every write attempt
+    val poison = "SELECT CAST(NULL AS BIGINT) AS event_id, value FROM <SRC>"
+    def run(ignore: Boolean): (String, Either[Throwable, Long]) = {
+      val dir = Files.createTempDirectory("graft_sinkretry_").toString
+      val mem = MemoryStream[Event]
+      val q = mem.toDF().writeStream.format("graft")
+        .option("graft.recordkey.field", "event_id")
+        .option("graft.transformer.sql", poison)
+        .option("graft.streaming.retry.count", "1")
+        .option("graft.streaming.retry.interval.ms", "10")
+        .option("graft.streaming.ignore.failed.batch", ignore.toString)
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_sinkretry_ckpt_").toString)
+        .start(dir)
+      mem.addData(Event(1, ts(0), 1, "click", 1.0))
+      val res = try {
+        q.processAllAvailable()
+        Right(spark.read.format("graft").load(dir).count())
+      } catch { case e: Throwable => Left(e) } finally q.stop()
+      (dir, res)
+    }
+    // default posture: the failure surfaces, the query dies (exactly-once kept)
+    val (d1, strict) = run(ignore = false)
+    assert(strict.isLeft, "poisoned batch must fail the query by default")
+    // opt-in: after retries the batch is dropped and the stream continues
+    val (d2, lax) = run(ignore = true)
+    assert(lax === Right(0L), s"opt-in drop should land zero rows, got $lax")
+    GraftTable.drop(d1); GraftTable.drop(d2)
+  }
+
   test("sink transformer SQL reshapes each micro-batch before the commit") {
     val dir = Files.createTempDirectory("graft_sinktx_").toString
     val ckpt = Files.createTempDirectory("graft_sinktx_ckpt_").toString
