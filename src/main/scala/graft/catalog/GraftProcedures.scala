@@ -649,6 +649,13 @@ object GraftProcedures {
         StructType(Seq(StructField("markers_removed", LongType))),
         GraftSql.deleteMarker(tableOf(cat, a.str(0)), a.str(1)))),
 
+    Proc("show_cleans",
+      "Every clean — inline runs and scheduled plans (REQUESTED / " +
+        "COMPLETED) — with files deleted, retention boundary and the " +
+        "execution instant (CLI `cleans show` parity).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.showCleans(tableOf(cat, a.str(0))))),
+
     Proc("rollback_failed_writes",
       "Sweep ALL dangling writer debris: for every instant claimed but " +
         "never completed (and at least older_than_ms old, judged by the " +

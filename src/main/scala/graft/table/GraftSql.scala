@@ -125,6 +125,33 @@ object GraftSql {
       .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_replaced")
   }
 
+  /** show_cleans (CLI `cleans show` parity; same state model as
+    * [[showCompaction]]): every clean — inline runs and scheduled plans —
+    * with its file count, retention boundary and, for executions of a
+    * plan, the plan instant. */
+  def showCleans(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val ms = t.timeline.metas(None)
+    val executedBy = ms.filter(m => m.action == "clean")
+      .flatMap(m => m.extra.get("planInstant").map(_ -> m)).toMap
+    val plans = ms.filter(_.action == "cleanreq").map { p =>
+      executedBy.get(p.instant) match {
+        case Some(m) => (p.instant, "COMPLETED", m.deletedPaths.size.toLong,
+          m.extra.getOrElse("earliestRetained", ""), m.instant)
+        case None => (p.instant, "REQUESTED", p.deletedPaths.size.toLong,
+          p.extra.getOrElse("earliestRetained", ""), "")
+      }
+    }
+    val inline = ms
+      .filter(m => m.action == "clean" && !m.extra.contains("planInstant"))
+      .map(m => (m.instant, "COMPLETED", m.deletedPaths.size.toLong,
+        m.extra.getOrElse("earliestRetained", ""), ""))
+    (plans ++ inline).sortBy(_._1)
+      .toDF("instant", "state", "n_files_deleted", "earliest_retained",
+        "execution_instant")
+  }
+
   /** show_commit_write_stats (ref: ShowCommitWriteStatsProcedure):
     * per-commit totals of the write it performed. Data actions only — a
     * service PLAN instant also records files (its pinned inputs), which are

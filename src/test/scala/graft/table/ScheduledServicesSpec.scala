@@ -386,9 +386,15 @@ class ScheduledServicesSpec extends AnyFunSuite {
     val planRow = sql("CALL graft.run_clean(`table` => 'p_clean_sched', " +
       "`op` => 'schedule')").collect()
     assert(planRow.length === 1 && planRow(0).getString(0) != null)
+    val states0 = sql("CALL graft.show_cleans(`table` => 'p_clean_sched')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states0(planRow(0).getString(0)) === "REQUESTED")
     val execRow = sql("CALL graft.run_clean(`table` => 'p_clean_sched', " +
       "`op` => 'run')").collect()
     assert(execRow.length === 1 && execRow(0).getString(0) != null)
+    val states1 = sql("CALL graft.show_cleans(`table` => 'p_clean_sched')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states1(planRow(0).getString(0)) === "COMPLETED")
     assert(sql("SELECT count(*) FROM graft.p_clean_sched")
       .collect()(0).getLong(0) === 30L)
     // run with no pending plan schedules one itself (after new debt exists)
