@@ -63,15 +63,17 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         if (parameters.get(MERGE_TYPE).contains("skip_merge"))
           new GraftComputedRelation(spark, () => t.snapshotSkipMerge(asOf))
         else t.fastScanFiles(asOf, baseOnly = false) match {
-          case Some((files, schema)) =>
-            GraftRelations.fast(spark, path, files, schema, t.config.baseFileFormat)
+          case Some((files, schema, partSchema)) =>
+            GraftRelations.fast(spark, path, files, schema,
+              t.config.baseFileFormat, partSchema)
           case None => new GraftComputedRelation(spark, () => t.snapshot(asOf))
         }
       case "read_optimized" =>
         val asOf = parameters.get(AS_OF_INSTANT)
         t.fastScanFiles(asOf, baseOnly = true) match {
-          case Some((files, schema)) =>
-            GraftRelations.fast(spark, path, files, schema, t.config.baseFileFormat)
+          case Some((files, schema, partSchema)) =>
+            GraftRelations.fast(spark, path, files, schema,
+              t.config.baseFileFormat, partSchema)
           case None => new GraftComputedRelation(spark, () => t.readOptimized(asOf))
         }
       case "incremental" =>
@@ -138,6 +140,9 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           case other => throw new IllegalArgumentException(
             s"unknown $OPERATION '$other'")
         }
+        // writer-maintains-the-table mode (ref: hudi inline/automatic
+        // services) — no-op unless the graft.*.inline/automatic options ask
+        AutoServices.run(t, parameters)
     }
     createRelation(sqlContext, parameters)
   }
@@ -316,6 +321,7 @@ class GraftStreamSink(spark: SparkSession, path: String,
       } else {
         committed += 1
         maybeCompact(t)
+        maybeCluster(t)
       }
     }
   }
@@ -339,6 +345,33 @@ class GraftStreamSink(spark: SparkSession, path: String,
             }
         })
       }
+  }
+
+  /** Async clustering (ref: hoodie.clustering.async.enabled +
+    * async/AsyncClusteringService.java — default OFF, as in the reference):
+    * every `graft.clustering.async.every` committed batches, schedule a
+    * layout plan (sort columns from `graft.clustering.sort.columns`) and
+    * execute it on the service thread. runClustering skips any group a
+    * later batch touched (replace would drop interleaved rows), so the
+    * ingest cadence is never blocked or conflicted. */
+  private def maybeCluster(t: GraftTable): Unit = {
+    if (!parameters.get(ASYNC_CLUSTER).exists(_.toBoolean)) return
+    val every = parameters.getOrElse(ASYNC_CLUSTER_EVERY, "4").toLong
+    if (committed % every == 0 && pendingService.isDone) {
+      val sortCols = parameters.getOrElse(AutoServices.CLUSTER_SORT_COLS,
+        throw new IllegalArgumentException(
+          s"$ASYNC_CLUSTER=true requires ${AutoServices.CLUSTER_SORT_COLS}"))
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      t.scheduleClustering(sortCols).foreach { plan =>
+        pendingService = servicePool.submit(new Runnable {
+          override def run(): Unit =
+            try t.runClustering(plan)
+            catch { case e: Throwable =>
+              System.err.println(s"[graft-sink] async clustering failed: ${e.getMessage}")
+            }
+        })
+      }
+    }
   }
 
   /** Ingest-time SQL transform between source and table (ref:
@@ -371,12 +404,33 @@ object DefaultSource {
       throw new IllegalArgumentException(
         s"creating a graft table requires $RECORDKEY_FIELD"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val hiveStyle = parameters.getOrElse(HIVE_STYLE_PARTITIONING, "true").toBoolean
+    val urlEncode = parameters.getOrElse(PARTITIONPATH_URLENCODE, "false").toBoolean
     val partitioning = parameters.get(PARTITIONPATH_FIELD)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty).map(PartitionByColumns(_): PartitionSpec)
+      .filter(_.nonEmpty)
+      .map { fields =>
+        // CustomKeyGenerator syntax (ref: hudi keygen/CustomKeyGenerator
+        // .java): "region:simple,ts:timestamp" mixes segment kinds; plain
+        // names stay the simple column path
+        if (fields.exists(_.contains(':')))
+          PartitionByMixed(fields.map { f =>
+            f.split(':') match {
+              case Array(c) => PartitionSegment(c)
+              case Array(c, k) => PartitionSegment(c, k,
+                parameters.getOrElse(PARTITION_TS_FORMAT, "yyyy-MM-dd"))
+              case _ => throw new IllegalArgumentException(
+                s"bad partition field '$f' (col or col:simple|timestamp)")
+            }
+          }, hiveStyle): PartitionSpec
+        else PartitionByColumns(fields, hiveStyle, urlEncode): PartitionSpec
+      }
       .orElse(parameters.get(PARTITION_TS_COL).map(c =>
         PartitionByTimestamp(c,
-          parameters.getOrElse(PARTITION_TS_FORMAT, "yyyy-MM-dd")): PartitionSpec))
+          parameters.getOrElse(PARTITION_TS_FORMAT, "yyyy-MM-dd"),
+          hiveStyle,
+          parameters.getOrElse(PARTITION_TS_TYPE, "timestamp"),
+          parameters.getOrElse(PARTITION_TS_INPUT_FORMAT, "yyyy-MM-dd")): PartitionSpec))
       .getOrElse(NonPartitioned)
     TableConfig(
       name = parameters.getOrElse(TABLE_NAME,
@@ -392,7 +446,9 @@ object DefaultSource {
       populateMetaFields =
         parameters.getOrElse(POPULATE_META_FIELDS, "true").toBoolean,
       baseFileFormat =
-        parameters.getOrElse(BASE_FILE_FORMAT, "parquet").toLowerCase)
+        parameters.getOrElse(BASE_FILE_FORMAT, "parquet").toLowerCase,
+      dropPartitionColumns =
+        parameters.getOrElse(DROP_PARTITION_COLUMNS, "false").toBoolean)
   }
 
   // read options (ref: hudi DataSourceReadOptions)
@@ -412,6 +468,22 @@ object DefaultSource {
   val PARTITIONPATH_FIELD = "graft.partitionpath.field"
   val PARTITION_TS_COL = "graft.partition.timestamp.col"
   val PARTITION_TS_FORMAT = "graft.partition.timestamp.format"
+  // input interpretation of the timestamp column (ref: hoodie.deltastreamer
+  // .keygen.timebased.timestamp.type — UNIX_TIMESTAMP / EPOCHMILLISECONDS /
+  // DATE_STRING): timestamp | epoch_millis | epoch_seconds | date_string
+  val PARTITION_TS_TYPE = "graft.partition.timestamp.type"
+  // (ref: hoodie.deltastreamer.keygen.timebased.input.dateformat)
+  val PARTITION_TS_INPUT_FORMAT = "graft.partition.timestamp.input.format"
+  // bare `val` segments instead of `col=val` (ref: hoodie.datasource.write
+  // .hive_style_partitioning — the reference defaults to bare; graft keeps
+  // hive-style as the default since external pruning tools expect it)
+  val HIVE_STYLE_PARTITIONING = "graft.hive.style.partitioning"
+  // percent-encode partition values so `/`, `=`, whitespace can't corrupt
+  // the layout (ref: hoodie.datasource.write.partitionpath.urlencode)
+  val PARTITIONPATH_URLENCODE = "graft.partitionpath.urlencode"
+  // partition values live only in the path, never in the files (ref:
+  // hoodie.datasource.write.drop.partition.columns)
+  val DROP_PARTITION_COLUMNS = "graft.drop.partition.columns"
   val INDEX_BUCKETS = "graft.index.buckets"
   val TARGET_FILE_ROWS = "graft.target.file.rows"
   // merge payload semantics (ref: hudi hoodie.datasource.write.payload.class)
@@ -447,6 +519,10 @@ object DefaultSource {
   val ASYNC_COMPACT = "graft.compaction.async"
   // plan cadence in committed batches (ref: hoodie.compact.inline.max.delta.commits)
   val ASYNC_COMPACT_EVERY = "graft.compaction.async.every"
+  // streaming sink: async clustering (ref: hoodie.clustering.async.enabled,
+  // default off); sort columns come from graft.clustering.sort.columns
+  val ASYNC_CLUSTER = "graft.clustering.async"
+  val ASYNC_CLUSTER_EVERY = "graft.clustering.async.every"
   // streaming source catch-up bound: at most N commits per micro-batch
   // (the maxFilesPerTrigger pattern for a commit-timeline source)
   val MAX_INSTANTS_PER_TRIGGER = "graft.max.instants.per.trigger"

@@ -395,11 +395,7 @@ class GraftV2Table(val path: String, fullName: String,
       throw new IllegalStateException(
         s"graft table at $path has neither commits nor a declared schema"))
 
-  override def partitioning(): Array[Transform] = table.config.partitioning match {
-    case PartitionByColumns(cols) => cols.map(Expressions.identity).toArray
-    case PartitionByTimestamp(c, _) => Array(Expressions.identity(c))
-    case NonPartitioned => Array.empty
-  }
+  override def partitioning(): Array[Transform] = table.config.partitioning.columns.map(Expressions.identity).toArray
 
   /** Full config surfaced so DESCRIBE TABLE EXTENDED / SHOW CREATE TABLE
     * render a faithful, re-runnable definition (the reference exposes its
@@ -420,15 +416,33 @@ class GraftV2Table(val path: String, fullName: String,
       (if (cfg.baseFileFormat != "parquet")
          Map(BASE_FILE_FORMAT -> cfg.baseFileFormat)
        else Map.empty[String, String]) ++
+      (if (cfg.dropPartitionColumns) Map(DROP_PARTITION_COLUMNS -> "true")
+       else Map.empty[String, String]) ++
       cfg.precombineField.map(PRECOMBINE_FIELD -> _) ++
       (cfg.index match {
         case BucketIndex(n) => Map(INDEX_BUCKETS -> n.toString)
         case StatsIndex => Map.empty[String, String]
       }) ++
       (cfg.partitioning match {
-        case PartitionByTimestamp(c, f) =>
-          Map(PARTITION_TS_COL -> c, PARTITION_TS_FORMAT -> f)
+        case p: PartitionByTimestamp =>
+          Map(PARTITION_TS_COL -> p.tsCol, PARTITION_TS_FORMAT -> p.format)
+        case p: PartitionByMixed =>
+          Map(PARTITIONPATH_FIELD -> p.segs.map(s =>
+            if (s.kind == "simple") s.col else s"${s.col}:${s.kind}").mkString(","))
         case _ => Map.empty[String, String] // identity cols show as PARTITIONED BY
+      }) ++
+      // non-default path styles must re-create faithfully
+      (cfg.partitioning match {
+        case p: PartitionByColumns if !p.hiveStyle || p.urlEncode =>
+          (if (!p.hiveStyle) Map(HIVE_STYLE_PARTITIONING -> "false")
+           else Map.empty[String, String]) ++
+          (if (p.urlEncode) Map(PARTITIONPATH_URLENCODE -> "true")
+           else Map.empty[String, String])
+        case p: PartitionByTimestamp if !p.hiveStyle =>
+          Map(HIVE_STYLE_PARTITIONING -> "false")
+        case p: PartitionByMixed if !p.hiveStyle =>
+          Map(HIVE_STYLE_PARTITIONING -> "false")
+        case _ => Map.empty[String, String]
       })).asJava
   }
 
@@ -438,7 +452,7 @@ class GraftV2Table(val path: String, fullName: String,
   // -- partition management (SHOW PARTITIONS / ALTER TABLE DROP PARTITION) --
 
   private def partCols: Seq[StructField] = table.config.partitioning match {
-    case PartitionByColumns(cols) => cols.map(c =>
+    case p: PartitionByColumns => p.cols.map(c =>
       schema.find(_.name == c).getOrElse(throw new IllegalStateException(
         s"partition column $c missing from schema")))
     case other => throw new UnsupportedOperationException(
@@ -448,16 +462,27 @@ class GraftV2Table(val path: String, fullName: String,
   override def partitionSchema(): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(partCols)
 
-  /** Hive-style path segment for one typed partition value — must mirror
-    * PartitionSpec.segment (cast-to-string + null sentinel). */
-  private def segment(field: StructField, row: InternalRow, i: Int): String =
-    if (row.isNullAt(i)) PartitionSpec.NullSegment
-    else String.valueOf(row.get(i, field.dataType))
+  private def colSpec: PartitionByColumns =
+    table.config.partitioning.asInstanceOf[PartitionByColumns]
+
+  /** Path segment for one typed partition value — must mirror
+    * PartitionSpec.segment/encoded (cast-to-string + null sentinel +
+    * optional percent-encoding). */
+  private def segment(field: StructField, row: InternalRow, i: Int): String = {
+    val v = if (row.isNullAt(i)) PartitionSpec.NullSegment
+            else String.valueOf(row.get(i, field.dataType))
+    if (colSpec.urlEncode)
+      java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")
+    else v
+  }
 
   private def pathOfIdent(ident: InternalRow): String = {
     val cols = partCols
-    cols.zipWithIndex.map { case (f, i) => s"${f.name}=${segment(f, ident, i)}" }
-      .mkString("/")
+    val style = colSpec
+    cols.zipWithIndex.map { case (f, i) =>
+      val v = segment(f, ident, i)
+      if (style.hiveStyle) s"${f.name}=$v" else v
+    }.mkString("/")
   }
 
   private def livePartitionPaths: Seq[String] = {
@@ -471,7 +496,11 @@ class GraftV2Table(val path: String, fullName: String,
     val nameIdx = names.map(n => cols.indexWhere(_.name == n))
     require(nameIdx.forall(_ >= 0), s"unknown partition column in ${names.mkString(",")}")
     livePartitionPaths.flatMap { p =>
-      val values = p.split('/').map(_.split("=", 2)(1))
+      val style = colSpec
+      val values = p.split('/').map { seg =>
+        val v = if (style.hiveStyle) seg.split("=", 2)(1) else seg
+        if (style.urlEncode) PartitionSpec.decodeSegment(v) else v
+      }
       if (values.length != cols.length) None
       else {
         val typed: Array[Any] = cols.zip(values).map { case (f, v) =>
@@ -559,13 +588,17 @@ object GraftV2Table {
     val keys = p(RECORDKEY_FIELD).getOrElse(throw new IllegalArgumentException(
         s"creating a graft table requires $RECORDKEY_FIELD in TBLPROPERTIES/OPTIONS"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val hiveStyle = p(HIVE_STYLE_PARTITIONING).forall(_.toBoolean)
+    val urlEncode = p(PARTITIONPATH_URLENCODE).exists(_.toBoolean)
     val partitioning =
-      if (partCols.nonEmpty) PartitionByColumns(partCols)
+      if (partCols.nonEmpty) PartitionByColumns(partCols, hiveStyle, urlEncode)
       else p(PARTITIONPATH_FIELD)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .filter(_.nonEmpty).map(PartitionByColumns(_): PartitionSpec)
+        .filter(_.nonEmpty)
+        .map(PartitionByColumns(_, hiveStyle, urlEncode): PartitionSpec)
         .orElse(p(PARTITION_TS_COL).map(c => PartitionByTimestamp(c,
-          p(PARTITION_TS_FORMAT).getOrElse("yyyy-MM-dd")): PartitionSpec))
+          p(PARTITION_TS_FORMAT).getOrElse("yyyy-MM-dd"),
+          hiveStyle): PartitionSpec))
         .getOrElse(NonPartitioned)
     TableConfig(
       name = p(TABLE_NAME).getOrElse(defaultName),
@@ -579,6 +612,7 @@ object GraftV2Table {
       payload = MergePayload.of(p(PAYLOAD).getOrElse("overwrite_latest")),
       schemaOnRead = p(SCHEMA_ON_READ).exists(_.toBoolean),
       populateMetaFields = p(POPULATE_META_FIELDS).forall(_.toBoolean),
-      baseFileFormat = p(BASE_FILE_FORMAT).getOrElse("parquet").toLowerCase)
+      baseFileFormat = p(BASE_FILE_FORMAT).getOrElse("parquet").toLowerCase,
+      dropPartitionColumns = p(DROP_PARTITION_COLUMNS).exists(_.toBoolean))
   }
 }

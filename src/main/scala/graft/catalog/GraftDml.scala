@@ -167,11 +167,7 @@ private[catalog] object GraftDml {
     * sources (a row can't migrate through update — same rule as the
     * reference's key/partition validation in MergeIntoHoodieTableCommand). */
   def immutableCols(cfg: TableConfig): Set[String] =
-    cfg.keyFields.toSet ++ (cfg.partitioning match {
-      case PartitionByColumns(cols) => cols.toSet
-      case PartitionByTimestamp(c, _) => Set(c)
-      case NonPartitioned => Set.empty[String]
-    })
+    cfg.keyFields.toSet ++ cfg.partitioning.columns.toSet
 
   def assignmentName(a: Assignment): String = a.key match {
     case ar: AttributeReference => ar.name

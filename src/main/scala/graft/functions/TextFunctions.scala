@@ -56,6 +56,46 @@ object TextFunctions {
         meanWordLen >= 2.0 && meanWordLen <= 12.0 && punctRatio <= 0.2).cast("int"))
   }
 
+  /** Gopher-rules document filter (Rae et al. 2021 "Scaling Language
+    * Models", Appendix A — the standard heuristic-filter bundle for web
+    * corpora) in EXACT integer arithmetic: every ratio rule is
+    * cross-multiplied, so the keep flag never touches a float and an
+    * external oracle states identical integers at any parallelism.
+    * Rules: 50 ≤ words ≤ 100k; mean word length in [3,10]
+    * (non_ws ∈ [3·words, 10·words]); symbol(`#`/`...`)-to-word ratio
+    * ≤ 0.1; ≤90% bullet-started lines; ≤30% ellipsis-ended lines;
+    * ≥80% of words contain a letter; ≥2 stopword hits (total
+    * occurrences — a deliberate simplification of the paper's
+    * "2 distinct stopwords"). */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    def cnt(expr: Column, pat: String): Column =
+      size(regexp_extract_all(expr, lit(pat), lit(0))).cast("long")
+    val nWords = wsTokenCount(text)
+    val nonWs = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val symbols = cnt(text, "#|\\.\\.\\.")
+    val nLines = size(split(text, "\n")).cast("long")
+    val bullets = cnt(text, "(?m)^\\s*[-*•]")
+    val ellipses = cnt(text, "(?m)\\.\\.\\.$")
+    val alphaWords = cnt(text, "\\S*[A-Za-z]\\S*")
+    val stopHits = cnt(lower(text), "\\b(the|be|to|of|and|that|have|with)\\b")
+    Seq(
+      "n_words" -> nWords,
+      "non_ws" -> nonWs,
+      "n_symbols" -> symbols,
+      "n_lines" -> nLines,
+      "bullet_lines" -> bullets,
+      "ellipsis_lines" -> ellipses,
+      "alpha_words" -> alphaWords,
+      "stop_hits" -> stopHits,
+      "keep" -> (nWords >= 50L && nWords <= 100000L &&
+        nonWs >= nWords * 3L && nonWs <= nWords * 10L &&
+        symbols * 10L <= nWords &&
+        bullets * 10L <= nLines * 9L &&
+        ellipses * 10L <= nLines * 3L &&
+        alphaWords * 10L >= nWords * 8L &&
+        stopHits >= 2L).cast("int"))
+  }
+
   /** Language-ID heuristic: stopword-marker counts per language, CJK by
     * codepoint class; highest score wins (en on ties). */
   def langIdColumns(text: Column): (Seq[(String, Column)], Column) = {
@@ -103,6 +143,29 @@ object TextFunctions {
     val bpeTokens = cnt("text", "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
     val punct = cnt("text", "[^A-Za-z0-9\\s]")
     val stop = cnt("lower(text)", "\\b(" + stopwords.mkString("|") + ")\\b")
+    /** [[gopherColumns]] twin over a column named `gtext`: the same counts
+      * (RE2 states (?m)/\S/\b identically to Java regex) and the same
+      * cross-multiplied integer keep rule. */
+    val gopher: String = {
+      def c(expr: String, pat: String) = s"len(regexp_extract_all($expr, '$pat'))"
+      val words = wsTokens.replace("text", "gtext")
+      s"""$words AS n_words,
+         |    length(regexp_replace(gtext, '\\s+', '', 'g')) AS non_ws,
+         |    ${c("gtext", "#|\\.\\.\\.")} AS n_symbols,
+         |    len(regexp_split_to_array(gtext, '\\n')) AS n_lines,
+         |    ${c("gtext", "(?m)^\\s*[-*•]")} AS bullet_lines,
+         |    ${c("gtext", "(?m)\\.\\.\\.$")} AS ellipsis_lines,
+         |    ${c("gtext", "\\S*[A-Za-z]\\S*")} AS alpha_words,
+         |    ${c("lower(gtext)", "\\b(the|be|to|of|and|that|have|with)\\b")} AS stop_hits""".stripMargin
+    }
+    val gopherKeep: String =
+      """CASE WHEN n_words >= 50 AND n_words <= 100000
+        |        AND non_ws >= n_words * 3 AND non_ws <= n_words * 10
+        |        AND n_symbols * 10 <= n_words
+        |        AND bullet_lines * 10 <= n_lines * 9
+        |        AND ellipsis_lines * 10 <= n_lines * 3
+        |        AND alpha_words * 10 >= n_words * 8
+        |        AND stop_hits >= 2 THEN 1 ELSE 0 END""".stripMargin
     /** DuckDB needs the explicit 'g' flag (Spark replaces all by default). */
     def redacted(expr: String): String =
       s"regexp_replace(regexp_replace(regexp_replace($expr, " +

@@ -453,4 +453,31 @@ object Curation {
     units.unpersist(blocking = false)
     materialized
   }
+
+  /**
+   * WITHIN-document repeated-line removal — [[stripBoilerplate]]'s
+   * intra-doc sibling (the C4 self-dedup pass that drops a line repeated
+   * inside the same page, keeping its first occurrence in order).
+   *
+   * One posexplode + one window over (doc, line) — the shuffle carries
+   * (doc, line) pairs, each document's lines stay together, nothing is
+   * cross-document. Returns (id, n_lines, n_kept, clean).
+   */
+  def dedupLinesWithin(docs: DataFrame, textCol: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    // n_lines rides through the explode as a per-doc constant (same
+    // projection, codegen'd) — no second window partitioning, no rescan
+    val units = docs.select(col(idCol),
+      size(split(textCol, "\n")).cast("long").as("n_lines"),
+      posexplode(split(textCol, "\n")).as(Seq("pos", "line")))
+    val w = Window.partitionBy(col(idCol), col("line")).orderBy(col("pos"))
+    units.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .groupBy(col(idCol), col("n_lines"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("clean"))
+  }
 }

@@ -41,6 +41,59 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_h", "_rn")
   }
 
+  /** Incremental (snapshot-over-snapshot) dedup — the Dolma/CCNet shape
+    * where each new crawl batch dedups against the already-curated corpus:
+    * the existing side collapses to its content-hash set (a single-column
+    * projection — at scale a column-pruned parquet scan whose shuffle
+    * carries 16-byte hashes, never documents), the incoming batch first
+    * dedups within itself ([[exact]], keep min id), then left-anti joins
+    * the existing hashes. The curated corpus is never rewritten or
+    * re-shuffled as text, so the cost per batch is O(batch + |corpus
+    * hashes|) regardless of corpus size. Null-text docs are all kept
+    * (null never equals null), matching [[exact]]. */
+  def incremental(existing: DataFrame, incoming: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val seen = existing.select(md5(col(textCol)).as("_h"))
+      .where(col("_h").isNotNull).distinct()
+    exact(incoming, idCol, textCol)
+      .withColumn("_h", md5(col(textCol)))
+      .join(seen, Seq("_h"), "left_anti")
+      .drop("_h")
+  }
+
+  /** Exact-substring duplication signal (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better": long verbatim token
+    * windows shared across documents — there via suffix arrays; here as
+    * the per-document signal the method thresholds on). For each document,
+    * counts its n-token windows — EVERY position, not distinct — whose
+    * exact window text occurs in ≥2 distinct documents. Corpus-linear: one
+    * explode (pinned — it feeds both the frequency agg and the scoring
+    * join), a (window → distinct-doc-count) partial agg, one equi-join
+    * back; the shuffle carries (window, doc) pairs, nothing is pairwise.
+    * Returns (id, n_windows, dup_windows). */
+  def substringDupSignal(docs: DataFrame, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val windows = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        array_join(slice(toks, i + lit(1), lit(n)), " "))
+    ).otherwise(array())
+    val exploded = docs.select(col(idCol), explode(windows).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfc = exploded.groupBy(col("sh")).agg(countDistinct(col(idCol)).as("df"))
+    val perDoc = exploded.join(dfc, Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("df") >= 2).cast("long")).as("dup_windows"))
+    val out = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+    val materialized = out.localCheckpoint(eager = true)
+    exploded.unpersist(blocking = false)
+    materialized
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

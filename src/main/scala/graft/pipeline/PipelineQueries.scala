@@ -321,6 +321,56 @@ object PipelineQueries {
     Curation.vocabCoverage(Tables.documents(s, d), col("text"), k = 100)
       .orderBy(col("doc_id"))
 
+  /** Gopher-rules heuristic filter (Rae et al. 2021) over line-ified
+    * documents; every fifth doc gets planted bullet/ellipsis lines so the
+    * line-shape rules have real work. Exact integer arithmetic throughout
+    * (see TextFunctions.gopherColumns). */
+  def filterGopher(s: SparkSession, d: String): DataFrame = {
+    val cols = TextFunctions.gopherColumns(col("gtext")).map { case (n, c) => c.as(n) }
+    Tables.documents(s, d)
+      .withColumn("gtext", concat(
+        regexp_replace(col("text"), "\\. ", ".\n"),
+        when(col("doc_id") % 5 === 0, lit("\n- item one\n- item two..."))
+          .otherwise(lit(""))))
+      .select(col("doc_id") +: cols: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental (snapshot-over-snapshot) dedup: two new crawl batches —
+    * every doc duplicated across them — against a curated corpus holding
+    * half the content. Within-batch dedup keeps the lower id; the
+    * anti-join keeps only content the corpus has never seen. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") < 250)
+    val incoming = docs.withColumn("doc_id", col("doc_id") + 10000)
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 20000))
+    Dedup.incremental(existing, incoming)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Johnson-Lindenstrauss sign projection of the embedding corpus to 16
+    * exact-integer components (see Projection.signProject). */
+  def embedProject(s: SparkSession, d: String): DataFrame =
+    Projection.signProject(Tables.embeddings(s, d), k = 16)
+      .orderBy(col("vec_id"), col("j"))
+
+  /** Exact-substring duplication signal (Lee et al. 2022) over the
+    * near-dup corpus: 10-token windows shared across documents. */
+  def dedupSubstring(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupSignal(docsWithNearDups(s, d), n = 10)
+      .orderBy(col("doc_id"))
+
+  /** Within-document repeated-line removal over line-ified docs with a
+    * planted repeated line (first occurrence wins, order preserved). */
+  def dedupLinesWithinQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("ptext",
+      concat(regexp_replace(col("text"), "\\. ", ".\n"),
+        lit("\nrepeat line\nrepeat line\ntail "), col("doc_id").cast("string")))
+    Curation.dedupLinesWithin(docs, col("ptext")).orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -357,7 +407,12 @@ object PipelineQueries {
     "filter_badwords" -> (filterBadwords _),
     "quality_classifier" -> (qualityClassifier _),
     "text_oov_rate" -> (textOovRate _),
-    "pipeline_curate2" -> (pipelineCurate2 _)
+    "pipeline_curate2" -> (pipelineCurate2 _),
+    "filter_gopher" -> (filterGopher _),
+    "dedup_incremental" -> (dedupIncremental _),
+    "embed_project" -> (embedProject _),
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_lines_within" -> (dedupLinesWithinQ _)
   )
 
   import TextFunctions.{sql => T}
@@ -818,6 +873,82 @@ object PipelineQueries {
         |        FROM kept GROUP BY doc_id),
         |tot AS (SELECT doc_id, count(*) AS n_units FROM un GROUP BY doc_id)
         |SELECT doc_id, n_units, n_kept, clean FROM tot JOIN res USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "filter_gopher" ->
+      s"""SELECT doc_id, n_words, non_ws, n_symbols, n_lines, bullet_lines,
+         |  ellipsis_lines, alpha_words, stop_hits,
+         |  ${T.gopherKeep} AS keep
+         |FROM (
+         |  SELECT doc_id, ${T.gopher}
+         |  FROM (SELECT doc_id,
+         |          regexp_replace(text, '\\. ', '.' || chr(10), 'g') ||
+         |          CASE WHEN doc_id % 5 = 0
+         |               THEN chr(10) || '- item one' || chr(10) || '- item two...'
+         |               ELSE '' END AS gtext
+         |        FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH incoming AS (
+        |  SELECT doc_id + 10000 AS doc_id, text, lang, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text, lang, source FROM documents),
+        |batch AS (
+        |  SELECT doc_id, text, lang, source FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM incoming) WHERE rn = 1)
+        |SELECT b.doc_id, b.lang, b.source FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                  WHERE d.doc_id < 250 AND md5(d.text) = md5(b.text))
+        |ORDER BY doc_id""".stripMargin,
+    "embed_project" ->
+      """WITH e AS (
+        |  SELECT vec_id, i - 1 AS i,
+        |    CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT vec_id, unnest(embedding) AS v,
+        |          generate_subscripts(embedding, 1) AS i FROM embeddings)),
+        |s AS (
+        |  SELECT d.i, js.j,
+        |    CASE WHEN substr(md5(d.i || '_' || js.j), 1, 1)
+        |           IN ('0','2','4','6','8','a','c','e') THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT DISTINCT i FROM e) d
+        |  CROSS JOIN (SELECT unnest(range(16)) AS j) js)
+        |SELECT vec_id, CAST(s.j AS INT) AS j, CAST(sum(sgn * qv) AS BIGINT) AS proj
+        |FROM e JOIN s ON e.i = s.i
+        |GROUP BY vec_id, s.j ORDER BY vec_id, j""".stripMargin,
+    "dedup_substring" -> {
+      val w10 = (0 until 10).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |         FROM all_docs),
+         |w AS (SELECT doc_id, $w10 AS sh
+         |      FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |dfc AS (SELECT sh, count(DISTINCT doc_id) AS df FROM w GROUP BY sh),
+         |per AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |          CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+         |        FROM w JOIN dfc USING (sh) GROUP BY w.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows
+         |FROM all_docs d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "dedup_lines_within" ->
+      """WITH p AS (SELECT doc_id,
+        |    regexp_replace(text, '\. ', '.' || chr(10), 'g') || chr(10) ||
+        |    'repeat line' || chr(10) || 'repeat line' || chr(10) || 'tail ' || doc_id AS ptext
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(ptext, chr(10)) AS u FROM p),
+        |un AS (SELECT doc_id, i AS pos, u[i] AS line
+        |       FROM s, unnest(range(1, len(u) + 1)) AS r(i)),
+        |fst AS (SELECT doc_id, pos, line FROM (
+        |          SELECT doc_id, pos, line,
+        |            row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |          FROM un) WHERE rn = 1),
+        |sz AS (SELECT doc_id, CAST(len(u) AS BIGINT) AS n_lines FROM s)
+        |SELECT f.doc_id, sz.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean
+        |FROM fst f JOIN sz USING (doc_id)
+        |GROUP BY f.doc_id, sz.n_lines ORDER BY doc_id""".stripMargin
   )
 }

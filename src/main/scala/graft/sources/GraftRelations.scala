@@ -37,12 +37,17 @@ import graft.table.{CodePointOrder, FileMeta, GraftTable}
  */
 object GraftRelations {
 
-  /** Native pushdown-capable relation over the live base files. */
+  /** Native pushdown-capable relation over the live base files.
+    * `partitionSchema` is non-empty only for drop.partition.columns
+    * tables: those columns come from the partition path (parsed into
+    * PartitionDirectory rows), not the files — filters on them prune at
+    * plan time without touching a byte of data. */
   def fast(spark: SparkSession, basePath: String, files: Seq[FileMeta],
-      schema: StructType, format: String = "parquet"): BaseRelation =
+      schema: StructType, format: String = "parquet",
+      partitionSchema: StructType = new StructType()): BaseRelation =
     HadoopFsRelation(
-      location = new GraftFileIndex(spark, basePath, files),
-      partitionSchema = new StructType(),
+      location = new GraftFileIndex(spark, basePath, files, partitionSchema),
+      partitionSchema = partitionSchema,
       dataSchema = schema,
       bucketSpec = None,
       fileFormat = if (format == "orc")
@@ -61,8 +66,9 @@ object GraftRelations {
  * in the files), so "partition pruning" is subsumed by stats pruning.
  */
 class GraftFileIndex(spark: SparkSession, basePath: String,
-    files: Seq[FileMeta]) extends FileIndex {
-  import GraftFileIndex.mayMatch
+    files: Seq[FileMeta],
+    partSchema: StructType = new StructType()) extends FileIndex {
+  import GraftFileIndex.{mayMatch, partValue}
 
   private val entries: Seq[(FileMeta, FileStatus)] = files.map { f =>
     val p = new HPath(s"$basePath/${f.path}")
@@ -74,21 +80,75 @@ class GraftFileIndex(spark: SparkSession, basePath: String,
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(basePath))
 
+  /** Partition-path string → typed PartitionDirectory row (hive-style
+    * `col=val` segments; the null sentinel reads back as null). */
+  private def parseRow(partition: String): InternalRow = {
+    val segs = partition.split('/')
+    InternalRow.fromSeq(partSchema.fields.zipWithIndex.map { case (f, i) =>
+      val raw = segs(i).stripPrefix(f.name + "=")
+      if (raw == graft.table.PartitionSpec.NullSegment) null
+      else partValue(raw, f.dataType)
+    }.toIndexedSeq)
+  }
+
   override def listFiles(partitionFilters: Seq[cat.Expression],
       dataFilters: Seq[cat.Expression]): Seq[PartitionDirectory] = {
     val kept = entries.filter { case (f, _) =>
       dataFilters.forall(e => mayMatch(f, e))
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    if (partSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+    else {
+      // the index OWNS partition pruning for a HadoopFsRelation: bind the
+      // filters against the partition row (PartitioningAwareFileIndex's
+      // contract) and drop whole directories at plan time
+      val pred = if (partitionFilters.isEmpty) None
+        else Some(cat.Predicate.createInterpreted(
+          partitionFilters.reduce(cat.And).transform {
+            case a: cat.AttributeReference =>
+              val i = partSchema.indexWhere(_.name == a.name)
+              require(i >= 0, s"unknown partition column ${a.name}")
+              cat.BoundReference(i, partSchema(i).dataType, nullable = true)
+          }))
+      kept.groupBy(_._1.partition).toSeq.sortBy(_._1).flatMap { case (p, fs) =>
+        val row = parseRow(p)
+        if (pred.forall(_.eval(row)))
+          Some(PartitionDirectory(row, fs.map(_._2).toArray))
+        else None
+      }
+    }
   }
 
   override def inputFiles: Array[String] = entries.map(_._2.getPath.toString).toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = entries.map(_._2.getLen).sum
-  override def partitionSchema: StructType = new StructType()
+  override def partitionSchema: StructType = partSchema
 }
 
 object GraftFileIndex {
+
+  /** Partition value types the fast path can parse into PartitionDirectory
+    * rows; anything else falls back to the conforming reader. */
+  private[graft] def partValueSupported(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | DoubleType |
+         FloatType | BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** String partition segment → catalyst value (mirror of the cast the
+    * conforming reader applies by expression). */
+  private def partValue(v: String, dt: DataType): Any = dt match {
+    case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+    case IntegerType => v.toInt
+    case LongType => v.toLong
+    case ShortType => v.toShort
+    case DoubleType => v.toDouble
+    case FloatType => v.toFloat
+    case BooleanType => v.toBoolean
+    case DateType => java.time.LocalDate.parse(v).toEpochDay.toInt
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition value type $other")
+  }
 
   /** Conservative may-satisfy test of a catalyst predicate against a file's
     * recorded stats: false ONLY when the recorded range proves no row can

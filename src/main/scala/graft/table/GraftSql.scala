@@ -533,7 +533,7 @@ object GraftSql {
       s"export target '$outPath' already exists (exporter refuses overwrite)")
     val df = t.snapshot().drop(GraftTable.metaCols: _*)
     val w = t.config.partitioning match {
-      case PartitionByColumns(cols) => df.write.partitionBy(cols: _*)
+      case p: PartitionByColumns => df.write.partitionBy(p.cols: _*)
       case _ => df.write
     }
     w.format(format).save(outPath)

@@ -41,6 +41,9 @@ object GraftTable {
   val PART    = "_graft_partition_path"
   val FILE_ID = "_graft_file_id"
   val DELETED = "_graft_deleted"
+  /** Transient routing column: a pre-resolved partition path that withMeta
+    * honors instead of re-deriving from the data (never persisted). */
+  private[graft] val PART_PIN = "_g_part_pin"
   val metaFields: Seq[StructField] = Seq(
     StructField(COMMIT, StringType), StructField(KEY, StringType),
     StructField(PART, StringType), StructField(FILE_ID, StringType),
@@ -70,8 +73,15 @@ object GraftTable {
       "keyFields" -> config.keyFields, "precombineField" -> config.precombineField,
       "partitioning" -> (config.partitioning match {
         case NonPartitioned => Map("kind" -> "none")
-        case PartitionByColumns(cs) => Map("kind" -> "columns", "cols" -> cs)
-        case PartitionByTimestamp(c, f) => Map("kind" -> "timestamp", "col" -> c, "format" -> f)
+        case p: PartitionByColumns => Map("kind" -> "columns", "cols" -> p.cols,
+          "hiveStyle" -> p.hiveStyle, "urlEncode" -> p.urlEncode)
+        case p: PartitionByTimestamp => Map("kind" -> "timestamp",
+          "col" -> p.tsCol, "format" -> p.format, "hiveStyle" -> p.hiveStyle,
+          "inputType" -> p.inputType, "inputFormat" -> p.inputFormat)
+        case p: PartitionByMixed => Map("kind" -> "mixed",
+          "segs" -> p.segs.map(s => Map("col" -> s.col, "segKind" -> s.kind,
+            "format" -> s.format)),
+          "hiveStyle" -> p.hiveStyle)
       }),
       "index" -> (config.index match {
         case StatsIndex => Map("kind" -> "stats")
@@ -82,7 +92,8 @@ object GraftTable {
       "schemaOnRead" -> config.schemaOnRead,
       "version" -> config.version,
       "populateMetaFields" -> config.populateMetaFields,
-      "baseFileFormat" -> config.baseFileFormat)))
+      "baseFileFormat" -> config.baseFileFormat,
+      "dropPartitionColumns" -> config.dropPartitionColumns)))
     ()
   }
 
@@ -92,9 +103,21 @@ object GraftTable {
     def m(k: String) = raw(k).asInstanceOf[Map[String, Any]]
     val part = m("partitioning")("kind") match {
       case "none" => NonPartitioned
-      case "columns" => PartitionByColumns(m("partitioning")("cols").asInstanceOf[Seq[String]])
+      case "columns" => PartitionByColumns(
+        m("partitioning")("cols").asInstanceOf[Seq[String]],
+        // absent = pre-style writer = hive-style, unencoded
+        m("partitioning").getOrElse("hiveStyle", true).toString.toBoolean,
+        m("partitioning").getOrElse("urlEncode", false).toString.toBoolean)
       case "timestamp" => PartitionByTimestamp(
-        m("partitioning")("col").toString, m("partitioning")("format").toString)
+        m("partitioning")("col").toString, m("partitioning")("format").toString,
+        m("partitioning").getOrElse("hiveStyle", true).toString.toBoolean,
+        m("partitioning").getOrElse("inputType", "timestamp").toString,
+        m("partitioning").getOrElse("inputFormat", "yyyy-MM-dd").toString)
+      case "mixed" => PartitionByMixed(
+        m("partitioning")("segs").asInstanceOf[Seq[Map[String, Any]]].map(s =>
+          PartitionSegment(s("col").toString, s("segKind").toString,
+            s("format").toString)),
+        m("partitioning").getOrElse("hiveStyle", true).toString.toBoolean)
     }
     val idx = m("index")("kind") match {
       case "stats" => StatsIndex
@@ -110,7 +133,8 @@ object GraftTable {
       // absent = written by a pre-version writer = id-less epochs
       raw.getOrElse("version", 1).toString.toInt,
       raw.getOrElse("populateMetaFields", true).toString.toBoolean,
-      raw.getOrElse("baseFileFormat", "parquet").toString))
+      raw.getOrElse("baseFileFormat", "parquet").toString,
+      raw.getOrElse("dropPartitionColumns", false).toString.toBoolean))
   }
 
   def exists(path: String): Boolean =
@@ -158,11 +182,7 @@ object GraftTable {
     // when the files don't contain them; every file's PHYSICAL schema is
     // checked below (inside the footer scan — a mixed directory where only
     // some files materialize the columns must fail too)
-    val needed = (config.keyFields ++ (config.partitioning match {
-      case PartitionByColumns(cs) => cs
-      case PartitionByTimestamp(c, _) => Seq(c)
-      case NonPartitioned => Nil
-    })).distinct
+    val needed = (config.keyFields ++ config.partitioning.columns).distinct
     val statCols = dataSchema.fields.filter(f => isStatType(f.dataType)).map(_.name).toSet
     // a derived key range is only sound when the single key column is itself
     // a string: for other types the lexical order of the cast differs from
@@ -837,14 +857,25 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             "_([0-9]{15,})(?:_[0-9]{1,9})?\\.(?:parquet|orc)$", 1)
           when(fromName =!= "", fromName).otherwise(lit("0"))
         }
-      conformFrom(spark.read.schema(fileSchema).format(config.baseFileFormat)
-            .load(paths: _*), fileSchema,
+      val conformed = conformFrom(spark.read.schema(fileSchema)
+            .format(config.baseFileFormat).load(paths: _*), fileSchema,
           tgt, origNames)
         .withColumn(KEY, coalesce(col(KEY), config.keyExpr))
         .withColumn(PART, coalesce(col(PART), config.partitioning.pathExpr))
         .withColumn(COMMIT, coalesce(col(COMMIT), commitFill))
         .withColumn(FILE_ID, fid)
         .withColumn(DELETED, coalesce(col(DELETED), lit(false)))
+      // dropped partition columns re-derive from the materialized partition
+      // path (codegen'd parse, inverse of pathExpr) — PART is filled above,
+      // so this composes with every schema epoch
+      if (!config.dropPartitionColumns) conformed
+      else config.partitioning.columns.foldLeft(conformed) { (df, c) =>
+        tgt.fields.find(_.name == c) match {
+          case Some(f) => df.withColumn(c, coalesce(col(c),
+            config.partitionColFromPath(col(PART), c, f.dataType)))
+          case None => df
+        }
+      }
     }
     val (ext, normal) = files.partition { case (f, _) => f.external && needFileId }
     val dfs =
@@ -860,8 +891,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   private def withMeta(raw: DataFrame, instant: String): DataFrame = {
     val d = if (raw.columns.contains(DELETED)) raw else raw.withColumn(DELETED, lit(false))
-    d.withColumn(KEY, config.keyExpr)
-      .withColumn(PART, config.partitioning.pathExpr)
+    // a caller that already resolved a row's home partition (upsertGlobal
+    // with update.partition.path=false: the row stays where its key lives)
+    // pins it via PART_PIN; everyone else derives from the data
+    val p = if (raw.columns.contains(GraftTable.PART_PIN))
+        d.withColumn(PART,
+          coalesce(col(GraftTable.PART_PIN), config.partitioning.pathExpr))
+          .drop(GraftTable.PART_PIN)
+      else d.withColumn(PART, config.partitioning.pathExpr)
+    p.withColumn(KEY, config.keyExpr)
       .withColumn(COMMIT, lit(instant))
   }
 
@@ -1030,8 +1068,14 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // partition re-derive from expressions, the commit instant from the
     // file name (readConformed's coalesce fallbacks). The drop is AFTER
     // the sort, so the physical key order (and footer stats) still hold.
-    val toWrite =
-      if (config.populateMetaFields) sorted else sorted.drop(metaCols: _*)
+    val toWrite = {
+      val base = if (config.populateMetaFields) sorted else sorted.drop(metaCols: _*)
+      // drop.partition.columns: the value lives only in the directory path
+      // (and PART) — readers re-derive it (readConformed fill / the fast
+      // path's PartitionDirectory rows), files carry one column less
+      if (config.dropPartitionColumns) base.drop(config.partitioning.columns: _*)
+      else base
+    }
     toWrite.write.partitionBy("_gp", "_gf").mode(SaveMode.Overwrite)
       .format(if (withBlooms) BloomParquetFormat.name else config.baseFileFormat)
       .option("graft.bloom.expected", config.targetFileSizeRows.toString)
@@ -1562,13 +1606,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * `hoodie.simple.index.update.partition.path=true`): a key is unique
    * across the WHOLE table, not per partition. When an incoming record's
    * partition differs from where its key currently lives, the old row is
-   * tombstoned in its old partition and the record inserts into the new one.
+   * tombstoned in its old partition and the record inserts into the new one
+   * — or, with `updatePartitionPath = false` (the reference option's other
+   * leg), the record updates IN PLACE in its original partition.
    *
    * Scale note: candidate pruning is by key range across all partitions
    * (global min/max of the batch vs recorded per-file ranges) — the batch
    * never joins the full table, only files that could hold its keys.
    */
-  def upsertGlobal(source: DataFrame): String = {
+  def upsertGlobal(source: DataFrame, updatePartitionPath: Boolean = true): String = {
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val keyedRaw = source
       .withColumn(KEY, config.keyExpr)
@@ -1598,19 +1644,33 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val existing = existingAll.withColumn("_g_ern", row_number().over(ew))
       .filter(col("_g_ern") === 1).drop("_g_ern")
     val m = keyed.join(existing, Seq(KEY), "left")
-    // rows whose key lives in ANOTHER partition: tombstone the old row
-    // (its original column values, so the partition path re-derives to the
-    // OLD partition), routed to its home group
-    val moved = m.filter(coalesce(col("_g_live"), lit(false)) && col("_e_part") =!= col(PART))
-    val tombstones = moved.select(
-      tableCols.map(c => col(s"_e_$c").as(c)) :+ col("_g_fid") :+ lit(true).as(DELETED): _*)
-    // every incoming row writes to ITS partition; same-partition matches
-    // route to their home group, moved/new keys insert
     val srcOut = keyed.drop(KEY, PART).columns.toSeq
-    val upserts = m.withColumn("_g_fid",
-        when(col("_e_part") === col(PART), col("_g_fid")))
-      .select(srcOut.map(col) :+ col("_g_fid") :+ lit(false).as(DELETED): _*)
-    val batch = tombstones.unionByName(upserts, allowMissingColumns = true)
+    val matchedLive = coalesce(col("_g_live"), lit(false))
+    val batch = if (updatePartitionPath) {
+      // rows whose key lives in ANOTHER partition: tombstone the old row
+      // (its original column values, so the partition path re-derives to the
+      // OLD partition), routed to its home group
+      val moved = m.filter(matchedLive && col("_e_part") =!= col(PART))
+      val tombstones = moved.select(
+        tableCols.map(c => col(s"_e_$c").as(c)) :+ col("_g_fid") :+ lit(true).as(DELETED): _*)
+      // every incoming row writes to ITS partition; same-partition matches
+      // route to their home group, moved/new keys insert
+      val upserts = m.withColumn("_g_fid",
+          when(col("_e_part") === col(PART), col("_g_fid")))
+        .select(srcOut.map(col) :+ col("_g_fid") :+ lit(false).as(DELETED): _*)
+      tombstones.unionByName(upserts, allowMissingColumns = true)
+    } else {
+      // update.partition.path=false (ref: hoodie.simple/bloom.index.update
+      // .partition.path): a matched record STAYS in the partition its key
+      // lives in — the home path is pinned past withMeta's re-derivation,
+      // no tombstone, no move. Data columns still take the incoming values
+      // (the reference has the same data-vs-directory quirk); dead keys
+      // re-insert into the incoming row's own partition.
+      m.withColumn("_g_fid", when(matchedLive, col("_g_fid")))
+        .withColumn(GraftTable.PART_PIN, when(matchedLive, col("_e_part")))
+        .select(srcOut.map(col) ++ Seq(col("_g_fid"),
+          col(GraftTable.PART_PIN), lit(false).as(DELETED)): _*)
+    }
     val routed = config.index match {
       case StatsIndex => batch
       case BucketIndex(_) => batch.drop("_g_fid")
@@ -1714,7 +1774,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * files IS the snapshot. None = the general merging reader must run.
    */
   private[graft] def fastScanFiles(asOf: Option[String],
-      baseOnly: Boolean): Option[(Seq[FileMeta], StructType)] = {
+      baseOnly: Boolean): Option[(Seq[FileMeta], StructType, StructType)] = {
     assertNotArchived(asOf, "time travel to")
     val ss = slices(asOf)
     if (!baseOnly && ss.exists(_.logs.nonEmpty)) return None
@@ -1727,15 +1787,27 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         DataType.fromJson(sj).asInstanceOf[StructType] == latest)
     }
     if (!uniform) return None
+    // dropped partition columns come back as REAL partition columns of the
+    // relation: values parse from each file's partition path into
+    // PartitionDirectory rows, so filters on them are plan-time partition
+    // pruning (never a scan). Unsupported value types fall back to the
+    // conforming reader, which derives them by expression.
+    val (partFields, dataFields) =
+      if (config.dropPartitionColumns)
+        latest.fields.partition(f => config.partitioning.columns.contains(f.name))
+      else (Array.empty[StructField], latest.fields)
+    if (partFields.exists(f =>
+        !graft.sources.GraftFileIndex.partValueSupported(f.dataType)))
+      return None
     // virtual-key files hold no meta columns at all: the fast scan serves
     // the pure data schema (the reference's BaseFileOnlyRelation with
     // populate.meta.fields=false reads the same shape)
     val schema =
       if (config.populateMetaFields) StructType(Seq(
         StructField(COMMIT, StringType), StructField(KEY, StringType),
-        StructField(PART, StringType)) ++ latest.fields)
-      else latest
-    Some((bases.map(_._1), schema))
+        StructField(PART, StringType)) ++ dataFields)
+      else StructType(dataFields)
+    Some((bases.map(_._1), schema, StructType(partFields)))
   }
 
   // ----------------------------------------------------------------- reads
@@ -1769,10 +1841,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // skipping from commit stats — the same fast path format("graft") reads
     // get, now for typed-API users too
     fastScanFiles(asOf, baseOnly = false) match {
-      case Some((files, schema)) =>
+      case Some((files, schema, partSchema)) =>
         spark.baseRelationToDataFrame(graft.sources.GraftRelations.fast(
           spark, basePath, files.filter(f => partitionPred(f.partition)), schema,
-          config.baseFileFormat))
+          config.baseFileFormat, partSchema))
       case None =>
         val data = schemaAt(asOf).getOrElse(new StructType())
         val full = snapshotFull(asOf, data, s => partitionPred(s.partition))
@@ -1787,10 +1859,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def readOptimized(asOf: Option[String] = None): DataFrame = {
     assertNotArchived(asOf, "time travel to")
     fastScanFiles(asOf, baseOnly = true) match {
-      case Some((files, schema)) =>
+      case Some((files, schema, partSchema)) =>
         return spark.baseRelationToDataFrame(
           graft.sources.GraftRelations.fast(spark, basePath, files, schema,
-            config.baseFileFormat))
+            config.baseFileFormat, partSchema))
       case None =>
     }
     val data = schemaAt(asOf).getOrElse(new StructType())

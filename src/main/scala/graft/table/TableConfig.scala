@@ -35,21 +35,79 @@ case object NonPartitioned extends PartitionSpec {
 private[graft] object PartitionSpec {
   val NullSegment = "__HIVE_DEFAULT_PARTITION__"
   def segment(c: Column): Column = coalesce(c.cast("string"), lit(NullSegment))
+  /** Percent-encode a path segment (ref: hoodie.datasource.write
+    * .partitionpath.urlencode + PartitionPathEncodeUtils.escapePathName):
+    * url_encode then `+`→`%20` gives URI-style encoding, so `/`, `=`, and
+    * whitespace can never corrupt the directory layout or the `col=val`
+    * split. The null sentinel's chars are all unreserved — unchanged. */
+  def encoded(c: Column): Column =
+    regexp_replace(url_encode(segment(c)), "\\+", "%20")
+  def decodeSegment(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
 }
-/** Hive-style `col=val/col2=val2` from one or more columns. */
-case class PartitionByColumns(cols: Seq[String]) extends PartitionSpec {
+/** Hive-style `col=val/col2=val2` from one or more columns. `hiveStyle =
+  * false` emits bare `val/val2` segments (ref: hoodie.datasource.write
+  * .hive_style_partitioning — the reference DEFAULTS to bare values; graft
+  * keeps hive-style as the default since pruning tools expect it);
+  * `urlEncode` percent-encodes each value (ref: ...partitionpath.urlencode). */
+case class PartitionByColumns(cols: Seq[String], hiveStyle: Boolean = true,
+    urlEncode: Boolean = false) extends PartitionSpec {
+  private def value(c: String): Column =
+    if (urlEncode) PartitionSpec.encoded(col(c)) else PartitionSpec.segment(col(c))
   def pathExpr: Column =
     concat_ws("/", cols.map(c =>
-      concat(lit(c + "="), PartitionSpec.segment(col(c)))): _*)
+      if (hiveStyle) concat(lit(c + "="), value(c)) else value(c)): _*)
   def columns: Seq[String] = cols
 }
 /** Timestamp-based keygen: partition by a formatted time column,
-  * e.g. `dt=2024-01-30`. */
-case class PartitionByTimestamp(tsCol: String, format: String = "yyyy-MM-dd")
-    extends PartitionSpec {
-  def pathExpr: Column =
-    concat(lit("dt="), PartitionSpec.segment(date_format(col(tsCol), format)))
+  * e.g. `dt=2024-01-30` (or bare `2024-01-30` when hiveStyle = false).
+  * `inputType` mirrors the reference's TimestampType (ref:
+  * hudi keygen/TimestampBasedAvroKeyGenerator.java, option
+  * `hoodie.deltastreamer.keygen.timebased.timestamp.type`):
+  * `timestamp` (native timestamp/date column), `epoch_millis`
+  * (EPOCHMILLISECONDS long), `epoch_seconds` (UNIX_TIMESTAMP long), or
+  * `date_string` (DATE_STRING parsed with `inputFormat`). */
+case class PartitionByTimestamp(tsCol: String, format: String = "yyyy-MM-dd",
+    hiveStyle: Boolean = true, inputType: String = "timestamp",
+    inputFormat: String = "yyyy-MM-dd") extends PartitionSpec {
+  require(Set("timestamp", "epoch_millis", "epoch_seconds", "date_string")(inputType),
+    s"unknown timestamp input type '$inputType' " +
+      "(timestamp | epoch_millis | epoch_seconds | date_string)")
+  def pathExpr: Column = {
+    val ts = inputType match {
+      case "timestamp" => col(tsCol)
+      case "epoch_millis" => timestamp_millis(col(tsCol))
+      case "epoch_seconds" => timestamp_seconds(col(tsCol))
+      case "date_string" => to_timestamp(col(tsCol), inputFormat)
+    }
+    val v = PartitionSpec.segment(date_format(ts, format))
+    if (hiveStyle) concat(lit("dt="), v) else v
+  }
   def columns: Seq[String] = Seq(tsCol)
+}
+/** One segment of a mixed partition path: `kind` is `simple` (value as-is)
+  * or `timestamp` (formatted via `format`). */
+case class PartitionSegment(col: String, kind: String = "simple",
+    format: String = "yyyy-MM-dd") {
+  require(Set("simple", "timestamp")(kind),
+    s"unknown partition segment kind '$kind' (simple | timestamp)")
+}
+/** CustomKeyGenerator-style MIXED partitioning (ref: hudi-client-common
+  * .../keygen/CustomKeyGenerator.java — `hoodie.datasource.write
+  * .partitionpath.field = "region:simple,ts:timestamp"`): each segment is
+  * independently simple or timestamp-formatted, composed in order. */
+case class PartitionByMixed(segs: Seq[PartitionSegment],
+    hiveStyle: Boolean = true) extends PartitionSpec {
+  def pathExpr: Column =
+    concat_ws("/", segs.map { sg =>
+      val v = sg.kind match {
+        case "simple" => PartitionSpec.segment(col(sg.col))
+        case "timestamp" =>
+          PartitionSpec.segment(date_format(col(sg.col), sg.format))
+      }
+      if (hiveStyle) concat(lit(sg.col + "="), v) else v
+    }: _*)
+  def columns: Seq[String] = segs.map(_.col)
 }
 
 /** Upsert index strategy (ref: hudi-client-common .../index/HoodieIndex.java):
@@ -182,10 +240,40 @@ case class TableConfig(
     // HoodieOrcWriter): "parquet" (default; while-writing bloom sidecars)
     // or "orc" (commit-time footer stats from the ORC file tail; blooms
     // via CREATE INDEX backfill only).
-    baseFileFormat: String = "parquet") {
+    baseFileFormat: String = "parquet",
+    // Drop partition columns from data files (ref: hoodie.datasource.write
+    // .drop.partition.columns): the value lives ONLY in the directory path
+    // (and the _g_ partition meta column) and is re-derived on read — one
+    // column of redundant bytes less per partition column at PB scale.
+    // Requires hive-style, unencoded column partitioning + materialized
+    // meta fields (the read-side inverse parses `col=val` from the meta
+    // path; the null sentinel round-trips to null).
+    dropPartitionColumns: Boolean = false) {
 
   require(Set("parquet", "orc")(baseFileFormat),
     s"unsupported base file format '$baseFileFormat' (parquet | orc)")
+
+  require(!dropPartitionColumns || (partitioning match {
+      case p: PartitionByColumns => p.hiveStyle && !p.urlEncode &&
+        populateMetaFields
+      case _ => false
+    }),
+    "graft.drop.partition.columns requires hive-style, unencoded column " +
+      "partitioning and populated meta fields (the read side re-derives " +
+      "values by parsing col=val from the partition path)")
+
+  /** Inverse of the partition path for one dropped column: parse `col=val`
+    * back out of the materialized partition-path meta column. Codegen'd
+    * string ops only; the null sentinel round-trips to null. */
+  def partitionColFromPath(partCol: Column, name: String,
+      dt: org.apache.spark.sql.types.DataType): Column = {
+    val cols = partitioning.columns
+    val i = cols.indexOf(name)
+    require(i >= 0, s"$name is not a partition column")
+    val seg = element_at(split(partCol, "/"), i + 1)
+    val v = regexp_replace(seg, "^" + java.util.regex.Pattern.quote(name + "="), "")
+    when(v === PartitionSpec.NullSegment, lit(null).cast(dt)).otherwise(v.cast(dt))
+  }
 
   /** Record key expression: single col as string, or `f1:v1,f2:v2` for
     * complex keys (mirrors ComplexAvroKeyGenerator output shape).

@@ -474,6 +474,41 @@ class StreamingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("sink clusters asynchronously when opted in (clustering.async)") {
+    val dir = Files.createTempDirectory("graft_sinkclu_").toString
+    val ckpt = Files.createTempDirectory("graft_sinkclu_ckpt_").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().writeStream.format("graft")
+      .option("graft.recordkey.field", "event_id")
+      .option("graft.precombine.field", "value")
+      .option("graft.clustering.async", "true")
+      .option("graft.clustering.async.every", "1")
+      .option("graft.clustering.sort.columns", "user_id")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 3, "view", 2.0))
+    q.processAllAvailable() // batch 1 → schedules a plan, executes off-thread
+    mem.addData(Event(3, ts(2), 2, "click", 3.0))
+    q.processAllAvailable()
+    val t = GraftTable.load(spark, dir)
+    val deadline = System.currentTimeMillis() + 30000
+    while (System.currentTimeMillis() < deadline &&
+        { t.timeline.refresh()
+          !t.timeline.metas(None).exists(m =>
+            m.action == "replacecommit" && m.operation == "cluster") })
+      Thread.sleep(200)
+    q.stop()
+    t.timeline.refresh()
+    assert(t.timeline.metas(None).exists(m =>
+        m.action == "replacecommit" && m.operation == "cluster"),
+      "async clustering never executed")
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 3)
+    assert(back.select(sum("value")).collect()(0).getDouble(0) === 6.0)
+    GraftTable.drop(dir)
+  }
+
   test("optimistic concurrency: overlapping commit since start is detected") {
     val dir = Files.createTempDirectory("graft_occ_").toString
     val t = eventsTable(dir)

@@ -1,0 +1,146 @@
+package graft.table
+
+import java.nio.file.Files
+import graft.TestSpark
+import org.apache.spark.sql.execution.{ExplainMode, FileSourceScanExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** drop.partition.columns (ref: hoodie.datasource.write.drop.partition
+  * .columns): the value lives only in the directory path; the fast read
+  * serves it as a REAL relation partition column (plan-time pruning), the
+  * conforming readers derive it from the materialized partition path. */
+class DropPartitionColsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_dropcols_").toString
+
+  private def rows = Seq(
+    (1L, "A", 10L), (2L, "B", 20L), (3L, "A", 30L), (4L, null, 40L))
+    .toDF("id", "grp", "v")
+
+  private def write(dir: String, df: org.apache.spark.sql.DataFrame,
+      op: String = "upsert"): Unit =
+    df.write.format("graft")
+      .option("graft.recordkey.field", "id")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "grp")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.operation", op)
+      .mode("append").save(dir)
+
+  test("files carry no partition column; reads restore typed values incl. null sentinel") {
+    val dir = tmp()
+    write(dir, rows, op = "bulk_insert")
+    // physical files must NOT contain grp
+    val t = GraftTable.load(spark, dir)
+    val aFile = t.slices(None).head.baseFiles.head.path
+    val physical = spark.read.parquet(s"$dir/$aFile").schema.fieldNames
+    assert(!physical.contains("grp"), s"grp leaked into the file: ${physical.mkString(",")}")
+    // format door read: full round trip with typed values
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 4)
+    val got = back.select("id", "grp").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("A"), 2L -> Some("B"), 3L -> Some("A"), 4L -> None))
+    GraftTable.drop(dir)
+  }
+
+  test("fast path: filter on the dropped column is plan-time partition pruning") {
+    val dir = tmp()
+    write(dir, rows, op = "bulk_insert")
+    val q = spark.read.format("graft").load(dir).filter(col("grp") === "A")
+    q.collect()
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    val all = spark.read.format("graft").load(dir)
+    all.collect()
+    val total = all.queryExecution.executedPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numFiles").value
+    }.sum
+    assert(scanned < total,
+      s"partition filter must prune files at plan time ($scanned vs $total)")
+    assert(q.count() === 2)
+    // and the plan is still a native scan, no Exchange
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange"), p)
+    GraftTable.drop(dir)
+  }
+
+  test("upsert tagging and snapshot merge still work without the column in files") {
+    val dir = tmp()
+    write(dir, rows, op = "bulk_insert")
+    write(dir, Seq((1L, "A", 99L)).toDF("id", "grp", "v"))
+    val t = GraftTable.load(spark, dir)
+    val snap = t.snapshot()
+    assert(snap.count() === 4)
+    assert(snap.filter(col("id") === 1).select("v").as[Long].collect().toSeq === Seq(99L))
+    assert(snap.filter(col("id") === 1).select("grp").as[String].collect().toSeq === Seq("A"))
+    GraftTable.drop(dir)
+  }
+
+  test("MOR logs, compaction and time travel re-derive the column everywhere") {
+    val dir = tmp()
+    Seq((1L, "A", 1L), (2L, "B", 2L)).toDF("id", "grp", "v")
+      .write.format("graft")
+      .option("graft.recordkey.field", "id")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "grp")
+      .option("graft.table.type", "mor")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.operation", "bulk_insert")
+      .mode("append").save(dir)
+    val t = GraftTable.load(spark, dir)
+    val first = t.timeline.completed().last._1
+    t.upsert(Seq((1L, "A", 5L)).toDF("id", "grp", "v")) // log file
+    val merged = t.snapshot()
+    assert(merged.filter(col("id") === 1)
+      .select("v", "grp").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((5L, "A")))
+    t.compact()
+    val afterCompact = t.snapshot()
+    assert(afterCompact.filter(col("id") === 1)
+      .select("grp").as[String].collect().toSeq === Seq("A"))
+    // time travel back to the first commit still restores the column
+    val tt = t.snapshot(Some(first))
+    assert(tt.filter(col("id") === 1).select("v", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "A")))
+    GraftTable.drop(dir)
+  }
+
+  test("guard: non-hive-style or encoded partitioning rejects the option") {
+    intercept[IllegalArgumentException] {
+      TableConfig("t", CopyOnWrite, Seq("id"),
+        partitioning = PartitionByColumns(Seq("grp"), hiveStyle = false),
+        dropPartitionColumns = true)
+    }
+    intercept[IllegalArgumentException] {
+      TableConfig("t", CopyOnWrite, Seq("id"),
+        partitioning = PartitionByColumns(Seq("grp"), urlEncode = true),
+        dropPartitionColumns = true)
+    }
+    intercept[IllegalArgumentException] {
+      TableConfig("t", CopyOnWrite, Seq("id"),
+        partitioning = NonPartitioned, dropPartitionColumns = true)
+    }
+  }
+
+  test("typed non-string partition column round-trips through the fast path") {
+    val dir = tmp()
+    Seq((1L, 7, 1L), (2L, 8, 2L)).toDF("id", "bucket", "v")
+      .write.format("graft")
+      .option("graft.recordkey.field", "id")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "bucket")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.operation", "bulk_insert")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.schema("bucket").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(back.select(sum("bucket")).collect()(0).getLong(0) === 15L)
+    GraftTable.drop(dir)
+  }
+}

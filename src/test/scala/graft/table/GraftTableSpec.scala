@@ -1228,6 +1228,43 @@ class GraftTableSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertGlobal updatePartitionPath=false: record updates in place, no move, no tombstone") {
+    for (tt <- Seq(CopyOnWrite, MergeOnRead)) {
+      val dir = tmp()
+      val t = ordersTable(tt, dir)
+      t.bulkInsert(orders)
+      val homeOf = t.snapshot().filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col(GraftTable.PART))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // incoming rows claim partition X, but must stay in their home partition
+      val incoming = orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", lit(3.75))
+      val news = orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("X"))
+      t.upsertGlobal(incoming.unionByName(news), updatePartitionPath = false)
+      val snap = t.snapshot().cache()
+      assert(snap.count() === orders.count() + news.count())
+      // matched rows: values updated, PHYSICAL partition unchanged
+      val after = snap.filter(col("o_orderkey") % 10 === 0 &&
+          col("o_orderkey") < 10000000L)
+        .select(col("o_orderkey"), col(GraftTable.PART), col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(after.forall(_._3 === 3.75), "values must update")
+      assert(after.forall { case (k, p, _) => p === homeOf(k) },
+        "a matched record must stay in its home partition")
+      assert(snap.filter(col(GraftTable.PART) === "o_orderstatus=X" &&
+        col("o_orderkey") < 10000000L).count() === 0,
+        "only genuinely new keys may land in partition X")
+      // unmatched (new) keys insert into THEIR OWN partition as usual
+      assert(snap.filter(col("o_orderkey") >= 10000000L &&
+        col(GraftTable.PART) =!= "o_orderstatus=X").count() === 0)
+      snap.unpersist()
+      GraftTable.drop(dir)
+    }
+  }
+
   test("upsertGlobal: within-batch duplicate keys across partitions collapse by precombine") {
     val dir = tmp()
     val t = ordersTable(CopyOnWrite, dir)
