@@ -211,8 +211,13 @@ class GraftStreamSource(spark: SparkSession, path: String,
   // query's committed one, replaying processed commits downstream.
   private val maxInstants =
     parameters.get(MAX_INSTANTS_PER_TRIGGER).map(_.toInt).filter(_ > 0)
-  private val cursorFile = metadataPath.map(p =>
-    java.nio.file.Paths.get(p, "graft-cursor"))
+  // Spark hands metadataPath as a URI string (file:/...); treating it as a
+  // raw path would create a literal "file:" directory under the cwd
+  private val cursorFile = metadataPath.map { p =>
+    val u = try new java.net.URI(p) catch { case _: Exception => null }
+    val fsPath = if (u != null && u.getScheme == "file") u.getPath else p
+    java.nio.file.Paths.get(fsPath, "graft-cursor")
+  }
   @volatile private var cursor: String = {
     val persisted = cursorFile.filter(java.nio.file.Files.exists(_)).map(p =>
       new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim)
