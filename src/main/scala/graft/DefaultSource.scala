@@ -116,6 +116,7 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         val metaPrefix = parameters.getOrElse(COMMITMETA_KEY_PREFIX, "_")
         val userMeta = parameters.filter { case (k, _) =>
           k.startsWith(metaPrefix) }
+        val instant =
         if (mode == SaveMode.Overwrite && exists) t.insertOverwriteTable(data)
         else parameters.getOrElse(OPERATION, "upsert") match {
           case "bulk_insert" =>
@@ -124,7 +125,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           case "insert" =>
             if (parameters.get(INSERT_DROP_DUPS).exists(_.toBoolean))
               t.insertDropDuplicates(data, userMeta)
-            else t.insert(data, userMeta)
+            else t.insert(data, userMeta,
+              combine = parameters.getOrElse(COMBINE_BEFORE_INSERT, "true").toBoolean)
           case "upsert" => t.upsert(data, userMeta)
           case "delete" => t.delete(data, userMeta)
           case "insert_overwrite" => t.insertOverwrite(data)
@@ -140,6 +142,10 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
           case other => throw new IllegalArgumentException(
             s"unknown $OPERATION '$other'")
         }
+        // post-commit notification BEFORE table services: the callback
+        // reports the write the caller made, not maintenance side-effects
+        // (ref: hoodie.write.commit.callback.class)
+        CommitCallback.fire(parameters.get(COMMIT_CALLBACK_CLASS), t, instant)
         // writer-maintains-the-table mode (ref: hudi inline/automatic
         // services) — no-op unless the graft.*.inline/automatic options ask
         AutoServices.run(t, parameters)
@@ -489,6 +495,15 @@ object DefaultSource {
   // partition values live only in the path, never in the files (ref:
   // hoodie.datasource.write.drop.partition.columns)
   val DROP_PARTITION_COLUMNS = "graft.drop.partition.columns"
+  // false = duplicate keys in one insert batch all append (ref:
+  // hoodie.combine.before.insert, whose reference default IS false;
+  // graft defaults to combining, so a table stays key-unique unless the
+  // caller explicitly opts into duplicate rows)
+  val COMBINE_BEFORE_INSERT = "graft.combine.before.insert"
+  // fully-qualified CommitCallback class fired after each door write (ref:
+  // hoodie.write.commit.callback.on + .callback.class; graft's "on" is the
+  // option's presence). graft.table.FileCommitCallback appends an audit log.
+  val COMMIT_CALLBACK_CLASS = "graft.commit.callback.class"
   val INDEX_BUCKETS = "graft.index.buckets"
   val TARGET_FILE_ROWS = "graft.target.file.rows"
   // merge payload semantics (ref: hudi hoodie.datasource.write.payload.class)

@@ -362,6 +362,51 @@ object PipelineQueries {
     Dedup.substringDupSignal(docsWithNearDups(s, d), n = 10)
       .orderBy(col("doc_id"))
 
+  /** Round-7 curation composed end-to-end: Gopher rules gate →
+    * exact-substring duplication gate (≤10% duplicated 10-token windows,
+    * the Lee-et-al. removal-threshold shape) → within-doc line dedup →
+    * token shard packing. Every third doc gets a planted near-dup copy so
+    * the substring gate has real work. */
+  def pipelineCurate3(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    def linify(c: Column): Column = regexp_replace(c, "\\. ", ".\n")
+    val corpus = base.select(col("doc_id"), linify(col("text")).as("gtext"))
+      .unionByName(base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          linify(concat(col("text"), lit(" graft extra"))).as("gtext")))
+    val keep = TextFunctions.gopherColumns(col("gtext")).toMap.apply("keep")
+    val g = corpus.filter(keep === 1)
+    val cleanIds = Dedup.substringDupSignal(g, n = 10, textCol = "gtext")
+      .filter(col("dup_windows") * 10L <= col("n_windows")).select("doc_id")
+    val kept = g.join(cleanIds, Seq("doc_id"), "left_semi")
+    val lines = Curation.dedupLinesWithin(kept, col("gtext"))
+    Curation.packTokenShards(lines.select(col("doc_id"), col("clean")),
+      TextFunctions.wsTokenCount(col("clean")), budget = 1500L, orderCol = "doc_id")
+      .select(col("doc_id"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus curation report: per-source doc counts, exact-duplicate doc
+    * counts, token totals and quality-keep counts — the operability
+    * summary a curation run logs after each snapshot. One hash aggregate,
+    * one equi-join, one groupBy(source); every fourth doc gets a planted
+    * exact copy so the dup counter has real work. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val corpus = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000))
+    val qual = TextFunctions.qualityColumns(col("text")).toMap
+    val withDup = corpus.withColumn("_h", md5(col("text")))
+    val dupHash = withDup.groupBy("_h").agg(count(lit(1)).as("_c"))
+    withDup.join(dupHash, Seq("_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("_c") > 1L).cast("long")).as("n_dup_docs"),
+        sum(TextFunctions.wsTokenCount(col("text"))).as("total_tokens"),
+        sum(qual.apply("keep").cast("long")).as("n_keep"))
+      .orderBy(col("source"))
+  }
+
   /** Within-document repeated-line removal over line-ified docs with a
     * planted repeated line (first occurrence wins, order preserved). */
   def dedupLinesWithinQ(s: SparkSession, d: String): DataFrame = {
@@ -412,7 +457,9 @@ object PipelineQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "embed_project" -> (embedProject _),
     "dedup_substring" -> (dedupSubstring _),
-    "dedup_lines_within" -> (dedupLinesWithinQ _)
+    "dedup_lines_within" -> (dedupLinesWithinQ _),
+    "pipeline_curate3" -> (pipelineCurate3 _),
+    "corpus_report" -> (corpusReport _)
   )
 
   import TextFunctions.{sql => T}
@@ -949,6 +996,69 @@ object PipelineQueries {
         |SELECT f.doc_id, sz.n_lines, CAST(count(*) AS BIGINT) AS n_kept,
         |  string_agg(line, chr(10) ORDER BY pos) AS clean
         |FROM fst f JOIN sz USING (doc_id)
-        |GROUP BY f.doc_id, sz.n_lines ORDER BY doc_id""".stripMargin
+        |GROUP BY f.doc_id, sz.n_lines ORDER BY doc_id""".stripMargin,
+    "pipeline_curate3" -> {
+      val w10 = (0 until 10).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS gtext
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000,
+         |    regexp_replace(text || ' graft extra', '\\. ', '.' || chr(10), 'g') AS gtext
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |g AS (
+         |  SELECT doc_id, gtext FROM (
+         |    SELECT doc_id, gtext, ${T.gopher}
+         |    FROM corpus)
+         |  WHERE ${T.gopherKeep} = 1),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(gtext), '\\s+') AS t FROM g),
+         |w AS (SELECT doc_id, $w10 AS sh
+         |      FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |dfc AS (SELECT sh, count(DISTINCT doc_id) AS df FROM w GROUP BY sh),
+         |sig AS (SELECT w.doc_id, count(*) AS n_windows,
+         |          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_windows
+         |        FROM w JOIN dfc USING (sh) GROUP BY w.doc_id),
+         |kept AS (
+         |  SELECT g.doc_id, g.gtext FROM g LEFT JOIN sig USING (doc_id)
+         |  WHERE coalesce(dup_windows, 0) * 10 <= coalesce(n_windows, 0)),
+         |s AS (SELECT doc_id, string_split(gtext, chr(10)) AS u FROM kept),
+         |un AS (SELECT doc_id, i AS pos, u[i] AS line
+         |       FROM s, unnest(range(1, len(u) + 1)) AS r(i)),
+         |fst AS (SELECT doc_id, pos, line FROM (
+         |          SELECT doc_id, pos, line,
+         |            row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+         |          FROM un) WHERE rn = 1),
+         |cleaned AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+         |            FROM fst GROUP BY doc_id),
+         |p AS (SELECT doc_id,
+         |        CAST(${T.wsTokens.replace("text", "clean")} AS BIGINT) AS tokens
+         |      FROM cleaned)
+         |SELECT doc_id, tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+         |    / 1500.0) AS BIGINT) AS shard
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "corpus_report" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id % 4 = 0),
+         |h AS (SELECT doc_id, text, source, md5(text) AS _h FROM corpus),
+         |c AS (SELECT _h, count(*) AS _c FROM h GROUP BY _h),
+         |scored AS (
+         |  SELECT h.source, _c, ${T.wsTokens} AS n_words,
+         |    length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+         |      / greatest(${T.wsTokens}, 1)::DOUBLE AS mean_word_len,
+         |    (${T.punct})::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio
+         |  FROM h JOIN c USING (_h))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN _c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN n_words >= 10 AND n_words <= 100000
+         |        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+         |        AND punct_ratio <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
   )
 }

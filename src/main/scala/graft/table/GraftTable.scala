@@ -1253,9 +1253,14 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   }
 
   /** Insert with precombine dedup and small-file bin-packing; does not
-    * check for existing keys (reference `insert` semantics). */
-  def insert(df: DataFrame, extra: Map[String, String] = Map.empty): String =
-    writeBatch(df, "insert", extra)
+    * check for existing keys (reference `insert` semantics).
+    * `combine = false` skips the within-batch precombine so duplicate keys
+    * all append (ref: hoodie.combine.before.insert — the reference even
+    * DEFAULTS to false; graft keeps dedup-by-default and makes the
+    * permissive mode the opt-in). */
+  def insert(df: DataFrame, extra: Map[String, String] = Map.empty,
+      combine: Boolean = true): String =
+    writeBatch(df, "insert", extra, combine = combine)
 
   /** Insert that silently DROPS records whose key is already LIVE in the
     * table (ref: hoodie.datasource.write.insert.drop.duplicates, applied
@@ -1293,7 +1298,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     *                          commits landing in between are detected. */
   def writeBatch(raw: DataFrame, op: String,
       extra: Map[String, String] = Map.empty,
-      sinceForConflict: Option[String] = None): String = {
+      sinceForConflict: Option[String] = None,
+      combine: Boolean = true): String = {
     val mor = config.tableType == MergeOnRead
     val taggingOps = Set("upsert", "delete", "merge", "upsert_partial", "upsert_global")
     require(config.populateMetaFields || !taggingOps(op),
@@ -1312,7 +1318,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // table scan + shuffle join
       val preTagged = raw.columns.contains("_g_fid")
       val keyed = withMeta(raw, instant)
-      val batch0 = if (op == "bulk_insert") keyed else precombine(keyed)
+      val batch0 =
+        if (op == "bulk_insert" || !combine) keyed else precombine(keyed)
       val dataSchema = StructType(batch0.schema.fields
         .filterNot(f => metaCols.contains(f.name) || f.name == "_g_fid"))
       val merged = mergeSchemas(oldSchema, dataSchema)
