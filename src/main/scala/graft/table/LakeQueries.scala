@@ -480,7 +480,48 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** drop.partition.columns end-to-end: partition values live only in the
+    * directory path; the write→upsert→delete→snapshot cycle must restore
+    * them (files carry no o_orderstatus — see DropPartitionColsSpec for
+    * the physical-schema pin). */
+  def lakeDropPartCols(s: SparkSession, d: String): DataFrame = {
+    val t = GraftTable.create(s, scratch("dropcols", d),
+      ordersCfg(CopyOnWrite).copy(dropPartitionColumns = true))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    t.delete(orders.filter(col("o_orderkey") % 13 === 0))
+    out(t.snapshot())
+  }
+
+  /** Automatic inline compaction on the write door (writer-maintains-the-
+    * table mode): the second deltacommit trips the max.delta.commits=2
+    * trigger; the snapshot must read identically either side of it. */
+  def lakeAutoCompact(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("autocompact", d)
+    val orders = Tables.orders(s, d)
+    def write(df: DataFrame, op: String): Unit =
+      df.write.format("graft")
+        .option("graft.recordkey.field", "o_orderkey")
+        .option("graft.precombine.field", "o_totalprice")
+        .option("graft.partitionpath.field", "o_orderstatus")
+        .option("graft.table.type", "mor")
+        .option("graft.operation", op)
+        .option("graft.compact.inline", "true")
+        .option("graft.compact.inline.max.delta.commits", "2")
+        .mode("append").save(dir)
+    write(orders, "bulk_insert")
+    write(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderpriority", lit("AUTO1")), "upsert")
+    write(orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_orderpriority", lit("AUTO2")), "upsert")
+    out(s.read.format("graft").load(dir))
+  }
+
   val all: Map[String, Q] = Map(
+    "lake_drop_part_cols" -> (lakeDropPartCols _),
+    "lake_auto_compact" -> (lakeAutoCompact _),
     "lake_scheduled_compaction" -> (lakeScheduledCompaction _),
     "lake_virtual_keys" -> (lakeVirtualKeys _),
     "lake_orc" -> (lakeOrc _),
@@ -523,6 +564,25 @@ object LakeQueries {
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
          |         o_orderdate, o_orderpriority
          |  FROM orders WHERE o_orderkey % 5 <> 0)
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_drop_part_cols" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0)
+         |WHERE o_orderkey % 13 <> 0
+         |ORDER BY o_orderkey""".stripMargin,
+    "lake_auto_compact" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         |    CASE WHEN o_orderkey % 11 = 0 THEN 'AUTO2'
+         |         WHEN o_orderkey % 7 = 0 THEN 'AUTO1'
+         |         ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders)
          |ORDER BY o_orderkey""".stripMargin,
     "lake_virtual_keys" ->
       s"""SELECT $oracleCols FROM orders
