@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time a subset of SparkEntry queries by name (same session
+  * config as Bench) — `runMain graft.BenchOne lake_sql_merge q1_...`.
+  * Warmup at sf0.001, then SPARK_GRAFT_BENCH_PASSES sweeps at
+  * SPARK_GRAFT_SF_DIR, min per query, one line each. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      .config("spark.sql.catalog.graft.warehouse",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val picked = args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
+      throw new IllegalArgumentException(s"unknown query $n")))
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    picked.foreach { case (_, fn) => fn(spark, warmDir).count() }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val times = (1 to passes).map { _ =>
+      picked.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    picked.foreach { case (name, _) =>
+      println(f"$name%-28s ${times.map(_.toMap.apply(name)).min}%.2f s")
+    }
+    spark.stop()
+  }
+}
