@@ -111,4 +111,45 @@ class ContinuousIngestSpec extends AnyFunSuite {
     assert(ContinuousIngest.lastCheckpoint(t) === Some("off-20"))
     GraftTable.drop(dir)
   }
+
+  test("DfsSource: inbox files ingest oldest-first, name watermark survives restart") {
+    import spark.implicits._
+    val inbox = Files.createTempDirectory("graft_dfs_inbox_").toString
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("dfs_t", CopyOnWrite,
+      keyFields = Seq("id")))
+    // single-file drop with a deterministic monotone name (the contract
+    // shipped inboxes follow; the staged dir emulates the shipper)
+    def drop(name: String, ids: Range): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stage = s"$inbox/.stage_$name"
+      ids.map(i => (i.toLong, s"v$i")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = Files.list(java.nio.file.Paths.get(stage)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, java.nio.file.Paths.get(inbox, s"$name.parquet"))
+    }
+    drop("f001", 0 until 5)
+    drop("f002", 5 until 10)
+    val src = new DfsSource(spark, inbox, maxFilesPerPull = 1)
+    val ci1 = new ContinuousIngest(t, src.forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(ci1.step().isDefined) finally ci1.close() // ingests f001 only
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("f001.parquet"))
+    assert(t.snapshot().count() === 5)
+    // restart: resumes above the watermark; a new arrival also lands
+    drop("f003", 10 until 12)
+    val ci2 = new ContinuousIngest(t, src.forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(ci2.drain() === 2) finally ci2.close()
+    assert(t.snapshot().count() === 12)
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("f003.parquet"))
+    // nothing new -> no pull, no empty commits
+    val before = t.timeline.completed().size
+    val ci3 = new ContinuousIngest(t, src.forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(ci3.drain() === 0) finally ci3.close()
+    assert(t.timeline.completed().size === before)
+    GraftTable.drop(dir)
+  }
 }
