@@ -72,6 +72,14 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** PQ-ADC approximate top-k (rows-only; ScalaTest pins recall@k vs the
+    * cosine brute force + code determinism). */
+  def annPqTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.pqTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -427,6 +435,7 @@ object PipelineQueries {
     "pack_token_shards" -> (packTokenShards _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_pq_topk" -> (annPqTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),
     "pipeline_curate" -> (pipelineCurate _),

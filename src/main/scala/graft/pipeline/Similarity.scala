@@ -124,6 +124,104 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
+  /** Per-row L2 normalization (zero vectors pass through), so dot product
+    * over the normalized space IS cosine — the precondition for comparing
+    * PQ-ADC rankings against the cosine brute force. */
+  private def l2normalize(df: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorExprs._
+    df.withColumn(vecCol,
+      when(normF(col(vecCol)) === 0.0f, col(vecCol))
+        .otherwise(transform(col(vecCol), v =>
+          (v.cast("double") / normF(col(vecCol)).cast("double")).cast("float"))))
+  }
+
+  /** Train product-quantization codebooks (Jégou et al. 2011 "Product
+    * Quantization for Nearest Neighbor Search"): the d-dim space splits
+    * into `m` subspaces of d/m dims, each k-means'd INDEPENDENTLY with
+    * `ksub` centroids — reusing [[trainIvfCentroids]]'s Lloyd-as-DataFrame-
+    * aggs on the sliced column, so training is deterministic (id-ordered
+    * init, no RNG) and runs on an id-strided sample (at 100 TB you train
+    * on ~10⁵ vectors, m·iters passes over the SAMPLE, never the corpus).
+    * Returns [m][ksub][d/m]. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
+      sampleMod: Long = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    val dim = corpus.agg(max(size(col(vecCol)))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
+      trainIvfCentroids(sub, ksub, iters, sampleMod, idCol, vecCol)
+    }
+  }
+
+  /** Encode each vector as `m` sub-codes (nearest centroid per subspace,
+    * codegen'd kernel, one pass, no shuffle): d·4 bytes shrink to m
+    * small ints — the index compression that lets a 100 TB corpus's ANN
+    * index fit in executor memory. */
+  def pqEncode(vecs: DataFrame, books: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val dsub = books(0)(0).length
+    val codes = array(books.indices.map(s =>
+      element_at(nearestCentroids(
+        slice(col(vecCol), s * dsub + 1, dsub), books(s), 1), 1)): _*)
+    vecs.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Approximate top-k via PQ asymmetric distance computation (ADC): both
+    * sides L2-normalize (so scores approximate cosine), the corpus encodes
+    * once to m-byte codes, and each query precomputes ONE (m × ksub)
+    * table of subspace dot products against the codebooks — scoring a
+    * candidate is then m array lookups over its codes, never touching the
+    * original vector. The scan side reads codes only (the compressed
+    * index); queries ride broadcast with their tables. The 100 TB shape:
+    * compose with [[ivfTopK]]'s coarse cells to prune candidates, exactly
+    * as FAISS IVF-PQ does. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
+      trainSampleMod: Long = 1, rerank: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorExprs._
+    val cN = l2normalize(corpus, vecCol)
+    val qN = l2normalize(queries, vecCol)
+    val books = trainPqCodebooks(cN, m, ksub, trainIters, trainSampleMod, idCol, vecCol)
+    val dsub = books(0)(0).length
+    val enc = pqEncode(cN, books, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    val tables = books.indices.map { s =>
+      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
+      transform(bookLit, cent =>
+        aggregate(zip_with(slice(col(vecCol), s * dsub + 1, dsub), cent,
+          (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _))
+        .as(s"_t$s")
+    }
+    val qT = qN.select(col(idCol).as("query_id") +: tables: _*)
+    val adc = books.indices.map(s =>
+      element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    // ADC shortlist over codes only, then EXACT rerank of k·rerank
+    // candidates against the true vectors (the FAISS refine step): the
+    // full-width scan stays m lookups/row; exact cosine touches only the
+    // shortlist — a vanishing fraction of the corpus at scale
+    val shortlist = enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
+      .withColumn("_adc", adc)
+      .withColumn("_arnk", row_number().over(wAdc))
+      .filter(col("_arnk") <= k * math.max(1, rerank))
+      .select(col("query_id"), col("neighbor_id"))
+    val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(cVec, Seq("neighbor_id")).join(broadcast(qVec), Seq("query_id"))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with `tables` independent
     * hash tables: candidates = vectors sharing a bucket with the query in
     * any table, ranked by exact cosine.

@@ -83,6 +83,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"auto-param ANN recall@5 $recall%.2f below floor")
   }
 
+  test("PQ ANN: recall@5 vs brute force, planted exact dup in top-k, deterministic codes") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.pqTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, f"PQ recall@5 $recall%.2f below floor")
+    // a planted exact duplicate shares the query's codes — ADC must put it
+    // in the top-k for nearly every query
+    val dup = vecs.unionByName(vecs.withColumn("vec_id", col("vec_id") + 100000))
+    val hits = Similarity.pqTopK(dup, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (q, n) => n == q + 100000 }.map(_._1).toSet
+    val nq = queries.count()
+    assert(hits.size >= (nq * 0.8).toInt,
+      s"planted dups recalled for only ${hits.size}/$nq queries")
+    // deterministic: training + encoding twice yields identical codes
+    val books = Similarity.trainPqCodebooks(vecs, m = 8, ksub = 16)
+    val c1 = Similarity.pqEncode(vecs, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val books2 = Similarity.trainPqCodebooks(vecs, m = 8, ksub = 16)
+    val c2 = Similarity.pqEncode(vecs, books2).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2, "PQ training/encoding must be deterministic")
+    // index compression: m codes per vector, every code < ksub
+    assert(c1.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
