@@ -72,13 +72,21 @@ object Dedup {
     * back; the shuffle carries (window, doc) pairs, nothing is pairwise.
     * Returns (id, n_windows, dup_windows). */
   def substringDupSignal(docs: DataFrame, n: Int = 10,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     val windows = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
         array_join(slice(toks, i + lit(1), lit(n)), " "))
     ).otherwise(array())
-    val exploded = docs.select(col(idCol), explode(windows).as("sh"))
+    // `hashed` is the at-scale mode: the shuffle key shrinks from a
+    // ~60-byte window string to an 8-byte xxhash64 — identical counts
+    // modulo astronomically unlikely collisions (spec-pinned equal at
+    // test scale); default off so the external oracle states exact strings
+    val win = explode(windows).as("sh")
+    val exploded = (if (hashed)
+        docs.select(col(idCol), win).select(col(idCol), xxhash64(col("sh")).as("sh"))
+      else docs.select(col(idCol), win))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = exploded.groupBy(col("sh")).agg(countDistinct(col(idCol)).as("df"))
     val perDoc = exploded.join(dfc, Seq("sh"))

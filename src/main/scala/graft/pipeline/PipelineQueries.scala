@@ -80,6 +80,15 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF-PQ approximate top-k (rows-only; ScalaTest pins nprobe=nlist ≡
+    * pure PQ plus a recall floor under real cell pruning). */
+  def annIvfPqTopk(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5,
+      nlist = 16, nprobe = 6)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -436,6 +445,7 @@ object PipelineQueries {
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_pq_topk" -> (annPqTopk _),
+    "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),
     "pipeline_curate" -> (pipelineCurate _),

@@ -160,14 +160,83 @@ object Similarity {
     * codegen'd kernel, one pass, no shuffle): d·4 bytes shrink to m
     * small ints — the index compression that lets a 100 TB corpus's ANN
     * index fit in executor memory. */
-  def pqEncode(vecs: DataFrame, books: Array[Array[Array[Float]]],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The m-sub-code array expression for one vector column. */
+  private def pqCodes(books: Array[Array[Array[Float]]],
+      vecCol: String): org.apache.spark.sql.Column = {
     import graft.functions.IvfExprs.nearestCentroids
     val dsub = books(0)(0).length
-    val codes = array(books.indices.map(s =>
+    array(books.indices.map(s =>
       element_at(nearestCentroids(
         slice(col(vecCol), s * dsub + 1, dsub), books(s), 1), 1)): _*)
-    vecs.select(col(idCol), codes.as("codes"))
+  }
+
+  def pqEncode(vecs: DataFrame, books: Array[Array[Array[Float]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vecs.select(col(idCol), pqCodes(books, vecCol).as("codes"))
+
+  /** Per-query ADC lookup tables: one (ksub)-entry column of subspace dot
+    * products per subspace, the codebooks inlined as literals. */
+  private def adcTables(books: Array[Array[Array[Float]]],
+      vecCol: String): Seq[org.apache.spark.sql.Column] = {
+    val dsub = books(0)(0).length
+    books.indices.map { s =>
+      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
+      transform(bookLit, cent =>
+        aggregate(zip_with(slice(col(vecCol), s * dsub + 1, dsub), cent,
+          (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _))
+        .as(s"_t$s")
+    }
+  }
+
+  /** ADC score of a `codes` row against the query's `_t*` tables. */
+  private def adcScore(m: Int): org.apache.spark.sql.Column =
+    (0 until m).map(s =>
+      element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+
+  /** FAISS-style IVF-PQ: coarse centroids prune candidates to the query's
+    * `nprobe` cells (equi-join on cid, never a cross join), PQ-ADC ranks
+    * within them (m lookups per candidate over m-byte codes), and the
+    * k·rerank shortlist reranks by exact cosine. The complete 100 TB ANN
+    * architecture: per query, work = nprobe/nlist of the corpus scanned as
+    * CODES plus k·rerank full vectors — both knobs trade recall for cost
+    * independently. Encoding is of the raw (normalized) vector, not the
+    * cell residual — residual PQ is a drop-in refinement behind the same
+    * surface. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      trainIters: Int = 3, trainSampleMod: Long = 1, rerank: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    import graft.functions.VectorExprs._
+    val cN = l2normalize(corpus, vecCol)
+    val qN = l2normalize(queries, vecCol)
+    val coarse = trainIvfCentroids(cN, nlist, trainIters, trainSampleMod, idCol, vecCol)
+    val books = trainPqCodebooks(cN, m, ksub, trainIters, trainSampleMod, idCol, vecCol)
+    // codes + coarse cell in ONE projection over one corpus pass — no
+    // self-join to reunite them
+    val enc = cN.select(col(idCol).as("neighbor_id"),
+      pqCodes(books, vecCol).as("codes"),
+      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"))
+    val qT = qN.select(Seq(col(idCol).as("query_id"),
+        explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid")) ++
+      adcTables(books, vecCol): _*)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adc").desc, col("neighbor_id"))
+    val shortlist = enc.join(broadcast(qT), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("_adc", adcScore(m))
+      .withColumn("_arnk", row_number().over(wAdc))
+      .filter(col("_arnk") <= k * math.max(1, rerank))
+      .select(col("query_id"), col("neighbor_id"))
+    val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(cVec, Seq("neighbor_id")).join(broadcast(qVec), Seq("query_id"))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
   /** Approximate top-k via PQ asymmetric distance computation (ADC): both
@@ -187,19 +256,9 @@ object Similarity {
     val cN = l2normalize(corpus, vecCol)
     val qN = l2normalize(queries, vecCol)
     val books = trainPqCodebooks(cN, m, ksub, trainIters, trainSampleMod, idCol, vecCol)
-    val dsub = books(0)(0).length
     val enc = pqEncode(cN, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
-    val tables = books.indices.map { s =>
-      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
-      transform(bookLit, cent =>
-        aggregate(zip_with(slice(col(vecCol), s * dsub + 1, dsub), cent,
-          (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _))
-        .as(s"_t$s")
-    }
-    val qT = qN.select(col(idCol).as("query_id") +: tables: _*)
-    val adc = books.indices.map(s =>
-      element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val qT = qN.select(col(idCol).as("query_id") +: adcTables(books, vecCol): _*)
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("_adc").desc, col("neighbor_id"))
     // ADC shortlist over codes only, then EXACT rerank of k·rerank
@@ -207,7 +266,7 @@ object Similarity {
     // full-width scan stays m lookups/row; exact cosine touches only the
     // shortlist — a vanishing fraction of the corpus at scale
     val shortlist = enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
-      .withColumn("_adc", adc)
+      .withColumn("_adc", adcScore(m))
       .withColumn("_arnk", row_number().over(wAdc))
       .filter(col("_arnk") <= k * math.max(1, rerank))
       .select(col("query_id"), col("neighbor_id"))

@@ -113,6 +113,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(c1.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("IVF-PQ ANN: nprobe=nlist reproduces pure PQ exactly; pruned probes keep recall") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    // candidate set with every cell probed == the PQ full scan -> identical
+    val full = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === pq, "nprobe=nlist must reproduce the un-pruned PQ ranking")
+    // real pruning still clears the recall floor vs brute force
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pruned).size.toDouble / exact.size
+    assert(recall >= 0.25, f"IVF-PQ recall@5 $recall%.2f below floor")
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))

@@ -66,6 +66,19 @@ class ProjectionSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(11L, 13L, 14L))
   }
 
+  test("substring dup signal: hashed (at-scale) mode matches exact strings") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra"))))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = toMap(Dedup.substringDupSignal(corpus, n = 10))
+    val fast = toMap(Dedup.substringDupSignal(corpus, n = 10, hashed = true))
+    assert(exact === fast,
+      "8-byte hashed shuffle keys must reproduce the exact-string counts")
+  }
+
   test("gopher rules: each violation flips keep off exactly as documented") {
     val good = (Seq.fill(30)("the quick brown fox jumps over") :+ "of that have with").mkString(" ")
     val cases = Seq(
