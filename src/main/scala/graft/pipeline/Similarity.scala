@@ -146,14 +146,46 @@ object Similarity {
   def trainPqCodebooks(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 3,
       sampleMod: Long = 1, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    import graft.functions.IvfExprs.nearestCentroids
     val dim = corpus.agg(max(size(col(vecCol)))).head().getInt(0)
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    (0 until m).toArray.map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
-      trainIvfCentroids(sub, ksub, iters, sampleMod, idCol, vecCol)
+    val sample = (if (sampleMod > 1) corpus.filter(col(idCol) % sampleMod === 0)
+                  else corpus).select(col(idCol), col(vecCol))
+    // deterministic init: the first ksub sample vectors in id order, sliced
+    // per subspace — ONE collect for all m codebooks
+    val init = sample.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(init.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    var books: Array[Array[Array[Float]]] =
+      Array.tabulate(m)(s => init.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    // every Lloyd iteration is ONE Spark job for ALL m subspaces (not m):
+    // assign per-subspace cells in a single projection, posexplode the
+    // vector, key each element by (subspace, cell, pos-in-subspace), one
+    // map-side-combined mean — the shuffle carries m·ksub·dsub cells
+    for (_ <- 1 to iters) {
+      val assigns = books.indices.map(s =>
+        element_at(nearestCentroids(
+          slice(col(vecCol), s * dsub + 1, dsub), books(s), 1), 1).as(s"_c$s"))
+      val cids = array(books.indices.map(s => col(s"_c$s")): _*)
+      val means = sample.select(col(vecCol) +: assigns: _*)
+        .select(cids.as("_cids"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select((col("pos") / dsub).cast("int").as("sub"),
+          (col("pos") % dsub).as("spos"),
+          element_at(col("_cids"), (col("pos") / dsub).cast("int") + 1).as("cid"),
+          col("v"))
+        .groupBy("sub", "cid", "spos").agg(avg("v").as("m"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      books = Array.tabulate(m) { s =>
+        books(s).indices.map { c =>
+          byCell.get((s, c)) // an empty cell keeps its old centroid
+            .map(_.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toArray)
+            .getOrElse(books(s)(c))
+        }.toArray
+      }
     }
+    books
   }
 
   /** Encode each vector as `m` sub-codes (nearest centroid per subspace,
