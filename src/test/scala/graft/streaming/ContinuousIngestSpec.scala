@@ -112,6 +112,47 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("incremental curation: crawl batches quality-gate and dedup against the curated table before appending") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    import graft.functions.TextFunctions
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("curated", CopyOnWrite,
+      keyFields = Seq("doc_id")))
+    val good = (Seq.fill(30)("the quick brown fox jumps over") :+ "of that have with").mkString(" ")
+    // three crawl "snapshots": batch 2 re-ships batch 1's content under new
+    // ids; junk rows must fall to the quality gate
+    val crawls = Seq(
+      Seq((1L, good + " alpha"), (2L, good + " beta"), (3L, "junk")),
+      Seq((11L, good + " alpha"), (12L, good + " gamma"), (13L, "junk two")),
+      Seq((21L, good + " gamma"), (22L, good + " delta")))
+    var shipped = 0
+    val source = () =>
+      if (shipped >= crawls.length) None
+      else {
+        val b = crawls(shipped); shipped += 1
+        // curate INSIDE the pull: Gopher gate, then snapshot-over-snapshot
+        // dedup against what the curated table already holds — the exact
+        // composition a production crawl-to-lake loop runs
+        val batch = b.toDF("doc_id", "text")
+        val keep = TextFunctions.gopherColumns(col("text")).toMap.apply("keep")
+        // before the first commit the table has no data schema yet
+        val existing = if (t.timeline.completed().isEmpty) batch.limit(0)
+                       else t.snapshot().select("doc_id", "text")
+        val curated = Dedup.incremental(existing, batch.filter(keep === 1))
+        Some((s"crawl-$shipped", curated))
+      }
+    val ci = new ContinuousIngest(t, source, operation = "insert", compactEvery = 0)
+    try assert(ci.drain() === 3) finally ci.close()
+    val rows = t.snapshot().select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    // batch 1: alpha+beta land, junk gated; batch 2: alpha already curated
+    // -> only gamma lands; batch 3: gamma already curated -> only delta
+    assert(rows.keySet === Set(1L, 2L, 12L, 22L), rows.keySet.toSeq.sorted)
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("crawl-3"))
+    GraftTable.drop(dir)
+  }
+
   test("DfsSource: inbox files ingest oldest-first, name watermark survives restart") {
     import spark.implicits._
     val inbox = Files.createTempDirectory("graft_dfs_inbox_").toString
