@@ -128,6 +128,45 @@ class PlanSpec extends AnyFunSuite {
     assert(cg.contains(".getFloat("), "FloatDot loop not inlined:\n" + cg.take(1000))
   }
 
+  test("gopher filter is a single pruned scan, no shuffle, no join") {
+    import org.apache.spark.sql.functions.col
+    val cols = functions.TextFunctions.gopherColumns(col("text"))
+      .map { case (n, c) => c.as(n) }
+    val scored = Tables.documents(spark, sf).select(col("doc_id") +: cols: _*)
+    val p = plan(scored)
+    assert(!p.contains("Exchange"), "gopher scoring must not shuffle:\n" + p)
+    assert(!p.contains("Join"), "gopher scoring must not join:\n" + p)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("lang") && !rs.contains("source"),
+      s"column pruning lost: $rs")
+  }
+
+  test("JL sign projection: one scan, no join, signs inlined in codegen") {
+    import org.apache.spark.sql.functions.col
+    val out = pipeline.Projection.signProject(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")), k = 4)
+    val p = plan(out)
+    assert(!p.contains("Join"), "projection must not join:\n" + p)
+    // the only acceptable exchange would come from a caller's orderBy;
+    // the raw operator has none
+    assert(!p.contains("Exchange"), "projection must not shuffle:\n" + p)
+    val cg = codegenPlan(out)
+    assert(cg.contains("WholeStageCodegen"), cg.take(400))
+  }
+
+  test("incremental dedup: existing side projects to hashes before any join") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val out = pipeline.Dedup.incremental(
+      docs.filter(col("doc_id") < 250), docs)
+    val p = plan(out)
+    // the curated corpus must reach the anti-join as md5 hashes only —
+    // its text column read but never carried past the projection
+    val leftAnti = p.linesIterator.filter(_.contains("LeftAnti")).mkString
+    assert(leftAnti.nonEmpty, "expected a left-anti join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("native kernels are callable from spark.sql once registered") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
