@@ -110,6 +110,26 @@ class DropPartitionColsSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("schema evolution on a drop-cols table: new column lands, derived column spans epochs") {
+    val dir = tmp()
+    write(dir, rows, op = "bulk_insert")
+    // epoch 2 adds a column; the files still omit grp in both epochs
+    write(dir, Seq((5L, "B", 50L, "x5"), (6L, "C", 60L, "x6"))
+      .toDF("id", "grp", "v", "extra"))
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === 6)
+    val got = back.select("id", "grp", "extra").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got(1L) === ((Some("A"), None)), "old epoch: derived grp, null extra")
+    assert(got(5L) === ((Some("B"), Some("x5"))))
+    assert(got(6L) === ((Some("C"), Some("x6"))), "new partition value from the new epoch")
+    val t = GraftTable.load(spark, dir)
+    assert(t.slices(None).flatMap(_.baseFiles).forall { f =>
+      !spark.read.parquet(s"$dir/${f.path}").schema.fieldNames.contains("grp")
+    }, "no epoch may materialize the partition column")
+    GraftTable.drop(dir)
+  }
+
   test("guard: non-hive-style or encoded partitioning rejects the option") {
     intercept[IllegalArgumentException] {
       TableConfig("t", CopyOnWrite, Seq("id"),

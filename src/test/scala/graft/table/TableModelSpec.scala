@@ -61,6 +61,23 @@ class TableModelSpec extends AnyFunSuite {
       assert(got === want, s"step $step ($what, ${tt.name}, seed $seed)")
     }
 
+    // time-travel net: the PREVIOUS step's state must stay readable (one
+    // step back is always inside the clean retention window) and equal the
+    // previous model, whatever ops/services ran since
+    var prev: Option[(String, Seq[R])] = None
+    def checkTravel(what: String): Unit = {
+      prev.foreach { case (instant, want) =>
+        val got = t.snapshot(asOf = Some(instant))
+          .select("id", "p", "v", "ver").as[ModelRow]
+          .collect().sortBy(r => (r.id, r.p)).toSeq
+        assert(got === want,
+          s"time travel to $instant diverged at step $step ($what, ${tt.name}, seed $seed)")
+      }
+      t.timeline.refresh()
+      prev = Some((t.timeline.completed().last._1,
+        model.values.toSeq.sortBy(r => (r.id, r.p))))
+    }
+
     // bulk_insert skips precombine entirely — feed it pre-deduped rows
     val init = precombined(freshRows(80))
       .groupBy(_.id).values.map(_.maxBy(_.ver)).toSeq // unique per id too
@@ -104,6 +121,7 @@ class TableModelSpec extends AnyFunSuite {
           t2.archive(keepLast = 5)
       }
       check(s"op#$step")
+      checkTravel(s"op#$step")
     }
     GraftTable.drop(dir)
   }
