@@ -57,7 +57,9 @@ object Bench {
     val qs = results
       .sortBy { case (k, _) => (if (k.startsWith("lake_")) 1 else 0, k) }
       .map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "-1.0" else f"$v%.2f") }
+        // Locale.ROOT: a comma-decimal default locale must not break the JSON
+        "\"" + k + "\":" + (if (v < 0) "-1.0"
+          else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
