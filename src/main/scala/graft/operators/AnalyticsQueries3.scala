@@ -139,7 +139,20 @@ object AnalyticsQueries3 {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Percentile summary: exact interpolated median / p90 of order value
+    * per status — Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the type-7 linear-interpolation definition, and the outputs
+    * snap to cents. Exact percentiles inherently gather each group's
+    * values; the shuffle carries (status, price) pairs only. */
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(Exact.rnd(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        Exact.rnd(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   val all: Map[String, Q] = Map(
+    "q_percentiles" -> (qPercentiles _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q20_excess_supply" -> (q20ExcessSupply _),
     "q2_cheapest_part" -> (q2CheapestPart _),
@@ -153,6 +166,13 @@ object AnalyticsQueries3 {
   private val centsVol: String = Exact.volSql()
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      s"""SELECT o_orderstatus,
+         |  ${Exact.rndSql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
+         |  ${Exact.rndSql("quantile_cont(o_totalprice, 0.9)", 2)} AS p90,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
     "q9_product_profit" ->
       s"""SELECT n_name, year(l_shipdate) AS o_year,
         |  ${Exact.rndSql(
