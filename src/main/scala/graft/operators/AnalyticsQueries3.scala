@@ -151,8 +151,29 @@ object AnalyticsQueries3 {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** Mean and stddev from EXACT integer moments: Σcents and Σcents² as
+    * DECIMAL(38,0) (associative, order-independent — no Welford-style
+    * merge whose low bits depend on partition order), then identical
+    * double arithmetic on identical integers in both engines. The exact
+    * second-moment pattern for any distributed spread statistic. */
+  def qPriceStats(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = Exact.cents(col("o_totalprice"))
+    Tables.orders(s, d).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(c.cast(dec)).as("_s1"),
+        sum(c.cast(dec) * c).as("_s2"))
+      .select(col("o_orderstatus"), col("n"),
+        Exact.rnd(col("_s1").cast("double") / col("n") / 100, 2).as("mean"),
+        Exact.rnd(sqrt((col("_s2").cast("double") -
+          col("_s1").cast("double") * col("_s1").cast("double") / col("n")) /
+          (col("n") - 1)) / 100, 2).as("sd"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Map[String, Q] = Map(
     "q_percentiles" -> (qPercentiles _),
+    "q_price_stats" -> (qPriceStats _),
     "q9_product_profit" -> (q9ProductProfit _),
     "q20_excess_supply" -> (q20ExcessSupply _),
     "q2_cheapest_part" -> (q2CheapestPart _),
@@ -173,6 +194,20 @@ object AnalyticsQueries3 {
          |  CAST(count(*) AS BIGINT) AS n
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+    "q_price_stats" ->
+      s"""WITH m AS (
+         |  SELECT o_orderstatus,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(${Exact.centsSql("o_totalprice")}) AS DECIMAL(38,0)) AS s1,
+         |    CAST(sum(CAST(${Exact.centsSql("o_totalprice")} AS DECIMAL(38,0)) *
+         |             ${Exact.centsSql("o_totalprice")}) AS DECIMAL(38,0)) AS s2
+         |  FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, n,
+         |  ${Exact.rndSql("CAST(s1 AS DOUBLE) / n / 100", 2)} AS mean,
+         |  ${Exact.rndSql(
+             "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) / 100",
+             2)} AS sd
+         |FROM m ORDER BY o_orderstatus""".stripMargin,
     "q9_product_profit" ->
       s"""SELECT n_name, year(l_shipdate) AS o_year,
         |  ${Exact.rndSql(
