@@ -60,3 +60,16 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
   def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
     () => pull(ContinuousIngest.lastCheckpoint(t))
 }
+
+/** One-shot SQL backfill source (ref: hudi-utilities sources/SqlSource.java
+  * — "run once, typically for backfill" semantics): the query result pulls
+  * a single time; the recorded checkpoint marks completion, so a crashed or
+  * restarted job whose commit already landed never re-ingests. Chain a
+  * backfill and a live source by running this loop to [[ContinuousIngest
+  * .drain]] first. */
+class SqlOnceSource(spark: SparkSession, sql: String,
+    marker: String = "sql-backfill-done") {
+  def forTable(t: GraftTable): () => Option[(String, DataFrame)] = () =>
+    if (ContinuousIngest.lastCheckpoint(t).contains(marker)) None
+    else Some((marker, spark.sql(sql)))
+}

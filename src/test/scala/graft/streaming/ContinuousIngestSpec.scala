@@ -153,6 +153,26 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("SqlOnceSource: backfill runs exactly once across restarts") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("sqlsrc", CopyOnWrite,
+      keyFields = Seq("id")))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("backfill_src")
+    val src = new SqlOnceSource(spark, "SELECT * FROM backfill_src")
+    val ci1 = new ContinuousIngest(t, src.forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(ci1.drain() === 1) finally ci1.close()
+    assert(t.snapshot().count() === 3)
+    // a restarted job sees the completion marker and pulls nothing
+    val ci2 = new ContinuousIngest(t, src.forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(ci2.drain() === 0) finally ci2.close()
+    assert(t.snapshot().count() === 3)
+    GraftTable.drop(dir)
+  }
+
   test("DfsSource: inbox files ingest oldest-first, name watermark survives restart") {
     import spark.implicits._
     val inbox = Files.createTempDirectory("graft_dfs_inbox_").toString
