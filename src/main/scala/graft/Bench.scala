@@ -62,7 +62,19 @@ object Bench {
           else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // self-reported machine-readable artifact: the console line gets tail-
+    // truncated by log capture, so round-over-round comparison needs a file
+    // that holds EVERY query timing regardless of console limits
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

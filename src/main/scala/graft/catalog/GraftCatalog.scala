@@ -425,7 +425,15 @@ class GraftV2Table(val path: String, fullName: String,
       }) ++
       (cfg.partitioning match {
         case p: PartitionByTimestamp =>
-          Map(PARTITION_TS_COL -> p.tsCol, PARTITION_TS_FORMAT -> p.format)
+          Map(PARTITION_TS_COL -> p.tsCol, PARTITION_TS_FORMAT -> p.format) ++
+          // epoch_millis/epoch_seconds/date_string tables must re-create
+          // with the same input interpretation or partition paths go wrong
+          (if (p.inputType != "timestamp")
+             Map(PARTITION_TS_TYPE -> p.inputType)
+           else Map.empty[String, String]) ++
+          (if (p.inputFormat != "yyyy-MM-dd")
+             Map(PARTITION_TS_INPUT_FORMAT -> p.inputFormat)
+           else Map.empty[String, String])
         case p: PartitionByMixed =>
           Map(PARTITIONPATH_FIELD -> p.segs.map(s =>
             if (s.kind == "simple") s.col else s"${s.col}:${s.kind}").mkString(","))
@@ -590,15 +598,24 @@ object GraftV2Table {
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val hiveStyle = p(HIVE_STYLE_PARTITIONING).forall(_.toBoolean)
     val urlEncode = p(PARTITIONPATH_URLENCODE).exists(_.toBoolean)
+    // SHOW CREATE TABLE emits `PARTITIONED BY (ts)` for a timestamp-keygen
+    // table (partitioning() surfaces the source column); on re-create the
+    // timestamp properties must win over the identity interpretation or the
+    // partition paths silently change shape
+    val tsSpec = p(PARTITION_TS_COL).map(c => PartitionByTimestamp(c,
+      p(PARTITION_TS_FORMAT).getOrElse("yyyy-MM-dd"),
+      hiveStyle,
+      p(PARTITION_TS_TYPE).getOrElse("timestamp"),
+      p(PARTITION_TS_INPUT_FORMAT).getOrElse("yyyy-MM-dd")): PartitionSpec)
     val partitioning =
-      if (partCols.nonEmpty) PartitionByColumns(partCols, hiveStyle, urlEncode)
+      if (partCols.nonEmpty)
+        tsSpec.filter(_.columns == partCols)
+          .getOrElse(PartitionByColumns(partCols, hiveStyle, urlEncode))
       else p(PARTITIONPATH_FIELD)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
         .map(PartitionByColumns(_, hiveStyle, urlEncode): PartitionSpec)
-        .orElse(p(PARTITION_TS_COL).map(c => PartitionByTimestamp(c,
-          p(PARTITION_TS_FORMAT).getOrElse("yyyy-MM-dd"),
-          hiveStyle): PartitionSpec))
+        .orElse(tsSpec)
         .getOrElse(NonPartitioned)
     TableConfig(
       name = p(TABLE_NAME).getOrElse(defaultName),

@@ -49,19 +49,41 @@ object EventQueries {
   }
 
   /** As-of join: each event matched to the user's most recent order at or
-    * before the event time (composed as join + window top-1; at scale this
-    * is a range-partitioned sort-merge the same shape Spark plans for
-    * equi-join + window). */
+    * before the event time.
+    *
+    * CORPUS-LINEAR plan: union events+orders, sort per user by time, and
+    * carry the latest order forward with `last(..., ignoreNulls)` over a
+    * rows-preceding frame — never materializing an (event × earlier-order)
+    * pair. The composed join+rank shape is correct but multiplies rows by
+    * the per-user order count before the top-1 filter; for a power user
+    * with 10⁴ orders that intermediate is 10⁴× events, degrading
+    * super-linearly on skew. This shape is one shuffle on user and one
+    * sort, independent of per-user order counts.
+    *
+    * Within one timestamp, orders sort BEFORE events (kind 0 < 1) so an
+    * order dated exactly at the event time matches (`<=`), and equal-date
+    * orders sort by key ascending so the carried row is the max-key one —
+    * bit-identical to the reference top-1 tie-break (date DESC, key DESC).
+    */
   def qAsofJoin(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val o = Tables.orders(s, d)
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-    e.join(o, col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("user_id"), col("o_orderkey"),
-        when(col("o_totalprice").isNotNull, Exact.rnd(col("o_totalprice"), 2)).as("last_order_price"))
+    val e = Tables.events(s, d).select(
+      col("user_id").as("u"), col("ts").as("t"), lit(1).as("kind"),
+      col("event_id"))
+    val o = Tables.orders(s, d).select(
+      col("o_custkey").as("u"), col("o_orderdate").cast("timestamp").as("t"),
+      lit(0).as("kind"), col("o_orderkey").as("ok"), col("o_totalprice").as("op"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("kind"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o, allowMissingColumns = true)
+      // one atomic carry: both columns always come from the SAME order row
+      // (a struct of nulls is non-null, so gate it on kind)
+      .withColumn("last_o", last(when(col("kind") === 0,
+        struct(col("ok"), col("op"))), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("u").as("user_id"),
+        col("last_o.ok").as("o_orderkey"),
+        when(col("last_o.op").isNotNull, Exact.rnd(col("last_o.op"), 2)).as("last_order_price"))
       .orderBy(col("event_id"))
   }
 

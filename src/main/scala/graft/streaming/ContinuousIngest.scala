@@ -25,6 +25,7 @@ class ContinuousIngest(
     t: GraftTable,
     source: () => Option[(String, DataFrame)],
     transformerSql: Option[String] = None,
+    transforms: Seq[DataFrame => DataFrame] = Nil, // ref: ChainedTransformer
     operation: String = "upsert",
     compactEvery: Int = 5,
     cleanRetainVersions: Int = 0, // 0 = cleaning off
@@ -52,17 +53,13 @@ class ContinuousIngest(
   /** The last scheduled-clean execution kicked off by the loop. */
   def lastClean: Future[Option[String]] = pendingClean
 
-  // ref: SqlQueryBasedTransformer — the batch registers as a temp view and
-  // <SRC> substitutes its name; the transform stays a lazy plan
-  private def transform(batch: DataFrame): DataFrame = transformerSql match {
-    case None => batch
-    case Some(q) =>
-      val view = s"graft_ci_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val ss = batch.sparkSession
-      batch.createOrReplaceTempView(view)
-      try ss.sql(q.replace("<SRC>", view))
-      finally ss.catalog.dropTempView(view)
-  }
+  // ref: SqlQueryBasedTransformer + ChainedTransformer — the inline SQL
+  // (if any) runs first, then the transform chain in declared order; every
+  // stage stays a lazy plan over the batch
+  private val allTransforms: Seq[DataFrame => DataFrame] =
+    transformerSql.map(Transformers.sql).toSeq ++ transforms
+  private def transform(batch: DataFrame): DataFrame =
+    allTransforms.foldLeft(batch)((df, tr) => tr(df))
 
   /** One sync cycle: ingest the next batch if the source has one, then keep
     * the table serviced. Returns the ingest's commit instant. Synchronous
@@ -145,5 +142,21 @@ object ContinuousIngest {
       .flatMap(_.extra.get("checkpoint")).nextOption()
       .orElse(t.timeline.archivedMetas().reverseIterator
         .flatMap(_.extra.get("checkpoint")).nextOption())
+  }
+
+  /** The newest checkpoint recorded by a SPECIFIC source kind — checkpoint
+    * values are namespaced `<kind>:<value>` so different sources chained
+    * into one table (SQL backfill + DFS inbox + JDBC pull) never read each
+    * other's resume tokens. Scans newest-first through the live then
+    * archived timeline: a commit from a DIFFERENT source in between does
+    * not hide this source's watermark. */
+  def lastCheckpointFor(t: GraftTable, kind: String): Option[String] = {
+    val prefix = kind + ":"
+    def find(metas: Iterator[graft.table.CommitMeta]): Option[String] =
+      metas.flatMap(_.extra.get("checkpoint"))
+        .collectFirst { case v if v.startsWith(prefix) => v.drop(prefix.length) }
+    t.timeline.refresh()
+    find(t.timeline.metas(None).reverseIterator)
+      .orElse(find(t.timeline.archivedMetas().reverseIterator))
   }
 }

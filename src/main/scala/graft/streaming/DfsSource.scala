@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.table.GraftTable
 
@@ -20,6 +21,11 @@ import graft.table.GraftTable
  * monotonically increasing names (document the contract the reference
  * only implies).
  *
+ * Checkpoints are NAMESPACED per source kind (`dfs:<name>` in the commit
+ * metadata): a checkpoint written by a different source — e.g. a
+ * [[SqlOnceSource]] backfill marker — is never mistaken for a file-name
+ * watermark, so chaining backfill → live ingest is safe in either order.
+ *
  * Cost per pull: ONE directory listing (the reference's DFSPathSelector
  * does the same). At 100 TB inbox scale, keep the inbox pruned — ingested
  * files sort strictly below the watermark, so the caller can archive
@@ -32,15 +38,19 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
   private val suffix = "." + (if (format == "json") "json"
                               else if (format == "csv") "csv" else "parquet")
 
-  /** Files named strictly above the watermark, ascending. */
+  /** Files named strictly above the watermark, ascending. The directory
+    * stream is closed eagerly — a leaked fd per poll would exhaust the
+    * process in a long-running ingest loop. */
   private def newFiles(after: String): Seq[String] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Nil
-    Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(suffix) && !n.startsWith(".") && !n.startsWith("_"))
-      .filter(_ > after)
-      .toSeq.sorted
+    Using.resource(Files.list(p)) { st =>
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(suffix) && !n.startsWith(".") && !n.startsWith("_"))
+        .filter(_ > after)
+        .toSeq.sorted
+    }
   }
 
   /** Pull the next batch after `last`: up to maxFilesPerPull files as one
@@ -58,18 +68,24 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
     * mid-batch) ingest never double-applies a file: the checkpoint only
     * advances inside the exactly-once commit. */
   def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
-    () => pull(ContinuousIngest.lastCheckpoint(t))
+    () => pull(ContinuousIngest.lastCheckpointFor(t, DfsSource.Kind))
+      .map { case (ck, df) => (s"${DfsSource.Kind}:$ck", df) }
 }
+
+object DfsSource { private[streaming] val Kind = "dfs" }
 
 /** One-shot SQL backfill source (ref: hudi-utilities sources/SqlSource.java
   * — "run once, typically for backfill" semantics): the query result pulls
   * a single time; the recorded checkpoint marks completion, so a crashed or
-  * restarted job whose commit already landed never re-ingests. Chain a
-  * backfill and a live source by running this loop to [[ContinuousIngest
-  * .drain]] first. */
+  * restarted job whose commit already landed never re-ingests. The marker
+  * lives in the `sql-once:` checkpoint namespace and completion checks the
+  * WHOLE commit history, so later live-source commits (with their own
+  * checkpoints) never resurrect the backfill. */
 class SqlOnceSource(spark: SparkSession, sql: String,
     marker: String = "sql-backfill-done") {
   def forTable(t: GraftTable): () => Option[(String, DataFrame)] = () =>
-    if (ContinuousIngest.lastCheckpoint(t).contains(marker)) None
-    else Some((marker, spark.sql(sql)))
+    if (ContinuousIngest.lastCheckpointFor(t, SqlOnceSource.Kind).contains(marker)) None
+    else Some((s"${SqlOnceSource.Kind}:$marker", spark.sql(sql)))
 }
+
+object SqlOnceSource { private[streaming] val Kind = "sql-once" }

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/**
+ * Ingest transformer chain (ref: hudi-utilities transform/
+ * ChainedTransformer.java:30 — compose N transforms in order;
+ * SqlQueryBasedTransformer.java / SqlFileBasedTransformer.java — SQL over
+ * the micro-batch registered as a temp view; FlatteningTransformer.java —
+ * nested structs to underscore-joined top-level columns).
+ *
+ * A transform is just `DataFrame => DataFrame`, so anything composes; the
+ * factories here cover the reference's stock set. Every transform stays a
+ * LAZY plan over the batch — chaining N transforms costs zero extra passes,
+ * Catalyst collapses the whole chain into the write's single job.
+ */
+object Transformers {
+
+  type Transform = DataFrame => DataFrame
+
+  /** SQL transform: `<SRC>` in the query names the incoming micro-batch
+    * (ref: SqlQueryBasedTransformer's `<SRC>` convention). */
+  def sql(query: String): Transform = {
+    require(query.contains("<SRC>"),
+      "SQL transform must reference the micro-batch as <SRC>")
+    batch => {
+      val view = s"graft_tf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val ss = batch.sparkSession
+      batch.createOrReplaceTempView(view)
+      try ss.sql(query.replace("<SRC>", view))
+      finally ss.catalog.dropTempView(view)
+    }
+  }
+
+  /** SQL transform read from a file (ref: SqlFileBasedTransformer — the
+    * deltastreamer convention of shipping transforms as .sql files next to
+    * the job config). The file is read at CONSTRUCTION: a transform that
+    * silently changed mid-stream would make restart-resume non-reproducible. */
+  def sqlFile(path: String): Transform =
+    sql(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Flatten nested struct columns to top level, underscore-joined:
+    * `a.b.c` → `a_b_c` (ref: FlatteningTransformer.flattenSchema).
+    * Arrays/maps stay opaque (same as the reference). */
+  def flatten: Transform = df => {
+    def leaves(prefix: String, f: StructField, path: Column): Seq[(String, Column)] =
+      f.dataType match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(c =>
+            leaves(prefix + f.name + "_", c, path.getField(c.name)))
+        case _ => Seq((prefix + f.name, path))
+      }
+    val flat = df.schema.fields.toSeq.flatMap(f =>
+      leaves("", f, col(s"`${f.name}`")))
+    df.select(flat.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Compose transforms left-to-right (ref: ChainedTransformer — the
+    * output of each feeds the next). */
+  def chain(ts: Transform*): Transform =
+    ts.foldLeft(identity[DataFrame] _)(_ andThen _)
+}

@@ -168,7 +168,17 @@ object GraftTable {
    * writers drop them from the files, which would silently read back null
    * and break key/partition derivation, so that case fails fast here.
    */
-  def bootstrapInPlace(spark: SparkSession, path: String, config: TableConfig): GraftTable = {
+  /** Above this many source files the bootstrap footer scan runs as a Spark
+    * job instead of on the driver — at a 100 TB adoption (millions of
+    * files) a driver-side scan is hours of single-node work plus an OOM
+    * risk; executors each read a slice of footers and ship back only the
+    * metadata-sized FileMeta rows (ref: the reference distributes bootstrap
+    * the same way, hudi-client/hudi-spark-client/.../bootstrap/
+    * SparkBootstrapCommitActionExecutor.java). */
+  private[graft] val DistributedFooterScanThreshold = 64
+
+  def bootstrapInPlace(spark: SparkSession, path: String, config: TableConfig,
+      distributeOver: Int = -1): GraftTable = {
     val base = Paths.get(path)
     require(Files.exists(base), s"bootstrap source $path does not exist")
     val parquets = Files.walk(base).iterator().asScala
@@ -194,25 +204,28 @@ object GraftTable {
       case _ => None
     }
     val conf = spark.sessionState.newHadoopConf()
-    import scala.collection.parallel.CollectionConverters._
-    // footer scan + validation run BEFORE any table state is created: a
-    // failed bootstrap must leave the user's source directory untouched
-    // (no half-created .graft, no dangling inflight instant)
-    val files = parquets.zipWithIndex.par.map { case (p, i) =>
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val nonPartitioned = config.partitioning == NonPartitioned
+    // (rel path, derived partition, stable index) resolved on the driver —
+    // the partition comes from the DIRECTORY name: reads rebuild _g_part
+    // from the data via pathExpr and tagging joins on it, so a raw
+    // directory string (URL-escaped segments, or a nested dir under a
+    // NonPartitioned config) that disagrees would make every re-upsert of
+    // these keys a silent duplicate. Escapes are decoded here; agreement
+    // with pathExpr is validated below before any table state is created.
+    val entries: Seq[(String, String, Int)] = parquets.zipWithIndex.map { case (p, i) =>
       val rel = base.relativize(p).toString
       val dirPart = Option(Paths.get(rel).getParent).map(_.toString).getOrElse("")
-      // record the partition in its DERIVED form: reads rebuild _g_part from
-      // the data via pathExpr and tagging joins on it, so a raw directory
-      // string (URL-escaped segments, or a nested dir under a NonPartitioned
-      // config) that disagrees would make every re-upsert of these keys a
-      // silent duplicate. Escapes are decoded here; agreement with pathExpr
-      // is validated below before any table state is created.
-      val partition = config.partitioning match {
-        case NonPartitioned => ""
-        case _ => unescapePath(dirPart)
-      }
-      val st = FooterStats.read(conf, p, statCols,
-        spark.sessionState.conf.sessionLocalTimeZone)
+      val partition = if (nonPartitioned) "" else unescapePath(dirPart)
+      (rel, partition, i)
+    }
+    // the per-file kernel runs EITHER on the driver (small dirs — no job
+    // overhead) or inside a Spark job; it captures only serializable
+    // scalars so both paths execute the identical code
+    val basePathStr = path
+    def metaOf(rel: String, partition: String, i: Int,
+        c: org.apache.hadoop.conf.Configuration): FileMeta = {
+      val st = FooterStats.read(c, Paths.get(basePathStr, rel), statCols, tz)
       val missing = needed.filterNot(st.columns.contains)
       require(missing.isEmpty,
         s"bootstrap source file $rel lacks column(s) ${missing.mkString(", ")} " +
@@ -223,10 +236,28 @@ object GraftTable {
       FileMeta(rel, f"boot-$i%05d", partition, st.rows,
         bytes = st.bytes,
         keyMin = kmin, keyMax = kmax,
-        colStats = st.minMax.map { case (c, (mn, mx)) => c -> Array(mn, mx) },
+        colStats = st.minMax.map { case (c2, (mn, mx)) => c2 -> Array(mn, mx) },
         external = true)
-    }.seq
-    validateBootstrapPartitions(spark, path, config, files.toSeq)
+    }
+    // footer scan + validation run BEFORE any table state is created: a
+    // failed bootstrap must leave the user's source directory untouched
+    // (no half-created .graft, no dangling inflight instant)
+    val threshold = if (distributeOver >= 0) distributeOver
+                    else DistributedFooterScanThreshold
+    val files: Seq[FileMeta] =
+      if (entries.size <= threshold) {
+        import scala.collection.parallel.CollectionConverters._
+        entries.par.map { case (rel, part, i) => metaOf(rel, part, i, conf) }.seq.toSeq
+      } else {
+        val hconf = org.apache.spark.graftbridge.ConfBridge
+          .broadcast(spark.sparkContext, conf)
+        val slices = math.min(entries.size,
+          math.max(spark.sparkContext.defaultParallelism * 4, 32))
+        spark.sparkContext.parallelize(entries, slices)
+          .map { case (rel, part, i) => metaOf(rel, part, i, hconf.value.value) }
+          .collect().toSeq.sortBy(_.path)
+      }
+    validateBootstrapPartitions(spark, path, config, files)
     val t = create(spark, path, config)
     val instant = t.timeline.startInstant("commit")
     t.timeline.complete(CommitMeta(instant, "commit", "bootstrap",
@@ -1799,10 +1830,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // PartitionDirectory rows, so filters on them are plan-time partition
     // pruning (never a scan). Unsupported value types fall back to the
     // conforming reader, which derives them by expression.
+    // partFields MUST follow the partition-PATH segment order
+    // (config.partitioning.columns), not data-schema order: the FileIndex
+    // parses path segments positionally against this StructType
     val (partFields, dataFields) =
-      if (config.dropPartitionColumns)
-        latest.fields.partition(f => config.partitioning.columns.contains(f.name))
-      else (Array.empty[StructField], latest.fields)
+      if (config.dropPartitionColumns) {
+        val pc = config.partitioning.columns
+        (pc.flatMap(c => latest.fields.find(_.name == c)).toArray,
+         latest.fields.filterNot(f => pc.contains(f.name)))
+      } else (Array.empty[StructField], latest.fields)
     if (partFields.exists(f =>
         !graft.sources.GraftFileIndex.partValueSupported(f.dataType)))
       return None
@@ -1815,6 +1851,23 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         StructField(PART, StringType)) ++ dataFields)
       else StructType(dataFields)
     Some((bases.map(_._1), schema, StructType(partFields)))
+  }
+
+  /** `SELECT *` COLUMN-ORDER CONTRACT for drop.partition.columns tables:
+    * partition columns surface LAST (the Hive / HadoopFsRelation
+    * convention — the fast path's relation schema is dataSchema ++
+    * partitionSchema and we keep its plan pristine). The conforming/merge
+    * fallback restores partition values at their original schema
+    * positions, so it is the one that reorders — otherwise the same
+    * table's column order would flip between the fast path and the
+    * fallback (e.g. a MOR table before vs after compaction). Catalyst
+    * collapses the projection; it costs nothing at runtime. */
+  private def partColsLast(df: DataFrame): DataFrame = {
+    if (!config.dropPartitionColumns) return df
+    val pc = config.partitioning.columns.filter(df.columns.contains)
+    if (pc.isEmpty) return df
+    val rest = df.columns.toSeq.filterNot(pc.contains)
+    df.select((rest ++ pc).map(c => col(s"`$c`")): _*)
   }
 
   // ----------------------------------------------------------------- reads
@@ -1857,7 +1910,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         val full = snapshotFull(asOf, data, s => partitionPred(s.partition))
           .drop(FILE_ID, DELETED)
         // virtual-key tables never expose meta columns, whichever path serves
-        if (config.populateMetaFields) full else full.drop(COMMIT, KEY, PART)
+        partColsLast(
+          if (config.populateMetaFields) full else full.drop(COMMIT, KEY, PART))
     }
   }
 
@@ -1876,7 +1930,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val ro = readConformed(
         slices(asOf).flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data)
       .filter(!col(DELETED)).drop(FILE_ID, DELETED)
-    if (config.populateMetaFields) ro else ro.drop(COMMIT, KEY, PART)
+    partColsLast(
+      if (config.populateMetaFields) ro else ro.drop(COMMIT, KEY, PART))
   }
 
   /** Glob → predicate over partition paths: `**` crosses segments, `*`

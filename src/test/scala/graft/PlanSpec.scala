@@ -65,6 +65,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
   }
 
+  test("as-of join is corpus-linear: no join, no row multiplication") {
+    val df = operators.EventQueries.qAsofJoin(spark, sf)
+    val p = plan(df)
+    // the degenerate shape is events⋈orders-per-user then rank-1: row count
+    // multiplies by per-user order count before the filter. The linear
+    // shape is union + carry-forward window — no join operator at all.
+    assert(!p.toLowerCase.contains("join"), "as-of must not plan a join:\n" + p)
+    assert(p.contains("Window"), "carry-forward window missing:\n" + p)
+    assert(df.count() > 0)
+  }
+
   test("q6: selective filters are pushed to the parquet scan") {
     val p = plan(operators.AnalyticsQueries.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters:"), p)

@@ -414,6 +414,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(desc.contains("graft.table.type") && desc.contains("cow"), desc)
   }
 
+  test("SHOW CREATE TABLE round-trips timestamp keygen input type/format") {
+    val n = fresh("t_tskeygen")
+    sql(s"""CREATE TABLE graft.$n (id BIGINT, ts BIGINT, v STRING)
+      USING graft TBLPROPERTIES (
+        'graft.recordkey.field' = 'id',
+        'graft.partition.timestamp.col' = 'ts',
+        'graft.partition.timestamp.format' = 'yyyy/MM/dd',
+        'graft.partition.timestamp.type' = 'epoch_millis')""")
+    val ddl = sql(s"SHOW CREATE TABLE graft.$n").collect()(0).getString(0)
+    assert(ddl.contains("'graft.partition.timestamp.type' = 'epoch_millis'"), ddl)
+    assert(ddl.contains("'graft.partition.timestamp.format' = 'yyyy/MM/dd'"), ddl)
+    // re-running the emitted DDL creates a table with the SAME partition
+    // interpretation: an epoch-millis value must land in its date dir
+    val n2 = fresh("t_tskeygen2")
+    sql(ddl.replaceFirst("CREATE TABLE \\S+", s"CREATE TABLE graft.$n2")
+      .replaceAll("LOCATION '[^']*'", ""))
+    sql(s"INSERT INTO graft.$n2 VALUES (1, 1700000000000, 'a')")
+    val loc2 = sql(s"DESCRIBE TABLE EXTENDED graft.$n2").collect()
+      .find(_.getString(0) == "Location").get.getString(1)
+    val parts = GraftTable.load(spark, loc2).slices(None).map(_.partition).distinct
+    assert(parts === Seq("dt=2023/11/14"), parts.toString)
+    sql(s"DROP TABLE graft.$n"); sql(s"DROP TABLE graft.$n2")
+  }
+
   test("catalog ops: SHOW TABLES, DROP, external LOCATION registration") {
     val n = fresh("t_cat")
     createOrders(n, rows = 2)

@@ -173,6 +173,41 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("chained backfill -> live DFS: digit-prefixed inbox names still ingest") {
+    import spark.implicits._
+    val inbox = Files.createTempDirectory("graft_chain_inbox_").toString
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("chain_t", CopyOnWrite,
+      keyFields = Seq("id")))
+    Seq((100L, "bf")).toDF("id", "v").createOrReplaceTempView("chain_backfill")
+    val bf = new ContinuousIngest(t,
+      new SqlOnceSource(spark, "SELECT * FROM chain_backfill").forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(bf.drain() === 1) finally bf.close()
+    // timestamp-prefixed file names sort BELOW "sql-backfill-done" — the
+    // namespaced checkpoints must not let the backfill marker shadow them
+    val stage = s"$inbox/.stage"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val f = Files.list(java.nio.file.Paths.get(stage)).iterator()
+    val pf = { var r: java.nio.file.Path = null
+      while (f.hasNext) { val p = f.next(); if (p.toString.endsWith(".parquet")) r = p }
+      r }
+    Files.move(pf, java.nio.file.Paths.get(inbox, "20260814T000001.parquet"))
+    val live = new ContinuousIngest(t,
+      new DfsSource(spark, inbox).forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(live.drain() === 1) finally live.close()
+    assert(t.snapshot().count() === 3)
+    // and a restarted backfill still sees its own completion marker even
+    // though the NEWEST checkpoint now belongs to the dfs source
+    val bf2 = new ContinuousIngest(t,
+      new SqlOnceSource(spark, "SELECT * FROM chain_backfill").forTable(t),
+      operation = "insert", compactEvery = 0)
+    try assert(bf2.drain() === 0) finally bf2.close()
+    GraftTable.drop(dir)
+  }
+
   test("DfsSource: inbox files ingest oldest-first, name watermark survives restart") {
     import spark.implicits._
     val inbox = Files.createTempDirectory("graft_dfs_inbox_").toString
@@ -196,7 +231,8 @@ class ContinuousIngestSpec extends AnyFunSuite {
     val ci1 = new ContinuousIngest(t, src.forTable(t),
       operation = "insert", compactEvery = 0)
     try assert(ci1.step().isDefined) finally ci1.close() // ingests f001 only
-    assert(ContinuousIngest.lastCheckpoint(t) === Some("f001.parquet"))
+    assert(ContinuousIngest.lastCheckpoint(t) === Some("dfs:f001.parquet"))
+    assert(ContinuousIngest.lastCheckpointFor(t, "dfs") === Some("f001.parquet"))
     assert(t.snapshot().count() === 5)
     // restart: resumes above the watermark; a new arrival also lands
     drop("f003", 10 until 12)
@@ -204,7 +240,7 @@ class ContinuousIngestSpec extends AnyFunSuite {
       operation = "insert", compactEvery = 0)
     try assert(ci2.drain() === 2) finally ci2.close()
     assert(t.snapshot().count() === 12)
-    assert(ContinuousIngest.lastCheckpoint(t) === Some("f003.parquet"))
+    assert(ContinuousIngest.lastCheckpointFor(t, "dfs") === Some("f003.parquet"))
     // nothing new -> no pull, no empty commits
     val before = t.timeline.completed().size
     val ci3 = new ContinuousIngest(t, src.forTable(t),

@@ -47,6 +47,63 @@ class DropPartitionColsSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("partition columns declared out of schema order parse correctly on the fast path") {
+    val dir = tmp()
+    // schema order (a, b, ...) but partitioning declares (b, a): path
+    // segments follow the PARTITIONING order — the fast path must parse
+    // them positionally against that order, not schema order
+    Seq((1L, "x1", 7, 100L), (2L, "x2", 8, 200L)).toDF("a", "b", "n", "v")
+      .write.format("graft")
+      .option("graft.recordkey.field", "n")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "b,a")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.operation", "bulk_insert")
+      .mode("append").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    val got = back.select("n", "a", "b").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === Set((7, 1L, "x1"), (8, 2L, "x2")),
+      s"fast-path partition parse corrupted values: $got")
+    // and a filter on either partition column still prunes + evaluates right
+    assert(back.filter(col("a") === 2L).count() === 1)
+    assert(back.filter(col("b") === "x1").count() === 1)
+    GraftTable.drop(dir)
+  }
+
+  test("SELECT * column order agrees between fast path and conforming fallback") {
+    // contract: drop-partition-columns tables surface partition columns
+    // LAST (HadoopFsRelation convention); the fallback reorders to match
+    val dirCow = tmp()
+    write(dirCow, rows, op = "bulk_insert")
+    val fastCols = spark.read.format("graft").load(dirCow).columns.toSeq
+    GraftTable.drop(dirCow)
+    val dirMor = tmp()
+    rows.write.format("graft")
+      .option("graft.recordkey.field", "id")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "grp")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.table.type", "mor")
+      .option("graft.operation", "bulk_insert")
+      .mode("append").save(dirMor)
+    // a log append forces the merging fallback
+    Seq((1L, "A", 11L)).toDF("id", "grp", "v").write.format("graft")
+      .option("graft.recordkey.field", "id")
+      .option("graft.precombine.field", "v")
+      .option("graft.partitionpath.field", "grp")
+      .option("graft.drop.partition.columns", "true")
+      .option("graft.table.type", "mor")
+      .mode("append").save(dirMor)
+    val t = GraftTable.load(spark, dirMor)
+    assert(t.fastScanFiles(None, baseOnly = false).isEmpty,
+      "MOR with logs should be on the fallback path")
+    val fallbackCols = t.snapshot().columns.toSeq
+    assert(fallbackCols === fastCols,
+      s"column order flips between paths: fast=$fastCols fallback=$fallbackCols")
+    GraftTable.drop(dirMor)
+  }
+
   test("fast path: filter on the dropped column is plan-time partition pruning") {
     val dir = tmp()
     write(dir, rows, op = "bulk_insert")

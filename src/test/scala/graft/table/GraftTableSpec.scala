@@ -991,6 +991,59 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("bootstrapInPlace distributes the footer scan as a Spark job; FileMeta identical") {
+    import TestSpark.spark.implicits._
+    // two partitions, several files each — enough to compare the paths
+    def writeSrc(dir: String): Unit = {
+      val df = (0 until 60).map(i => (s"k$i", if (i % 2 == 0) "e" else "o", i))
+        .toDF("k", "pv", "v")
+      df.filter(col("pv") === "e").repartition(3).write.parquet(s"$dir/pv=e")
+      df.filter(col("pv") === "o").repartition(3).write.parquet(s"$dir/pv=o")
+    }
+    val cfg = TableConfig("bootdist", CopyOnWrite, keyFields = Seq("k"),
+      precombineField = None, partitioning = PartitionByColumns(Seq("pv")),
+      targetFileSizeRows = 1000)
+    val dirDriver = tmp(); writeSrc(dirDriver)
+    val dirDist = tmp(); writeSrc(dirDist)
+    // driver path (threshold above file count)
+    val tD = GraftTable.bootstrapInPlace(spark, dirDriver, cfg,
+      distributeOver = 1000)
+    // distributed path (threshold 0 forces the Spark job) — pin that a job
+    // actually launched
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val tX = try {
+      val t = GraftTable.bootstrapInPlace(spark, dirDist, cfg.copy(name = "bootdist2"),
+        distributeOver = 0)
+      // listener events deliver async; wait for at least one job to register
+      val deadline = System.nanoTime + 10_000_000_000L
+      while (jobs < 1 && System.nanoTime < deadline) Thread.sleep(50)
+      t
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs >= 1, "distributed bootstrap must launch a Spark job")
+    // identical FileMeta (modulo the file-name hash parquet embeds): same
+    // partitions, rows, key ranges and colStats per sorted position
+    def metas(t: GraftTable) = t.slices(None).flatMap(_.baseFiles)
+      .sortBy(_.path)
+      .map(f => (f.partition, f.rows, f.keyMin, f.keyMax,
+        f.colStats.toSeq.map { case (c, a) => (c, a.toSeq) }.sortBy(_._1)))
+    assert(metas(tX) === metas(tD))
+    assert(tX.snapshot().count() === 60)
+    // executor-side validation failures still fail fast, before table state
+    val dirBad = tmp()
+    Seq(("k1", 1)).toDF("k", "v").write.parquet(s"$dirBad/pv=e")
+    intercept[Exception] {
+      GraftTable.bootstrapInPlace(spark, dirBad, cfg.copy(name = "bootbad3"),
+        distributeOver = 0)
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(dirBad, ".graft")))
+    GraftTable.drop(dirDriver); GraftTable.drop(dirDist); GraftTable.drop(dirBad)
+  }
+
   test("bootstrapInPlace adopts a hive-partitioned layout; escaped segments and upserts agree") {
     val dir = tmp()
     import TestSpark.spark.implicits._
