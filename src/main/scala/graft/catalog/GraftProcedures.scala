@@ -458,6 +458,56 @@ object GraftProcedures {
       (cat, a) => one(StructType(Seq(StructField("path", StringType))),
         tableOf(cat, a.str(0)).syncMetadataTable())),
 
+    Proc("run_index",
+      "Async metadata indexing (ref: HoodieIndexer.java:86, the RFC-45 " +
+        "indexing action): op => 'schedule' pins the current pre-bloom " +
+        "file set as a plan instant; 'run' executes the pending plan named" +
+        " by instant => (or the oldest pending one, scheduling first if " +
+        "none) — the backfill runs out-of-band, files committed after the " +
+        "plan land in the next plan.",
+      Seq(in("table", StringType),
+        in("op", StringType, "'run'"),
+        in("instant", StringType, "''"),
+        in("name", StringType, "'record_key_bloom'")),
+      (cat, a) => {
+        val t = tableOf(cat, a.str(0))
+        val res = a.str(1).toLowerCase match {
+          case "schedule" => t.scheduleIndex(a.str(3))
+          case "run" | "execute" =>
+            Some(a.str(2)).filter(_.nonEmpty)
+              .orElse(t.pendingPlans().collectFirst {
+                case (i, "index_schedule") => i
+              })
+              .orElse(t.scheduleIndex(a.str(3)))
+              .flatMap(t.runIndex)
+          case other => throw new IllegalArgumentException(
+            s"unknown op '$other': use schedule | run | execute")
+        }
+        one(instantResult, res.orNull)
+      }),
+
+    Proc("show_indexing",
+      "Async indexing plans with their schedule/run state (ref: " +
+        "HoodieIndexer states).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.showIndexing(tableOf(cat, a.str(0))))),
+
+    Proc("show_metrics",
+      "Writer metrics per data commit — duration, files, rows, bytes " +
+        "(ref: HoodieMetrics counters; derived from the timeline, so " +
+        "durable across writers).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(GraftSql.showMetrics(tableOf(cat, a.str(0))))),
+
+    Proc("sync_bloom_metadata",
+      "Fold live bloom sidecars into the metadata table's blooms " +
+        "partition (ref: MetadataPartitionType BLOOM_FILTERS): tagging " +
+        "then reads candidate blooms in one batched scan instead of one " +
+        "GET per candidate file.",
+      Seq(in("table", StringType)),
+      (cat, a) => one(StructType(Seq(StructField("files", StringType))),
+        tableOf(cat, a.str(0)).syncBloomMetadata().toString)),
+
     Proc("run_bootstrap",
       "Adopt an EXISTING parquet directory as a graft table and register " +
         "it under `table` (ref: RunBootstrapProcedure + BootstrapMode). " +

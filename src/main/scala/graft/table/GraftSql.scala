@@ -125,6 +125,46 @@ object GraftSql {
       .toDF("instant", "state", "n_files_written", "rows_written", "n_groups_replaced")
   }
 
+  /** show_metrics (ref: hudi-client-common metrics/HoodieMetrics.java —
+    * commit duration / files / records / bytes counters; the external
+    * reporters — Graphite, Prometheus, CloudWatch — stay excluded as
+    * external systems): one row per data commit, derived from the
+    * timeline's own records, so metrics are durable and shared across
+    * writers instead of living in one JVM's registry. */
+  def showMetrics(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    t.timeline.metas(None)
+      .filter(m => Set("commit", "deltacommit", "replacecommit")(m.action))
+      .map(m => (m.instant, m.action, m.operation,
+        m.extra.get("durationMs").map(_.toLong).getOrElse(-1L),
+        m.files.size.toLong, m.files.map(_.rows).sum, m.files.map(_.bytes).sum,
+        m.extra.get("batchRows").map(_.toLong).getOrElse(-1L)))
+      .toDF("instant", "action", "operation", "duration_ms", "n_files",
+        "rows_written", "bytes_written", "batch_rows")
+  }
+
+  /** show_indexing (ref: HoodieIndexer's schedule/run states): async
+    * indexing plans — REQUESTED until their execution instant lands, then
+    * COMPLETED with the backfilled file count (which can be below the
+    * planned count when files were cleaned/replaced in between). */
+  def showIndexing(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    t.timeline.refresh()
+    val ms = t.timeline.metas(None)
+    val executedBy = ms.filter(_.action == "indexing")
+      .flatMap(m => m.extra.get("planInstant").map(_ -> m)).toMap
+    ms.filter(_.action == "indexingreq").map { p =>
+      val planned = p.extra.get("paths").map(_.split('\n').count(_.nonEmpty)).getOrElse(0)
+      executedBy.get(p.instant) match {
+        case Some(m) => (p.instant, "COMPLETED", planned,
+          m.extra.get("indexedFiles").map(_.toInt).getOrElse(0))
+        case None => (p.instant, "REQUESTED", planned, 0)
+      }
+    }.sortBy(_._1)
+      .toDF("instant", "state", "n_files_planned", "n_files_indexed")
+  }
+
   /** show_cleans (CLI `cleans show` parity; same state model as
     * [[showCompaction]]): every clean — inline runs and scheduled plans —
     * with its file count, retention boundary and, for executions of a

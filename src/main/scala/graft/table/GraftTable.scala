@@ -980,8 +980,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // below 2 prunable slices the batch pass costs more than it saves
     if (bloomable.size < 2) return cands
     import scala.collection.parallel.CollectionConverters._
+    // metadata-table blooms first (ONE batched scan for every candidate),
+    // per-file sidecar opens only for files the partition doesn't cover
+    val batched = mdtBlooms(bloomable.flatMap(_.baseFiles.map(_.path)))
     val loaded = bloomable.par.map { s =>
-      s -> s.baseFiles.map(f => (f.keyMin, f.keyMax, KeyBloom.load(basePath, f.path)))
+      s -> s.baseFiles.map(f => (f.keyMin, f.keyMax,
+        batched.get(f.path).orElse(KeyBloom.load(basePath, f.path))))
     }.seq
     val (checked, unloadable) = loaded.partition(_._2.forall(_._3.nonEmpty))
     if (checked.size < 2) return cands
@@ -1238,6 +1242,129 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     slices(None).flatMap(_.baseFiles).foreach { f =>
       Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(f.path)))
     }
+    GraftTable.drop(mdtBloomsDir.toString)
+  }
+
+  /** Schedule an ASYNC INDEXING plan (ref: hudi-utilities
+    * HoodieIndexer.java:86 — the RFC-45 `indexing` action): pin the
+    * current pre-bloom base-file set in a completed `indexingreq` instant;
+    * [[runIndex]] backfills their `.bloom` sidecars out-of-band, possibly
+    * from another process. Files committed AFTER the plan are not in it —
+    * they either carry bloom-on-write already or land in the next plan
+    * (exactly the compaction schedule/execute shape). The plan lists paths
+    * in its extra payload, NOT CommitMeta.files, so it never pins file
+    * groups against concurrent compaction/clustering plans.
+    *
+    * At 100 TB this is the difference between CREATE INDEX stalling a
+    * session for a full key-column pass and an ingest loop that schedules
+    * the plan (a metadata listing) and lets the backfill run on its own
+    * executors. */
+  def scheduleIndex(name: String = "record_key_bloom"): Option[String] = {
+    require(config.index == StatsIndex,
+      "bloom index applies to stats-index tables (bucket tagging is a pure" +
+        " expression and never consults blooms)")
+    require(config.populateMetaFields,
+      "bloom index folds the materialized key column; a virtual-key " +
+        "(populate.meta.fields=false) table has none")
+    // paths already claimed by a pending plan must not be double-indexed
+    val claimed: Set[String] = {
+      val ms = timeline.metas(None)
+      val executed = ms.flatMap(_.extra.get("planInstant")).toSet
+      ms.filter(m => m.action == "indexingreq" && !executed(m.instant))
+        .flatMap(_.extra.get("paths")).flatMap(_.split('\n')).toSet
+    }
+    val missing = slices(None).flatMap(_.baseFiles)
+      .filterNot(f => f.external || f.hasBloom)
+      .map(_.path)
+      .filterNot(claimed)
+      .filterNot(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
+    if (missing.isEmpty) return None
+    val instant = timeline.startInstant("indexingreq")
+    try {
+      timeline.complete(CommitMeta(instant, "indexingreq", "index_schedule",
+        extra = Map("paths" -> missing.mkString("\n"), "name" -> name)))
+      Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "indexingreq"); throw e }
+  }
+
+  /** Execute a scheduled indexing plan: backfill bloom sidecars for the
+    * planned files still live (cleaned/replaced ones are skipped — their
+    * successors carry bloom-on-write), write the index marker so tagging
+    * consults sidecars on pre-flag files, and record a completed
+    * `indexing` instant marking the plan executed. Idempotent per file
+    * (existing sidecars are skipped); re-runnable after a crash because
+    * the plan is only marked executed by the final instant. */
+  def runIndex(planInstant: String): Option[String] = {
+    val plan = timeline.read(planInstant, "indexingreq")
+    assertNotExecuted(planInstant)
+    val liveNow = slices(None).flatMap(_.baseFiles)
+      .filterNot(_.external).map(_.path).toSet
+    val paths = plan.extra("paths").split('\n').toSeq.filter(_.nonEmpty)
+      .filter(liveNow)
+      .filterNot(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
+    buildKeyBlooms(paths)
+    if (bloomIndexName.isEmpty)
+      Files.write(bloomIndexMarker, Json.mapper.writeValueAsBytes(
+        Map("name" -> plan.extra.getOrElse("name", "record_key_bloom"))))
+    // keep the metadata table's blooms partition current when it exists,
+    // so tagging stays one batched read after the backfill
+    if (Files.isDirectory(mdtBloomsDir)) syncBloomMetadata()
+    val instant = timeline.startInstant("indexing")
+    try {
+      timeline.complete(CommitMeta(instant, "indexing", "index",
+        extra = Map("planInstant" -> planInstant,
+          "indexedFiles" -> paths.size.toString)))
+      if (paths.isEmpty) None else Some(instant)
+    } catch { case e: Throwable => timeline.abort(instant, "indexing"); throw e }
+  }
+
+  // --------------------------------------- blooms in the metadata table
+
+  private[graft] def mdtBloomsDir = Paths.get(basePath, ".graft", "metadata", "blooms")
+
+  /** Fold every live base file's bloom sidecar into the metadata table's
+    * blooms partition (ref: hudi-common .../metadata/MetadataPartitionType
+    * .java:27 BLOOM_FILTERS): one parquet dataset of (path, bloom) rows,
+    * range-partitioned and sorted by path so candidate lookups prune to a
+    * few row groups. With it in place, tagging reads the candidates'
+    * blooms in ONE batched scan instead of one object-store GET per
+    * candidate file — at millions of files that per-file GET is the
+    * tagging bottleneck. Sidecars stay the source of truth (written
+    * in-line by every commit); re-sync after enough new commits, or let
+    * [[runIndex]] refresh it. */
+  def syncBloomMetadata(): Int = {
+    val paths = slices(None).flatMap(_.baseFiles)
+      .filterNot(_.external)
+      .map(_.path)
+      .filter(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
+    if (paths.isEmpty) { GraftTable.drop(mdtBloomsDir.toString); return 0 }
+    val bp = basePath
+    import spark.implicits._
+    val nOut = math.max(1, paths.size / 1000)
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map(r => (r, Files.readAllBytes(Paths.get(bp, KeyBloom.sidecar(r)))))
+      .toDF("path", "bloom")
+      .repartitionByRange(nOut, col("path"))
+      .sortWithinPartitions("path")
+      .write.mode(SaveMode.Overwrite).parquet(mdtBloomsDir.toString)
+    paths.size
+  }
+
+  /** Batched candidate-bloom lookup from the metadata table (one pruned
+    * parquet scan for the whole candidate set); empty when the blooms
+    * partition was never synced. Unparseable rows are simply absent —
+    * the caller falls back to the sidecar, then to keeping the file a
+    * candidate. */
+  private def mdtBlooms(paths: Seq[String]): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    if (paths.isEmpty || !Files.isDirectory(mdtBloomsDir)) return Map.empty
+    import spark.implicits._
+    spark.read.parquet(mdtBloomsDir.toString)
+      .filter(col("path").isin(paths: _*))
+      .as[(String, Array[Byte])]
+      .collect()
+      .flatMap { case (p, b) => KeyBloom.fromBytes(b).map(p -> _) }
+      .toMap
   }
 
   private[graft] def buildKeyBlooms(baseRels: Seq[String]): Set[String] = {
@@ -1332,6 +1459,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       sinceForConflict: Option[String] = None,
       combine: Boolean = true): String = {
     val mor = config.tableType == MergeOnRead
+    val writeStart = System.nanoTime()
     val taggingOps = Set("upsert", "delete", "merge", "upsert_partial", "upsert_global")
     require(config.populateMetaFields || !taggingOps(op),
       s"$op needs materialized meta fields: a populate.meta.fields=false " +
@@ -1469,7 +1597,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         CommitMeta(instant, action, op,
           schemaJson = merged.json, files = files,
           replaced = (touched -- written).toSeq,
-          extra = extra + ("batchRows" -> batchRows.toString)))
+          extra = extra + ("batchRows" -> batchRows.toString)
+            // writer metrics (ref: HoodieMetrics commit.duration): recorded
+            // in the commit itself — durable, no registry to lose
+            + ("durationMs" ->
+              ((System.nanoTime() - writeStart) / 1000000L).toString)))
       instant
       } finally pinned.foreach(_.unpersist(blocking = false))
     } catch { case e: Throwable => timeline.abort(instant, action); throw e }
@@ -1511,6 +1643,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def insertOverwriteTable(df: DataFrame): String = replaceWrite(df, wholeTable = true)
 
   private def replaceWrite(raw: DataFrame, wholeTable: Boolean): String = {
+    val writeStart = System.nanoTime()
     val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
     val instant = timeline.startInstant("replacecommit")
     try {
@@ -1536,7 +1669,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       commitGuarded(startLatest, Set.empty, parts,
         CommitMeta(instant, "replacecommit",
           if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
-          schemaJson = merged.json, files = files, replaced = replaced),
+          schemaJson = merged.json, files = files, replaced = replaced,
+          extra = Map("durationMs" ->
+            ((System.nanoTime() - writeStart) / 1000000L).toString)),
         anyCommit = wholeTable)
       instant
     } catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
@@ -2189,7 +2324,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .flatMap(m => m.files.map(f => s"${f.partition}|${f.fileId}")).toSet
   }
 
-  private def planActions = Set("compactionreq", "clusteringreq", "cleanreq")
+  private def planActions = Set("compactionreq", "clusteringreq", "cleanreq",
+    "indexingreq")
 
   private def assertNotExecuted(planInstant: String): Unit =
     require(!timeline.metas(None).exists(m =>

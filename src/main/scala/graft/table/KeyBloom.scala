@@ -42,8 +42,13 @@ object KeyBloom {
     try {
       val p = Paths.get(basePath, sidecar(rel))
       if (!Files.isRegularFile(p)) None
-      else Some(BloomFilter.readFrom(new ByteArrayInputStream(Files.readAllBytes(p))))
+      else fromBytes(Files.readAllBytes(p))
     } catch { case _: Exception => None }
+
+  /** None = unparseable payload (conservative, same contract as [[load]]). */
+  def fromBytes(b: Array[Byte]): Option[BloomFilter] =
+    try Some(BloomFilter.readFrom(new ByteArrayInputStream(b)))
+    catch { case _: Exception => None }
 }
 
 /**

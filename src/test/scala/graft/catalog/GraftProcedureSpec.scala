@@ -638,6 +638,27 @@ class GraftProcedureSpec extends AnyFunSuite {
       sql(s"CALL graft.export_snapshot('p_sync', '${out}_x', 'csvish')") }
   }
 
+  test("show_metrics: per-commit duration/files/rows/bytes from the timeline") {
+    sql("DROP TABLE IF EXISTS graft.p_metrics")
+    sql("""CREATE TABLE graft.p_metrics (id BIGINT, v STRING) USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'id',
+      |  'graft.precombine.field' = 'v')""".stripMargin)
+    sql("INSERT INTO graft.p_metrics VALUES (1L, 'a'), (2L, 'b')")
+    sql("INSERT INTO graft.p_metrics VALUES (3L, 'c')")
+    val rows = sql("CALL graft.show_metrics(`table` => 'p_metrics')").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getString(1) === "commit")
+      assert(r.getLong(3) > 0, "durationMs missing from commit metadata")
+      assert(r.getLong(4) >= 1 && r.getLong(6) > 0, "files/bytes missing")
+    }
+    // physical rows: commit 2 bin-packs into the existing group, rewriting
+    // its 2 rows alongside the 1 new -> 2 + 3 (write amplification shows)
+    assert(rows.map(_.getLong(5)).sum === 5, "rows_written mismatch")
+    assert(rows.map(_.getLong(7)).sum === 3, "batch_rows mismatch")
+    sql("DROP TABLE graft.p_metrics")
+  }
+
   test("unknown procedure fails with the known-procedure list") {
     val err = intercept[Exception] { sql("CALL graft.run_nonsense('t')") }
     // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the

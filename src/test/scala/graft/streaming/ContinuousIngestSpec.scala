@@ -153,6 +153,43 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("transformer chain: flatten -> SQL -> SQL composes, restart resumes mid-chain") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("chain_tf", CopyOnWrite,
+      keyFields = Seq("meta_id")))
+    // nested-struct batches: data.{id, amount}
+    def batch(from: Int, n: Int) = (from until from + n)
+      .map(i => (i.toLong, i * 10L)).toDF("id", "amount")
+      .select(struct(col("id"), col("amount")).as("data"))
+    var shipped = 0
+    val source = () =>
+      if (shipped >= 2) None
+      else { shipped += 1; Some((s"b-$shipped", batch(shipped * 10, 3))) }
+    // chain: flatten (data.id -> data_id) -> SQL rename to meta_id -> SQL
+    // derived column; a transform file exercises sqlFile
+    val sqlF = Files.createTempFile("graft_tf_", ".sql")
+    Files.write(sqlF,
+      "SELECT meta_id, amount, amount * 2 AS amount2 FROM <SRC>".getBytes("UTF-8"))
+    val transforms = Seq(
+      Transformers.flatten,
+      Transformers.sql("SELECT data_id AS meta_id, data_amount AS amount FROM <SRC>"),
+      Transformers.sqlFile(sqlF.toString))
+    val ci1 = new ContinuousIngest(t, source, transforms = transforms,
+      operation = "insert", compactEvery = 0)
+    try assert(ci1.step().isDefined) finally ci1.close()
+    assert(t.snapshot().count() === 3)
+    // restart with a fresh loop: resumes at batch 2, same chain
+    val ci2 = new ContinuousIngest(t, source, transforms = transforms,
+      operation = "insert", compactEvery = 0)
+    try assert(ci2.drain() === 1) finally ci2.close()
+    val rows = t.snapshot().select("meta_id", "amount", "amount2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === (10 until 13).map(i => (i.toLong, i * 10L, i * 20L)).toSet ++
+      (20 until 23).map(i => (i.toLong, i * 10L, i * 20L)).toSet, rows)
+    GraftTable.drop(dir)
+  }
+
   test("SqlOnceSource: backfill runs exactly once across restarts") {
     import spark.implicits._
     val dir = tmp()
