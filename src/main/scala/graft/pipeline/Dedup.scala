@@ -210,11 +210,7 @@ object Dedup {
     val sh = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFrom(sh, numHashes, idCol)
-    val banded = sig.select(col(idCol), posexplode(
-      array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", (0 until rows).map(r =>
-          element_at(col("sig"), b * rows + r + 1).cast("string")): _*))): _*))
-      .as(Seq("band", "bucket")))
+    val banded = bandBuckets(sig, bands, rows, idCol)
     val cands = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
@@ -234,6 +230,75 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     materializeAndRelease(result, sh)
+  }
+
+  /** LSH band buckets of a signature frame: one (id, band, bucket) row per
+    * band — [[minhashLshPairs]] and [[minhashIncremental]] share this, so
+    * a persisted corpus bucket table is comparable with either path. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int,
+      idCol: String): DataFrame =
+    sig.select(col(idCol), posexplode(
+      array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", (0 until rows).map(r =>
+          element_at(col("sig"), b * rows + r + 1).cast("string")): _*))): _*))
+      .as(Seq("band", "bucket")))
+
+  /**
+   * Batch-vs-corpus NEAR-dup gate (MinHash+LSH) — the continuous-crawl
+   * sibling of [[incremental]]'s exact gate: returns the batch rows with
+   * no VERIFIED near-duplicate (exact shingle-Jaccard ≥ tau) already in
+   * the corpus. The batch is first near-dup'd within itself via
+   * [[minhashLshPairs]] + keep-min-id, so two copies arriving in one
+   * batch don't both slip past a corpus that has neither.
+   *
+   * Scale shape: candidates are batch×corpus rows COLLIDING IN A BAND
+   * BUCKET — never an all-pairs product; the corpus contributes one
+   * shingle+signature pass that collapses to (id, band, bucket) before
+   * the join, and its TEXT is re-read only for candidate ids (an
+   * equi-join semi-filter). At a steady ingest cadence, persist
+   * [[minhashSignatures]] of the curated corpus as its own
+   * incrementally-maintained table and pass it as `existingSig` — then
+   * the per-batch cost is O(batch + |corpus signatures| + candidates),
+   * the same posture as the exact gate.
+   */
+  def minhashIncremental(existing: DataFrame, batch: DataFrame,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      existingSig: Option[DataFrame] = None): DataFrame = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    // within-batch near-dup first (keep min id per verified pair)
+    val selfPairs = minhashLshPairs(batch, n, numHashes, bands, tau, idCol, textCol)
+    val selfDup = selfPairs.select(col("id_b").as(idCol)).distinct()
+    val kept = batch.join(selfDup, Seq(idCol), "left_anti")
+    val bsh = shingleHashes(kept, n, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bSig = signaturesFrom(bsh, numHashes, idCol)
+    val cSig = existingSig.getOrElse(
+      minhashSignatures(existing, n, numHashes, idCol, textCol))
+    val cands = bandBuckets(bSig, bands, rows, idCol).as("b")
+      .join(bandBuckets(cSig, bands, rows, idCol).as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col(s"b.$idCol").as("id_b"), col(s"c.$idCol").as("id_c"))
+      .distinct()
+    // exact-Jaccard verification: corpus shingles only for CANDIDATE docs
+    val csh = shingleHashes(
+      existing.join(cands.select(col("id_c").as(idCol)).distinct(),
+        Seq(idCol), "left_semi"), n, idCol, textCol)
+    val sizesB = bsh.groupBy(col(idCol)).agg(count(lit(1)).as("sz_b"))
+    val sizesC = csh.groupBy(col(idCol)).agg(count(lit(1)).as("sz_c"))
+    val common = cands
+      .join(bsh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b"))
+      .join(csh.select(col(idCol).as("id_c"), col("shingle")), Seq("id_c", "shingle"))
+      .groupBy(col("id_b"), col("id_c")).agg(count(lit(1)).as("common"))
+    val dup = common
+      .join(sizesB.select(col(idCol).as("id_b"), col("sz_b")), Seq("id_b"))
+      .join(sizesC.select(col(idCol).as("id_c"), col("sz_c")), Seq("id_c"))
+      .filter(col("common").cast("double") /
+        (col("sz_b") + col("sz_c") - col("common")).cast("double") >= tau)
+      .select(col("id_b").as(idCol)).distinct()
+    materializeAndRelease(kept.join(dup, Seq(idCol), "left_anti"), bsh)
   }
 
   /** 64-bit SimHash per document via the native one-pass kernel

@@ -51,6 +51,22 @@ object PipelineQueries {
     Dedup.simhashPairs(docsWithNearDups(s, d), maxHamming = 10)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Batch-vs-corpus NEAR-dup gate: the batch plants near-copies of
+    * corpus docs (and one internal near-dup pair per doc); survivors are
+    * the batch rows with no verified near-duplicate. */
+  def dedupMinhashIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") < 250)
+    // near-copies of corpus docs (should be gated) + genuinely new ids
+    val batch = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra")))
+    Dedup.minhashIncremental(existing, batch, n = 3, numHashes = 32,
+      bands = 8, tau = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
     v.unionByName(v.withColumn("vec_id", col("vec_id") + 100000))
@@ -437,6 +453,7 @@ object PipelineQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),

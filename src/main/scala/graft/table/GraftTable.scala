@@ -2146,11 +2146,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case f if globPred(f.partition) =>
         f -> (if (f.origInstant.nonEmpty) f.origInstant else m.instant)
     })
-    // virtual-key tables never expose meta columns (same surface as
-    // snapshot/readOptimized)
+    // virtual-key tables never expose meta columns; column order follows
+    // the same partition-cols-last contract as snapshot/readOptimized
     def surface(df: DataFrame): DataFrame = {
       val d = df.drop(FILE_ID, DELETED)
-      if (config.populateMetaFields) d else d.drop(COMMIT, KEY, PART)
+      partColsLast(if (config.populateMetaFields) d else d.drop(COMMIT, KEY, PART))
     }
     if (files.isEmpty)
       return surface(spark.createDataFrame(
@@ -3036,9 +3036,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         }
     }
     val dest = s"$basePath/.graft/metadata/files"
+    // partition-sorted, ~10k rows per output file: listing lookups prune
+    // by parquet min/max on `partition`, and a millions-of-files table
+    // never funnels through one writer task into a monolithic blob
+    val nOut = math.max(1, rows.size / 10000)
     rows.toDF("partition", "file_id", "instant", "path", "rows", "is_log",
       "key_min", "key_max", "col_stats")
-      .coalesce(1).write.mode("overwrite").parquet(dest)
+      .repartitionByRange(nOut, col("partition"), col("file_id"))
+      .sortWithinPartitions("partition", "file_id")
+      .write.mode(SaveMode.Overwrite).parquet(dest)
     dest
   }
 

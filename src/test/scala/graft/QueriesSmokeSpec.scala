@@ -27,7 +27,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
 
   test("every declared query has an oracle or is knowingly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "ann_lsh_topk",
+    val rowsOnly = Set("dedup_minhash", "dedup_minhash_incremental",
+      "dedup_simhash", "ann_lsh_topk",
       "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "text_fingerprint",
       "dedup_semantic")
     assert(noOracle.subsetOf(rowsOnly), s"missing oracle for: $noOracle")

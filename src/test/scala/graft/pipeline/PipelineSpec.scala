@@ -32,6 +32,48 @@ class PipelineSpec extends AnyFunSuite {
       s"recall ${recalled.size}/${planted.size} too low")
   }
 
+  test("minhash incremental gate: planted corpus near-copies gated, novel docs survive") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") < 250)
+    val nearCopies = existing
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra")))
+    // docs with too few words have no 3-word shingles -> no signature ->
+    // invisible to the LSH gate; keep the fixture on shingled docs
+    val novel = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+      .filter(size(split(col("text"), "\\s+")) >= 5)
+      .withColumn("doc_id", col("doc_id") + 20000)
+    val batch = nearCopies.unionByName(novel)
+    val out = Dedup.minhashIncremental(existing, batch, n = 3,
+      numHashes = 32, bands = 8, tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val copies = nearCopies.select("doc_id").collect().map(_.getLong(0)).toSet
+    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    // near-copies of corpus docs are gated (>=95%: banding recall)
+    val leaked = out.intersect(copies)
+    assert(leaked.size <= (copies.size * 0.05).toInt + 1,
+      s"${leaked.size}/${copies.size} corpus near-copies slipped through")
+    // genuinely new docs survive — unless they near-dup ANOTHER corpus doc
+    // or an earlier batch doc (verified against exact jaccard, no guess)
+    val exactVsCorpus = Dedup.jaccardPairs(
+        existing.unionByName(novel), n = 3, tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    novelIds.filterNot(exactVsCorpus).foreach { id =>
+      assert(out.contains(id), s"novel doc $id wrongly gated")
+    }
+    // within-batch near-dups: adding a second copy of a novel doc keeps
+    // exactly one of the pair
+    val twin = novel.withColumn("doc_id", col("doc_id") + 5000)
+    val out2 = Dedup.minhashIncremental(existing,
+      batch.unionByName(twin), n = 3, numHashes = 32, bands = 8, tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    novelIds.filterNot(exactVsCorpus).foreach { id =>
+      assert(out2.contains(id) && !out2.contains(id + 5000),
+        s"within-batch pair ($id, ${id + 5000}) mishandled: kept ${out2.intersect(Set(id, id + 5000))}")
+    }
+  }
+
   test("hot-shingle cap still finds planted near-dups through rare shingles") {
     val exact = Dedup.jaccardPairs(nearDupDocs, n = 3, tau = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
