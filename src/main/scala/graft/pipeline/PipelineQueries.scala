@@ -170,6 +170,19 @@ object PipelineQueries {
       .orderBy(col("eval_id"), col("doc_id"))
   }
 
+  /** Decontamination: the corpus minus every document overlapping an
+    * eval prompt by >= 3 contiguous 8-grams (eval docs flag themselves —
+    * the realistic removal includes them). */
+  def pipelineDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val evals = docs.filter(col("doc_id") % 19 === 3)
+      .select(col("doc_id").as("eval_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 12)).as("etext"))
+    Search.decontaminate(docs, evals, n = 8, minCommon = 3)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Domain-mixture sampling: rebalance the 20 sources toward fixed
     * target weights at a 10% token budget (src0's fraction caps at 1.0 —
     * the cap path is exercised on purpose). */
@@ -474,6 +487,7 @@ object PipelineQueries {
     "text_vocab" -> (textVocab _),
     "search_bm25" -> (searchBm25 _),
     "contam_overlap" -> (contamOverlap _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "mix_domains" -> (mixDomains _),
     "mix_temperature" -> (mixTemperature _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -752,6 +766,23 @@ object PipelineQueries {
         |FROM esh JOIN dsh USING (shingle)
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY eval_id, doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      """WITH ev AS (
+        |  SELECT doc_id AS eval_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:12], ' ') AS etext
+        |  FROM documents WHERE doc_id % 19 = 3),
+        |et AS (SELECT eval_id, regexp_split_to_array(etext, ' ') AS t FROM ev),
+        |esh AS (SELECT DISTINCT eval_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |        FROM et, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+        |dt AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS shingle
+        |        FROM dt, unnest(range(1, len(t) - 6)) AS u(i) WHERE len(t) >= 8),
+        |bad AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT eval_id, doc_id FROM esh JOIN dsh USING (shingle)
+        |  GROUP BY 1, 2 HAVING count(*) >= 3))
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     // thresholds derive from runtime per-source token totals; the SAME
     // double op order ((w * budgetFrac) * total) / t and the same
     // md5-threshold encoding reproduce them bit-for-bit

@@ -91,4 +91,20 @@ object Search {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= minCommon)
   }
+
+  /** Decontamination (the GPT-3 / Pile training-set shape): DROP every
+    * corpus document sharing ≥ minCommon contiguous n-grams with any
+    * eval-set prompt — the removal step [[contaminationPairs]] only
+    * reports. Same scale posture: the eval side broadcasts, only
+    * eval-matching shingles shuffle, and the flagged-id set (tiny by
+    * construction) anti-joins the corpus without re-reading text. */
+  def decontaminate(docs: DataFrame, evalSet: DataFrame, n: Int = 8,
+      minCommon: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      evalIdCol: String = "eval_id", evalTextCol: String = "etext"): DataFrame = {
+    val bad = contaminationPairs(docs, evalSet, n, minCommon,
+      idCol, textCol, evalIdCol, evalTextCol)
+      .select(col(idCol)).distinct()
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
 }

@@ -87,7 +87,7 @@ class TableModelSpec extends AnyFunSuite {
 
     for (_ <- 1 to 18) {
       step += 1
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 | 1 => // upsert: one row per id (the model is keyed by id)
           val rows = pin(freshRows(1 + rnd.nextInt(30)))
             .groupBy(_.id).values.map(_.maxBy(_.ver)).toSeq
@@ -119,6 +119,14 @@ class TableModelSpec extends AnyFunSuite {
           else t2.clean(KeepLatestCommits(3))
         case 7 => // archive
           t2.archive(keepLast = 5)
+        case 8 => // async indexing / bloom metadata — services, data-neutral
+          rnd.nextInt(3) match {
+            case 0 => t2.scheduleIndex()
+            case 1 => // run the oldest pending index plan, if any
+              t2.pendingPlans().collectFirst { case (i, "index_schedule") => i }
+                .foreach(t2.runIndex)
+            case 2 => t2.syncBloomMetadata()
+          }
       }
       check(s"op#$step")
       checkTravel(s"op#$step")
