@@ -218,10 +218,22 @@ case class GraftWriteCommand(path: String, query: LogicalPlan, mode: String)
     val df = GraftDml.ofRows(spark, query)
     val t = GraftTable.load(spark, path)
     mode match {
-      // the reference's INSERT INTO upserts when a precombine field exists
-      // (ref: InsertIntoHoodieTableCommand via hoodie.sql.insert.mode)
+      // INSERT INTO semantics follow graft.sql.insert.mode (ref:
+      // hoodie.sql.insert.mode, InsertIntoHoodieTableCommand): default
+      // `upsert` when the table has a precombine field, else plain insert;
+      // `strict` fails when any incoming key is already live (the
+      // pk-table duplicate guard); `non-strict` always plain-inserts
       case "append" =>
-        if (t.config.precombineField.isDefined) t.upsert(df) else t.insert(df)
+        spark.conf.getOption("graft.sql.insert.mode")
+          .map(_.toLowerCase).getOrElse(
+            if (t.config.precombineField.isDefined) "upsert" else "non-strict"
+          ) match {
+          case "upsert" => t.upsert(df)
+          case "non-strict" => t.insert(df)
+          case "strict" => t.insertStrict(df)
+          case other => throw new IllegalArgumentException(
+            s"unknown graft.sql.insert.mode '$other' (upsert | strict | non-strict)")
+        }
       case "overwrite_table" => t.insertOverwriteTable(df)
       case "overwrite_partitions" => t.insertOverwrite(df)
     }

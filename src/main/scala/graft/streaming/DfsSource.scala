@@ -35,8 +35,11 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
     maxFilesPerPull: Int = Int.MaxValue,
     options: Map[String, String] = Map.empty) {
   require(maxFilesPerPull > 0, "maxFilesPerPull must be positive")
-  private val suffix = "." + (if (format == "json") "json"
-                              else if (format == "csv") "csv" else "parquet")
+  // parquet/json/csv/orc mirror the reference's DFS source family
+  // (ParquetDFSSource, JsonDFSSource, CsvDFSSource, ORCDFSSource); avro is
+  // out — this Spark build ships no spark-avro module
+  private val suffix = "." + (if (Set("json", "csv", "orc")(format)) format
+                              else "parquet")
 
   /** Files named strictly above the watermark, ascending. The directory
     * stream is closed eagerly — a leaked fd per poll would exhaust the

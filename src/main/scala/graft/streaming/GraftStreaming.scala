@@ -229,7 +229,23 @@ class CommitFeed(t: GraftTable, startFrom: Option[String] = None,
       last = l
       (l, df)
     }
+
+  /** Source function bound to a TARGET table's recorded checkpoint — the
+    * reference's table-to-table replication on-ramp (ref: hudi-utilities
+    * sources/HoodieIncrSource.java: incremental-query an upstream hudi
+    * table with the resume instant riding the target's commit metadata).
+    * The cursor re-reads from the target before every pull, so a crashed
+    * or restarted replication never skips or double-applies a window: the
+    * `incr:` checkpoint only advances inside the target's exactly-once
+    * commit. */
+  def forTable(target: GraftTable): () => Option[(String, DataFrame)] = () => {
+    last = ContinuousIngest.lastCheckpointFor(target, CommitFeed.Kind)
+      .getOrElse(startFrom.getOrElse("0"))
+    poll().map { case (ck, df) => (s"${CommitFeed.Kind}:$ck", df) }
+  }
 }
+
+object CommitFeed { private[streaming] val Kind = "incr" }
 
 /**
  * Streaming CDC feed: like [[CommitFeed]] but each poll yields CHANGE rows —

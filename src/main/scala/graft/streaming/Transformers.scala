@@ -58,6 +58,41 @@ object Transformers {
     df.select(flat.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Conform each batch to a DECLARED target schema (ref: hudi-utilities
+    * schema/FilebasedSchemaProvider.java — the deltastreamer target-schema
+    * contract): declared columns selected in order and cast to their
+    * declared types; extra source columns dropped; missing ones land null
+    * (or fail fast with `failOnMissing`, for feeds where absence means a
+    * broken upstream). One projection — codegen, no extra pass. */
+  def conformTo(schema: StructType, failOnMissing: Boolean = false): Transform = df => {
+    val have = df.columns.toSet
+    val cols = schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(s"`${f.name}`").cast(f.dataType).as(f.name)
+      else if (failOnMissing) throw new IllegalArgumentException(
+        s"batch lacks declared column '${f.name}'")
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }
+    df.select(cols: _*)
+  }
+
+  /** [[conformTo]] with the schema read from a file at construction —
+    * Spark DDL (`id BIGINT, v STRING`) or a StructType JSON (ref:
+    * FilebasedSchemaProvider's source/target schema files). */
+  def conformToFile(path: String, failOnMissing: Boolean = false): Transform = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8").trim
+    val schema =
+      if (text.startsWith("{"))
+        org.apache.spark.sql.types.DataType.fromJson(text).asInstanceOf[StructType]
+      else StructType.fromDDL(text)
+    conformTo(schema, failOnMissing)
+  }
+
+  /** Drop columns from every batch (ref: schema/
+    * DropColumnSchemaPostProcessor.java — shedding sensitive or oversized
+    * upstream fields before they reach the table). */
+  def dropColumns(cols: String*): Transform = df => df.drop(cols: _*)
+
   /** Compose transforms left-to-right (ref: ChainedTransformer — the
     * output of each feeds the next). */
   def chain(ts: Transform*): Transform =

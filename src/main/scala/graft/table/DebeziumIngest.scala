@@ -97,4 +97,66 @@ object DebeziumIngest {
     Some(t.writeBatch(
       changes.select(rest :+ del.as(GraftTable.DELETED): _*), "upsert"))
   }
+
+  /** Maxwell-shaped CDC ingest (ref: hudi-utilities sources/processor/
+    * maxwell/MaxwellJsonKafkaSourcePostProcessor.java): each record is one
+    * Maxwell JSON envelope `{database, table, type, ts, data}` with a FULL
+    * row image under `data`. Rows are filtered to the target
+    * database/table by regex, DDL rows (any type outside
+    * insert/update/delete) and other tables are silently ignored — the
+    * reference's multi-table-topic posture.
+    *
+    * Maxwell does NOT touch the row's update-time column on a delete, so a
+    * delete's precombine value is stale; like the reference, the envelope
+    * `ts` (epoch seconds) overrides the precombine column on delete rows,
+    * rendered per `precombineType` (ref PreCombineFieldType):
+    * `date_string` (with `precombineFormat`, session-timezone rendering),
+    * `epoch_millis`, `unix_timestamp`, or `non_timestamp` (no override).
+    * With `payload = event_time` on the table, that makes replayed stale
+    * deletes lose to newer images exactly as in [[apply]].
+    *
+    * Everything is one Catalyst projection over the JSON column — envelope
+    * fields via get_json_object, the image via from_json against the
+    * caller's `dataSchema` (the reference gets this from its schema
+    * provider) — so the parse runs codegen'd inside the write's own job. */
+  def applyMaxwell(t: GraftTable, records: DataFrame, dataSchema: org.apache.spark.sql.types.StructType,
+      tableRegex: String, databaseRegex: Option[String] = None,
+      precombineType: String = "date_string",
+      precombineFormat: String = "yyyy-MM-dd HH:mm:ss",
+      jsonCol: String = "value"): Option[String] = {
+    require(Set("non_timestamp", "date_string", "epoch_millis",
+      "unix_timestamp")(precombineType),
+      s"unknown precombine field type '$precombineType' (non_timestamp | " +
+        "date_string | epoch_millis | unix_timestamp)")
+    val env = records.select(
+      get_json_object(col(jsonCol), "$.database").as("_db"),
+      get_json_object(col(jsonCol), "$.table").as("_tbl"),
+      get_json_object(col(jsonCol), "$.type").as("_type"),
+      get_json_object(col(jsonCol), "$.ts").cast("long").as("_ts"),
+      get_json_object(col(jsonCol), "$.data").as("_data"))
+    val targeted = env
+      .filter(databaseRegex.map(r => col("_db").rlike(r)).getOrElse(lit(true)))
+      .filter(col("_tbl").rlike(tableRegex))
+      .filter(col("_type").isin("insert", "update", "delete"))
+    val parsed = targeted.withColumn("_row", from_json(col("_data"), dataSchema))
+    val isDel = col("_type") === "delete"
+    val overridden = (precombineType, t.config.precombineField) match {
+      case ("non_timestamp", _) | (_, None) => parsed
+      case (tpe, Some(p)) =>
+        require(dataSchema.fieldNames.contains(p),
+          s"precombine column '$p' missing from the Maxwell data schema")
+        val tsVal = tpe match {
+          case "date_string" =>
+            date_format(timestamp_seconds(col("_ts")), precombineFormat)
+          case "epoch_millis" => col("_ts") * 1000L
+          case "unix_timestamp" => col("_ts")
+        }
+        parsed.withColumn("_row", when(isDel,
+          col("_row").withField(p, tsVal.cast(dataSchema(p).dataType)))
+          .otherwise(col("_row")))
+    }
+    if (overridden.isEmpty) return None
+    Some(t.writeBatch(
+      overridden.select(col("_row.*"), isDel.as(GraftTable.DELETED)), "upsert"))
+  }
 }

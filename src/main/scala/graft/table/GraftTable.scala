@@ -1437,6 +1437,24 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     writeBatch(fresh, "insert", extra)
   }
 
+  /** Insert that FAILS when any incoming key is already live — the
+    * reference's `hoodie.sql.insert.mode = strict` pk-table duplicate
+    * guard (ref: HoodieSparkSqlWriter validateTableConfig / the strict
+    * branch of InsertIntoHoodieTableCommand). Same candidate pruning as
+    * upsert tagging — key-range + bloom pruned files only, never a full
+    * table scan; the check collects at most one offending key. */
+  def insertStrict(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
+    val keyed = df.withColumn(KEY, config.keyExpr)
+      .withColumn(PART, config.partitioning.pathExpr)
+    val dup = existingRows(keyed).filter(!col(DELETED))
+      .join(keyed.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_semi")
+      .select(col(KEY)).limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalStateException(
+      s"strict insert: key '${dup(0).getString(0)}' already exists in " +
+        s"table ${config.name} (graft.sql.insert.mode = strict)")
+    writeBatch(df, "insert", extra)
+  }
+
   /** Record-level upsert: update-in-place by key, insert new keys. */
   def upsert(df: DataFrame, extra: Map[String, String] = Map.empty): String =
     config.payload match {

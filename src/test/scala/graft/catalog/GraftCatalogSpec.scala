@@ -414,6 +414,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(desc.contains("graft.table.type") && desc.contains("cow"), desc)
   }
 
+  test("graft.sql.insert.mode: upsert default, strict fails on dup key, non-strict appends") {
+    val n = fresh("t_insmode")
+    sql(s"""CREATE TABLE graft.$n (id BIGINT, v STRING) USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'id',
+      |  'graft.precombine.field' = 'v')""".stripMargin)
+    sql(s"INSERT INTO graft.$n VALUES (1L, 'a'), (2L, 'b')")
+    // default with precombine = upsert: same key converges, no dup
+    sql(s"INSERT INTO graft.$n VALUES (1L, 'a2')")
+    assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 2)
+    assert(sql(s"SELECT v FROM graft.$n WHERE id = 1").collect()(0).getString(0) === "a2")
+    // strict: an existing key fails the whole statement, nothing lands
+    spark.conf.set("graft.sql.insert.mode", "strict")
+    try {
+      val e = intercept[Exception] { sql(s"INSERT INTO graft.$n VALUES (2L, 'x'), (9L, 'n')") }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(_.getMessage.contains("strict insert")), e.getMessage)
+      assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 2)
+      // fresh keys pass strict
+      sql(s"INSERT INTO graft.$n VALUES (3L, 'c')")
+      assert(sql(s"SELECT count(*) AS c FROM graft.$n").collect()(0).getLong(0) === 3)
+      // non-strict: duplicates append (the reference's plain-insert mode)
+      spark.conf.set("graft.sql.insert.mode", "non-strict")
+      sql(s"INSERT INTO graft.$n VALUES (1L, 'dup')")
+      assert(sql(s"SELECT count(*) AS c FROM graft.$n WHERE id = 1")
+        .collect()(0).getLong(0) === 2)
+    } finally spark.conf.unset("graft.sql.insert.mode")
+    sql(s"DROP TABLE graft.$n")
+  }
+
   test("SHOW CREATE TABLE round-trips timestamp keygen input type/format") {
     val n = fresh("t_tskeygen")
     sql(s"""CREATE TABLE graft.$n (id BIGINT, ts BIGINT, v STRING)

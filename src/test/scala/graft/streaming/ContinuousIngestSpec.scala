@@ -190,6 +190,64 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("table-to-table replication: CommitFeed.forTable resumes exactly-once from the target") {
+    import spark.implicits._
+    val dirA = tmp(); val dirB = tmp()
+    val a = GraftTable.create(spark, dirA, TableConfig("repl_src", CopyOnWrite,
+      keyFields = Seq("id"), precombineField = Some("v")))
+    val b = GraftTable.create(spark, dirB, TableConfig("repl_dst", CopyOnWrite,
+      keyFields = Seq("id"), precombineField = Some("v")))
+    a.upsert(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    a.upsert(Seq((3L, 30L)).toDF("id", "v"))
+    // replicate: each source commit window becomes one target commit
+    val ci1 = new ContinuousIngest(b,
+      new CommitFeed(a, maxInstantsPerPoll = 1).forTable(b), compactEvery = 0)
+    try assert(ci1.drain() === 2) finally ci1.close()
+    assert(b.snapshot().select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // restart with a FRESH feed instance: nothing new -> no pull; new
+    // source commits (update + insert) replicate without re-applying old
+    a.upsert(Seq((2L, 21L), (4L, 40L)).toDF("id", "v"))
+    val ci2 = new ContinuousIngest(b,
+      new CommitFeed(a).forTable(b), compactEvery = 0)
+    try assert(ci2.drain() === 1) finally ci2.close()
+    val state = b.snapshot().select("id", "v").as[(Long, Long)].collect().toMap
+    assert(state === Map(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 40L))
+    assert(b.snapshot().count() === 4, "replication duplicated rows")
+    // the meta columns of the SOURCE must not leak into the target write
+    assert(ContinuousIngest.lastCheckpointFor(b, "incr").nonEmpty)
+    GraftTable.drop(dirA); GraftTable.drop(dirB)
+  }
+
+  test("schema-provider transforms: conformTo casts/orders/nulls, dropColumns sheds") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // a messy upstream batch: wrong order, wrong types, extra + missing cols
+    val batch = Seq(("7", 1.5, "secret", "x1"))
+      .toDF("id", "score", "internal", "v")
+    val declared = StructType.fromDDL("id BIGINT, v STRING, score DOUBLE, added STRING")
+    val out = Transformers.chain(
+      Transformers.dropColumns("internal"),
+      Transformers.conformTo(declared))(batch)
+    assert(out.schema.map(f => (f.name, f.dataType)) ===
+      declared.map(f => (f.name, f.dataType)))
+    val r = out.collect()(0)
+    assert(r.getLong(0) === 7L && r.getString(1) === "x1" &&
+      r.getDouble(2) === 1.5 && r.isNullAt(3))
+    // failOnMissing is the broken-upstream tripwire
+    intercept[IllegalArgumentException] {
+      Transformers.conformTo(declared, failOnMissing = true)(
+        Seq(1L).toDF("id"))
+    }
+    // schema file: DDL text and StructType JSON both parse
+    val f1 = Files.createTempFile("graft_sch_", ".ddl")
+    Files.write(f1, "id BIGINT, v STRING".getBytes("UTF-8"))
+    val c1 = Transformers.conformToFile(f1.toString)(batch)
+    assert(c1.columns.toSeq === Seq("id", "v"))
+    val f2 = Files.createTempFile("graft_sch_", ".json")
+    Files.write(f2, StructType.fromDDL("id BIGINT").json.getBytes("UTF-8"))
+    assert(Transformers.conformToFile(f2.toString)(batch).columns.toSeq === Seq("id"))
+  }
+
   test("SqlOnceSource: backfill runs exactly once across restarts") {
     import spark.implicits._
     val dir = tmp()

@@ -115,4 +115,83 @@ class DebeziumIngestSpec extends AnyFunSuite {
       DebeziumIngest.applyDms(t, Seq((9L, "x")).toDF("id", "v")) }
     GraftTable.drop(dir)
   }
+
+  test("Maxwell JSON ingest: table regex, DDL rows ignored, delete ts override") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    // event-time ordering on update_time: a replayed stale delete must lose
+    val t = GraftTable.create(spark, dir, TableConfig("maxw", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("update_time"),
+      payload = EventTimeOrdered))
+    val dataSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("update_time", StringType)))
+    def mx(db: String, tbl: String, tpe: String, ts: Long, data: String) =
+      s"""{"database":"$db","table":"$tbl","type":"$tpe","ts":$ts,"data":$data}"""
+    def batch(recs: String*) = recs.toDF("value")
+
+    // epoch base 1704067200 = 2024-01-01 00:00:00 UTC — envelope ts and
+    // update_time strings stay one consistent clock, as in a real binlog
+    val B = 1704067200L
+    // inserts + an off-target table + a DDL row (ignored, not failed)
+    DebeziumIngest.applyMaxwell(t, batch(
+      mx("shop", "orders", "insert", B + 100,
+        """{"id":1,"v":"a","update_time":"2024-01-01 00:01:40"}"""),
+      mx("shop", "orders", "insert", B + 101,
+        """{"id":2,"v":"b","update_time":"2024-01-01 00:01:41"}"""),
+      mx("shop", "other", "insert", B + 102,
+        """{"id":9,"v":"x","update_time":"2024-01-01 00:01:42"}"""),
+      mx("shop", "orders", "table-create", B + 103, """{}""")),
+      dataSchema, tableRegex = "orders", databaseRegex = Some("shop"))
+    assert(t.snapshot().count() === 2)
+
+    // update, then a DELETE whose image carries the STALE update_time —
+    // the envelope ts (epoch seconds) must override it (date_string)
+    DebeziumIngest.applyMaxwell(t, batch(
+      mx("shop", "orders", "update", B + 200,
+        """{"id":1,"v":"a2","update_time":"2024-01-01 00:03:20"}"""),
+      mx("shop", "orders", "delete", B + 300,
+        """{"id":2,"v":"b","update_time":"2024-01-01 00:01:41"}""")),
+      dataSchema, tableRegex = "orders")
+    val st = t.snapshot().select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(st === Seq((1L, "a2")))
+    // the delete's recorded update_time is the RENDERED envelope ts
+    // ("2024-01-01 00:05:00"), so a replayed image OLDER than the delete
+    // loses (event-time ordering)...
+    DebeziumIngest.applyMaxwell(t, batch(
+      mx("shop", "orders", "insert", B + 150,
+        """{"id":2,"v":"stale","update_time":"2024-01-01 00:02:30"}""")),
+      dataSchema, tableRegex = "orders")
+    assert(t.snapshot().filter($"id" === 2L).count() === 0,
+      "stale replayed image resurrected a deleted row")
+    // ...while a genuinely newer reinsert wins
+    DebeziumIngest.applyMaxwell(t, batch(
+      mx("shop", "orders", "insert", B + 400,
+        """{"id":2,"v":"fresh","update_time":"2024-01-01 00:06:40"}""")),
+      dataSchema, tableRegex = "orders")
+    assert(t.snapshot().filter($"id" === 2L).select("v").collect()
+      .map(_.getString(0)).toSeq === Seq("fresh"))
+
+    // epoch_millis precombine type: ts*1000 overrides on delete
+    val dir2 = tmp()
+    val t2 = GraftTable.create(spark, dir2, TableConfig("maxw2", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("update_time"),
+      payload = EventTimeOrdered))
+    val ms = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("update_time", LongType)))
+    DebeziumIngest.applyMaxwell(t2, batch(
+      mx("d", "t", "insert", 1, """{"id":1,"v":"a","update_time":5000}""")),
+      ms, tableRegex = "t", precombineType = "epoch_millis")
+    DebeziumIngest.applyMaxwell(t2, batch(
+      mx("d", "t", "delete", 9, """{"id":1,"v":"a","update_time":5000}""")),
+      ms, tableRegex = "t", precombineType = "epoch_millis")
+    assert(t2.snapshot().count() === 0)
+    // delete recorded at ts*1000 = 9000 > 5000: stale replay loses
+    DebeziumIngest.applyMaxwell(t2, batch(
+      mx("d", "t", "insert", 2, """{"id":1,"v":"old","update_time":7000}""")),
+      ms, tableRegex = "t", precombineType = "epoch_millis")
+    assert(t2.snapshot().count() === 0)
+    GraftTable.drop(dir); GraftTable.drop(dir2)
+  }
 }
