@@ -1160,20 +1160,41 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     GraftTable.drop(staging.toString)
     if (moved.isEmpty) return Nil
     // per-file stats come from the parquet FOOTERS, not a second Spark pass
-    // over everything just written: O(#files) driver-side metadata reads,
-    // parallelized, keyed by exact relative path (fileIds — and so basenames
-    // — repeat across partitions within one commit, so path-suffix matching
-    // would cross-contaminate stats)
+    // over everything just written: O(#files) metadata reads, keyed by
+    // exact relative path (fileIds — and so basenames — repeat across
+    // partitions within one commit, so path-suffix matching would
+    // cross-contaminate stats). Small commits read footers on the driver
+    // (no job overhead); a commit landing more files than the bootstrap
+    // threshold reads them on executors — at 100 TB a single bulk insert
+    // can land 10⁵ files, and on an object store each footer read is an
+    // RTT the driver must not serialize.
     val statCols = out.schema.fields
       .filter(f => !metaCols.contains(f.name) && isStatType(f.dataType))
       .map(_.name).toSet
     val conf = spark.sessionState.newHadoopConf()
-    val stats = moved.toSeq.par.map { case (rel, _, _, _) =>
-      rel -> (if (orc) OrcFooterStats.read(conf, Paths.get(basePath, rel),
-          statCols + KEY)
-        else FooterStats.read(conf, Paths.get(basePath, rel), statCols + KEY,
-          spark.sessionState.conf.sessionLocalTimeZone))
-    }.seq.toMap
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val wanted = statCols + KEY
+    val stats: Map[String, FooterStats.FileStats] =
+      if (moved.size <= GraftTable.DistributedFooterScanThreshold) {
+        moved.toSeq.par.map { case (rel, _, _, _) =>
+          rel -> (if (orc) OrcFooterStats.read(conf, Paths.get(basePath, rel), wanted)
+            else FooterStats.read(conf, Paths.get(basePath, rel), wanted, tz))
+        }.seq.toMap
+      } else {
+        val bp = basePath
+        val isOrc = orc
+        val hconf = org.apache.spark.graftbridge.ConfBridge
+          .broadcast(spark.sparkContext, conf)
+        val rels = moved.toSeq.map(_._1)
+        val slices = math.min(rels.size,
+          math.max(spark.sparkContext.defaultParallelism * 4, 32))
+        spark.sparkContext.parallelize(rels, slices)
+          .map { rel =>
+            rel -> (if (isOrc)
+              OrcFooterStats.read(hconf.value.value, Paths.get(bp, rel), wanted)
+            else FooterStats.read(hconf.value.value, Paths.get(bp, rel), wanted, tz))
+          }.collect().toMap
+      }
     moved.toSeq.map { case (rel, partition, fid, hasBloom) =>
       val st = stats(rel)
       val (kmin, kmax) = st.minMax.getOrElse(KEY, ("", ""))

@@ -962,6 +962,40 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("commits landing >threshold files read footers on executors; stats identical") {
+    import TestSpark.spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("bigcommit", CopyOnWrite,
+      keyFields = Seq("k"), precombineField = None, targetFileSizeRows = 50))
+    // one commit, ~130 file groups — crosses DistributedFooterScanThreshold
+    val n = 6500
+    t.bulkInsert((0 until n).map(i => (f"k$i%05d", i.toLong)).toDF("k", "v"))
+    val files = t.slices(None).flatMap(_.baseFiles)
+    assert(files.size > GraftTable.DistributedFooterScanThreshold,
+      s"fixture too small: ${files.size} files")
+    assert(files.map(_.rows).sum === n)
+    // recorded stats must equal a direct driver-side footer read
+    val conf = spark.sessionState.newHadoopConf()
+    files.take(5).foreach { f =>
+      val st = FooterStats.read(conf,
+        java.nio.file.Paths.get(dir, f.path), Set(GraftTable.KEY, "v"),
+        spark.sessionState.conf.sessionLocalTimeZone)
+      assert(st.rows === f.rows, f.path)
+      assert(st.bytes === f.bytes, f.path)
+      assert(st.minMax.get(GraftTable.KEY).map(_._1).contains(f.keyMin), f.path)
+      assert(st.minMax.get(GraftTable.KEY).map(_._2).contains(f.keyMax), f.path)
+      assert(f.colStats.get("v").map(_.toSeq) ===
+        st.minMax.get("v").map(p => Seq(p._1, p._2)), f.path)
+    }
+    // and the stats keep doing their job: selective key probe prunes files
+    val probe = Seq("k00001").toDF("k")
+      .withColumn(GraftTable.KEY, col("k"))
+      .withColumn(GraftTable.PART, lit(""))
+    assert(t.candidateSlices(probe, t.slices(None)).size < files.size / 2)
+    assert(t.snapshot().count() === n)
+    GraftTable.drop(dir)
+  }
+
   test("bootstrapInPlace adopts existing parquet without rewriting; upserts work after") {
     val dir = tmp()
     val src = orders.filter(col("o_orderkey") <= 2000)
