@@ -463,6 +463,37 @@ object Curation {
    * (doc, line) pairs, each document's lines stay together, nothing is
    * cross-document. Returns (id, n_lines, n_kept, clean).
    */
+  /**
+   * Context-window chunking: split each document's whitespace tokens into
+   * `maxTokens`-token windows every `stride` tokens (stride < maxTokens =
+   * overlapping windows, the standard LM-pretraining prep; stride ==
+   * maxTokens = disjoint). Returns one row per (doc, chunk):
+   * (id, chunk_id, n_tokens, chunk). Documents with no tokens produce no
+   * chunks.
+   *
+   * Scale shape: one projection + one explode of per-doc chunk starts —
+   * corpus-linear, no shuffle at all (chunks stay in their document's
+   * partition); the token array is built once per row and sliced per
+   * chunk inside codegen.
+   */
+  def chunkDocs(docs: DataFrame, maxTokens: Int = 128, stride: Int = 96,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      s"need 0 < stride ($stride) <= maxTokens ($maxTokens)")
+    val toks = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    docs.select(col(idCol), toks.as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col(idCol), col("_t"),
+        explode(sequence(lit(0), size(col("_t")) - 1, lit(stride))).as("_start"))
+      .select(col(idCol),
+        (col("_start") / stride).cast("long").as("chunk_id"),
+        slice(col("_t"), col("_start") + 1, lit(maxTokens)).as("_c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_c")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("_c")).as("chunk"))
+  }
+
   def dedupLinesWithin(docs: DataFrame, textCol: Column,
       idCol: String = "doc_id"): DataFrame = {
     // n_lines rides through the explode as a per-doc constant (same

@@ -170,6 +170,12 @@ object PipelineQueries {
       .orderBy(col("eval_id"), col("doc_id"))
   }
 
+  /** Context-window chunking: 16-token windows every 12 tokens (overlap
+    * 4) — the LM-pretraining prep step, one chunk row per window. */
+  def textChunk(s: SparkSession, d: String): DataFrame =
+    Curation.chunkDocs(Tables.documents(s, d), maxTokens = 16, stride = 12)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   /** Decontamination: the corpus minus every document overlapping an
     * eval prompt by >= 3 contiguous 8-grams (eval docs flag themselves —
     * the realistic removal includes them). */
@@ -488,6 +494,7 @@ object PipelineQueries {
     "search_bm25" -> (searchBm25 _),
     "contam_overlap" -> (contamOverlap _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
+    "text_chunk" -> (textChunk _),
     "mix_domains" -> (mixDomains _),
     "mix_temperature" -> (mixTemperature _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
@@ -783,6 +790,17 @@ object PipelineQueries {
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH dt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |ch AS (
+        |  SELECT doc_id, CAST((s - 1) // 12 AS BIGINT) AS chunk_id,
+        |         t[s : s + 15] AS c
+        |  FROM dt, unnest(range(1, len(t) + 1, 12)) AS u(s))
+        |SELECT doc_id, chunk_id, CAST(len(c) AS BIGINT) AS n_tokens,
+        |       array_to_string(c, ' ') AS chunk
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     // thresholds derive from runtime per-source token totals; the SAME
     // double op order ((w * budgetFrac) * total) / t and the same
     // md5-threshold encoding reproduce them bit-for-bit

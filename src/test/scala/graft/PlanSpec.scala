@@ -76,6 +76,15 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("text_chunk: corpus-linear explode, no shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = pipeline.Curation.chunkDocs(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p)
+    assert(df.count() > 0)
+  }
+
   test("q6: selective filters are pushed to the parquet scan") {
     val p = plan(operators.AnalyticsQueries.q6ForecastRevenue(spark, sf))
     assert(p.contains("PushedFilters:"), p)
