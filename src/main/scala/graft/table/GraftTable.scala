@@ -1380,12 +1380,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   private def mdtBlooms(paths: Seq[String]): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
     if (paths.isEmpty || !Files.isDirectory(mdtBloomsDir)) return Map.empty
     import spark.implicits._
-    spark.read.parquet(mdtBloomsDir.toString)
+    // fail-soft: a read racing a concurrent re-sync's overwrite (or a
+    // half-written partition) must degrade to the per-file sidecar
+    // fallback, never crash the tagging write it serves
+    try spark.read.parquet(mdtBloomsDir.toString)
       .filter(col("path").isin(paths: _*))
       .as[(String, Array[Byte])]
       .collect()
       .flatMap { case (p, b) => KeyBloom.fromBytes(b).map(p -> _) }
       .toMap
+    catch { case _: Exception => Map.empty }
   }
 
   private[graft] def buildKeyBlooms(baseRels: Seq[String]): Set[String] = {
