@@ -317,25 +317,37 @@ object GraftTable {
     * partition disagrees with what the configured partitioning derives from
     * the DATA — wrong column order, a 'date=' vs 'dt=' prefix, or an
     * unexpected timestamp format would otherwise break upsert tagging
-    * silently. Cost: one single-row scan per distinct partition dir,
-    * parallelized — still metadata-scale next to the data. */
+    * silently. Cost: ONE distributed job reading only the
+    * partition-deriving columns of one sample file per distinct partition
+    * (at 10k partitions the previous shape was 10k driver-issued limit-1
+    * jobs); a value varying WITHIN a sample file now also fails, which the
+    * old single-row probe missed. */
   private def validateBootstrapPartitions(spark: SparkSession, path: String,
       config: TableConfig, files: Seq[FileMeta]): Unit = config.partitioning match {
     case NonPartitioned => ()
     case p =>
-      import scala.collection.parallel.CollectionConverters._
-      files.filter(_.rows > 0).groupBy(_.partition).toSeq.par.foreach {
-        case (part, fs) =>
-          val sample = fs.head.path
-          val derived = spark.read.parquet(s"$path/$sample").limit(1)
-            .select(p.pathExpr.cast("string").as("_p")).collect()
-            .headOption.map(_.getString(0)).getOrElse("")
-          require(derived == part,
-            s"bootstrap partition mismatch: directory layout says '$part' but " +
-              s"the configured partitioning derives '$derived' from the data " +
-              s"(sampled $sample). Reads derive partitions from data, so the " +
-              "two must agree — check partition-column order, path prefix, " +
-              "and timestamp format")
+      val samples: Map[String, String] = files.filter(_.rows > 0)
+        .groupBy(_.partition)
+        .map { case (part, fs) => fs.head.path -> part }
+      if (samples.isEmpty) return
+      val baseAbs = Paths.get(path).toAbsolutePath
+      val derived = spark.read
+        .parquet(samples.keysIterator.map(r => s"$path/$r").toSeq: _*)
+        .select(input_file_name().as("_f"), p.pathExpr.cast("string").as("_p"))
+        .distinct().collect()
+      derived.foreach { r =>
+        // input_file_name is a URI (file:///..., %-encoded); decode via
+        // URI.getPath so names with spaces or literal '%' relativize right
+        val rel = baseAbs.relativize(
+          Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
+        val part = samples.getOrElse(rel, return)
+        val d = Option(r.getString(1)).getOrElse("")
+        require(d == part,
+          s"bootstrap partition mismatch: directory layout says '$part' but " +
+            s"the configured partitioning derives '$d' from the data " +
+            s"(sampled $rel). Reads derive partitions from data, so the " +
+            "two must agree — check partition-column order, path prefix, " +
+            "and timestamp format")
       }
   }
 
