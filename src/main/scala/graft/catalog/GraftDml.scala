@@ -320,15 +320,15 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val (t, startLatest, routed) = classify(spark)
-    t.writeBatch(routed, "merge", sinceForConflict = Some(startLatest))
+    val (t, startSeen, routed) = classify(spark)
+    t.writeBatch(routed, "merge", seenForConflict = Some(startSeen))
     Seq.empty
   }
 
   /** Build the routed write batch (data columns + [[GraftTable.DELETED]] +
     * `_g_fid` routing tag) from ONE scan of the table — exposed for the
     * plan spec that pins the single-scan property. */
-  private[graft] def classify(spark: SparkSession): (GraftTable, String, DataFrame) = {
+  private[graft] def classify(spark: SparkSession): (GraftTable, Set[String], DataFrame) = {
     val t = GraftTable.load(spark, path)
     val cfg = t.config
     val tIds = targetOutput.map(_.exprId).toSet
@@ -363,7 +363,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       s"column(s) ${missingPart.mkString(", ")} under the table's names " +
       "(matching is per key AND partition, as in the typed mergeInto)")
     // conflict watermark read BEFORE any table state (as in mergeInto)
-    val startLatest = t.timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = t.timeline.completed().map(_._1).toSet
     val src = srcDf.withColumn("_g_spart", cfg.partitioning.pathExpr)
       .withColumn(SEX, lit(true)).alias(S)
     // when every target row the statement can touch is source-matched,
@@ -455,6 +455,6 @@ case class GraftMergeCommand(path: String, source: LogicalPlan,
       case StatsIndex => batch
       case BucketIndex(_) => batch.drop(FID)
     }
-    (t, startLatest, routed)
+    (t, startSeen, routed)
   }
 }

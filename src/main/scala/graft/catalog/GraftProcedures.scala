@@ -755,11 +755,12 @@ object GraftProcedures {
       }),
 
     Proc("init_metadata_table",
-      "(Re)build the persisted metadata table from the live timeline, " +
-        "replacing any stale one (ref: InitMetadataTableProcedure).",
+      "(Re)build the persisted metadata table as one fresh base segment, " +
+        "replacing any stale/fragmented one (ref: InitMetadataTableProcedure" +
+        " + metadata-table compaction).",
       Seq(in("table", StringType)),
       (cat, a) => one(StructType(Seq(StructField("path", StringType))),
-        tableOf(cat, a.str(0)).syncMetadataTable())),
+        tableOf(cat, a.str(0)).rebuildMetadataTable())),
 
     Proc("validate_sync",
       "Per-partition live row-count diff between a table and a replica " +

@@ -138,7 +138,7 @@ object ContinuousIngest {
     * checkpointed commit has been archived. */
   def lastCheckpoint(t: GraftTable): Option[String] = {
     t.timeline.refresh()
-    t.timeline.metas(None).reverseIterator
+    t.timeline.metasSlim(None).reverseIterator
       .flatMap(_.extra.get("checkpoint")).nextOption()
       .orElse(t.timeline.archivedMetas().reverseIterator
         .flatMap(_.extra.get("checkpoint")).nextOption())
@@ -150,13 +150,31 @@ object ContinuousIngest {
     * other's resume tokens. Scans newest-first through the live then
     * archived timeline: a commit from a DIFFERENT source in between does
     * not hide this source's watermark. */
+  /** Checkpoint namespaces in use; a stored value starting with none of
+    * these is a LEGACY pre-namespacing watermark (the value itself may
+    * contain ':' — a jdbc timestamp, a dfs name — so "has a colon" is not
+    * the test). */
+  private val KnownKinds =
+    Set(DfsSource.Kind, SqlOnceSource.Kind, JdbcSource.Kind, CommitFeed.Kind,
+      KafkaLikeSource.Kind)
+
   def lastCheckpointFor(t: GraftTable, kind: String): Option[String] = {
     val prefix = kind + ":"
     def find(metas: Iterator[graft.table.CommitMeta]): Option[String] =
       metas.flatMap(_.extra.get("checkpoint"))
         .collectFirst { case v if v.startsWith(prefix) => v.drop(prefix.length) }
+    // upgrade path: a table whose last ingest predates checkpoint
+    // namespacing recorded a bare value — resuming from scratch would
+    // re-ingest the whole inbox, so the newest prefix-free value serves
+    // as the legacy watermark when no namespaced one exists
+    def findLegacy(metas: Iterator[graft.table.CommitMeta]): Option[String] =
+      metas.flatMap(_.extra.get("checkpoint"))
+        .collectFirst { case v
+          if !KnownKinds.exists(k => v.startsWith(k + ":")) => v }
     t.timeline.refresh()
-    find(t.timeline.metas(None).reverseIterator)
+    find(t.timeline.metasSlim(None).reverseIterator)
       .orElse(find(t.timeline.archivedMetas().reverseIterator))
+      .orElse(findLegacy(t.timeline.metasSlim(None).reverseIterator))
+      .orElse(findLegacy(t.timeline.archivedMetas().reverseIterator))
   }
 }

@@ -55,7 +55,7 @@ object GraftStreaming {
     * O(#streams), not O(#batches)) — a replay after archival still dedups. */
   private[graft] def batchCommitted(t: GraftTable, streamId: String, batchId: Long): Boolean = {
     val key = s"$streamId#$batchId"
-    t.timeline.metas(None).exists(m =>
+    t.timeline.metasSlim(None).exists(m =>
       m.extra.get("streamBatchId").contains(key) ||
         m.extra.get("streamBatchIds").exists(enc =>
           graft.table.StreamBatchIds.parse(enc).get(streamId).exists(_ >= batchId)))

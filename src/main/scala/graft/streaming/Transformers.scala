@@ -55,6 +55,17 @@ object Transformers {
       }
     val flat = df.schema.fields.toSeq.flatMap(f =>
       leaves("", f, col(s"`${f.name}`")))
+    // a struct `a.b` and a top-level `a_b` both flatten to `a_b`; Spark's
+    // eventual duplicate-column error would not name the collision, so
+    // detect it here with both source paths in the message
+    flat.groupBy(_._1).collect { case (n, cs) if cs.size > 1 => n } match {
+      case dups if dups.nonEmpty => throw new IllegalArgumentException(
+        s"flatten would produce duplicate column name(s) " +
+          s"${dups.toSeq.sorted.mkString(", ")} — rename one of the " +
+          "colliding source columns (e.g. with a sql() transform) before " +
+          "flattening")
+      case _ =>
+    }
     df.select(flat.map { case (n, c) => c.as(n) }: _*)
   }
 

@@ -331,7 +331,10 @@ object GraftTable {
         .map { case (part, fs) => fs.head.path -> part }
       if (samples.isEmpty) return
       val baseAbs = Paths.get(path).toAbsolutePath
-      val derived = spark.read
+      // mergeSchema: the unified multi-file read must not adopt one sampled
+      // footer's physical type for a partition-deriving column that another
+      // partition's files store differently
+      val derived = spark.read.option("mergeSchema", "true")
         .parquet(samples.keysIterator.map(r => s"$path/$r").toSeq: _*)
         .select(input_file_name().as("_f"), p.pathExpr.cast("string").as("_p"))
         .distinct().collect()
@@ -340,7 +343,13 @@ object GraftTable {
         // URI.getPath so names with spaces or literal '%' relativize right
         val rel = baseAbs.relativize(
           Paths.get(new java.net.URI(r.getString(0)).getPath)).toString
-        val part = samples.getOrElse(rel, return)
+        // this validation exists to prevent silent duplicate re-upserts, so
+        // a path that fails to map back to a sampled file is itself a
+        // failure — never a silent skip of the remaining partitions
+        val part = samples.getOrElse(rel, sys.error(
+          s"bootstrap validation could not map scanned file '$rel' back to " +
+            "a sampled source file (URI normalization or symlinked base " +
+            "dir?) — refusing to skip partition validation"))
         val d = Option(r.getString(1)).getOrElse("")
         require(d == part,
           s"bootstrap partition mismatch: directory layout says '$part' but " +
@@ -375,6 +384,39 @@ object GraftTable {
   * from SimpleConcurrentFileWritesConflictResolutionStrategy). */
 class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
+/** One metadata-table row: a recorded file (`kind=file`, full [[FileMeta]]
+  * fidelity) or a replaced-group tombstone (`kind=replaced`). Flat so the
+  * parquet segments stay engine-agnostic. */
+case class MdtRow(
+    kind: String, instant: String, action: String, operation: String,
+    partition: String, fileId: String, path: String, rows: Long,
+    isLog: Boolean, bytes: Long, keyMin: String, keyMax: String,
+    colStats: Map[String, Array[String]], origInstant: String,
+    external: Boolean, hasBloom: Boolean) {
+  def toFileMeta: FileMeta = FileMeta(path, fileId, partition, rows, isLog,
+    bytes, keyMin, keyMax, colStats, origInstant, external, hasBloom)
+}
+
+object MdtRow {
+  def ofFile(f: FileMeta, partition: String, fileId: String,
+      instant: String, action: String, operation: String): MdtRow =
+    MdtRow("file", instant, action, operation, partition, fileId, f.path,
+      f.rows, f.isLog, f.bytes, f.keyMin, f.keyMax, f.colStats,
+      f.origInstant, f.external, f.hasBloom)
+
+  /** A commit's exact metadata-table delta: its file records plus
+    * replaced-group tombstones. */
+  def of(m: CommitMeta): Seq[MdtRow] =
+    m.files.map(f => ofFile(f, f.partition, f.fileId,
+      m.instant, m.action, m.operation)) ++
+      m.replaced.map { r =>
+        val Array(p, fid) = r.split('|')
+        MdtRow("replaced", m.instant, m.action, m.operation, p, fid, "",
+          0L, isLog = false, 0L, "", "", Map.empty, "",
+          external = false, hasBloom = false)
+      }
+}
+
 /** A live file group version: base file(s) written at `baseInstant` plus the
   * log files appended after it (ref: hudi HoodieFileGroup/FileSlice). */
 case class FileSlice(partition: String, fileId: String, baseInstant: String,
@@ -385,7 +427,38 @@ case class FileSlice(partition: String, fileId: String, baseInstant: String,
 class GraftTable(val spark: SparkSession, val basePath: String, val config: TableConfig) {
   import GraftTable._
   val timeline = new Timeline(basePath)
+  timeline.manifestLoader = readManifest
   private def dataActions = Set("commit", "deltacommit", "replacecommit")
+
+  /** Columnar checkpoint manifests (ref: hudi's metadata-table principle —
+    * HoodieBackedTableMetadata.java — no process ever parses a monolithic
+    * file-listing document): the archival checkpoint's carried file set is
+    * parquet under `timeline/manifests/<instant>/`, written DISTRIBUTED
+    * and read back as one pruned columnar scan. At 10⁶ files the old
+    * inline-JSON form was a ~GB single-threaded Jackson parse on every
+    * cold open; the manifest is a sub-second parallel read — and slim
+    * consumers (schema folds, conflict checks, checkpoint watermarks)
+    * never load it at all. */
+  private def manifestRel(instant: String) = s".graft/timeline/manifests/$instant"
+
+  private def writeManifest(instant: String, files: Seq[FileMeta]): String = {
+    import spark.implicits._
+    val rel = manifestRel(instant)
+    // partition-sorted, bounded rows per output file: listing resolution
+    // reads all of it, but stats/partition lookups can prune row groups
+    val nOut = math.max(1, files.size / 100000)
+    spark.createDataset(files)
+      .repartitionByRange(nOut, col("partition"), col("fileId"))
+      .sortWithinPartitions("partition", "fileId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$basePath/$rel")
+    rel
+  }
+
+  private def readManifest(rel: String): Seq[FileMeta] = {
+    import spark.implicits._
+    spark.read.parquet(s"$basePath/$rel").as[FileMeta].collect().toSeq
+      .sortBy(f => (f.partition, f.fileId, f.path))
+  }
 
   /** Commit-time lock (ref: hudi lock-provider). Swappable: file-based by
     * default (multi-process safe); tests / single-JVM pipelines can install
@@ -402,7 +475,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Conflict-check and complete atomically: the lock closes the race where
     * two writers both pass detectConflict and then both commit. */
-  private def commitGuarded(startLatest: String, groups: Set[String],
+  private def commitGuarded(startSeen: Set[String], groups: Set[String],
       partitions: Set[String], meta: CommitMeta, anyCommit: Boolean = false): Unit = {
     // validation runs BEFORE the lock: validator queries are Spark jobs, and
     // holding the commit lock through them would starve concurrent writers
@@ -444,9 +517,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         (meta.operation == "compact" &&
           meta.extra.get("planInstant").exists(_ < other.instant)))
     lockProvider.withLock {
-      if (detectConflict(startLatest, groups, partitions, anyCommit, tolerated))
+      if (detectConflict(startSeen, groups, partitions, anyCommit, tolerated))
         throw new ConcurrentWriteException(
-          s"instant ${meta.instant} conflicts with a commit completed after $startLatest")
+          s"instant ${meta.instant} conflicts with a commit completed after this write began")
       // last-line defense: if our lock was lost while the conflict check ran
       // (clock jump defeating the heartbeat), fail BEFORE the timeline write
       lockProvider.assertHeld()
@@ -470,10 +543,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * carried per-archived-instant schemas fill in what the active timeline
     * no longer holds. */
   def schemaAt(asOf: Option[String] = None): Option[StructType] = {
-    val active = timeline.metas(asOf).filter(m => m.schemaJson.nonEmpty)
+    // slim: schema resolution never touches a checkpoint's files
+    val active = timeline.metasSlim(asOf).filter(m => m.schemaJson.nonEmpty)
       .lastOption.map(m => m.instant -> m.schemaJson)
     val carried = asOf.flatMap { t =>
-      timeline.metas(None).flatMap(_.carriedSchemas)
+      timeline.metasSlim(None).flatMap(_.carriedSchemas)
         .filter(_._1 <= t).sortBy(_._1).lastOption
     }
     (active.toSeq ++ carried.toSeq).sortBy(_._1).lastOption
@@ -616,12 +690,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           }
       }
     }
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val instant = timeline.startInstant("commit")
     // anyCommit: ANY concurrent commit conflicts — a data write completing
     // after our schema read could carry a schemaJson this ALTER would
     // silently shadow. DDL is cheap to retry; strictness is free.
-    try commitGuarded(startLatest, Set.empty, Set.empty,
+    try commitGuarded(startSeen, Set.empty, Set.empty,
       CommitMeta(instant, "commit", "alter_schema", schemaJson = target.json),
       anyCommit = true)
     catch { case e: Throwable => timeline.abort(instant, "commit"); throw e }
@@ -712,9 +786,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // id-mapped epoch first for the symmetric reason.
     if (to < 2) GraftTable.saveConfig(basePath, config.copy(version = to))
     target.foreach { tgt =>
-      val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+      val startSeen = timeline.completed().map(_._1).toSet
       val instant = timeline.startInstant("commit")
-      try commitGuarded(startLatest, Set.empty, Set.empty,
+      try commitGuarded(startSeen, Set.empty, Set.empty,
         CommitMeta(instant, "commit", if (to >= 2) "upgrade" else "downgrade",
           schemaJson = tgt.json),
         anyCommit = true)
@@ -771,8 +845,32 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * for any instant not older than the newest ARCHIVED instant (earlier
     * states were physically folded away; [[assertNotArchived]] guards the
     * public readers). */
-  def slices(asOf: Option[String] = None): Seq[FileSlice] =
+  def slices(asOf: Option[String] = None): Seq[FileSlice] = {
+    // current-state listings are served from the metadata table when one is
+    // synced: a columnar segment read replaces N driver-parsed JSON
+    // documents on cold open, and the JSON timeline supplies only the
+    // post-sync commits (ref: HoodieBackedTableMetadata file listings).
+    // Time travel keeps the JSON fold — segments hold the live set only.
+    if (asOf.isEmpty) {
+      val served = mdtMetasMemo()
+      if (served != null) return slicesFrom(served, None)
+    }
     slicesFrom(timeline.metas(None).filter(m => dataActions(m.action)), asOf)
+  }
+
+  // memoized per timeline state, exactly like schemaMemo: every commit
+  // through this instance refreshes the listing and re-derives the served
+  // metas (cheap: cached segments + one new JSON read)
+  @volatile private var mdtMemo: (Seq[(String, String)], Seq[CommitMeta]) = null
+
+  private def mdtMetasMemo(): Seq[CommitMeta] = {
+    val key = timeline.completed()
+    val memo = mdtMemo
+    if (memo != null && ((memo._1 eq key) || memo._1 == key)) return memo._2
+    val served = mdtServedMetas().orNull
+    mdtMemo = (key, served)
+    served
+  }
 
   /** Slice view over an explicit meta sequence — lets pre-commit validation
     * see the table as it WOULD look with an inflight commit appended. */
@@ -842,7 +940,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val memo = schemaMemo
     if (memo != null && ((memo._1 eq key) || memo._1 == key))
       return (memo._2, memo._3)
-    val ms = timeline.metas(None)
+    // slim: schema folds never touch a checkpoint's (manifest-backed) files
+    val ms = timeline.metasSlim(None)
     var last = ""
     val active = ms.map { m =>
       if (m.schemaJson.nonEmpty) last = m.schemaJson
@@ -1339,9 +1438,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     if (bloomIndexName.isEmpty)
       Files.write(bloomIndexMarker, Json.mapper.writeValueAsBytes(
         Map("name" -> plan.extra.getOrElse("name", "record_key_bloom"))))
-    // keep the metadata table's blooms partition current when it exists,
-    // so tagging stays one batched read after the backfill
+    // keep the metadata table's partitions current when they exist, so
+    // tagging stays one batched read and listings stay MDT-served — both
+    // syncs are incremental (O(new files) / O(new commits))
     if (Files.isDirectory(mdtBloomsDir)) syncBloomMetadata()
+    if (Files.isDirectory(mdtFilesDir)) syncMetadataTable()
     val instant = timeline.startInstant("indexing")
     try {
       timeline.complete(CommitMeta(instant, "indexing", "index",
@@ -1371,8 +1472,44 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(_.path)
       .filter(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
     if (paths.isEmpty) { GraftTable.drop(mdtBloomsDir.toString); return 0 }
-    val bp = basePath
     import spark.implicits._
+    // INCREMENTAL (ref: HoodieBackedTableMetadataWriter.update — per-commit
+    // upkeep, not a per-sync re-fold): only sidecars not yet in the blooms
+    // partition are read and appended as a new segment. Rows for files
+    // that later died are harmless (lookups are keyed by live candidate
+    // paths) and get dropped when enough accumulate.
+    val segs = bloomSegs()
+    val existing: Set[String] =
+      if (segs.isEmpty) Set.empty
+      else try spark.read.parquet(segs.map(_.toString): _*)
+        .select("path").as[String].collect().toSet
+      catch { case _: Exception => Set.empty }
+    val livePathSet = paths.toSet
+    val missing = paths.filterNot(existing)
+    // compact when most recorded rows are dead — rewrite as one segment
+    val deadRows = existing.size - existing.count(livePathSet)
+    if (segs.nonEmpty && deadRows > math.max(64, existing.size / 2)) {
+      writeBloomSeg(paths)
+      segs.foreach(p => GraftTable.drop(p.toString))
+      return paths.size
+    }
+    if (missing.isEmpty) return 0
+    writeBloomSeg(missing)
+    missing.size
+  }
+
+  private[graft] def bloomSegs(): Seq[Path] = {
+    if (!Files.isDirectory(mdtBloomsDir)) return Nil
+    Files.list(mdtBloomsDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
+      .toSeq.sortBy(_.getFileName.toString)
+  }
+
+  private def writeBloomSeg(paths: Seq[String]): Unit = {
+    import spark.implicits._
+    val bp = basePath
+    val dest = mdtBloomsDir.resolve(
+      s"seg_${java.util.UUID.randomUUID().toString.take(8)}")
     val nOut = math.max(1, paths.size / 1000)
     spark.sparkContext
       .parallelize(paths, math.max(1, math.min(paths.size, 32)))
@@ -1380,8 +1517,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .toDF("path", "bloom")
       .repartitionByRange(nOut, col("path"))
       .sortWithinPartitions("path")
-      .write.mode(SaveMode.Overwrite).parquet(mdtBloomsDir.toString)
-    paths.size
+      .write.mode(SaveMode.Overwrite).parquet(dest.toString)
   }
 
   /** Batched candidate-bloom lookup from the metadata table (one pruned
@@ -1390,18 +1526,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * the caller falls back to the sidecar, then to keeping the file a
     * candidate. */
   private def mdtBlooms(paths: Seq[String]): Map[String, org.apache.spark.util.sketch.BloomFilter] = {
-    if (paths.isEmpty || !Files.isDirectory(mdtBloomsDir)) return Map.empty
+    if (paths.isEmpty) return Map.empty
+    val segs = bloomSegs()
+    if (segs.isEmpty) return Map.empty
     import spark.implicits._
-    // fail-soft: a read racing a concurrent re-sync's overwrite (or a
-    // half-written partition) must degrade to the per-file sidecar
-    // fallback, never crash the tagging write it serves
-    try spark.read.parquet(mdtBloomsDir.toString)
-      .filter(col("path").isin(paths: _*))
+    // fail-soft: a read racing a concurrent re-sync (or a half-written
+    // segment) must degrade to the per-file sidecar fallback, never crash
+    // the tagging write it serves
+    try mdtBloomLookup(segs, paths)
       .as[(String, Array[Byte])]
       .collect()
       .flatMap { case (p, b) => KeyBloom.fromBytes(b).map(p -> _) }
       .toMap
     catch { case _: Exception => Map.empty }
+  }
+
+  /** Candidate filter as a broadcast semi-join, NOT a literal isin: a large
+    * batch can touch 10^4-10^5 candidate files, and an expression tree with
+    * one literal per path hits Catalyst's planning cliff (analysis cost
+    * grows with expression size). The plan shape is spec-pinned. */
+  private[graft] def mdtBloomLookup(segs: Seq[Path], paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(segs.map(_.toString): _*)
+      .join(broadcast(paths.toDF("path")), Seq("path"), "left_semi")
   }
 
   private[graft] def buildKeyBlooms(baseRels: Seq[String]): Set[String] = {
@@ -1483,13 +1630,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def insertStrict(df: DataFrame, extra: Map[String, String] = Map.empty): String = {
     val keyed = df.withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
-    val dup = existingRows(keyed).filter(!col(DELETED))
-      .join(keyed.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_semi")
-      .select(col(KEY)).limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalStateException(
-      s"strict insert: key '${dup(0).getString(0)}' already exists in " +
-        s"table ${config.name} (graft.sql.insert.mode = strict)")
-    writeBatch(df, "insert", extra)
+    // probe-then-write under optimistic concurrency: the conflict watermark
+    // is read BEFORE the probe and the commit conflicts on the written
+    // PARTITIONS, so a concurrent commit that could carry the same keys
+    // forces a retry — the loser re-probes and then sees the duplicate.
+    var attempt = 0
+    while (true) {
+      timeline.refresh()
+      val probeSeen = timeline.completed().map(_._1).toSet
+      val dup = existingRows(keyed).filter(!col(DELETED))
+        .join(keyed.select(col(KEY), col(PART)).distinct(), Seq(KEY, PART), "left_semi")
+        .select(col(KEY)).limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalStateException(
+        s"strict insert: key '${dup(0).getString(0)}' already exists in " +
+          s"table ${config.name} (graft.sql.insert.mode = strict)")
+      try return writeBatch(df, "insert", extra,
+        seenForConflict = Some(probeSeen), conflictOnPartitions = true)
+      catch { case e: ConcurrentWriteException =>
+        attempt += 1
+        if (attempt >= 5) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Record-level upsert: update-in-place by key, insert new keys. */
@@ -1505,14 +1667,21 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def delete(df: DataFrame, extra: Map[String, String] = Map.empty): String =
     writeBatch(df.withColumn(DELETED, lit(true)), "delete", extra)
 
-  /** @param sinceForConflict conflict-detection watermark override: a caller
-    *                          that read table state BEFORE calling (mergeInto's
-    *                          tag join) passes the latest instant it saw, so
-    *                          commits landing in between are detected. */
+  /** @param seenForConflict conflict-detection override: a caller that read
+    *                          table state BEFORE calling (mergeInto's tag
+    *                          join) passes the completed-instant SET it saw,
+    *                          so commits landing in between are detected.
+    *                          A SET, not a max-instant watermark: instant
+    *                          allocation and completion can INVERT (a slow
+    *                          writer claims a lower instant and completes
+    *                          after a faster one), and a commit whose instant
+    *                          is below the watermark but absent from the seen
+    *                          set is exactly the overlap that loses rows. */
   def writeBatch(raw: DataFrame, op: String,
       extra: Map[String, String] = Map.empty,
-      sinceForConflict: Option[String] = None,
-      combine: Boolean = true): String = {
+      seenForConflict: Option[Set[String]] = None,
+      combine: Boolean = true,
+      conflictOnPartitions: Boolean = false): String = {
     val mor = config.tableType == MergeOnRead
     val writeStart = System.nanoTime()
     val taggingOps = Set("upsert", "delete", "merge", "upsert_partial", "upsert_global")
@@ -1521,8 +1690,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         "table is append-only (bulk_insert / insert / insert_overwrite / " +
         "delete_partition)")
     val action = if (mor && taggingOps(op)) "deltacommit" else "commit"
-    val startLatest = sinceForConflict
-      .orElse(timeline.completed().lastOption.map(_._1)).getOrElse("0")
+    val startSeen = seenForConflict
+      .getOrElse(timeline.completed().map(_._1).toSet)
     val instant = timeline.startInstant(action)
     try {
       val cur = slices(None)
@@ -1648,7 +1817,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // a touched group that produced no file (all of its rows deleted) is
       // dead — mark it replaced so the old slice stops resolving
       val written = files.map(f => s"${f.partition}|${f.fileId}").toSet
-      commitGuarded(startLatest, touched ++ written, Set.empty,
+      // strict inserts widen the conflict set to the written PARTITIONS: a
+      // plain insert creates only fresh file groups, so two racing strict
+      // inserts of the same new key would never group-conflict — both
+      // passing the duplicate probe and both committing. Partition-level
+      // conflict forces the loser to re-probe (free: the partitions come
+      // from the files this write just staged).
+      val confParts = if (conflictOnPartitions) files.map(_.partition).toSet
+                      else Set.empty[String]
+      commitGuarded(startSeen, touched ++ written, confParts,
         CommitMeta(instant, action, op,
           schemaJson = merged.json, files = files,
           replaced = (touched -- written).toSeq,
@@ -1699,7 +1876,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   private def replaceWrite(raw: DataFrame, wholeTable: Boolean): String = {
     val writeStart = System.nanoTime()
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val instant = timeline.startInstant("replacecommit")
     try {
       val cur = slices(None)
@@ -1721,7 +1898,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // partition-level conflict: a concurrent writer adding a NEW file group
       // to an overwritten partition would survive the replace and corrupt
       // overwrite semantics, so any commit into these partitions conflicts
-      commitGuarded(startLatest, Set.empty, parts,
+      commitGuarded(startSeen, Set.empty, parts,
         CommitMeta(instant, "replacecommit",
           if (wholeTable) "insert_overwrite_table" else "insert_overwrite",
           schemaJson = merged.json, files = files, replaced = replaced,
@@ -1734,12 +1911,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   /** Drop whole partitions (replacecommit with no new files). */
   def deletePartitions(partitionPaths: Seq[String]): String = {
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val instant = timeline.startInstant("replacecommit")
     try {
       val replaced = slices(None).filter(s => partitionPaths.contains(s.partition))
         .map(s => s"${s.partition}|${s.fileId}")
-      commitGuarded(startLatest, Set.empty, partitionPaths.toSet,
+      commitGuarded(startSeen, Set.empty, partitionPaths.toSet,
         CommitMeta(instant, "replacecommit", "delete_partition",
           schemaJson = schemaAt(None).map(_.json).getOrElse(""), replaced = replaced))
       instant
@@ -1757,7 +1934,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       dropCols: Seq[String] = Nil): String = {
     // the conflict watermark is read BEFORE any table state below, so a
     // commit sneaking in between classification and writeBatch is detected
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val keyed = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
@@ -1780,7 +1957,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case StatsIndex => batch // _g_fid = preTagged routing
       case BucketIndex(_) => batch.drop("_g_fid") // re-tagged by expression
     }
-    writeBatch(routed, "merge", sinceForConflict = Some(startLatest))
+    writeBatch(routed, "merge", seenForConflict = Some(startSeen))
   }
 
   /**
@@ -1797,7 +1974,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    */
   def upsertPartial(source: DataFrame,
       extra: Map[String, String] = Map.empty): String = {
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val keyed = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
@@ -1826,7 +2003,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case BucketIndex(_) => batch.drop("_g_fid")
     }
     writeBatch(routed, "upsert_partial", extra,
-      sinceForConflict = Some(startLatest))
+      seenForConflict = Some(startSeen))
   }
 
   /**
@@ -1843,7 +2020,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * never joins the full table, only files that could hold its keys.
    */
   def upsertGlobal(source: DataFrame, updatePartitionPath: Boolean = true): String = {
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val keyedRaw = source
       .withColumn(KEY, config.keyExpr)
       .withColumn(PART, config.partitioning.pathExpr)
@@ -1903,7 +2080,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       case StatsIndex => batch
       case BucketIndex(_) => batch.drop("_g_fid")
     }
-    writeBatch(routed, "upsert_global", sinceForConflict = Some(startLatest))
+    writeBatch(routed, "upsert_global", seenForConflict = Some(startSeen))
   }
 
   /** Latest version (with values and liveness) of every existing key that
@@ -2305,7 +2482,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * within an IO budget each cycle, not every group with a log. */
   def compact(partitionPred: String => Boolean = _ => true,
       strategy: CompactionStrategy = CompactAll): Option[String] = {
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val withLogs = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
     val todo = pickCompactionTargets(withLogs, strategy)
     if (todo.isEmpty) return None
@@ -2318,7 +2495,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // merged under the new base instant and lost — conflict instead
       val groups = todo.map(s => s"${s.partition}|${s.fileId}").toSet ++
         files.map(f => s"${f.partition}|${f.fileId}")
-      commitGuarded(startLatest, groups, Set.empty,
+      commitGuarded(startSeen, groups, Set.empty,
         CommitMeta(instant, "commit", "compact",
           schemaJson = data.json, files = files))
       Some(instant)
@@ -2430,7 +2607,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def runCompaction(planInstant: String): Option[String] = {
     val plan = timeline.read(planInstant, "compactionreq")
     assertNotExecuted(planInstant)
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val live = slices(None).map(s => groupKey(s) -> s).toMap
     val fold = decodePlanGroups(plan.extra("baseInstants")).flatMap { case (k, bi) =>
       live.get(k) match {
@@ -2457,7 +2634,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         }
       val groups = fold.map(groupKey).toSet ++
         files.map(f => s"${f.partition}|${f.fileId}")
-      commitGuarded(startLatest, groups, Set.empty,
+      commitGuarded(startSeen, groups, Set.empty,
         CommitMeta(instant, "commit", "compact", files = files,
           extra = Map("planInstant" -> planInstant)))
       if (fold.isEmpty) None else Some(instant)
@@ -2503,7 +2680,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def runClustering(planInstant: String): Option[String] = {
     val plan = timeline.read(planInstant, "clusteringreq")
     assertNotExecuted(planInstant)
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val live = slices(None).map(s => groupKey(s) -> s).toMap
     val cur = decodePlanGroups(plan.extra("baseInstants")).flatMap { case (k, bi) =>
       live.get(k).filter(s => s.baseInstant == bi && s.logs.forall(_._1 <= planInstant))
@@ -2513,12 +2690,12 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     if (cur.isEmpty) {
       // every group superseded: mark the plan executed with an empty replace
       val instant = timeline.startInstant("replacecommit")
-      try commitGuarded(startLatest, Set.empty, Set.empty,
+      try commitGuarded(startSeen, Set.empty, Set.empty,
         CommitMeta(instant, "replacecommit", "cluster",
           extra = Map("planInstant" -> planInstant)))
       catch { case e: Throwable => timeline.abort(instant, "replacecommit"); throw e }
       None
-    } else clusterSlices(cur, sortCols, zorder, startLatest,
+    } else clusterSlices(cur, sortCols, zorder, startSeen,
       Map("planInstant" -> planInstant),
       plan.extra.getOrElse("curve", "zorder"))
   }
@@ -2546,11 +2723,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     require(config.populateMetaFields,
       "clustering preserves per-row commit times, which a virtual-key " +
         "(populate.meta.fields=false) table does not materialize")
-    val startLatest = timeline.completed().lastOption.map(_._1).getOrElse("0")
+    val startSeen = timeline.completed().map(_._1).toSet
     val live = slices(None).filter(s => partitionPred(s.partition))
     val cur = pickClusteringTargets(live, strategy)
     if (cur.isEmpty) None
-    else clusterSlices(cur, sortCols, zorder, startLatest, Map.empty, curve)
+    else clusterSlices(cur, sortCols, zorder, startSeen, Map.empty, curve)
   }
 
   /** Strategy-driven clustering target selection (shared by the inline
@@ -2577,7 +2754,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   /** The clustering rewrite itself: sort/z-order `cur`'s live rows into
     * range-partitioned file groups and commit them as a replacecommit. */
   private def clusterSlices(cur: Seq[FileSlice], sortCols: Seq[String],
-      zorder: Boolean, startLatest: String,
+      zorder: Boolean, startSeen: Set[String],
       extraMeta: Map[String, String],
       curve: String = "zorder"): Option[String] = {
     require(Set("zorder", "hilbert")(curve),
@@ -2610,7 +2787,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         .drop("_g_z")
       val files = stageWrite(arranged, instant, Set.empty)
       if (zordered) rows.unpersist(blocking = false)
-      commitGuarded(startLatest,
+      commitGuarded(startSeen,
         cur.map(s => s"${s.partition}|${s.fileId}").toSet ++
           files.map(f => s"${f.partition}|${f.fileId}"), Set.empty,
         CommitMeta(instant, "replacecommit", "cluster",
@@ -2939,17 +3116,26 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * ("partition|fileId" keys) or writes into/replaces any of `partitions` —
     * the optimistic-concurrency conflict test. `anyCommit` treats every later
     * data commit as a conflict (whole-table replace). */
-  def detectConflict(sinceExclusive: String, groups: Set[String],
+  def detectConflict(seen: Set[String], groups: Set[String],
       partitions: Set[String] = Set.empty, anyCommit: Boolean = false,
       tolerated: CommitMeta => Boolean = _ => false): Boolean = {
     timeline.refresh() // must observe other writers' commits
+    // `seen` is the completed-instant SET captured when the writer read its
+    // table state — NOT a max-instant watermark. Instant allocation and
+    // completion can invert (a writer claims instant 100, a faster one
+    // claims and completes 101 first); a commit at 100 completing later is
+    // invisible to any `instant > watermark` test even though the writer
+    // never saw it, and an overlapping-group merge against it silently
+    // loses its rows. Membership in the seen set is inversion-proof.
+    // slim metas: checkpoints are skipped below, and every other commit's
+    // files are inline — no manifest hydration inside the commit lock
     (groups.nonEmpty || partitions.nonEmpty || anyCommit) &&
-      timeline.metas(None).exists { m =>
+      timeline.metasSlim(None).exists { m =>
         // archival checkpoints re-record (not modify) nearly every live file
         // group; counting them would fail every writer overlapping a
         // background archive() with a spurious conflict
         dataActions(m.action) && m.operation != "checkpoint" && !tolerated(m) &&
-          m.instant > sinceExclusive && (anyCommit ||
+          !seen.contains(m.instant) && (anyCommit ||
           (m.files.iterator.map(f => s"${f.partition}|${f.fileId}") ++ m.replaced.iterator)
             .exists(groups.contains) ||
           (m.files.iterator.map(_.partition) ++
@@ -3010,12 +3196,21 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           StreamBatchIds.parse(e).toSeq))
     val maxIds = folded.groupBy(_._1).map { case (sid, xs) => sid -> xs.map(_._2).max }
     val instant = timeline.startInstant("commit")
+    // carried files go COLUMNAR: the manifest parquet is written before the
+    // commit completes (an orphan manifest from a crash is invisible — the
+    // JSON pointer is what makes it live), and the checkpoint JSON stays
+    // O(#archived-schemas) — never a monolithic file-listing document
+    val manifest =
+      if (carry.isEmpty) None else Some(writeManifest(instant, carry))
+    manifest.foreach(rel => timeline.primeManifest(rel, carry))
     val extra = Map("archivedFrom" -> toArchive.head.instant,
       "archivedTo" -> boundary) ++
+      manifest.map("manifest" -> _) ++
       (if (maxIds.nonEmpty) Map("streamBatchIds" -> StreamBatchIds.encode(maxIds))
        else Map.empty)
     timeline.complete(CommitMeta(instant, "commit", "checkpoint",
-      schemaJson = schemaAt(None).map(_.json).getOrElse(""), files = carry,
+      schemaJson = schemaAt(None).map(_.json).getOrElse(""),
+      files = if (manifest.isDefined) Nil else carry,
       carriedSchemas = carriedSchemas, extra = extra))
     toArchive.foreach(m => timeline.archiveInstant(m.instant, m.action))
     // an executed service PLAN must leave the active timeline WITH its
@@ -3077,35 +3272,179 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     slices(None).map(_.partition).distinct.sorted.toDF("partition")
   }
 
-  /** Persist the live file listing + per-file column stats as a parquet
-    * metadata table (ref: hudi metadata table `files` + `column_stats`
-    * partitions) under `.graft/metadata/files` — queryable by any engine,
-    * no timeline parsing needed. */
-  def syncMetadataTable(): String = {
+  // ------------------------------------------------- metadata table (files)
+  //
+  // The persisted file-listing metadata table (ref: hudi metadata table
+  // `files`/`column_stats` partitions, HoodieBackedTableMetadata.java read
+  // path + HoodieBackedTableMetadataWriter.update maintenance): parquet
+  // SEGMENTS under `.graft/metadata/files/seg_*`, each with a `_covered.json`
+  // sidecar naming the data instants it folds.
+  //   - the first sync writes a BASE segment: the live FileMeta fold at sync
+  //     time, rows carrying their effective instants (checkpoint shape);
+  //   - every later sync appends a DELTA segment with just the uncovered
+  //     commits' file rows + replaced-group tombstones — O(new commits),
+  //     never a re-export of the table;
+  //   - cold listings are served FROM the segments: one columnar read
+  //     replaces N driver-parsed JSON documents; the JSON timeline supplies
+  //     only post-sync deltas. A segment set whose covered instants include
+  //     anything no longer on the timeline (rollback/restore) is stale and
+  //     the listing falls back to the JSON fold — fail-soft, never wrong.
+
+  private[graft] def mdtFilesDir = Paths.get(basePath, ".graft", "metadata", "files")
+
+  /** Segment dirs (with their covered instants), oldest first. A dir
+    * without its `_covered.json` sidecar is mid-write/torn — invisible. */
+  private def mdtSegs(): Seq[(Path, Seq[String])] = {
+    if (!Files.isDirectory(mdtFilesDir)) return Nil
+    Files.list(mdtFilesDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .flatMap { d =>
+        val sc = d.resolve("_covered.json")
+        if (!Files.exists(sc)) None
+        else scala.util.Try(Json.mapper.readValue[Seq[String]](
+          Files.readAllBytes(sc))).toOption.map(d -> _)
+      }
+  }
+
+  // segment content is immutable once its sidecar exists; key by dir name
+  // (names embed a uuid, so a rebuilt segment never collides)
+  private val mdtSegCache = mutable.Map[String, Seq[CommitMeta]]()
+
+  private def mdtSegMetas(seg: Path): Seq[CommitMeta] = {
+    val key = seg.getFileName.toString
+    mdtSegCache.synchronized { mdtSegCache.get(key) } match {
+      case Some(ms) => ms
+      case None =>
+        import spark.implicits._
+        val rows = spark.read.parquet(seg.toString).as[MdtRow].collect()
+        val ms = rows.groupBy(r => (r.instant, r.action, r.operation)).toSeq
+          .map { case ((i, a, o), rs) =>
+            CommitMeta(i, a, o,
+              files = rs.filter(_.kind == "file").map(_.toFileMeta).toSeq
+                .sortBy(f => (f.partition, f.fileId, f.path)),
+              replaced = rs.filter(_.kind == "replaced")
+                .map(r => s"${r.partition}|${r.fileId}").toSeq.sorted)
+          }.sortBy(_.instant)
+        mdtSegCache.synchronized { mdtSegCache.getOrElseUpdate(key, ms) }
+    }
+  }
+
+  private def writeMdtSeg(rows: Seq[MdtRow], covered: Seq[String]): Unit = {
     import spark.implicits._
-    val rows = slices(None).flatMap { s =>
+    val name = s"seg_${covered.max}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = mdtFilesDir.resolve(name)
+    // partition-sorted, ~10k rows per output file: lookups prune by parquet
+    // min/max on `partition`; a millions-of-files base never funnels
+    // through one writer task
+    val nOut = math.max(1, rows.size / 10000)
+    spark.createDataset(rows)
+      .repartitionByRange(nOut, col("partition"), col("fileId"))
+      .sortWithinPartitions("partition", "fileId")
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    // sidecar LAST, atomically: a crash mid-write leaves an invisible dir
+    val tmp = dir.resolve("_covered.json.tmp")
+    Files.write(tmp, Json.mapper.writeValueAsBytes(covered))
+    Files.move(tmp, dir.resolve("_covered.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The commit-order metas the metadata table can serve for the CURRENT
+    * state, or None when it cannot (no/torn/stale segments) — the caller
+    * falls back to the JSON fold. Post-sync commits come from their own
+    * (small) JSON metas. */
+  private def mdtServedMetas(): Option[Seq[CommitMeta]] = {
+    val segs = mdtSegs()
+    if (segs.isEmpty) return None
+    val completedList = timeline.completed()
+    val activeData = completedList.filter { case (_, a) => dataActions(a) }
+    val activeSet = activeData.map(_._1).toSet
+    val covered = segs.flatMap(_._2).toSet
+    val stale = covered -- activeSet
+    // a covered instant that left the timeline by ARCHIVAL is fine (its
+    // files live on in the fold); one removed by rollback/restore is not
+    if (stale.nonEmpty && !stale.subsetOf(timeline.archivedInstants().toSet))
+      return None
+    try {
+      val segMetas = segs.flatMap { case (d, _) => mdtSegMetas(d) }
+      val post = activeData.filter { case (i, _) => !covered.contains(i) }
+        .map { case (i, a) => timeline.read(i, a) }
+      Some((segMetas ++ post).sortBy(_.instant))
+    } catch { case _: Exception => None } // torn segment → JSON fold
+  }
+
+  /** Sync the metadata table: full base export on first call (or after the
+    * segments went stale), an O(new commits) delta segment afterwards (ref:
+    * HoodieBackedTableMetadataWriter.update — per-commit deltas, never a
+    * table re-fold). Checkpoint commits are recorded as covered WITHOUT
+    * re-materializing their carried rows: every file they carry is already
+    * in an earlier segment. */
+  def syncMetadataTable(): String = {
+    timeline.refresh()
+    val completedList = timeline.completed()
+    val activeData = completedList.filter { case (_, a) => dataActions(a) }
+    val dest = mdtFilesDir.toString
+    if (activeData.isEmpty) return dest
+    val segs = mdtSegs()
+    val covered = segs.flatMap(_._2).toSet
+    val stale = covered -- activeData.map(_._1).toSet
+    val valid = segs.nonEmpty &&
+      stale.subsetOf(timeline.archivedInstants().toSet)
+    if (!valid) return rebuildMetadataTable()
+    val newer = activeData.filter { case (i, _) => !covered.contains(i) }
+    if (newer.isEmpty) return dest
+    // slim metas suffice: non-checkpoint commits inline their files, and
+    // checkpoints contribute no rows (their carried files are re-records)
+    val rows = newer.flatMap { case (i, a) =>
+      val m = timeline.readSlim(i, a)
+      if (m.operation == "checkpoint") Nil else MdtRow.of(m)
+    }
+    writeMdtSeg(rows, newer.map(_._1))
+    mdtMemo = null
+    dest
+  }
+
+  /** Full rebuild: ONE base segment holding the live fold, prior segments
+    * dropped (ref: metadata-table compaction). */
+  def rebuildMetadataTable(): String = {
+    timeline.refresh()
+    val ms = timeline.metas(None).filter(m => dataActions(m.action))
+    val live = slicesFrom(ms, None)
+    val syncInstant = ms.map(_.instant).max
+    val rows = live.flatMap { s =>
+      (s.baseFiles.map(_ -> s.baseInstant) ++ s.logs.map { case (i, f) => (f, i) })
+        .map { case (f, eff) =>
+          MdtRow.ofFile(f.copy(origInstant = eff), s.partition, s.fileId,
+            syncInstant, "commit", "checkpoint")
+        }
+    }
+    val old = mdtSegs().map(_._1)
+    writeMdtSeg(rows, ms.map(_.instant))
+    old.foreach(p => GraftTable.drop(p.toString))
+    mdtSegCache.synchronized { mdtSegCache.clear() }
+    mdtMemo = null
+    mdtFilesDir.toString
+  }
+
+  /** The PERSISTED metadata table's live-file view in its exported schema —
+    * the fold of the segments alone, with no JSON supplement: what the
+    * sidecar has seen, which is exactly what validate_metadata_table_files
+    * diffs against the timeline. The segments underneath are plain parquet,
+    * queryable by any engine. */
+  def metadataTable(): DataFrame = {
+    import spark.implicits._
+    val segs = mdtSegs()
+    require(segs.nonEmpty, s"no metadata table segments under $mdtFilesDir")
+    val ms = segs.flatMap { case (d, _) => mdtSegMetas(d) }.sortBy(_.instant)
+    slicesFrom(ms, None).flatMap { s =>
       (s.baseFiles.map(f => (f, s.baseInstant)) ++ s.logs.map { case (i, f) => (f, i) })
         .map { case (f, inst) =>
           (s.partition, s.fileId, inst, f.path, f.rows, f.isLog, f.keyMin, f.keyMax,
             f.colStats.map { case (c, mm) => c -> (mm(0) + ".." + mm(1)) })
         }
-    }
-    val dest = s"$basePath/.graft/metadata/files"
-    // partition-sorted, ~10k rows per output file: listing lookups prune
-    // by parquet min/max on `partition`, and a millions-of-files table
-    // never funnels through one writer task into a monolithic blob
-    val nOut = math.max(1, rows.size / 10000)
-    rows.toDF("partition", "file_id", "instant", "path", "rows", "is_log",
+    }.toDF("partition", "file_id", "instant", "path", "rows", "is_log",
       "key_min", "key_max", "col_stats")
-      .repartitionByRange(nOut, col("partition"), col("file_id"))
-      .sortWithinPartitions("partition", "file_id")
-      .write.mode(SaveMode.Overwrite).parquet(dest)
-    dest
   }
-
-  /** Read the persisted metadata table. */
-  def metadataTable(): DataFrame =
-    spark.read.parquet(s"$basePath/.graft/metadata/files")
 
   /** Write-amplification stat (ref: StatsWriteAmplificationProcedure):
     * total rows written across commits / rows in latest snapshot. */

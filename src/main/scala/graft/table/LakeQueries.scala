@@ -118,6 +118,30 @@ object LakeQueries {
     out(t.snapshot())
   }
 
+  /** Metadata-table-served COLD listing end-to-end: sync → delete →
+    * archive (manifest-backed checkpoint) → incremental sync → one
+    * post-sync upsert (incl. resurrecting deleted keys), then a FRESH
+    * table instance snapshot — its listing folds from the MDT parquet
+    * segments plus one post-sync JSON meta, never the checkpoint
+    * manifest (MdtListingSpec pins the mechanics; this pins the
+    * answers). */
+  def lakeMdtCold(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("mdtcold", d)
+    val t = GraftTable.create(s, dir, ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("MDTUPD")))
+    t.syncMetadataTable()
+    t.delete(orders.filter(col("o_orderkey") % 7 === 0))
+    t.archive(keepLast = 1)
+    t.syncMetadataTable() // incremental: covers delete + checkpoint
+    t.upsert(orders.filter(col("o_orderkey") % 100 === 3)
+      .withColumn("o_orderpriority", lit("POST")))
+    out(GraftTable.load(s, dir).snapshot())
+  }
+
   /** MOR snapshot: two rounds of log updates, latest wins, no compaction. */
   def lakeMorSnapshot(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, scratch("mor", d), ordersCfg(MergeOnRead))
@@ -540,6 +564,7 @@ object LakeQueries {
     "lake_insert_overwrite" -> (lakeInsertOverwrite _),
     "lake_incremental" -> (lakeIncremental _),
     "lake_time_travel" -> (lakeTimeTravel _),
+    "lake_mdt_cold" -> (lakeMdtCold _),
     "lake_merge_into" -> (lakeMergeInto _),
     "lake_mor_snapshot" -> (lakeMorSnapshot _),
     "lake_skip_merge" -> (lakeSkipMerge _),
@@ -760,6 +785,20 @@ object LakeQueries {
          |ORDER BY o_orderkey""".stripMargin,
     "lake_time_travel" ->
       s"""SELECT $oracleCols FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_mdt_cold" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         |         o_orderdate, 'POST' AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 100 = 3
+         |  UNION ALL
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN 'MDTUPD'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 100 <> 3
+         |) ORDER BY o_orderkey""".stripMargin,
     "lake_merge_into" ->
       s"""SELECT $oracleCols FROM (
          |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

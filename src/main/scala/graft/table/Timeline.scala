@@ -86,6 +86,40 @@ object Json {
 class Timeline(baseDir: String) {
   val dir: Path = Paths.get(baseDir, ".graft", "timeline")
 
+  /** Loader for COLUMNAR checkpoint manifests (ref: hudi-common
+    * .../metadata/HoodieBackedTableMetadata.java — file listings served
+    * from data files, never a monolithic driver-parsed document): an
+    * archival checkpoint whose file set is large stores it as parquet
+    * under `timeline/manifests/<instant>/` and keeps only a pointer in
+    * the JSON meta (`extra("manifest")`). The loader is installed by the
+    * table (it owns the SparkSession); hydration is lazy and memoized —
+    * consumers that never touch the checkpoint's files (schema folds,
+    * conflict checks) read the slim meta and pay nothing. */
+  @volatile var manifestLoader: String => Seq[FileMeta] = null
+  private val manifestCache = scala.collection.mutable.Map[String, Seq[FileMeta]]()
+
+  /** Diagnostics: JSON instant bodies parsed / checkpoint manifests loaded
+    * by this instance (cache misses). Specs pin cold-open behavior. */
+  @volatile private[graft] var jsonMetaReads: Long = 0L
+  @volatile private[graft] var manifestLoads: Long = 0L
+
+  /** Seed the manifest cache with files the caller just wrote — the
+    * writing instance never pays the read-back. */
+  def primeManifest(rel: String, files: Seq[FileMeta]): Unit =
+    synchronized { manifestCache(rel) = files }
+
+  private def hydrate(m: CommitMeta): CommitMeta = m.extra.get("manifest") match {
+    case Some(rel) if m.files.isEmpty && manifestLoader != null =>
+      val cached = synchronized { manifestCache.get(rel) }
+      val files = cached.getOrElse {
+        manifestLoads += 1
+        val loaded = manifestLoader(rel) // Spark read — outside the monitor
+        synchronized { manifestCache.getOrElseUpdate(rel, loaded) }
+      }
+      m.copy(files = files)
+    case _ => m
+  }
+
   // completed instants and their metadata are immutable once written, so
   // they memoize safely; the listing itself is invalidated on every
   // mutation through this instance, and callers that must see other
@@ -161,11 +195,19 @@ class Timeline(baseDir: String) {
   def abort(instant: String, action: String): Unit =
     Files.deleteIfExists(dir.resolve(s"$instant.$action.inflight"))
 
-  def read(instant: String, action: String): CommitMeta = synchronized {
-    metaCache.getOrElseUpdate((instant, action),
+  /** SLIM meta: parsed JSON only — a manifest-backed checkpoint's file
+    * set stays unloaded. Use when files are not consulted (schema folds,
+    * conflict checks, checkpoint watermarks). */
+  def readSlim(instant: String, action: String): CommitMeta = synchronized {
+    metaCache.getOrElseUpdate((instant, action), {
+      jsonMetaReads += 1
       Json.mapper.readValue[CommitMeta](
-        Files.readAllBytes(dir.resolve(s"$instant.$action.json"))))
+        Files.readAllBytes(dir.resolve(s"$instant.$action.json")))
+    })
   }
+
+  def read(instant: String, action: String): CommitMeta =
+    hydrate(readSlim(instant, action))
 
   /** All completed metas in instant order, optionally up to `asOf`
     * (inclusive) — the time-travel boundary. */
@@ -174,7 +216,25 @@ class Timeline(baseDir: String) {
       .filter { case (i, _) => asOf.forall(i <= _) }
       .map { case (i, a) => read(i, a) }
 
+  /** [[metas]] without manifest hydration — no consumer of these may
+    * touch a checkpoint meta's `files`. */
+  def metasSlim(asOf: Option[String] = None): Seq[CommitMeta] =
+    completed()
+      .filter { case (i, _) => asOf.forall(i <= _) }
+      .map { case (i, a) => readSlim(i, a) }
+
   def remove(instant: String, action: String): Unit = synchronized {
+    // a manifest-backed checkpoint's parquet goes with its JSON (rollback /
+    // restore must not leave the file set resurrectable)
+    try {
+      val m = readSlim(instant, action)
+      m.extra.get("manifest").foreach { rel =>
+        val p = Paths.get(baseDir, rel)
+        if (Files.exists(p))
+          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        manifestCache.remove(rel)
+      }
+    } catch { case _: java.io.IOException => }
     Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
     metaCache.remove((instant, action))
     refresh()
@@ -207,6 +267,6 @@ class Timeline(baseDir: String) {
     else Files.list(arch).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".json"))
       .toSeq.sortBy(_.getFileName.toString)
-      .map(p => Json.mapper.readValue[CommitMeta](Files.readAllBytes(p)))
+      .map(p => hydrate(Json.mapper.readValue[CommitMeta](Files.readAllBytes(p))))
   }
 }

@@ -386,7 +386,11 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(archived > 0)
     assert(sql("SELECT count(*) AS c FROM graft.p_arch").collect()(0).getLong(0) === 5)
     val path = sql("CALL graft.sync_metadata_table('p_arch')").collect()(0).getString(0)
-    assert(spark.read.parquet(path).count() > 0)
+    // the metadata table is parquet SEGMENTS under the returned dir —
+    // readable by any engine with recursive listing (sidecars are
+    // underscore-prefixed and ignored by parquet readers)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).count() > 0)
     val archInstants = sql("CALL graft.show_archived_commits('p_arch')").collect()
     assert(archInstants.length === archived)
   }

@@ -190,6 +190,20 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("flatten names the colliding source columns instead of a duplicate-column write error") {
+    import spark.implicits._
+    // struct a.b and top-level a_b both flatten to `a_b`
+    val df = Seq((1L, 2L)).toDF("b", "a_b")
+      .select(struct(col("b")).as("a"), col("a_b"))
+    val e = intercept[IllegalArgumentException] { Transformers.flatten(df) }
+    assert(e.getMessage.contains("a_b"), e.getMessage)
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // non-colliding frames still flatten untouched
+    val ok = Transformers.flatten(
+      Seq((1L, 2L)).toDF("b", "c").select(struct(col("b")).as("a"), col("c")))
+    assert(ok.columns.toSeq === Seq("a_b", "c"))
+  }
+
   test("table-to-table replication: CommitFeed.forTable resumes exactly-once from the target") {
     import spark.implicits._
     val dirA = tmp(); val dirB = tmp()

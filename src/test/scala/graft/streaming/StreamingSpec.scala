@@ -516,9 +516,9 @@ class StreamingSpec extends AnyFunSuite {
     val groups = t.slices(None).map(s => s"${s.partition}|${s.fileId}").toSet
     // a commit after c1 touching the same group is a conflict...
     t.upsert(Seq(Event(1, ts(1), 1, "click", 2.0)).toDF())
-    assert(t.detectConflict(c1, groups))
+    assert(t.detectConflict(Set(c1), groups))
     // ...but disjoint groups are not
-    assert(!t.detectConflict(c1, Set("event_type=purchase|b99999")))
+    assert(!t.detectConflict(Set(c1), Set("event_type=purchase|b99999")))
     GraftTable.drop(dir)
   }
 }

@@ -151,4 +151,44 @@ class AsyncIndexSpec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("upd1"))
     GraftTable.drop(dir)
   }
+
+  test("bloom metadata sync is incremental: new files append a segment, old segments untouched") {
+    val dir = tmp()
+    val t = mkTable(dir, 300)
+    val nFiles = t.slices(None).flatMap(_.baseFiles).size
+    assert(t.syncBloomMetadata() === nFiles) // first sync folds everything
+    val segsBefore = t.bloomSegs().map(_.getFileName.toString)
+    assert(segsBefore.size === 1)
+    // nothing new -> nothing written
+    assert(t.syncBloomMetadata() === 0)
+    assert(t.bloomSegs().map(_.getFileName.toString) === segsBefore)
+    // new commit -> only ITS files are folded, as a fresh segment
+    t.upsert((1000 until 1050).map(i => (i.toLong, s"n$i")).toDF("id", "v"))
+    val nowFiles = t.slices(None).flatMap(_.baseFiles)
+      .filter(_.hasBloom).size
+    val appended = t.syncBloomMetadata()
+    assert(appended > 0 && appended <= nowFiles - nFiles + 2,
+      s"incremental sync folded $appended files (had $nFiles, now $nowFiles)")
+    val segsAfter = t.bloomSegs().map(_.getFileName.toString)
+    assert(segsAfter.size === 2 && segsBefore.forall(segsAfter.contains))
+    GraftTable.drop(dir)
+  }
+
+  test("bloom candidate lookup plan carries no literal list proportional to candidates") {
+    val dir = tmp()
+    val t = mkTable(dir, 100)
+    t.syncBloomMetadata()
+    val candidates = (1 to 20000).map(i => s"f$i.parquet")
+    val plan = t.mdtBloomLookup(t.bloomSegs(), candidates)
+      .queryExecution.optimizedPlan
+    // the candidate set reaches the scan as a broadcast join relation, not
+    // as a 20k-literal In() predicate (the Catalyst planning cliff)
+    val inLiterals = plan.expressions.flatMap(_.collect {
+      case i: org.apache.spark.sql.catalyst.expressions.In => i.list.size
+      case i: org.apache.spark.sql.catalyst.expressions.InSet => i.hset.size
+    })
+    assert(inLiterals.forall(_ < 100), s"literal IN list sizes: $inLiterals")
+    assert(plan.toString.contains("Join LeftSemi"), plan.toString.take(500))
+    GraftTable.drop(dir)
+  }
 }

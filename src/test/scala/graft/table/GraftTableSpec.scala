@@ -477,11 +477,11 @@ class GraftTableSpec extends AnyFunSuite {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     assert(pruned.count() === expected.count())
     // a checkpoint between a writer's start and commit is NOT a conflict
-    val start = t.latestDataInstant.get
+    val seen = t.timeline.completed().map(_._1).toSet
     t.upsert(orders.limit(10))
     t.archive(keepLast = 1)
-    assert(!t.detectConflict(start, Set("F|b00000"), Set.empty) ||
-      t.timeline.metas(None).exists(m => m.instant > start &&
+    assert(!t.detectConflict(seen, Set("F|b00000"), Set.empty) ||
+      t.timeline.metas(None).exists(m => !seen.contains(m.instant) &&
         m.operation != "checkpoint" && m.files.exists(f => s"${f.partition}|${f.fileId}" == "F|b00000")),
       "archival checkpoint alone must not trigger writer conflicts")
     GraftTable.drop(dir)

@@ -1,0 +1,160 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-table-served file listings (ref: hudi HoodieBackedTableMetadata
+  * read path + HoodieBackedTableMetadataWriter.update): cold listings read
+  * parquet segments, not N JSON documents; syncs after the first are
+  * O(new commits) delta appends; staleness (rollback) fails soft to the
+  * JSON fold. */
+class MdtListingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_mdt_").toString
+
+  private def batch(from: Int, n: Int) = (from until from + n)
+    .map(i => (i.toLong, s"p${i % 3}", i * 2L)).toDF("id", "p", "v")
+
+  private def build(dir: String, tt: TableType): GraftTable = {
+    val t = GraftTable.create(spark, dir, TableConfig("mdt", tt,
+      keyFields = Seq("id"), precombineField = Some("v"),
+      partitioning = PartitionByColumns(Seq("p")), targetFileSizeRows = 10))
+    t.bulkInsert(batch(0, 40))
+    t.upsert(batch(10, 10).withColumn("v", col("v") + 1000))
+    t.delete(batch(0, 5))
+    t
+  }
+
+  private def fsView(t: GraftTable): Set[(String, String, String, Int, Int, Long)] =
+    t.showFileSystemView()
+      .as[(String, String, String, Int, Int, Long)].collect().toSet
+
+  private def segDirs(dir: String): Seq[String] = {
+    val d = Paths.get(dir, ".graft", "metadata", "files")
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("seg_")).toSeq.sorted
+  }
+
+  for (tt <- Seq(CopyOnWrite, MergeOnRead))
+    test(s"MDT-served slices identical to the JSON fold (${tt.name})") {
+      val dir = tmp()
+      val t = build(dir, tt)
+      t.syncMetadataTable()
+      // post-sync commits of every fold-relevant shape: upsert (+ MOR log),
+      // delete, insert_overwrite tombstones
+      t.upsert(batch(20, 5).withColumn("v", col("v") + 7))
+      t.insertOverwrite(batch(300, 6).withColumn("p", lit("p1")))
+      val served = GraftTable.load(spark, dir)
+      val viewServed = fsView(served)
+      val snapServed = served.snapshot().select("id", "v")
+        .as[(Long, Long)].collect().toSet
+      // force the JSON fold by hiding the metadata dir
+      val md = Paths.get(dir, ".graft", "metadata")
+      val hidden = Paths.get(dir, ".graft", "metadata_hidden")
+      Files.move(md, hidden)
+      val json = GraftTable.load(spark, dir)
+      assert(fsView(json) === viewServed, "slice views diverge")
+      assert(json.snapshot().select("id", "v").as[(Long, Long)]
+        .collect().toSet === snapServed, "snapshots diverge")
+      Files.move(hidden, md)
+      GraftTable.drop(dir)
+    }
+
+  test("cold listing reads parquet segments, not N JSON file lists") {
+    val dir = tmp()
+    val t = build(dir, CopyOnWrite)
+    for (i <- 0 until 6) t.upsert(batch(40 + i * 5, 5))
+    assert(t.archive(keepLast = 3) > 0) // manifest-backed checkpoint
+    t.syncMetadataTable() // covers everything incl. the checkpoint
+    t.upsert(batch(200, 5)) // exactly one post-sync commit
+    val expected = t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet
+
+    val cold = GraftTable.load(spark, dir)
+    assert(cold.slices(None).nonEmpty)
+    // the ONLY JSON bodies parsed are the post-sync commit(s); the
+    // checkpoint's manifest is never touched — the listing came from
+    // metadata-table parquet
+    assert(cold.timeline.jsonMetaReads <= 1,
+      s"cold listing parsed ${cold.timeline.jsonMetaReads} JSON metas")
+    assert(cold.timeline.manifestLoads === 0,
+      "cold listing hydrated the checkpoint manifest")
+    assert(cold.snapshot().select("id", "v").as[(Long, Long)]
+      .collect().toSet === expected)
+    GraftTable.drop(dir)
+  }
+
+  test("second sync appends an O(commit) delta segment; base untouched") {
+    val dir = tmp()
+    val t = build(dir, CopyOnWrite)
+    t.syncMetadataTable()
+    val Seq(base) = segDirs(dir)
+    // a commit, then an incremental sync
+    t.upsert(batch(100, 4).withColumn("p", lit("p0")))
+    t.syncMetadataTable()
+    val after = segDirs(dir)
+    assert(after.size === 2 && after.contains(base), s"segments: $after")
+    val delta = after.filterNot(_ == base).head
+    val deltaRows = spark.read.parquet(
+      Paths.get(dir, ".graft", "metadata", "files", delta).toString)
+    // the delta carries exactly the new commit's records: its file(s) plus
+    // tombstones for the group(s) the COW upsert rewrote — never a
+    // re-export of the table
+    val total = deltaRows.count()
+    assert(total > 0 && total <= 8, s"delta has $total rows")
+    assert(deltaRows.filter(col("kind") === "file").count() >= 1)
+    // a sync with nothing new appends nothing
+    t.syncMetadataTable()
+    assert(segDirs(dir) === after)
+    // the table keeps answering identically through the delta
+    assert(t.snapshot().filter(col("id") >= 100L && col("id") < 104L).count() === 4)
+    GraftTable.drop(dir)
+  }
+
+  test("rollback makes segments stale: listings fail soft, next sync rebuilds") {
+    val dir = tmp()
+    val t = build(dir, CopyOnWrite)
+    t.upsert(batch(60, 5))
+    t.syncMetadataTable()
+    val before = segDirs(dir).size
+    t.rollback() // the covered head commit leaves the timeline
+    // fail-soft: the JSON fold serves; ids 60..64 are gone
+    val t2 = GraftTable.load(spark, dir)
+    assert(t2.snapshot().filter(col("id") >= 60L).count() === 0)
+    // resync detects staleness and rebuilds one fresh base
+    t2.syncMetadataTable()
+    val rebuilt = segDirs(dir)
+    assert(rebuilt.size === 1 && !(segDirs(dir).size == before &&
+      rebuilt.forall(s => segDirs(dir).contains(s)) && before != 1))
+    val t3 = GraftTable.load(spark, dir)
+    assert(t3.snapshot().filter(col("id") >= 60L).count() === 0)
+    assert(fsView(t3) === fsView(t2))
+    GraftTable.drop(dir)
+  }
+
+  test("compaction, clustering and archival stay correct through MDT-served listings") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("mdt_svc", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("v"),
+      partitioning = PartitionByColumns(Seq("p")), targetFileSizeRows = 10))
+    t.bulkInsert(batch(0, 30))
+    t.syncMetadataTable()
+    t.upsert(batch(5, 10).withColumn("v", col("v") + 500)) // MOR log
+    val want = t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet
+    t.compact()
+    assert(t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet === want)
+    t.syncMetadataTable() // cover the compaction replacecommit
+    t.cluster(Seq("v"))
+    assert(t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet === want)
+    t.archive(keepLast = 2)
+    assert(t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet === want)
+    val cold = GraftTable.load(spark, dir)
+    assert(cold.snapshot().select("id", "v").as[(Long, Long)].collect().toSet === want)
+    GraftTable.drop(dir)
+  }
+}

@@ -119,13 +119,17 @@ class TableModelSpec extends AnyFunSuite {
           else t2.clean(KeepLatestCommits(3))
         case 7 => // archive
           t2.archive(keepLast = 5)
-        case 8 => // async indexing / bloom metadata — services, data-neutral
-          rnd.nextInt(3) match {
+        case 8 => // async indexing / bloom + file-listing metadata —
+          // services, data-neutral. After a syncMetadataTable every
+          // subsequent snapshot/travel check reads an MDT-SERVED listing,
+          // so the whole op mix downstream exercises segment-fold equality
+          rnd.nextInt(4) match {
             case 0 => t2.scheduleIndex()
             case 1 => // run the oldest pending index plan, if any
               t2.pendingPlans().collectFirst { case (i, "index_schedule") => i }
                 .foreach(t2.runIndex)
             case 2 => t2.syncBloomMetadata()
+            case 3 => t2.syncMetadataTable()
           }
       }
       check(s"op#$step")
