@@ -92,6 +92,13 @@ class ContinuousIngest(
       }
     if (archiveKeepLast > 0 && ingested % houseEvery == 0)
       t.archive(archiveKeepLast)
+    // keep the file-listing metadata table current on the same cadence —
+    // the sync is O(commits since last sync), so steady-state cost stays
+    // bounded and cold restarts read parquet segments, not N JSON metas
+    if (ingested % houseEvery == 0 &&
+        java.nio.file.Files.isDirectory(t.mdtFilesDir))
+      try t.syncMetadataTable()
+      catch { case _: Exception => /* listing sync must never stop ingest */ }
     instant
   }
 

@@ -3401,6 +3401,10 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
     writeMdtSeg(rows, newer.map(_._1))
     mdtMemo = null
+    // bound segment count: a cold listing pays one read per segment, so
+    // past 32 the deltas fold into a fresh base (ref: the metadata table
+    // is itself compacted periodically)
+    if (mdtSegs().size > 32) return rebuildMetadataTable()
     dest
   }
 

@@ -190,6 +190,37 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("ingest housekeeping keeps the file-listing metadata table synced incrementally") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("mdt_ingest", CopyOnWrite,
+      keyFields = Seq("id")))
+    t.bulkInsert(Seq((0L, "seed")).toDF("id", "v"))
+    t.syncMetadataTable() // opt in: segments exist -> the loop maintains them
+    def segs() = {
+      import scala.jdk.CollectionConverters._
+      val d = java.nio.file.Paths.get(dir, ".graft", "metadata", "files")
+      java.nio.file.Files.list(d).iterator()
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("seg_")).size
+    }
+    assert(segs() === 1)
+    var shipped = 0
+    val source = () =>
+      if (shipped >= 2) None
+      else { shipped += 1
+        Some((s"b-$shipped", Seq((shipped.toLong, s"v$shipped")).toDF("id", "v"))) }
+    // compactEvery=1 on a COW table: compaction never fires, houseEvery=2
+    val ci = new ContinuousIngest(t, source, operation = "upsert", compactEvery = 1)
+    try assert(ci.drain() === 2) finally ci.close()
+    // the housekeeping sync appended ONE delta segment covering both
+    // ingest commits — no rebuild, no per-commit full export
+    assert(segs() === 2)
+    // and a cold instance serves the synced listing correctly
+    val cold = GraftTable.load(spark, dir)
+    assert(cold.snapshot().count() === 3)
+    GraftTable.drop(dir)
+  }
+
   test("flatten names the colliding source columns instead of a duplicate-column write error") {
     import spark.implicits._
     // struct a.b and top-level a_b both flatten to `a_b`
