@@ -31,7 +31,12 @@ object Verify {
     }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev iteration —
+    // the driver always runs the full set)
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o) => (s, o, None)
+      case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,9 +50,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      dumpOne(spark, name, fn, sfDir, outDir).map(name -> _)
-    }
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+        dumpOne(spark, name, fn, sfDir, outDir).map(name -> _)
+      }
     // Jackson handles all JSON escaping (a hand-rolled serializer once
     // silently zeroed a round's correctness on an unescaped control char)
     Files.write(Paths.get(s"$outDir/oracle_sql.json"),

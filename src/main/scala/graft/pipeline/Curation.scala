@@ -93,6 +93,55 @@ object Curation {
   }
 
   /**
+   * Hard per-source token budgets — the "mix to N tokens per domain"
+   * recipe of pretraining-data curation (the exact-count counterpart of
+   * [[mixDomains]]' fractional weights): each source keeps its documents
+   * in a DETERMINISTIC shuffle order (md5 of the id — no RNG, idempotent
+   * at any parallelism) until the source's token budget is exhausted; the
+   * document that would cross the budget is dropped. Sources absent from
+   * `budgets` are dropped entirely (explicit mix).
+   *
+   * The per-source running sum uses the same distributed-scan shape as
+   * [[packTokenShards]] — range-partition by (source, order), per-(bucket,
+   * source) totals to the driver (metadata-sized), window only WITHIN each
+   * bucket — so no source ever funnels through a single reducer: a 100 TB
+   * web-heavy mix scans in parallel across the web source's buckets.
+   */
+  def mixTokenBudget(docs: DataFrame, tokenCol: Column,
+      budgets: Map[String, Long], sourceCol: String = "source",
+      idCol: String = "doc_id", numPartitions: Int = 0): DataFrame = {
+    require(budgets.nonEmpty, "at least one source budget required")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.toDF(sourceCol, "_budget")
+    val ordered = docs.join(broadcast(budgetDf), Seq(sourceCol))
+      .withColumn("_tokens", tokenCol.cast("long"))
+      .withColumn("_ord", md5(col(idCol).cast("string")))
+      .repartitionByRange(parts, col(sourceCol), col("_ord"))
+      .withColumn("_pid", spark_partition_id())
+    val totals = ordered.groupBy(col("_pid"), col(sourceCol))
+      .agg(sum("_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val offsetRows = totals.keys.groupBy(_._2).toSeq.flatMap { case (s, keys) =>
+      val pids = keys.map(_._1).toSeq.sorted
+      val offs = pids.scanLeft(0L)((acc, p) => acc + totals((p, s)))
+      pids.zip(offs).map { case (p, o) => (p, s, o) }
+    }
+    val offsetDf = offsetRows.toDF("_pid", sourceCol, "_offset")
+    val w = Window.partitionBy(col("_pid"), col(sourceCol))
+      .orderBy(col("_ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered.join(broadcast(offsetDf), Seq("_pid", sourceCol))
+      .withColumn("_cum", col("_offset") + sum(col("_tokens")).over(w))
+      .filter(col("_cum") <= col("_budget"))
+      .drop("_pid", "_offset", "_cum", "_ord", "_budget")
+      .withColumnRenamed("_tokens", "tokens")
+  }
+
+  /**
    * Token-budget shard packing: assign each document to a training shard of
    * ~`budget` tokens, preserving `orderCol` order (shard s = docs whose
    * cumulative token start offset lands in [s·budget, (s+1)·budget)).

@@ -25,6 +25,46 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_h", "_rn")
   }
 
+  /** URL canonicalization — the first dedup key of every crawl pipeline
+    * (CommonCrawl/CCNet-style URL-level dedup runs before any content
+    * method touches bytes): lowercase scheme+authority (path stays
+    * case-sensitive per RFC 3986), strip the fragment, strip default
+    * ports (:443 https / :80 http), drop `utm_*` tracking params, sort
+    * the remaining query params. Pure column expressions — no UDF, the
+    * whole kernel stays inside native evaluation. Query strings are
+    * assumed '?'-free after the first '?' (the URL grammar). */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val prefix = regexp_extract(noFrag, "^([^/?#]*//[^/?]*)", 1)
+    val lowered = concat(lower(prefix),
+      noFrag.substr(length(prefix) + 1, lit(Int.MaxValue)))
+    // capture-the-delimiter instead of lookahead: the same regex runs in
+    // RE2-only engines (an external oracle restates it verbatim)
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(https://[^/:]*):443(/|\\?|$)", "$1$2"),
+      "^(http://[^/:]*):80(/|\\?|$)", "$1$2")
+    val path = split_part(noPort, lit("?"), lit(1))
+    val query = when(length(noPort) > length(path),
+      split_part(noPort, lit("?"), lit(2))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val sortedQ = array_join(array_sort(params), "&")
+    concat(path,
+      when(sortedQ =!= "", concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup: keep the lowest id per canonical URL. One hash
+    * shuffle on the canonical string — at 100 TB the shuffle carries
+    * (url, id), never documents. */
+  def byUrl(docs: DataFrame, urlCol: Column, idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("_cu")).orderBy(col(idCol))
+    docs.withColumn("_cu", canonicalizeUrl(urlCol))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .withColumnRenamed("_cu", "url_canonical")
+  }
+
   /** Exact dedup after text NORMALIZATION — the "near-exact" first pass of
     * C4/RefinedWeb-style curation (case, punctuation and whitespace
     * variants of the same document collapse before any fuzzy method runs).

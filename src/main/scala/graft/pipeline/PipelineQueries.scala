@@ -209,6 +209,33 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("tokens"))
       .orderBy(col("doc_id"))
 
+  /** Hard per-source token budgets in a deterministic md5 shuffle order:
+    * three sources with budgets that bite at different depths; every other
+    * source drops (explicit mix). n_chars stands in for the token count so
+    * the oracle needs no text processing. */
+  def mixTokenBudget(s: SparkSession, d: String): DataFrame =
+    Curation.mixTokenBudget(Tables.documents(s, d), col("n_chars"),
+      budgets = Map("src1" -> 5000L, "src2" -> 2000L, "src3" -> 800L))
+      .select(col("doc_id"), col("source"), col("tokens"))
+      .orderBy(col("doc_id"))
+
+  /** URL-level dedup through full canonicalization: synthetic URLs derive
+    * deterministically from (source, doc_id) with a mixed-case authority,
+    * default port, utm_ tracking param, unsorted params and a fragment —
+    * the canonical form collides across docs and the lowest id survives.
+    * Path case is PRESERVED (RFC 3986: only scheme+authority fold). */
+  def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).withColumn("url",
+      concat(lit("HTTPS://"), upper(col("source")), lit(".Example.COM:443/Docs/"),
+        (col("doc_id") % 10).cast("string"),
+        lit("?utm_campaign=x&b="), (col("doc_id") % 2).cast("string"),
+        lit("&a="), (col("doc_id") % 3).cast("string"),
+        lit("#s"), col("doc_id").cast("string")))
+    Dedup.byUrl(docs, col("url"))
+      .select(col("doc_id"), col("url_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-exact dedup: case/punctuation/whitespace variants collapse via
     * ASCII-safe normalization before hashing (planted: each doc re-appears
     * with extra punctuation + padding and must dedup away). */
@@ -497,6 +524,8 @@ object PipelineQueries {
     "text_chunk" -> (textChunk _),
     "mix_domains" -> (mixDomains _),
     "mix_temperature" -> (mixTemperature _),
+    "mix_token_budget" -> (mixTokenBudget _),
+    "dedup_url" -> (dedupUrl _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "text_repetition" -> (textRepetition _),
     "text_perplexity" -> (textPerplexity _),
@@ -836,6 +865,50 @@ object PipelineQueries {
          |SELECT doc_id, source, tokens FROM tok JOIN th USING (source)
          |WHERE md5(CAST(doc_id AS VARCHAR)) < thr
          |ORDER BY doc_id""".stripMargin,
+    "mix_token_budget" ->
+      """SELECT doc_id, source, tokens FROM (
+        |  SELECT doc_id, source, n_chars AS tokens,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents WHERE source IN ('src1', 'src2', 'src3'))
+        |WHERE cum <= CASE source WHEN 'src1' THEN 5000
+        |                         WHEN 'src2' THEN 2000 ELSE 800 END
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'HTTPS://' || upper(source) || '.Example.COM:443/Docs/' ||
+        |    CAST(doc_id % 10 AS VARCHAR) ||
+        |    '?utm_campaign=x&b=' || CAST(doc_id % 2 AS VARCHAR) ||
+        |    '&a=' || CAST(doc_id % 3 AS VARCHAR) ||
+        |    '#s' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM urls),
+        |c2 AS (SELECT doc_id,
+        |         lower(regexp_extract(u, '^([^/?#]*//[^/?]*)', 1)) ||
+        |         substr(u, length(regexp_extract(u, '^([^/?#]*//[^/?]*)', 1)) + 1) AS u
+        |       FROM c1),
+        |c3 AS (SELECT doc_id,
+        |         regexp_replace(regexp_replace(u,
+        |           '^(https://[^/:]*):443(/|\?|$)', '\1\2'),
+        |           '^(http://[^/:]*):80(/|\?|$)', '\1\2') AS u FROM c2),
+        |c4 AS (SELECT doc_id, split_part(u, '?', 1) AS path,
+        |         CASE WHEN length(u) > length(split_part(u, '?', 1))
+        |              THEN split_part(u, '?', 2) ELSE '' END AS q FROM c3),
+        |c5 AS (SELECT doc_id, path ||
+        |         CASE WHEN len(ps) > 0
+        |              THEN '?' || array_to_string(list_sort(ps), '&')
+        |              ELSE '' END AS url_canonical
+        |       FROM (SELECT doc_id, path,
+        |               list_filter(string_split(q, '&'),
+        |                 x -> NOT starts_with(x, 'utm_') AND x <> '') AS ps
+        |             FROM c4))
+        |SELECT doc_id, url_canonical FROM (
+        |  SELECT doc_id, url_canonical,
+        |    row_number() OVER (PARTITION BY url_canonical ORDER BY doc_id) AS rn
+        |  FROM c5)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_exact_normalized" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,

@@ -22,9 +22,9 @@ class MultiWriterSpec extends AnyFunSuite {
   import TestSpark.spark
   import spark.implicits._
 
-  private def run(seed: Int): Unit = {
+  private def run(seed: Int, tt: TableType = CopyOnWrite): Unit = {
     val dir = Files.createTempDirectory("graft_mw_").toString
-    val cfg = TableConfig("mw", CopyOnWrite,
+    val cfg = TableConfig("mw", tt,
       keyFields = Seq("id"), precombineField = Some("ver"),
       targetFileSizeRows = 40)
     GraftTable.create(spark, dir, cfg)
@@ -107,6 +107,13 @@ class MultiWriterSpec extends AnyFunSuite {
   for (seed <- Seq(3, 11, 29))
     test(s"two racing writers converge to the commit-order model (seed $seed)") {
       run(seed)
+    }
+
+  // MOR: racing deltacommits append logs to shared groups — the conflict
+  // on touched groups plus the seen-set check must hold there too
+  for (seed <- Seq(5, 17))
+    test(s"two racing MOR writers converge to the commit-order model (seed $seed)") {
+      run(seed, MergeOnRead)
     }
 
   test("racing strict inserts of the same new key: exactly one wins") {
