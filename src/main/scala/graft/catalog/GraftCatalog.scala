@@ -266,7 +266,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get(warehouse, namespace: _*)
     if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(namespace)
-    Files.list(dir).iterator().asScala.flatMap { p =>
+    graft.table.Fs.list(dir).iterator.flatMap { p =>
       val n = p.getFileName.toString
       if (n.endsWith(".link")) Some(n.stripSuffix(".link"))
       else if (GraftTable.exists(p.toString)) Some(n)
@@ -287,7 +287,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Array.empty
-    else Files.list(root).iterator().asScala
+    else graft.table.Fs.list(root).iterator
       .filter(p => Files.isDirectory(p) && !GraftTable.exists(p.toString))
       .map(p => Array(p.getFileName.toString)).toArray
   }

@@ -566,7 +566,7 @@ object GraftProcedures {
           val meta = Paths.get(location, ".graft")
           if (Files.exists(meta)) {
             import scala.jdk.CollectionConverters._
-            Files.walk(meta).iterator().asScala.toSeq.reverse
+            graft.table.Fs.walk(meta).reverse
               .foreach(Files.deleteIfExists(_))
           }
           throw e
@@ -681,6 +681,14 @@ object GraftProcedures {
       Seq(in("table", StringType)),
       (cat, a) => collect(
         GraftSql.validateMetadataTableFiles(tableOf(cat, a.str(0))))),
+
+    Proc("validate_data_table",
+      "Diff the data files physically on storage against the timeline's " +
+        "accounting: dangling = unaccounted leftovers, missing = " +
+        "accounted-for but absent (ref: HoodieDataTableValidator).",
+      Seq(in("table", StringType)),
+      (cat, a) => collect(
+        GraftSql.validateDataTable(tableOf(cat, a.str(0))))),
 
     Proc("delete_metadata_table",
       "Remove the persisted metadata sidecar; reads fall back to timeline " +

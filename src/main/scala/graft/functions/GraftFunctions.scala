@@ -53,7 +53,10 @@ object GraftFunctions {
     ("graft_fingerprint",
       "graft_fingerprint(s, w) - rolling-hash fingerprint with window w",
       arity("graft_fingerprint", 2)(args =>
-        RollingFingerprintExpr(args(0), litInt(args(1), "window w")))))
+        RollingFingerprintExpr(args(0), litInt(args(1), "window w")))),
+    ("graft_char_entropy",
+      "graft_char_entropy(s) - Shannon entropy of the text in bits/char",
+      arity("graft_char_entropy", 1)(args => CharEntropyExpr(args(0)))))
 
   private def entry(name: String, usage: String,
       builder: Seq[Expression] => Expression) =

@@ -182,6 +182,81 @@ object Curation {
       .withColumnRenamed("_tokens", "tokens")
   }
 
+  /**
+   * Best-fit context-window packing: assign each document to a bin of
+   * capacity `budget` tokens, wasting less space than the prefix-sum shard
+   * cut ([[packTokenShards]] splits the token stream mid-document; this
+   * keeps documents whole — the sequence-packing stage before training).
+   *
+   * First-fit-decreasing within range buckets: docs are range-partitioned
+   * by `orderCol` (so bucketing is deterministic and size-balanced), each
+   * bucket sorts (tokens desc, order asc) and runs FFD over a bounded list
+   * of open bins. `lookback` caps the open-bin candidate list — bins that
+   * fall off are sealed — so executor memory is O(lookback) regardless of
+   * bucket size; with decreasing item sizes a sealed bin could only ever
+   * accept smaller remnants, so the fill loss vs unbounded FFD is marginal
+   * (classic bounded-space bin packing, Csirik–Johnson). Bin ids are
+   * `bucket · 2^40 + local`, globally unique without coordination.
+   *
+   * The per-partition loop is the justified imperative case: FFD is
+   * inherently sequential within a bucket, and no window/aggregate
+   * composition states it. Everything across buckets stays independent —
+   * at 100 TB each bucket packs in isolation, no shuffle after the range
+   * exchange. Docs larger than `budget` get a singleton bin (oversize
+   * truncation is the tokenizer's job, not the packer's).
+   */
+  def packBestFit(df: DataFrame, tokenCol: Column, budget: Long,
+      idCol: String, orderCol: String, numPartitions: Int = 0,
+      lookback: Int = 1024): DataFrame = {
+    require(budget > 0, "bin token budget must be positive")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    import spark.implicits._
+    val prepped = df
+      .select(col(idCol).cast("string").as("id"),
+        tokenCol.cast("long").as("tokens"), col(orderCol).as("_ord"))
+      .repartitionByRange(parts, col("_ord"))
+      .sortWithinPartitions(col("tokens").desc, col("_ord").asc)
+    prepped.mapPartitions { it =>
+      // (remaining, binId) open bins, newest last; bounded by `lookback`
+      val open = new scala.collection.mutable.ArrayDeque[(Long, Long)]()
+      var bucket = -1L
+      var nextLocal = 0L
+      it.map { row =>
+        if (bucket < 0)
+          bucket = org.apache.spark.TaskContext.getPartitionId().toLong
+        val id = row.getString(0)
+        val t = math.max(row.getLong(1), 0L)
+        // best fit among open bins: tightest remaining that still fits
+        var bestIdx = -1
+        var bestRem = Long.MaxValue
+        var i = 0
+        while (i < open.length) {
+          val rem = open(i)._1
+          if (rem >= t && rem < bestRem) { bestRem = rem; bestIdx = i }
+          i += 1
+        }
+        val bin =
+          if (bestIdx >= 0) {
+            val (rem, b) = open(bestIdx)
+            if (rem - t > 0) open(bestIdx) = (rem - t, b)
+            else open.remove(bestIdx)
+            b
+          } else {
+            val b = bucket * (1L << 40) + nextLocal
+            nextLocal += 1
+            if (t < budget) {
+              open.append((budget - t, b))
+              if (open.length > lookback) open.removeHead()
+            }
+            b
+          }
+        (id, t, bin)
+      }
+    }.toDF("id", "tokens", "bin")
+  }
+
   /** Corpus vocabulary: top-k terms by frequency (vocab building / corpus
     * inspection). Lower-cased alpha runs; ties broken by term so the cut
     * is a total order and deterministic at any parallelism. One explode +

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.functions.{RollingFingerprint, TextFunctions}
+import graft.functions.{CharEntropy, RollingFingerprint, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -309,6 +309,32 @@ object PipelineQueries {
       .select(col("doc_id"), col("tokens"), col("shard"))
       .orderBy(col("doc_id"))
 
+  /** Best-fit context-window packing (documents stay whole — compare
+    * pack_token_shards' mid-document shard cuts). */
+  def packBestfit(s: SparkSession, d: String): DataFrame =
+    Curation.packBestFit(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      TextFunctions.wsTokenCount(col("text")), budget = 2000L,
+      idCol = "doc_id", orderCol = "doc_id", numPartitions = 8)
+      .select(col("id").cast("long").as("doc_id"), col("tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+
+  /** Char-level Shannon entropy quality signal (bits/char) with the usual
+    * "looks like text" gate: noise/boilerplate fall outside [2.0, 5.5]. */
+  def textEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        CharEntropy(col("text")).as("entropy"))
+      .withColumn("keep",
+        (col("entropy") >= 2.0 && col("entropy") <= 5.5).cast("int"))
+      .orderBy(col("doc_id"))
+
+  /** PCA projection of the embedding corpus to 8 components
+    * (sign-canonicalized basis; see Pca.project). */
+  def embedPca(s: SparkSession, d: String): DataFrame =
+    Pca.project(Tables.embeddings(s, d), k = 8)
+      .orderBy(col("vec_id"))
+
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.embeddings(s, d)
     Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5,
@@ -505,6 +531,9 @@ object PipelineQueries {
     "dedup_clusters" -> (dedupClusters _),
     "sample_stratified" -> (sampleStratified _),
     "pack_token_shards" -> (packTokenShards _),
+    "pack_bestfit" -> (packBestfit _),
+    "text_entropy" -> (textEntropy _),
+    "embed_pca" -> (embedPca _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_pq_topk" -> (annPqTopk _),

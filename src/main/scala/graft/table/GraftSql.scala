@@ -479,6 +479,77 @@ object GraftSql {
       .toDF("path", "presence")
   }
 
+  /** validate_data_table (ref: hudi-utilities HoodieDataTableValidator):
+    * diff the data files PHYSICALLY on storage against the timeline's
+    * accounting. `dangling` = on disk but added by no active meta (crash
+    * leftovers `rollback_failed_writes` would sweep — orphaned bytes);
+    * `missing` = accounted for but absent (corruption / external
+    * deletion). Files of a still-inflight instant are neither. Bloom
+    * sidecars ride their base file's accounting. Directory discovery is a
+    * driver walk (O(#partitions)); the per-file listing runs as ONE Spark
+    * job over the directories, so at millions of files the driver sees
+    * only the discrepancy rows. */
+  def validateDataTable(t: GraftTable): DataFrame = {
+    import t.spark.implicits._
+    import scala.jdk.CollectionConverters._
+    t.timeline.refresh()
+    val metas = t.timeline.metas(None)
+    val known = metas.flatMap(_.files.map(_.path)).toSet --
+      metas.flatMap(_.deletedPaths)
+    // instants a LIVE writer has claimed: an .inflight marker not yet
+    // completed/archived. Only their files are excused — an unsettled
+    // instant WITHOUT a claim is exactly the crash leftover this
+    // validator exists to surface.
+    val settled = t.timeline.completed().map(_._1).toSet ++
+      t.timeline.archivedInstants()
+    val claimed = {
+      val s = java.nio.file.Files.list(t.timeline.dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".inflight"))
+        .map(_.stripSuffix(".inflight").takeWhile(_ != '.')).toSet
+      finally s.close()
+    } -- settled
+    val base = java.nio.file.Paths.get(t.basePath)
+    val dirs = {
+      val w = java.nio.file.Files.walk(base)
+      try w.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          !base.relativize(p).toString.contains(".graft"))
+        .map(_.toString).toVector.sorted
+      finally w.close()
+    }
+    val baseStr = t.basePath
+    val slicesN = math.max(1, math.min(dirs.size,
+      t.spark.sparkContext.defaultParallelism))
+    val onDisk = t.spark.sparkContext.parallelize(dirs, slicesN)
+      .flatMap { d =>
+        val dir = java.nio.file.Paths.get(d)
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(p => java.nio.file.Paths.get(baseStr).relativize(p).toString)
+          .filterNot { rel =>
+            val name = rel.substring(rel.lastIndexOf('/') + 1)
+            name.startsWith(".") || name.endsWith(".crc")
+          }.toVector
+        finally s.close()
+      }.collect().toSet
+    // data files carry their creating instant in the name:
+    // [log_]<fid>_<instant>[_i].<ext> — a CLAIMED instant's files belong
+    // to a live writer, not to either discrepancy bucket
+    val instantPat = "_(\\d{17})(_\\d+)?\\.[^/]*$".r
+    def inFlight(path: String): Boolean =
+      instantPat.findFirstMatchIn(path).exists(m => claimed(m.group(1)))
+    def accounted(path: String): Boolean =
+      known(path) || (path.endsWith(".bloom") &&
+        known(path.stripSuffix(".bloom")))
+    val dangling = onDisk.filterNot(p => accounted(p) || inFlight(p))
+    val missing = known -- onDisk
+    (dangling.toSeq.sorted.map(p => (p, "dangling")) ++
+      missing.toSeq.sorted.map(p => (p, "missing")))
+      .toDF("path", "issue")
+  }
+
   /** delete_metadata_table (ref: DeleteMetadataTableProcedure): remove the
     * persisted metadata sidecar (reads fall back to timeline resolution). */
   def deleteMetadataTable(t: GraftTable): Boolean = {
@@ -503,7 +574,7 @@ object GraftSql {
     val tdir = Paths.get(t.basePath, ".graft", "timeline")
     var removed = 0L
     if (Files.isDirectory(tdir))
-      Files.list(tdir).iterator().asScala
+      Fs.list(tdir)
         .filter(_.getFileName.toString.startsWith(s"$instant."))
         .filter(_.getFileName.toString.endsWith(".inflight"))
         .foreach { p => Files.deleteIfExists(p); removed += 1 }
@@ -529,7 +600,7 @@ object GraftSql {
     import scala.jdk.CollectionConverters._
     val tdir = Paths.get(t.basePath, ".graft", "timeline")
     val removed = (if (!Files.isDirectory(tdir)) Nil
-    else Files.list(tdir).iterator().asScala.toSeq
+    else Fs.list(tdir)
       .filter { p =>
         val n = p.getFileName.toString
         n.endsWith(".clean.json") || n.endsWith(".rollback.json")

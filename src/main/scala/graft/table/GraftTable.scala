@@ -144,7 +144,7 @@ object GraftTable {
   def drop(path: String): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Fs.walk(p).reverse.foreach(Files.deleteIfExists(_))
   }
 
   private[table] def isStatType(dt: DataType): Boolean = dt match {
@@ -181,7 +181,7 @@ object GraftTable {
       distributeOver: Int = -1): GraftTable = {
     val base = Paths.get(path)
     require(Files.exists(base), s"bootstrap source $path does not exist")
-    val parquets = Files.walk(base).iterator().asScala
+    val parquets = Fs.walk(base).iterator
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         !p.getFileName.toString.startsWith(".") &&
         !base.relativize(p).toString.contains(".graft"))
@@ -283,7 +283,7 @@ object GraftTable {
     val base = Paths.get(path)
     require(Files.exists(base), s"bootstrap source $path does not exist")
     require(!exists(path), s"$path is already a graft table")
-    val originals = Files.walk(base).iterator().asScala
+    val originals = Fs.walk(base).iterator
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         !p.getFileName.toString.startsWith(".") &&
         !base.relativize(p).toString.contains(".graft"))
@@ -297,18 +297,17 @@ object GraftTable {
       t.bulkInsert(df)
       originals.foreach(Files.deleteIfExists(_))
       // prune now-empty source partition dirs the rewrite abandoned
-      Files.walk(base).iterator().asScala.toSeq.reverse
+      Fs.walk(base).reverse
         .filter(p => Files.isDirectory(p) && p != base &&
           !base.relativize(p).toString.contains(".graft"))
         .foreach { d =>
-          if (!Files.list(d).iterator().hasNext) Files.deleteIfExists(d)
+          if (Fs.isEmptyDir(d)) Files.deleteIfExists(d)
         }
       t
     } catch { case e: Throwable =>
       val meta = base.resolve(".graft")
       if (Files.exists(meta))
-        Files.walk(meta).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
+        Fs.walk(meta).reverse.foreach(Files.deleteIfExists(_))
       throw e
     }
   }
@@ -1133,11 +1132,18 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   private def tag(df: DataFrame, cur: Seq[FileSlice]): DataFrame = config.index match {
     case BucketIndex(n) =>
       if (cur.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
+      // existence check as a broadcast join, not a literal isin: a bucket
+      // table's live-group count is partitions × buckets (10^5+ at scale),
+      // and one literal per group is the Catalyst planning cliff
+      import df.sparkSession.implicits._
+      val existDf = broadcast(cur.map(s => s"${s.partition}|${s.fileId}")
+        .toDF("_g_exist"))
       df.withColumn("_g_fid", format_string("b%05d", pmod(hash(col(KEY)), lit(n))))
-        .withColumn("_g_fid",
-          // only groups that physically exist count as "existing"
-          when(concat_ws("|", col(PART), col("_g_fid"))
-            .isin(cur.map(s => s"${s.partition}|${s.fileId}"): _*), col("_g_fid")))
+        .join(existDf,
+          concat_ws("|", col(PART), col("_g_fid")) === col("_g_exist"), "left")
+        // only groups that physically exist count as "existing"
+        .withColumn("_g_fid", when(col("_g_exist").isNotNull, col("_g_fid")))
+        .drop("_g_exist")
     case StatsIndex =>
       if (cur.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
       val cands = candidateSlices(df, cur)
@@ -1233,15 +1239,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // plan all renames, then execute them concurrently: at large file counts
     // the commit cost is these metadata ops, and they are independent
     val planned = mutable.Buffer[(Path, Path, String, String, String, Boolean)]()
-    Files.list(staging).iterator().asScala
+    Fs.list(staging)
       .filter(p => p.getFileName.toString.startsWith("_gp=")).foreach { pDir =>
         val partition = dec(pDir.getFileName.toString.stripPrefix("_gp="))
-        Files.list(pDir).iterator().asScala
+        Fs.list(pDir)
           .filter(f => f.getFileName.toString.startsWith("_gf=")).foreach { fDir =>
             val fid = dec(fDir.getFileName.toString.stripPrefix("_gf="))
             val ext = s".${config.baseFileFormat}"
-            val parts = Files.list(fDir).iterator().asScala
-              .filter(_.getFileName.toString.endsWith(ext)).toSeq.sortBy(_.toString)
+            val parts = Fs.list(fDir)
+              .filter(_.getFileName.toString.endsWith(ext)).sortBy(_.toString)
             val isLog = logGroups.contains(s"$partition|$fid")
             parts.zipWithIndex.foreach { case (src, i) =>
               val sfx = if (parts.size > 1) s"_$i" else ""
@@ -1500,9 +1506,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   private[graft] def bloomSegs(): Seq[Path] = {
     if (!Files.isDirectory(mdtBloomsDir)) return Nil
-    Files.list(mdtBloomsDir).iterator().asScala
+    Fs.list(mdtBloomsDir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
   }
 
   private def writeBloomSeg(paths: Seq[String]): Unit = {
@@ -1778,9 +1784,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             // updates/deletes -> log files of their group; inserts -> new base
             // groups. Deletes of keys that don't exist are dropped (they'd
             // otherwise create base files holding only tombstones).
-            val cleaned = assigned.filter(
-              concat_ws("|", col(PART), col(FILE_ID))
-                .isin(touchedExisting.toSeq: _*) || !col(DELETED))
+            // Touched-group membership via broadcast join, not a literal
+            // isin — a wide batch touches 10^4+ groups (planning cliff).
+            import spark.implicits._
+            val touchedDf = broadcast(touchedExisting.toSeq.toDF("_g_tch"))
+            val cleaned = assigned
+              .join(touchedDf,
+                concat_ws("|", col(PART), col(FILE_ID)) === col("_g_tch"), "left")
+              .filter(col("_g_tch").isNotNull || !col(DELETED))
+              .drop("_g_tch")
             (cleaned, touchedExisting, touchedExisting)
           } else {
             val affected = touchedExisting.toSeq.flatMap(curByKey.get)
@@ -3036,7 +3048,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // and the inflight delete must not doom its live files
     val archived = timeline.archivedInstants().toSet
     val dangling = {
-      val it = Files.list(timeline.dir).iterator().asScala
+      val it = Fs.list(timeline.dir).iterator
         .map(_.getFileName.toString).filter(_.endsWith(".inflight"))
         .map(_.stripSuffix(".inflight").split('.'))
         .collect { case Array(i, a) => (i, a) }.toSeq
@@ -3296,9 +3308,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * without its `_covered.json` sidecar is mid-write/torn — invisible. */
   private def mdtSegs(): Seq[(Path, Seq[String])] = {
     if (!Files.isDirectory(mdtFilesDir)) return Nil
-    Files.list(mdtFilesDir).iterator().asScala
+    Fs.list(mdtFilesDir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("seg_"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .flatMap { d =>
         val sc = d.resolve("_covered.json")
         if (!Files.exists(sc)) None

@@ -137,9 +137,9 @@ class Timeline(baseDir: String) {
 
   private def listNames(): Seq[String] =
     if (!Files.exists(dir)) Nil
-    else Files.list(dir).iterator().asScala
+    else Fs.list(dir)
       .filter(Files.isRegularFile(_))
-      .map(_.getFileName.toString).toSeq
+      .map(_.getFileName.toString)
 
   def completed(): Seq[(String, String)] = synchronized { // sorted (instant, action)
     listingCache match {
@@ -231,7 +231,7 @@ class Timeline(baseDir: String) {
       m.extra.get("manifest").foreach { rel =>
         val p = Paths.get(baseDir, rel)
         if (Files.exists(p))
-          Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          Fs.walk(p).reverse.foreach(Files.deleteIfExists(_))
         manifestCache.remove(rel)
       }
     } catch { case _: java.io.IOException => }
@@ -254,8 +254,8 @@ class Timeline(baseDir: String) {
   def archivedInstants(): Seq[String] = {
     val arch = dir.resolve("archive")
     if (!Files.exists(arch)) Nil
-    else Files.list(arch).iterator().asScala.map(_.getFileName.toString)
-      .filter(_.endsWith(".json")).map(_.split('.')(0)).toSeq.sorted
+    else Fs.list(arch).map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).map(_.split('.')(0)).sorted
   }
 
   /** Full metadata of archived instants, oldest first (ref: hudi
@@ -264,9 +264,9 @@ class Timeline(baseDir: String) {
   def archivedMetas(): Seq[CommitMeta] = {
     val arch = dir.resolve("archive")
     if (!Files.exists(arch)) Nil
-    else Files.list(arch).iterator().asScala
+    else Fs.list(arch)
       .filter(_.getFileName.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .map(p => hydrate(Json.mapper.readValue[CommitMeta](Files.readAllBytes(p))))
   }
 }

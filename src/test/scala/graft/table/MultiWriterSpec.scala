@@ -116,6 +116,86 @@ class MultiWriterSpec extends AnyFunSuite {
       run(seed, MergeOnRead)
     }
 
+  test("two writers + a racing service thread (compact/clean/archive) stay model-correct") {
+    val dir = Files.createTempDirectory("graft_mw_svc_").toString
+    GraftTable.create(spark, dir, TableConfig("mw_svc", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("ver"),
+      targetFileSizeRows = 40))
+    val committed = mutable.Buffer[(String, String, Seq[(Long, Long, Long)])]()
+    val start = new CountDownLatch(1)
+    val errors = mutable.Buffer[Throwable]()
+    val writersDone = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def writer(wid: Int): Thread = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, dir)
+        val rnd = new scala.util.Random(7000 + wid)
+        start.await()
+        for (_ <- 1 to 6) {
+          val op = if (rnd.nextInt(4) == 0) "delete" else "upsert"
+          val rows = (1 to 1 + rnd.nextInt(10)).map { _ =>
+            (rnd.nextInt(50).toLong, rnd.nextInt(1000).toLong,
+              rnd.nextInt(100).toLong)
+          }.groupBy(_._1).values.map(_.maxBy(_._3)).toSeq
+          var done = false; var attempts = 0
+          while (!done) {
+            t.timeline.refresh()
+            try {
+              val df = rows.toDF("id", "v", "ver")
+              val i = if (op == "delete") t.delete(df) else t.upsert(df)
+              committed.synchronized { committed += ((i, op, rows)) }
+              done = true
+            } catch { case _: ConcurrentWriteException =>
+              attempts += 1; if (attempts > 30) sys.error(s"writer $wid starved")
+            }
+          }
+        }
+      } catch { case e: Throwable => errors.synchronized { errors += e } }
+      finally writersDone.incrementAndGet()
+    }, s"graft-mwsvc-writer-$wid")
+
+    // services are data-NEUTRAL: they race the writers freely, swallow
+    // optimistic-concurrency aborts, and must never change visible rows
+    val service = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, dir)
+        val rnd = new scala.util.Random(971)
+        start.await()
+        while (writersDone.get() < 2) {
+          t.timeline.refresh()
+          try rnd.nextInt(4) match {
+            case 0 => t.compact()
+            case 1 => t.clean(KeepLatestCommits(5))
+            case 2 => t.archive(keepLast = 6)
+            case 3 => t.scheduleCompaction().foreach(t.runCompaction)
+          } catch {
+            case _: ConcurrentWriteException => // expected under race
+            case e: IllegalArgumentException
+              if String.valueOf(e.getMessage).contains("executed") => // raced plan
+          }
+          Thread.sleep(30)
+        }
+      } catch { case e: Throwable => errors.synchronized { errors += e } }
+    }, "graft-mwsvc-service")
+
+    val ws = Seq(writer(0), writer(1))
+    (ws :+ service).foreach(_.start()); start.countDown()
+    ws.foreach(_.join(TimeUnit.MINUTES.toMillis(5)))
+    service.join(TimeUnit.MINUTES.toMillis(2))
+    assert(errors.isEmpty, errors.headOption.map(_.toString).getOrElse(""))
+    var model = Map.empty[Long, (Long, Long)]
+    for ((_, op, rows) <- committed.sortBy(_._1)) {
+      if (op == "delete") model --= rows.map(_._1)
+      else model ++= rows.map { case (id, v, ver) => id -> (v, ver) }
+    }
+    val t = GraftTable.load(spark, dir)
+    val got = t.snapshot().select("id", "v", "ver")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, v, ver) => id -> (v, ver) }.toMap
+    assert(got === model, "snapshot diverged with services racing")
+    GraftTable.drop(dir)
+  }
+
   test("racing strict inserts of the same new key: exactly one wins") {
     val dir = Files.createTempDirectory("graft_strict_race_").toString
     GraftTable.create(spark, dir, TableConfig("strict_race", CopyOnWrite,
