@@ -330,10 +330,17 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
 
   /** PCA projection of the embedding corpus to 8 components
-    * (sign-canonicalized basis; see Pca.project). */
+    * (sign-canonicalized basis; see Pca.project). The gate-facing shape is
+    * scalar: the projected array is exploded to one (vec_id, component,
+    * value_micro) row per coordinate — the raw array column would defeat
+    * the driver's row canonicalization. Library callers use Pca.project
+    * directly for the array-typed API. */
   def embedPca(s: SparkSession, d: String): DataFrame =
     Pca.project(Tables.embeddings(s, d), k = 8)
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("projected")).as(Seq("component", "v")))
+      .select(col("vec_id"), col("component"),
+        round(col("v") * 1e6).cast("long").as("value_micro"))
+      .orderBy(col("vec_id"), col("component"))
 
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.embeddings(s, d)

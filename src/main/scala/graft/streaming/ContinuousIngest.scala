@@ -90,15 +90,19 @@ class ContinuousIngest(
       t.scheduleClean(KeepLatestFileVersions(cleanRetainVersions)).foreach { plan =>
         pendingClean = Future(t.runClean(plan))
       }
-    if (archiveKeepLast > 0 && ingested % houseEvery == 0)
-      t.archive(archiveKeepLast)
     // keep the file-listing metadata table current on the same cadence —
     // the sync is O(commits since last sync), so steady-state cost stays
-    // bounded and cold restarts read parquet segments, not N JSON metas
+    // bounded and cold restarts read parquet segments, not N JSON metas.
+    // Sync BEFORE archive: commits the archive folds into its checkpoint
+    // should already be in the segments (the sync can replay
+    // archive-before-sync commits from the cold archive, but keeping the
+    // order right makes that the exception path, not the steady state)
     if (ingested % houseEvery == 0 &&
         java.nio.file.Files.isDirectory(t.mdtFilesDir))
       try t.syncMetadataTable()
       catch { case _: Exception => /* listing sync must never stop ingest */ }
+    if (archiveKeepLast > 0 && ingested % houseEvery == 0)
+      t.archive(archiveKeepLast)
     instant
   }
 
@@ -165,6 +169,15 @@ object ContinuousIngest {
     Set(DfsSource.Kind, SqlOnceSource.Kind, JdbcSource.Kind, CommitFeed.Kind,
       KafkaLikeSource.Kind)
 
+  /** Kinds that EXISTED before checkpoint namespacing — only these may
+    * interpret a bare pre-namespacing value as their own watermark. A kind
+    * added after namespacing (kafka, and anything future) can never have
+    * written a bare value, so adopting one would be claiming a FOREIGN
+    * source's resume token (at best a decode crash, at worst silently
+    * skipped or re-read data). */
+  private val LegacyEligibleKinds =
+    Set(DfsSource.Kind, SqlOnceSource.Kind, JdbcSource.Kind, CommitFeed.Kind)
+
   def lastCheckpointFor(t: GraftTable, kind: String): Option[String] = {
     val prefix = kind + ":"
     def find(metas: Iterator[graft.table.CommitMeta]): Option[String] =
@@ -173,15 +186,17 @@ object ContinuousIngest {
     // upgrade path: a table whose last ingest predates checkpoint
     // namespacing recorded a bare value — resuming from scratch would
     // re-ingest the whole inbox, so the newest prefix-free value serves
-    // as the legacy watermark when no namespaced one exists
+    // as the legacy watermark when no namespaced one exists (and the
+    // asking kind predates namespacing itself)
     def findLegacy(metas: Iterator[graft.table.CommitMeta]): Option[String] =
       metas.flatMap(_.extra.get("checkpoint"))
         .collectFirst { case v
           if !KnownKinds.exists(k => v.startsWith(k + ":")) => v }
     t.timeline.refresh()
-    find(t.timeline.metasSlim(None).reverseIterator)
+    val namespaced = find(t.timeline.metasSlim(None).reverseIterator)
       .orElse(find(t.timeline.archivedMetas().reverseIterator))
-      .orElse(findLegacy(t.timeline.metasSlim(None).reverseIterator))
+    if (namespaced.nonEmpty || !LegacyEligibleKinds.contains(kind)) namespaced
+    else findLegacy(t.timeline.metasSlim(None).reverseIterator)
       .orElse(findLegacy(t.timeline.archivedMetas().reverseIterator))
   }
 }

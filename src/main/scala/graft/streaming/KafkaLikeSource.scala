@@ -78,7 +78,9 @@ class KafkaLikeSource(puller: OffsetRangePuller,
       var rem = maxEventsPerPull
       val parts = lag.keys.toSeq.sorted
       parts.foreach { p =>
-        val t = lag(p) * maxEventsPerPull / total
+        // BigInt: lag * maxEventsPerPull overflows Long when both are
+        // large (~1e12 each); the quotient itself always fits (≤ lag)
+        val t = (BigInt(lag(p)) * maxEventsPerPull / total).toLong
         take(p) = t; rem -= t
       }
       for (p <- parts if rem > 0 && take(p) < lag(p)) { take(p) += 1; rem -= 1 }
@@ -125,6 +127,7 @@ object KafkaLikeSource {
   def decodeOffsets(s: String): Map[Int, Long] =
     s.split(',').filter(_.nonEmpty).map { t =>
       val i = t.lastIndexOf(':')
+      require(i > 0, s"not a kafka offset map entry: '$t' (expected p:o)")
       t.take(i).toInt -> t.drop(i + 1).toLong
     }.toMap
 }

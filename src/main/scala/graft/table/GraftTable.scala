@@ -1478,6 +1478,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       .map(_.path)
       .filter(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
     if (paths.isEmpty) { GraftTable.drop(mdtBloomsDir.toString); return 0 }
+    // layout upgrade: a pre-segment sync wrote flat parquet directly under
+    // the blooms dir — invisible to bloomSegs(), and orphaned forever once
+    // segments appear. Sidecars are the source of truth, so drop the flat
+    // files; this sync re-records their rows into a proper segment.
+    if (Files.isDirectory(mdtBloomsDir))
+      Fs.list(mdtBloomsDir).filter(Files.isRegularFile(_))
+        .foreach(Files.deleteIfExists(_))
     import spark.implicits._
     // INCREMENTAL (ref: HoodieBackedTableMetadataWriter.update — per-commit
     // upkeep, not a per-sync re-fold): only sidecars not yet in the blooms
@@ -3405,13 +3412,36 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     if (!valid) return rebuildMetadataTable()
     val newer = activeData.filter { case (i, _) => !covered.contains(i) }
     if (newer.isEmpty) return dest
-    // slim metas suffice: non-checkpoint commits inline their files, and
-    // checkpoints contribute no rows (their carried files are re-records)
-    val rows = newer.flatMap { case (i, a) =>
-      val m = timeline.readSlim(i, a)
-      if (m.operation == "checkpoint") Nil else MdtRow.of(m)
-    }
-    writeMdtSeg(rows, newer.map(_._1))
+    // archive-before-sync gap: a checkpoint's carried files are re-records
+    // of instants already in the segments — UNLESS a data commit was
+    // archived before any sync covered it. Then its file adds and
+    // replaced-group tombstones exist only in the checkpoint's fold, and
+    // skipping the checkpoint would drop them silently. Replay those
+    // instants' exact deltas from the archived timeline (full metas are
+    // retained there) into this segment.
+    val newCkpts = newer.map { case (i, a) => timeline.readSlim(i, a) }
+      .filter(_.operation == "checkpoint")
+    val uncoveredFolded = newCkpts.flatMap { m =>
+      (m.extra.get("archivedFrom"), m.extra.get("archivedTo")) match {
+        case (Some(lo), Some(hi)) =>
+          timeline.archivedInstants().filter(x => x >= lo && x <= hi)
+        case _ => Nil
+      }
+    }.distinct.filterNot(covered.contains)
+    val replay = uncoveredFolded.flatMap(timeline.archivedMeta)
+      .filter(m => dataActions(m.action))
+    // an uncovered checkpoint folded into another checkpoint can recurse
+    // arbitrarily deep — a rebuild is the always-correct answer
+    if (replay.exists(_.operation == "checkpoint")) return rebuildMetadataTable()
+    // slim metas suffice for the active commits: non-checkpoint commits
+    // inline their files, and checkpoints contribute no NEW rows beyond
+    // the replay above
+    val rows = replay.sortBy(_.instant).flatMap(MdtRow.of) ++
+      newer.flatMap { case (i, a) =>
+        val m = timeline.readSlim(i, a)
+        if (m.operation == "checkpoint") Nil else MdtRow.of(m)
+      }
+    writeMdtSeg(rows, replay.map(_.instant) ++ newer.map(_._1))
     mdtMemo = null
     // bound segment count: a cold listing pays one read per segment, so
     // past 32 the deltas fold into a fresh base (ref: the metadata table

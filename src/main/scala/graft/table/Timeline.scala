@@ -258,6 +258,18 @@ class Timeline(baseDir: String) {
       .filter(_.endsWith(".json")).map(_.split('.')(0)).sorted
   }
 
+  /** One archived instant's full meta, any action (targeted lookup — the
+    * metadata-table sync replays archive-before-sync commits from here
+    * without loading the whole cold archive). */
+  def archivedMeta(instant: String): Option[CommitMeta] = {
+    val arch = dir.resolve("archive")
+    if (!Files.exists(arch)) None
+    else Fs.list(arch).find { p =>
+      val n = p.getFileName.toString
+      n.startsWith(instant + ".") && n.endsWith(".json")
+    }.map(p => hydrate(Json.mapper.readValue[CommitMeta](Files.readAllBytes(p))))
+  }
+
   /** Full metadata of archived instants, oldest first (ref: hudi
     * HoodieArchivedTimeline.loadInstants). Uncached: the archive is cold
     * storage read only by inspection procedures. */

@@ -135,20 +135,50 @@ class KafkaLikeSourceSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
-  test("legacy prefix-free checkpoint serves as the watermark after upgrade") {
+  test("legacy prefix-free checkpoint: pre-namespacing kinds only") {
     val dir = tmp()
     val t = table(dir)
     import spark.implicits._
     // simulate a pre-namespacing ingest commit: bare watermark value
     t.writeBatch(Seq((0, 0L, "old")).toDF("part", "off", "v"), "insert",
-      extra = Map("checkpoint" -> "0:1"))
-    assert(ContinuousIngest.lastCheckpointFor(t, "kafka") === Some("0:1"))
-    // a namespaced commit takes precedence over the legacy value
+      extra = Map("checkpoint" -> "inbox/file_0007.json"))
+    // kinds that existed before namespacing adopt it...
+    assert(ContinuousIngest.lastCheckpointFor(t, "dfs")
+      === Some("inbox/file_0007.json"))
+    // ...a post-namespacing kind (kafka) must NOT: the bare value is some
+    // FOREIGN source's resume token, not a p:o offset map — adopting it
+    // would crash decodeOffsets or silently skip/re-read data
+    assert(ContinuousIngest.lastCheckpointFor(t, "kafka") === None)
+    // a namespaced kafka commit is found normally; dfs keeps its legacy view
     t.writeBatch(Seq((0, 1L, "new")).toDF("part", "off", "v"), "insert",
       extra = Map("checkpoint" -> "kafka:0:2"))
     assert(ContinuousIngest.lastCheckpointFor(t, "kafka") === Some("0:2"))
-    // ...and a DIFFERENT kind's namespaced value is never surfaced as legacy
-    assert(ContinuousIngest.lastCheckpointFor(t, "dfs") === Some("0:1"))
+    assert(ContinuousIngest.lastCheckpointFor(t, "dfs")
+      === Some("inbox/file_0007.json"))
     GraftTable.drop(dir)
+  }
+
+  test("proportional allocation survives huge lag x huge cap (no overflow)") {
+    val huge = new OffsetRangePuller {
+      def earliestOffsets(): Map[Int, Long] = Map(0 -> 0L, 1 -> 0L)
+      def latestOffsets(): Map[Int, Long] =
+        Map(0 -> 2_000_000_000_000L, 1 -> 1_000_000_000_000L)
+      def fetch(ranges: Map[Int, (Long, Long)]): DataFrame =
+        throw new AssertionError("fetch not expected")
+    }
+    val cap = 1_500_000_000_000L
+    val src = new KafkaLikeSource(huge, maxEventsPerPull = cap)
+    val takes = src.nextRanges(Map.empty)
+      .map { case (p, (f, u)) => p -> (u - f) }
+    assert(takes.values.forall(_ > 0), s"negative/zero take: $takes")
+    assert(takes.values.sum === cap)
+    assert(takes === Map(0 -> 1_000_000_000_000L, 1 -> 500_000_000_000L))
+  }
+
+  test("decodeOffsets rejects a string that is not an offset map") {
+    intercept[IllegalArgumentException](
+      KafkaLikeSource.decodeOffsets("somefile.json"))
+    intercept[IllegalArgumentException](
+      KafkaLikeSource.decodeOffsets("2024-01-01 12:00:00"))
   }
 }

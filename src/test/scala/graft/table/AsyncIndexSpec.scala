@@ -152,6 +152,27 @@ class AsyncIndexSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("flat pre-segment bloom layout is migrated, not orphaned") {
+    val dir = tmp()
+    val t = mkTable(dir, 300)
+    // simulate the OLD layout: flat parquet (+ _SUCCESS) directly under the
+    // blooms dir, no seg_* subdirectories — bloomSegs() can't see these
+    val bd = Paths.get(dir, ".graft", "metadata", "blooms")
+    Files.createDirectories(bd)
+    Files.write(bd.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    Files.write(bd.resolve("_SUCCESS"), Array.emptyByteArray)
+    assert(t.bloomSegs().isEmpty)
+    val n = t.syncBloomMetadata()
+    assert(n === t.slices(None).flatMap(_.baseFiles).count(_.hasBloom))
+    // the flat files are gone (migrated into a proper segment), nothing
+    // orphaned alongside the seg_ dirs
+    val flat = Files.list(bd).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+    assert(flat.isEmpty, s"orphaned flat files: $flat")
+    assert(t.bloomSegs().size === 1)
+    GraftTable.drop(dir)
+  }
+
   test("bloom metadata sync is incremental: new files append a segment, old segments untouched") {
     val dir = tmp()
     val t = mkTable(dir, 300)

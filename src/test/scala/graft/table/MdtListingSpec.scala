@@ -137,6 +137,38 @@ class MdtListingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("archive-before-sync: uncovered folded commits replay into the segments") {
+    val dir = tmp()
+    val t = build(dir, CopyOnWrite)
+    t.syncMetadataTable() // base covers the first three commits
+    // commits the sync never sees before they get archived — including a
+    // replacecommit whose replaced-group TOMBSTONES matter: if the
+    // checkpoint is skipped as zero rows, these adds and tombstones are
+    // silently dropped from the segments (resurrected groups / lost rows)
+    t.upsert(batch(50, 6))
+    t.insertOverwrite(batch(400, 6).withColumn("p", lit("p2")))
+    t.upsert(batch(60, 4))
+    assert(t.archive(keepLast = 1) > 0) // folds the uncovered commits
+    t.syncMetadataTable()
+    val expected = t.snapshot().select("id", "v").as[(Long, Long)].collect().toSet
+    val expectedView = fsView(t)
+    val cold = GraftTable.load(spark, dir)
+    assert(cold.snapshot().select("id", "v").as[(Long, Long)]
+      .collect().toSet === expected)
+    // the listing came from the SEGMENTS: a fail-soft JSON fold would have
+    // had to hydrate the checkpoint's manifest
+    assert(cold.timeline.manifestLoads === 0,
+      "cold listing fell back to the JSON fold (manifest hydrated)")
+    assert(fsView(cold) === expectedView)
+    // and the pure segment fold (no JSON supplement) agrees on live groups
+    val mdtGroups = cold.metadataTable().select("partition", "file_id")
+      .as[(String, String)].collect().toSet
+    val liveGroups = expectedView.map(v => (v._1, v._2))
+    assert(liveGroups.subsetOf(mdtGroups),
+      s"missing from segments: ${liveGroups -- mdtGroups}")
+    GraftTable.drop(dir)
+  }
+
   test("compaction, clustering and archival stay correct through MDT-served listings") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("mdt_svc", MergeOnRead,
