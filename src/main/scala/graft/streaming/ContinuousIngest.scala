@@ -178,11 +178,17 @@ object ContinuousIngest {
   private val LegacyEligibleKinds =
     Set(DfsSource.Kind, SqlOnceSource.Kind, JdbcSource.Kind, CommitFeed.Kind)
 
-  def lastCheckpointFor(t: GraftTable, kind: String): Option[String] = {
+  /** `accept` narrows the match WITHIN a kind — e.g. the Kafka source
+    * passes a topic predicate so several topics feeding one table each
+    * resume from their own newest offset map, not whichever topic
+    * committed last. */
+  def lastCheckpointFor(t: GraftTable, kind: String,
+      accept: String => Boolean = _ => true): Option[String] = {
     val prefix = kind + ":"
     def find(metas: Iterator[graft.table.CommitMeta]): Option[String] =
       metas.flatMap(_.extra.get("checkpoint"))
-        .collectFirst { case v if v.startsWith(prefix) => v.drop(prefix.length) }
+        .collectFirst { case v if v.startsWith(prefix) &&
+          accept(v.drop(prefix.length)) => v.drop(prefix.length) }
     // upgrade path: a table whose last ingest predates checkpoint
     // namespacing recorded a bare value — resuming from scratch would
     // re-ingest the whole inbox, so the newest prefix-free value serves

@@ -54,8 +54,11 @@ trait OffsetRangePuller {
  * riding in the commit, exactly like the reference's CHECKPOINT_KEY.
  */
 class KafkaLikeSource(puller: OffsetRangePuller,
-    maxEventsPerPull: Long = Long.MaxValue) {
+    maxEventsPerPull: Long = Long.MaxValue,
+    topic: Option[String] = None) {
   require(maxEventsPerPull > 0, "maxEventsPerPull must be positive")
+  topic.foreach(t => require(t.nonEmpty && !t.contains(',') && !t.contains(':'),
+    s"topic '$t' must be non-empty without ',' or ':' (kafka topic charset)"))
 
   /** Next offset ranges after `committed` (ref: KafkaOffsetGen
     * .getNextOffsetRanges): from = max(committed, earliest) — retention
@@ -103,13 +106,24 @@ class KafkaLikeSource(puller: OffsetRangePuller,
 
   /** Source function bound to the table's recorded `kafka:` offset map —
     * the shape [[ContinuousIngest]] consumes. Restart (even after the
-    * checkpointed commits were archived) resumes from the committed map. */
+    * checkpointed commits were archived) resumes from the committed map.
+    *
+    * With a `topic` set, the checkpoint value is `topic,p:o,p:o` — the
+    * reference's exact CHECKPOINT_KEY shape (ref: hudi-utilities
+    * KafkaOffsetGen.CheckpointUtils.offsetsToStr) — and only values for
+    * THIS topic are read back, so several topics can feed one table (the
+    * multi-topic streamer) without clobbering each other's offsets. */
   def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
     () => {
-      val committed = ContinuousIngest.lastCheckpointFor(t, KafkaLikeSource.Kind)
-        .map(KafkaLikeSource.decodeOffsets).getOrElse(Map.empty)
+      val committed = ContinuousIngest.lastCheckpointFor(t,
+          KafkaLikeSource.Kind, v => KafkaLikeSource.topicOf(v) == topic)
+        .map(v => KafkaLikeSource.decodeOffsets(
+          topic.fold(v)(tp => v.drop(tp.length + 1))))
+        .getOrElse(Map.empty)
       pull(committed).map { case (m, df) =>
-        (s"${KafkaLikeSource.Kind}:${KafkaLikeSource.encodeOffsets(m)}", df)
+        val enc = KafkaLikeSource.encodeOffsets(m)
+        val value = topic.fold(enc)(tp => s"$tp,$enc")
+        (s"${KafkaLikeSource.Kind}:$value", df)
       }
     }
 }
@@ -130,4 +144,12 @@ object KafkaLikeSource {
       require(i > 0, s"not a kafka offset map entry: '$t' (expected p:o)")
       t.take(i).toInt -> t.drop(i + 1).toLong
     }.toMap
+
+  /** The topic label of a checkpoint value: Some(topic) for the
+    * `topic,p:o,...` form, None for the bare `p:o,...` (topic-less) form.
+    * A topic never contains ':', so the first segment tells them apart. */
+  private[streaming] def topicOf(value: String): Option[String] = {
+    val head = value.takeWhile(_ != ',')
+    if (head.contains(':')) None else Some(head).filter(_.nonEmpty)
+  }
 }
