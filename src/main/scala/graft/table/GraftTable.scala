@@ -857,6 +857,51 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     slicesFrom(timeline.metas(None).filter(m => dataActions(m.action)), asOf)
   }
 
+  /** Partition-pruned slice listing for the current state (ref:
+    * HoodieBackedTableMetadata.getAllFilesInPartition): when the metadata
+    * table serves listings, a read that targets a few partitions folds
+    * ONLY those partitions' rows — a pushed-down columnar scan over the
+    * partition-sorted segments — instead of materializing the full listing
+    * in driver heap (GBs at 10^7 files). The predicate is evaluated
+    * against the (metadata-sized, memoized) partition list first, so the
+    * opaque-function API still prunes physically. Falls back to filtering
+    * the full fold when no MDT is synced, when nothing would be pruned, or
+    * when the segments are stale. */
+  def slicesPruned(partitionPred: String => Boolean): Seq[FileSlice] = {
+    def full() = slices(None).filter(s => partitionPred(s.partition))
+    // a fold already memoized for this state costs nothing to filter
+    val memo = mdtMemo
+    if (memo != null && (memo._1 eq timeline.completed()) && memo._2 != null)
+      return full()
+    mdtPartitionList() match {
+      case None => full()
+      case Some(ps) =>
+        val want = ps.filter(partitionPred)
+        if (want.size >= ps.size) full() // nothing to prune
+        else {
+          // one-entry memo: a read path commonly prunes the same partition
+          // set twice in a row (fast-scan probe, then the merge fallback)
+          val key = timeline.completed()
+          val wantSet = want.toSet
+          val pm = mdtPrunedMemo
+          val ms =
+            if (pm != null && (pm._1 eq key) && pm._2 == wantSet) Some(pm._3)
+            else mdtServedMetas(Some(wantSet)) match {
+              case Some(m) => mdtPrunedMemo = (key, wantSet, m); Some(m)
+              case None => None
+            }
+          ms match {
+            case Some(m) => slicesFrom(m, None)
+              .filter(s => partitionPred(s.partition))
+            case None => full()
+          }
+        }
+    }
+  }
+
+  @volatile private var mdtPrunedMemo
+      : (Seq[(String, String)], Set[String], Seq[CommitMeta]) = null
+
   // memoized per timeline state, exactly like schemaMemo: every commit
   // through this instance refreshes the listing and re-derives the served
   // metas (cheap: cached segments + one new JSON read)
@@ -1933,7 +1978,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     val startSeen = timeline.completed().map(_._1).toSet
     val instant = timeline.startInstant("replacecommit")
     try {
-      val replaced = slices(None).filter(s => partitionPaths.contains(s.partition))
+      val replaced = slicesPruned(partitionPaths.toSet)
         .map(s => s"${s.partition}|${s.fileId}")
       commitGuarded(startSeen, Set.empty, partitionPaths.toSet,
         CommitMeta(instant, "replacecommit", "delete_partition",
@@ -2197,10 +2242,13 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * filters them; deletes live only in MOR logs), so a raw scan of these
    * files IS the snapshot. None = the general merging reader must run.
    */
-  private[graft] def fastScanFiles(asOf: Option[String],
-      baseOnly: Boolean): Option[(Seq[FileMeta], StructType, StructType)] = {
+  private[graft] def fastScanFiles(asOf: Option[String], baseOnly: Boolean,
+      partitionPred: String => Boolean = _ => true)
+      : Option[(Seq[FileMeta], StructType, StructType)] = {
     assertNotArchived(asOf, "time travel to")
-    val ss = slices(asOf)
+    val ss =
+      if (asOf.isEmpty) slicesPruned(partitionPred)
+      else slices(asOf).filter(s => partitionPred(s.partition))
     if (!baseOnly && ss.exists(_.logs.nonEmpty)) return None
     val bases = ss.flatMap(s => s.baseFiles.map(_ -> s.baseInstant))
     if (bases.exists(_._1.external)) return None
@@ -2286,14 +2334,20 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // the GraftFileIndex relation: full pushdown plus PLAN-TIME file
     // skipping from commit stats — the same fast path format("graft") reads
     // get, now for typed-API users too
-    fastScanFiles(asOf, baseOnly = false) match {
+    fastScanFiles(asOf, baseOnly = false, partitionPred) match {
       case Some((files, schema, partSchema)) =>
         spark.baseRelationToDataFrame(graft.sources.GraftRelations.fast(
           spark, basePath, files.filter(f => partitionPred(f.partition)), schema,
           config.baseFileFormat, partSchema))
       case None =>
         val data = schemaAt(asOf).getOrElse(new StructType())
-        val full = snapshotFull(asOf, data, s => partitionPred(s.partition))
+        // current-state reads go through the partition-pruned listing (one
+        // pruned segment scan when an MDT serves); time travel keeps the
+        // full fold (segments hold the live set only)
+        val ss =
+          if (asOf.isEmpty) slicesPruned(partitionPred)
+          else slices(asOf).filter(s => partitionPred(s.partition))
+        val full = snapshotOf(ss, data)
           .drop(FILE_ID, DELETED)
         // virtual-key tables never expose meta columns, whichever path serves
         partColsLast(
@@ -2502,7 +2556,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def compact(partitionPred: String => Boolean = _ => true,
       strategy: CompactionStrategy = CompactAll): Option[String] = {
     val startSeen = timeline.completed().map(_._1).toSet
-    val withLogs = slices(None).filter(s => s.logs.nonEmpty && partitionPred(s.partition))
+    val withLogs = slicesPruned(partitionPred).filter(_.logs.nonEmpty)
     val todo = pickCompactionTargets(withLogs, strategy)
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("commit")
@@ -2598,8 +2652,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def scheduleCompaction(partitionPred: String => Boolean = _ => true,
       strategy: CompactionStrategy = CompactAll): Option[String] = {
     val pinned = pendingPlanGroups()
-    val withLogs = slices(None).filter(s => s.logs.nonEmpty &&
-      partitionPred(s.partition) && !pinned(groupKey(s)))
+    val withLogs = slicesPruned(partitionPred)
+      .filter(s => s.logs.nonEmpty && !pinned(groupKey(s)))
     val todo = pickCompactionTargets(withLogs, strategy)
     if (todo.isEmpty) return None
     val instant = timeline.startInstant("compactionreq")
@@ -2674,8 +2728,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     require(Set("zorder", "hilbert")(curve),
       s"unknown layout curve '$curve' (zorder | hilbert)")
     val pinned = pendingPlanGroups()
-    val live = slices(None).filter(s =>
-      partitionPred(s.partition) && !pinned(groupKey(s)))
+    val live = slicesPruned(partitionPred).filterNot(s => pinned(groupKey(s)))
     val cur = pickClusteringTargets(live, strategy)
     if (cur.isEmpty) return None
     val instant = timeline.startInstant("clusteringreq")
@@ -2743,7 +2796,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       "clustering preserves per-row commit times, which a virtual-key " +
         "(populate.meta.fields=false) table does not materialize")
     val startSeen = timeline.completed().map(_._1).toSet
-    val live = slices(None).filter(s => partitionPred(s.partition))
+    val live = slicesPruned(partitionPred)
     val cur = pickClusteringTargets(live, strategy)
     if (cur.isEmpty) None
     else clusterSlices(cur, sortCols, zorder, startSeen, Map.empty, curve)
@@ -3349,6 +3402,62 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
   }
 
+  /** Diagnostic: MdtRow records materialized on the driver by PRUNED
+    * segment reads (spec pin: a one-partition lookup folds that
+    * partition's rows, not the table's). */
+  private[graft] var mdtRowsFolded = 0L
+
+  /** Partition-pruned segment read: ONE pushed-down columnar scan across
+    * all segments — segments are written range-partitioned and sorted by
+    * `partition`, so parquet min/max prunes row groups and only the
+    * requested partitions' rows ever reach the driver. Uncached by design:
+    * the full-fold cache (mdtSegCache) would defeat the point at 10^7
+    * files. */
+  private def mdtSegMetasPruned(segs: Seq[Path], parts: Set[String])
+      : Seq[CommitMeta] = {
+    if (parts.isEmpty) return Nil
+    import spark.implicits._
+    val rows = spark.read.parquet(segs.map(_.toString): _*)
+      .filter(col("partition").isInCollection(parts))
+      .as[MdtRow].collect()
+    mdtRowsFolded += rows.length
+    rows.groupBy(r => (r.instant, r.action, r.operation)).toSeq
+      .map { case ((i, a, o), rs) =>
+        CommitMeta(i, a, o,
+          files = rs.filter(_.kind == "file").map(_.toFileMeta).toSeq
+            .sortBy(f => (f.partition, f.fileId, f.path)),
+          replaced = rs.filter(_.kind == "replaced")
+            .map(r => s"${r.partition}|${r.fileId}").toSeq.sorted)
+      }.sortBy(_.instant)
+  }
+
+  // the table's partition list is metadata-sized however many files exist;
+  // memoize per timeline state like the served-metas fold
+  @volatile private var mdtPartsMemo: (Seq[(String, String)], Option[Seq[String]]) = null
+
+  /** All partitions present in the metadata table (segments + post-sync
+    * JSON), or None when the MDT cannot serve. ONE column-pruned distinct
+    * scan — never the row-level listing. */
+  private def mdtPartitionList(): Option[Seq[String]] = {
+    val key = timeline.completed()
+    val memo = mdtPartsMemo
+    if (memo != null && ((memo._1 eq key) || memo._1 == key)) return memo._2
+    val res = mdtValidSegs().flatMap { case (segs, postIa) =>
+      try {
+        import spark.implicits._
+        val segParts = spark.read.parquet(segs.map(_._1.toString): _*)
+          .select("partition").distinct().as[String].collect().toSeq
+        val postParts = postIa.flatMap { case (i, a) =>
+          val m = timeline.read(i, a)
+          m.files.map(_.partition) ++ m.replaced.map(_.takeWhile(_ != '|'))
+        }
+        Some((segParts ++ postParts).distinct.sorted)
+      } catch { case _: Exception => None }
+    }
+    mdtPartsMemo = (key, res)
+    res
+  }
+
   private def writeMdtSeg(rows: Seq[MdtRow], covered: Seq[String]): Unit = {
     import spark.implicits._
     val name = s"seg_${covered.max}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -3368,15 +3477,15 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** The commit-order metas the metadata table can serve for the CURRENT
-    * state, or None when it cannot (no/torn/stale segments) — the caller
-    * falls back to the JSON fold. Post-sync commits come from their own
-    * (small) JSON metas. */
-  private def mdtServedMetas(): Option[Seq[CommitMeta]] = {
+  /** Segments usable for the CURRENT state (plus the post-sync active
+    * instants not yet covered), or None when the metadata table cannot
+    * serve (no/stale segments) — the caller falls back to the JSON fold. */
+  private def mdtValidSegs()
+      : Option[(Seq[(Path, Seq[String])], Seq[(String, String)])] = {
     val segs = mdtSegs()
     if (segs.isEmpty) return None
-    val completedList = timeline.completed()
-    val activeData = completedList.filter { case (_, a) => dataActions(a) }
+    val activeData = timeline.completed()
+      .filter { case (_, a) => dataActions(a) }
     val activeSet = activeData.map(_._1).toSet
     val covered = segs.flatMap(_._2).toSet
     val stale = covered -- activeSet
@@ -3384,13 +3493,35 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // files live on in the fold); one removed by rollback/restore is not
     if (stale.nonEmpty && !stale.subsetOf(timeline.archivedInstants().toSet))
       return None
-    try {
-      val segMetas = segs.flatMap { case (d, _) => mdtSegMetas(d) }
-      val post = activeData.filter { case (i, _) => !covered.contains(i) }
-        .map { case (i, a) => timeline.read(i, a) }
-      Some((segMetas ++ post).sortBy(_.instant))
-    } catch { case _: Exception => None } // torn segment → JSON fold
+    Some((segs, activeData.filter { case (i, _) => !covered.contains(i) }))
   }
+
+  /** The commit-order metas the metadata table can serve for the CURRENT
+    * state, or None when it cannot (no/torn/stale segments) — the caller
+    * falls back to the JSON fold. Post-sync commits come from their own
+    * (small) JSON metas. With `parts` set, only those partitions' rows are
+    * folded — a partition-pruned columnar read, never the full listing
+    * (ref: HoodieBackedTableMetadata.getAllFilesInPartition). */
+  private def mdtServedMetas(parts: Option[Set[String]] = None)
+      : Option[Seq[CommitMeta]] =
+    mdtValidSegs().flatMap { case (segs, postIa) =>
+      try {
+        val segMetas = parts match {
+          case None => segs.flatMap { case (d, _) => mdtSegMetas(d) }
+          case Some(ps) => mdtSegMetasPruned(segs.map(_._1), ps)
+        }
+        val post = postIa.map { case (i, a) => timeline.read(i, a) }
+          .map { m =>
+            parts match {
+              case None => m
+              case Some(ps) => m.copy(
+                files = m.files.filter(f => ps(f.partition)),
+                replaced = m.replaced.filter(r => ps(r.takeWhile(_ != '|'))))
+            }
+          }
+        Some((segMetas ++ post).sortBy(_.instant))
+      } catch { case _: Exception => None } // torn segment → JSON fold
+    }
 
   /** Sync the metadata table: full base export on first call (or after the
     * segments went stale), an O(new commits) delta segment afterwards (ref:

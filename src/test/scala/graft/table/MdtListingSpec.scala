@@ -169,6 +169,52 @@ class MdtListingSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  for (tt <- Seq(CopyOnWrite, MergeOnRead))
+    test(s"partition-scoped lookup folds ONE partition's rows, not the table (${tt.name})") {
+      val dir = tmp()
+      // 8 partitions so the one-partition pin has teeth
+      def wb(from: Int, n: Int) = (from until from + n)
+        .map(i => (i.toLong, s"p${i % 8}", i * 2L)).toDF("id", "p", "v")
+      val t = GraftTable.create(spark, dir, TableConfig("mdt_pr", tt,
+        keyFields = Seq("id"), precombineField = Some("v"),
+        partitioning = PartitionByColumns(Seq("p")), targetFileSizeRows = 10))
+      t.bulkInsert(wb(0, 160))
+      t.upsert(wb(40, 40).withColumn("v", col("v") + 1000))
+      t.insertOverwrite(wb(500, 12).withColumn("p", lit("p2")))
+      t.syncMetadataTable()
+      t.upsert(wb(200, 16)) // post-sync JSON commits must prune too
+      val want = t.snapshot(partitionPred = _ == "p=p1").select("id", "v")
+        .as[(Long, Long)].collect().toSet
+      assert(want.nonEmpty)
+
+      // cold instance: nothing memoized — the pruned path must not fold
+      // the full listing on the driver
+      val cold = GraftTable.load(spark, dir)
+      val pruned = cold.slicesPruned(_ == "p=p1")
+      val foldedRows = cold.mdtRowsFolded
+      val segTotal = spark.read.parquet(Paths.get(dir, ".graft", "metadata",
+        "files").toString + "/seg_*").count()
+      assert(foldedRows > 0, "pruned path did not serve from segments")
+      assert(foldedRows * 4 <= segTotal,
+        s"pruned lookup folded $foldedRows of $segTotal segment rows")
+      // identical slices vs the full fold (projected: FileMeta holds
+      // Array-typed col stats, which compare by reference)
+      def skey(s: FileSlice) = (s.partition, s.fileId, s.baseInstant,
+        s.baseFiles.map(_.path).sorted, s.logs.map(_._2.path).sorted)
+      val full = cold.slices(None).filter(_.partition == "p=p1")
+      assert(pruned.map(skey).sortBy(_.toString)
+        === full.map(skey).sortBy(_.toString),
+        "pruned fold diverges from the full fold")
+
+      // a cold partition-filtered snapshot answers through the pruned path
+      val cold2 = GraftTable.load(spark, dir)
+      assert(cold2.snapshot(partitionPred = _ == "p=p1").select("id", "v")
+        .as[(Long, Long)].collect().toSet === want)
+      assert(cold2.mdtRowsFolded > 0 && cold2.mdtRowsFolded * 4 <= segTotal,
+        s"cold snapshot folded ${cold2.mdtRowsFolded} of $segTotal rows")
+      GraftTable.drop(dir)
+    }
+
   test("compaction, clustering and archival stay correct through MDT-served listings") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("mdt_svc", MergeOnRead,
