@@ -35,10 +35,11 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
     maxFilesPerPull: Int = Int.MaxValue,
     options: Map[String, String] = Map.empty) {
   require(maxFilesPerPull > 0, "maxFilesPerPull must be positive")
-  // parquet/json/csv/orc mirror the reference's DFS source family
-  // (ParquetDFSSource, JsonDFSSource, CsvDFSSource, ORCDFSSource); avro is
-  // out — this Spark build ships no spark-avro module
-  private val suffix = "." + (if (Set("json", "csv", "orc")(format)) format
+  // parquet/json/csv/orc/avro mirror the reference's DFS source family
+  // (ParquetDFSSource, JsonDFSSource, CsvDFSSource, ORCDFSSource,
+  // AvroDFSSource); avro reads through the core-avro container reader
+  // (graft.sources.AvroFiles) since no spark-avro module ships here
+  private val suffix = "." + (if (Set("json", "csv", "orc", "avro")(format)) format
                               else "parquet")
 
   /** Files named strictly above the watermark, ascending. The directory
@@ -61,9 +62,13 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
   def pull(last: Option[String]): Option[(String, DataFrame)] = {
     val names = newFiles(last.getOrElse("")).take(maxFilesPerPull)
     if (names.isEmpty) None
-    else Some((names.last,
-      spark.read.format(format).options(options)
-        .load(names.map(n => s"$dir/$n"): _*)))
+    else {
+      val paths = names.map(n => s"$dir/$n")
+      val df =
+        if (format == "avro") graft.sources.AvroFiles.read(spark, paths)
+        else spark.read.format(format).options(options).load(paths: _*)
+      Some((names.last, df))
+    }
   }
 
   /** Source function bound to the TABLE's recorded checkpoint — each pull
