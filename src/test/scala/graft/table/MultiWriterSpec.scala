@@ -163,11 +163,16 @@ class MultiWriterSpec extends AnyFunSuite {
         start.await()
         while (writersDone.get() < 2) {
           t.timeline.refresh()
-          try rnd.nextInt(4) match {
+          try rnd.nextInt(6) match {
             case 0 => t.compact()
             case 1 => t.clean(KeepLatestCommits(5))
             case 2 => t.archive(keepLast = 6)
             case 3 => t.scheduleCompaction().foreach(t.runCompaction)
+            // metadata-table maintenance races the writers too: listings
+            // flip MDT-served mid-soak and every later read goes through
+            // the segments + post-sync JSON path under concurrency
+            case 4 => t.syncMetadataTable()
+            case 5 => t.syncBloomMetadata()
           } catch {
             case _: ConcurrentWriteException => // expected under race
             case e: IllegalArgumentException
@@ -189,10 +194,22 @@ class MultiWriterSpec extends AnyFunSuite {
       else model ++= rows.map { case (id, v, ver) => id -> (v, ver) }
     }
     val t = GraftTable.load(spark, dir)
-    val got = t.snapshot().select("id", "v", "ver")
+    def snap(x: GraftTable) = x.snapshot().select("id", "v", "ver")
       .as[(Long, Long, Long)].collect()
       .map { case (id, v, ver) => id -> (v, ver) }.toMap
-    assert(got === model, "snapshot diverged with services racing")
+    assert(snap(t) === model, "snapshot diverged with services racing")
+    // the race left MDT segments behind (service syncs) — force a
+    // STALENESS event on top of them: one more commit, rolled back. The
+    // fail-soft path must serve the JSON fold, and the next sync rebuilds.
+    t.syncMetadataTable()
+    t.upsert(Seq((999L, 1L, 1L)).toDF("id", "v", "ver"))
+    t.rollback()
+    val afterRb = GraftTable.load(spark, dir)
+    assert(snap(afterRb) === model,
+      "post-rollback listing diverged from the JSON fold")
+    afterRb.syncMetadataTable() // staleness detected -> rebuild
+    val resynced = GraftTable.load(spark, dir)
+    assert(snap(resynced) === model, "post-rebuild listing diverged")
     GraftTable.drop(dir)
   }
 
