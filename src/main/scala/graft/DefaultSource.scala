@@ -145,7 +145,8 @@ class DefaultSource extends RelationProvider with CreatableRelationProvider
         // post-commit notification BEFORE table services: the callback
         // reports the write the caller made, not maintenance side-effects
         // (ref: hoodie.write.commit.callback.class)
-        CommitCallback.fire(parameters.get(COMMIT_CALLBACK_CLASS), t, instant)
+        CommitCallback.fire(parameters.get(COMMIT_CALLBACK_CLASS), t, instant,
+          parameters)
         // writer-maintains-the-table mode (ref: hudi inline/automatic
         // services) — no-op unless the graft.*.inline/automatic options ask
         AutoServices.run(t, parameters)

@@ -14,6 +14,57 @@ package graft.table
  */
 trait CommitCallback {
   def onCommit(tablePath: String, meta: CommitMeta): Unit
+
+  /** Write-door options handed to the callback before the first fire —
+    * how the reference's HTTP/Kafka callbacks get their url/key config
+    * (HoodieWriteCommitCallbackConfig.CALLBACK_HTTP_URL etc.). */
+  def configure(options: Map[String, String]): Unit = ()
+}
+
+/**
+ * HTTP commit callback (ref: hudi-client-common callback/impl/
+ * HoodieWriteCommitHttpCallback.java + client/http/
+ * HoodieWriteCommitHttpCallbackClient.java): POSTs the commit metadata
+ * as JSON to `graft.commit.callback.http.url`, with the api key in the
+ * `GRAFT-CALLBACK-KEY` header (the reference's HUDI-CALLBACK-KEY shape)
+ * — over the JDK's HttpClient, no extra dependency. Unlike the
+ * reference's client (which logs and swallows failures), a non-2xx or
+ * connect failure PROPAGATES, per this engine's callback contract: a
+ * pipeline that requested notification must not silently lose it.
+ */
+class HttpCommitCallback extends CommitCallback {
+  private var url = ""
+  private var apiKey = ""
+  private var timeoutSeconds = 30L
+
+  override def configure(options: Map[String, String]): Unit = {
+    url = options.getOrElse("graft.commit.callback.http.url",
+      sys.error("HttpCommitCallback needs graft.commit.callback.http.url"))
+    apiKey = options.getOrElse("graft.commit.callback.http.api.key", "")
+    timeoutSeconds = options.get("graft.commit.callback.http.timeout.seconds")
+      .map(_.toLong).getOrElse(30L)
+  }
+
+  override def onCommit(tablePath: String, meta: CommitMeta): Unit = {
+    require(url.nonEmpty, "HttpCommitCallback not configured (no url)")
+    val body = Json.mapper.writeValueAsString(Map(
+      "tableBasePath" -> tablePath, "instant" -> meta.instant,
+      "action" -> meta.action, "operation" -> meta.operation,
+      "files" -> meta.files.size, "rows" -> meta.files.map(_.rows).sum,
+      "replaced" -> meta.replaced.size))
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      .header("Content-Type", "application/json")
+      .header("GRAFT-CALLBACK-KEY", apiKey)
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() < 300,
+      s"commit callback POST $url returned ${resp.statusCode()}")
+  }
 }
 
 /** File-based callback for auditable pipelines: appends one JSON line per
@@ -35,11 +86,15 @@ class FileCommitCallback extends CommitCallback {
 }
 
 object CommitCallback {
-  /** Instantiate + fire the configured callback for `instant`, if any. */
-  def fire(className: Option[String], t: GraftTable, instant: String): Unit =
+  /** Instantiate + fire the configured callback for `instant`, if any.
+    * `options` (the write-door parameter map) configures callbacks that
+    * need endpoints/keys, e.g. [[HttpCommitCallback]]. */
+  def fire(className: Option[String], t: GraftTable, instant: String,
+      options: Map[String, String] = Map.empty): Unit =
     className.filter(_.nonEmpty).foreach { cls =>
       val cb = Class.forName(cls).getDeclaredConstructor()
         .newInstance().asInstanceOf[CommitCallback]
+      cb.configure(options)
       t.timeline.refresh()
       val action = t.timeline.completed().find(_._1 == instant).map(_._2)
         .getOrElse(throw new IllegalStateException(

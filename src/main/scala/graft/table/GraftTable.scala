@@ -36,6 +36,12 @@ import org.apache.spark.sql.types._
  *    metadata renames, same as the reference's commit protocol.
  */
 object GraftTable {
+  /** Shared "no partition pruning" predicate: read APIs default to this
+    * INSTANCE so the engine can tell an unfiltered read (serve the
+    * memoized full fold directly) from a genuine pruning predicate (worth
+    * a partition-list probe + pruned segment scan) by reference. */
+  val NoPrune: String => Boolean = _ => true
+
   val COMMIT  = "_graft_commit_time"
   val KEY     = "_graft_record_key"
   val PART    = "_graft_partition_path"
@@ -869,6 +875,9 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * when the segments are stale. */
   def slicesPruned(partitionPred: String => Boolean): Seq[FileSlice] = {
     def full() = slices(None).filter(s => partitionPred(s.partition))
+    // the shared no-pruning default: serve the (memoized) full fold with
+    // no partition-list probe at all
+    if (partitionPred eq GraftTable.NoPrune) return slices(None)
     // a fold already memoized for this state costs nothing to filter
     val memo = mdtMemo
     if (memo != null && (memo._1 eq timeline.completed()) && memo._2 != null)
@@ -2243,7 +2252,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
    * files IS the snapshot. None = the general merging reader must run.
    */
   private[graft] def fastScanFiles(asOf: Option[String], baseOnly: Boolean,
-      partitionPred: String => Boolean = _ => true)
+      partitionPred: String => Boolean = GraftTable.NoPrune)
       : Option[(Seq[FileMeta], StructType, StructType)] = {
     assertNotArchived(asOf, "time travel to")
     val ss =
@@ -2328,7 +2337,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * snapshot). `asOf` = time travel; `partitionPred` prunes partitions
     * before any file is read. */
   def snapshot(asOf: Option[String] = None,
-      partitionPred: String => Boolean = _ => true): DataFrame = {
+      partitionPred: String => Boolean = GraftTable.NoPrune): DataFrame = {
     assertNotArchived(asOf, "time travel to")
     // when the snapshot is exactly a multi-file parquet scan, serve it from
     // the GraftFileIndex relation: full pushdown plus PLAN-TIME file
@@ -2553,7 +2562,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * `strategy` picks the TARGETS (ref: LogFileSizeBasedCompactionStrategy /
     * BoundedIOCompactionStrategy): at 100 TB you compact the worst K groups
     * within an IO budget each cycle, not every group with a log. */
-  def compact(partitionPred: String => Boolean = _ => true,
+  def compact(partitionPred: String => Boolean = GraftTable.NoPrune,
       strategy: CompactionStrategy = CompactAll): Option[String] = {
     val startSeen = timeline.completed().map(_._1).toSet
     val withLogs = slicesPruned(partitionPred).filter(_.logs.nonEmpty)
@@ -2649,7 +2658,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * IO runs out-of-band on its own executors. Log files appended AFTER the
     * plan stay layered on the compacted base (they resolve at instants
     * above the plan) and are picked up by the next plan. */
-  def scheduleCompaction(partitionPred: String => Boolean = _ => true,
+  def scheduleCompaction(partitionPred: String => Boolean = GraftTable.NoPrune,
       strategy: CompactionStrategy = CompactAll): Option[String] = {
     val pinned = pendingPlanGroups()
     val withLogs = slicesPruned(partitionPred)
@@ -2719,7 +2728,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * target groups and layout (sort columns / z-order) for a later
     * [[runClustering]]. */
   def scheduleClustering(sortCols: Seq[String], zorder: Boolean = false,
-      partitionPred: String => Boolean = _ => true,
+      partitionPred: String => Boolean = GraftTable.NoPrune,
       strategy: ClusteringStrategy = ClusterAll,
       curve: String = "zorder"): Option[String] = {
     require(config.populateMetaFields,
@@ -2789,7 +2798,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * [[SmallFileBounded]] consolidates only small-file groups within an IO
     * budget and returns None when fewer than two qualify (nothing to merge). */
   def cluster(sortCols: Seq[String], zorder: Boolean = false,
-      partitionPred: String => Boolean = _ => true,
+      partitionPred: String => Boolean = GraftTable.NoPrune,
       strategy: ClusteringStrategy = ClusterAll,
       curve: String = "zorder"): Option[String] = {
     require(config.populateMetaFields,

@@ -142,6 +142,26 @@ object LakeQueries {
     out(GraftTable.load(s, dir).snapshot())
   }
 
+  /** Partition-pruned COLD read served through the metadata table: build +
+    * update + sync + post-sync update, then a FRESH instance reads ONE
+    * partition — slicesPruned folds only that partition's segment rows
+    * (pushed-down columnar scan; LargeListingSpec pins the row counts,
+    * this pins the answers against the oracle). */
+  def lakeMdtPruned(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("mdtpruned", d)
+    val t = GraftTable.create(s, dir, ordersCfg(CopyOnWrite))
+    val orders = Tables.orders(s, d)
+    t.bulkInsert(orders)
+    t.upsert(orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_orderpriority", lit("PRUNEUPD")))
+    t.syncMetadataTable()
+    t.upsert(orders.filter(col("o_orderkey") % 100 === 3)
+      .withColumn("o_orderpriority", lit("POST")))
+    out(GraftTable.load(s, dir)
+      .snapshot(partitionPred = _ == "o_orderstatus=F"))
+  }
+
   /** MOR snapshot: two rounds of log updates, latest wins, no compaction. */
   def lakeMorSnapshot(s: SparkSession, d: String): DataFrame = {
     val t = GraftTable.create(s, scratch("mor", d), ordersCfg(MergeOnRead))
@@ -565,6 +585,7 @@ object LakeQueries {
     "lake_incremental" -> (lakeIncremental _),
     "lake_time_travel" -> (lakeTimeTravel _),
     "lake_mdt_cold" -> (lakeMdtCold _),
+    "lake_mdt_pruned" -> (lakeMdtPruned _),
     "lake_merge_into" -> (lakeMergeInto _),
     "lake_mor_snapshot" -> (lakeMorSnapshot _),
     "lake_skip_merge" -> (lakeSkipMerge _),
@@ -798,6 +819,17 @@ object LakeQueries {
          |         CASE WHEN o_orderkey % 10 = 0 THEN 'MDTUPD'
          |              ELSE o_orderpriority END AS o_orderpriority
          |  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 100 <> 3
+         |) ORDER BY o_orderkey""".stripMargin,
+    "lake_mdt_pruned" ->
+      s"""SELECT $oracleCols FROM (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+         |              ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate,
+         |         CASE WHEN o_orderkey % 100 = 3 THEN 'POST'
+         |              WHEN o_orderkey % 10 = 0 THEN 'PRUNEUPD'
+         |              ELSE o_orderpriority END AS o_orderpriority
+         |  FROM orders WHERE o_orderstatus = 'F'
          |) ORDER BY o_orderkey""".stripMargin,
     "lake_merge_into" ->
       s"""SELECT $oracleCols FROM (

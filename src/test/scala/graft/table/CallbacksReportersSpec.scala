@@ -1,0 +1,103 @@
+package graft.table
+
+import java.net.{InetSocketAddress, ServerSocket}
+import java.nio.file.Files
+import scala.collection.mutable
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Network commit callbacks + push metrics reporters against in-JVM
+  * localhost servers (ref: HoodieWriteCommitHttpCallbackClient,
+  * MetricsGraphiteReporter — external SYSTEMS stay out, the protocols
+  * don't). */
+class CallbacksReportersSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft_cb_").toString
+
+  test("HttpCommitCallback POSTs the commit JSON with the api-key header") {
+    val received = mutable.Buffer[(String, String)]() // (key header, body)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cb", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        received.synchronized {
+          received += ((x.getRequestHeaders.getFirst("GRAFT-CALLBACK-KEY"), body))
+        }
+        x.sendResponseHeaders(200, -1)
+        x.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dir = tmp()
+      // through the write door, like a user would configure it
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.format("graft")
+        .option("graft.table.name", "cb_t")
+        .option("graft.recordkey.field", "id")
+        .option("graft.operation", "bulk_insert")
+        .option("graft.commit.callback.class",
+          "graft.table.HttpCommitCallback")
+        .option("graft.commit.callback.http.url", s"http://127.0.0.1:$port/cb")
+        .option("graft.commit.callback.http.api.key", "sekrit")
+        .mode("overwrite").save(dir)
+      assert(received.size === 1)
+      val (key, body) = received.head
+      assert(key === "sekrit")
+      assert(body.contains("\"operation\":\"bulk_insert\"") ||
+        body.contains("\"operation\" : \"bulk_insert\""), body)
+      assert(body.contains("\"rows\":2") || body.contains("\"rows\" : 2"), body)
+      // a failing endpoint PROPAGATES (the engine's callback contract)
+      val e = intercept[Exception] {
+        Seq((3L, "c")).toDF("id", "v")
+          .write.format("graft")
+          .option("graft.operation", "upsert")
+          .option("graft.commit.callback.class",
+            "graft.table.HttpCommitCallback")
+          .option("graft.commit.callback.http.url",
+            s"http://127.0.0.1:$port/nope")
+          .mode("append").save(dir)
+      }
+      assert(String.valueOf(e.getMessage).contains("404") ||
+        Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("404")),
+        e.toString)
+      GraftTable.drop(dir)
+    } finally server.stop(0)
+  }
+
+  test("Graphite reporter pushes one plaintext line per commit counter") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("gr_t", CopyOnWrite,
+      keyFields = Seq("id")))
+    t.bulkInsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B")).toDF("id", "v"))
+
+    val lines = mutable.Buffer[String]()
+    val ss = new ServerSocket(0)
+    val acceptor = new Thread(() => {
+      val sock = ss.accept()
+      val src = scala.io.Source.fromInputStream(sock.getInputStream, "UTF-8")
+      try lines.synchronized { lines ++= src.getLines() }
+      finally { src.close(); sock.close() }
+    })
+    acceptor.start()
+    val n = Metrics.report(t,
+      new GraphiteMetricsReporter("127.0.0.1", ss.getLocalPort))
+    acceptor.join(30000)
+    ss.close()
+    assert(n === lines.size)
+    // two data commits x three counters (no durationMs through this path)
+    assert(lines.count(_.startsWith("graft.gr_t.commit.totalRecordsWritten ")) === 2)
+    val fmt = """^graft\.gr_t\.commit\.[A-Za-z]+ -?\d+ \d{9,}$""".r
+    lines.foreach(l => assert(fmt.matches(l), s"bad graphite line: $l"))
+    val recs = lines.filter(_.startsWith("graft.gr_t.commit.totalRecordsWritten "))
+      .map(_.split(' ')(1).toLong)
+    // bulk insert wrote 3 rows; the COW upsert rewrote its whole group
+    assert(recs.size === 2 && recs.forall(_ >= 1) && recs.max === 3)
+    GraftTable.drop(dir)
+  }
+}
