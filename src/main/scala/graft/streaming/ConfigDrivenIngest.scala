@@ -1,0 +1,285 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.table._
+
+/**
+ * One parsed per-table streamer config — the re-expression of the fork's
+ * JSON config object (ref: hudi-flink-datasource/.../streamer/
+ * HoodieMuiltiTableFlinkStreamer.java:118 file mode /
+ * HoodieFlinkStreamerWithApollo.java:88 Apollo mode; each config carries
+ * `fields` + `kafka_config` + `hudi_config` (+ hive sync) for ONE table).
+ * Field types use the reference's type-string subset (ref:
+ * hudi-flink/.../util/SchemaUtils.java:67 getFieldLogicalType): varchar
+ * or string, decimal(p,s), timestamp, int, bigint, float, double,
+ * boolean, date.
+ */
+case class LaneSpec(
+    fields: Seq[StructField],
+    topic: String,
+    maxEventsPerPull: Long,
+    tableType: TableType,
+    basePath: String,
+    tableName: String,
+    keyFields: Seq[String],
+    precombineField: Option[String],
+    partitionField: Option[String],
+    payload: MergePayload,
+    operation: String,
+    compactionCommits: Int,
+    cleanRetainVersions: Int,
+    archiveKeepLast: Int,
+    transformerSql: Option[String]) {
+
+  /** The declared row schema the topic's JSON envelopes parse against. */
+  def schema: StructType = StructType(fields)
+
+  /** Table config derived the way the fork's initHudiConfig derives
+    * FlinkOptions (ref: HoodieMuiltiTableFlinkStreamer.java:171): hive-style
+    * partitioning when a partition field is configured, non-partitioned
+    * otherwise. */
+  def tableConfig: TableConfig = TableConfig(
+    name = tableName,
+    tableType = tableType,
+    keyFields = keyFields,
+    precombineField = precombineField,
+    partitioning = partitionField
+      .map(f => PartitionByColumns(Seq(f), hiveStyle = true))
+      .getOrElse(NonPartitioned),
+    payload = payload)
+}
+
+object LaneSpec {
+
+  /** The reference's type-string subset → Spark types (ref:
+    * SchemaUtils.java:67 getFieldLogicalType — substring matches for
+    * varchar/decimal/timestamp, exact names for the rest). */
+  def fieldType(s: String): DataType = {
+    val t = s.toLowerCase
+    if (t.contains("varchar") || t == "string") StringType
+    else if (t.contains("decimal")) {
+      val ps = t.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")")
+        .split(',').map(_.trim)
+      require(ps.length == 2 && ps.forall(_.forall(_.isDigit)),
+        s"decimal type needs (precision,scale): '$s'")
+      DecimalType(ps(0).toInt, ps(1).toInt)
+    }
+    else if (t.contains("timestamp")) TimestampType
+    else t match {
+      case "int"     => IntegerType
+      case "bigint"  => LongType
+      case "float"   => FloatType
+      case "double"  => DoubleType
+      case "boolean" => BooleanType
+      case "date"    => DateType
+      case other => sys.error(s"unsupported field type '$other' (varchar*|" +
+        "string|decimal(p,s)|timestamp*|int|bigint|float|double|boolean|date)")
+    }
+  }
+
+  /** Parse one config document. Layout mirrors the fork's per-table JSON:
+    * `fields` = ordered [{name, type}] (ref SchemaUtils.parseTableRowType),
+    * `kafka_config.topic` (+ optional max_events_per_pull), `table_config`
+    * = the hudi_config block re-named for this engine (table_type,
+    * base_path, table_name, record_key_field, precombine_field,
+    * partition_field, payload, operation, compaction_commits,
+    * clean_retain_versions, archive_keep_last), optional top-level
+    * `transformer_sql` over `<SRC>`. */
+  def parse(json: String): LaneSpec = {
+    val root = Json.mapper.readTree(json)
+    def req(node: com.fasterxml.jackson.databind.JsonNode, path: String) = {
+      val v = node.path(path)
+      require(!v.isMissingNode && !v.isNull && v.asText.nonEmpty,
+        s"streamer config needs '$path'")
+      v.asText
+    }
+    val fieldsNode = root.path("fields")
+    require(fieldsNode.isArray && fieldsNode.size > 0,
+      "streamer config needs a non-empty 'fields' array")
+    val fields = fieldsNode.elements().asScala.map { f =>
+      StructField(req(f, "name"), fieldType(req(f, "type")))
+    }.toSeq
+    require(fields.map(_.name).distinct.size == fields.size,
+      "duplicate field names in streamer config")
+    val kafka = root.path("kafka_config")
+    val tc = root.path("table_config")
+    val declared = fields.map(_.name).toSet
+    val keyFields = req(tc, "record_key_field").split(',').map(_.trim).toSeq
+    val precombine = Option(tc.path("precombine_field").asText(null))
+    val partition = Option(tc.path("partition_field").asText(null))
+    (keyFields ++ precombine ++ partition).foreach(c => require(declared(c),
+      s"config column '$c' is not in the declared fields"))
+    LaneSpec(
+      fields = fields,
+      topic = req(kafka, "topic"),
+      maxEventsPerPull =
+        Option(kafka.path("max_events_per_pull").asLong(0L))
+          .filter(_ > 0).getOrElse(Long.MaxValue),
+      // accept the reference's enum names too (fork configs say
+      // MERGE_ON_READ / COPY_ON_WRITE, ref FlinkOptions.TABLE_TYPE)
+      tableType = TableType.of(req(tc, "table_type").toLowerCase match {
+        case "merge_on_read" => "mor"
+        case "copy_on_write" => "cow"
+        case other => other
+      }),
+      basePath = req(tc, "base_path"),
+      tableName = req(tc, "table_name"),
+      keyFields = keyFields,
+      precombineField = precombine,
+      partitionField = partition,
+      payload = Option(tc.path("payload").asText(null))
+        .map(MergePayload.of).getOrElse(OverwriteLatest),
+      operation = Option(tc.path("operation").asText(null))
+        .getOrElse("upsert"),
+      compactionCommits = tc.path("compaction_commits").asInt(0),
+      cleanRetainVersions = tc.path("clean_retain_versions").asInt(0),
+      archiveKeepLast = tc.path("archive_keep_last").asInt(0),
+      transformerSql = Option(root.path("transformer_sql").asText(null)))
+  }
+}
+
+/**
+ * Config-driven multi-table streamer with HOT-RELOADED per-table configs —
+ * the fork's whole operating model, external config service excluded but
+ * its protocol kept (ref: HoodieMuiltiTableFlinkStreamer.java:94 builds one
+ * kafka→hudi lane per Apollo key or config FILE;
+ * MultiTableStringToRowDataMapFunction.java:66 registers an Apollo
+ * ConfigChangeListener that swaps the parse schema ON THE RUNNING STREAM;
+ * HoodieFlinkStreamerWithApollo.java:88): each config file describes one
+ * topic→table lane (declared schema, kafka config, table config,
+ * transform); the sweep loop re-reads the files and diffs them — a new
+ * file starts a lane, a deleted file retires its lane, a changed file
+ * REBUILDS its lane in place (the reference's listener path).
+ *
+ * Exactly-once across every reload: a lane's resume token is the
+ * `kafka:<topic>,p:o,...` offset map in its own TABLE's commit metadata
+ * (never in this object), so a rebuilt, re-added, or restarted lane always
+ * resumes exactly where the last committed batch left off. Schema changes
+ * ride the engine's schema evolution on write: an added field starts
+ * landing with the next batch, old rows read back null.
+ *
+ * Envelope contract (ref: MultiTableStringToRowDataMapFunction.map): each
+ * record is one JSON object with the declared fields plus `op` — I/U
+ * upsert, D deletes (RowKind.DELETE → the engine's tombstone column),
+ * absent op means insert; an unknown op fails the batch, a malformed
+ * envelope fails the batch (FAILFAST), and the exactly-once loop replays
+ * it after the config is fixed — data is never silently dropped.
+ *
+ * 100 TB posture: the sweep is driver-side orchestration only; config
+ * parsing is a few KB per sweep; each lane's pull is a bounded distributed
+ * batch and its services run on the lane's own background thread.
+ */
+class ConfigDrivenIngest(
+    spark: SparkSession,
+    configFiles: () => Seq[Path],
+    pullerFor: String => OffsetRangePuller,
+    valueCol: String = "value",
+    opCol: String = "op") extends AutoCloseable {
+
+  /** live lanes keyed by config file path: (raw config text, loop). */
+  private val lanes = scala.collection.mutable.LinkedHashMap[
+    String, (String, ContinuousIngest)]()
+
+  /** Last parse/build failure per config path (a broken config must not
+    * kill the OTHER lanes' ingest — surfaced here, lane skipped). */
+  val laneErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def build(raw: String): ContinuousIngest = {
+    val spec = LaneSpec.parse(raw)
+    val t =
+      if (GraftTable.exists(spec.basePath)) GraftTable.load(spark, spec.basePath)
+      else GraftTable.create(spark, spec.basePath, spec.tableConfig)
+    val source = new KafkaLikeSource(pullerFor(spec.topic),
+      spec.maxEventsPerPull, Some(spec.topic)).forTable(t)
+    new ContinuousIngest(t, source, spec.transformerSql,
+      transforms = Seq(envelopeTransform(spec)),
+      operation = spec.operation,
+      compactEvery = spec.compactionCommits,
+      cleanRetainVersions = spec.cleanRetainVersions,
+      archiveKeepLast = spec.archiveKeepLast)
+  }
+
+  /** The declared-schema JSON parse + op routing as ONE codegen projection
+    * (ref: MultiTableStringToRowDataMapFunction.map — op → RowKind, typed
+    * field extraction): runs inside the write's own job, nothing
+    * driver-side. */
+  private[streaming] def envelopeTransform(spec: LaneSpec)
+      : DataFrame => DataFrame = { df =>
+    val envelope = StructType(spec.fields :+ StructField(opCol, StringType))
+    val parsed = from_json(col(valueCol).cast("string"), envelope,
+      Map("mode" -> "FAILFAST"))
+    val op = upper(coalesce(parsed.getField(opCol), lit("I")))
+    // unknown-op guard INSIDE the kept tombstone column so pruning cannot
+    // optimize the check away (same idiom as DebeziumIngest.applyDms)
+    val del = when(op.isin("I", "U"), lit(false))
+      .when(op === "D", lit(true))
+      .otherwise(raise_error(concat(lit("unknown streamer op '"),
+        parsed.getField(opCol), lit("'"))).cast("boolean"))
+    df.select(spec.fields.map(f => parsed.getField(f.name).as(f.name)) :+
+      del.as(GraftTable.DELETED): _*)
+  }
+
+  /** Re-read the config files and converge the lane set — the file-mode
+    * equivalent of the reference's Apollo change listener. Unchanged text
+    * keeps the RUNNING lane (no rebuild); changed text rebuilds; removed
+    * file retires. Returns (added, rebuilt, retired) counts. */
+  def refresh(): (Int, Int, Int) = {
+    val now = configFiles().flatMap { p =>
+      scala.util.Try(p.toString ->
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).toOption
+    }.toMap
+    var added, rebuilt, retired = 0
+    // retire lanes whose file vanished
+    lanes.keys.filterNot(now.contains).toSeq.foreach { k =>
+      lanes.remove(k).foreach(_._2.close()); retired += 1
+    }
+    now.toSeq.sortBy(_._1).foreach { case (k, raw) =>
+      lanes.get(k) match {
+        case Some((old, _)) if old == raw => // unchanged: keep running lane
+        case existing =>
+          try {
+            val fresh = build(raw)
+            existing.foreach(_._2.close())
+            lanes.update(k, (raw, fresh))
+            laneErrors.remove(k)
+            if (existing.isEmpty) added += 1 else rebuilt += 1
+          } catch { case e: Exception =>
+            // broken config: keep the old lane (if any) running
+            laneErrors.update(k, String.valueOf(e.getMessage))
+          }
+      }
+    }
+    (added, rebuilt, retired)
+  }
+
+  /** One sweep: converge lanes to the current configs, then step each lane
+    * once. Returns the number of lanes that ingested a batch. */
+  def sweep(): Int = {
+    refresh()
+    lanes.values.count(_._2.step().isDefined)
+  }
+
+  /** Sweep until every lane reports dry in the same sweep (one-shot mode).
+    * Configs are still re-read between sweeps, so a config dropped in
+    * mid-drain joins the drain. */
+  def drainAll(): Long = {
+    var total = 0L
+    var n = sweep()
+    while (n > 0) { total += n; n = sweep() }
+    total
+  }
+
+  /** The running lanes keyed by config path (tests drain service futures). */
+  def running: Map[String, ContinuousIngest] =
+    lanes.view.mapValues(_._2).toMap
+
+  def close(): Unit = {
+    lanes.values.foreach(_._2.close())
+    lanes.clear()
+  }
+}

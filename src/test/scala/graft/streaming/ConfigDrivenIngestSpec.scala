@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import graft.TestSpark
+import graft.table._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config-driven multi-table streamer: per-table JSON configs (the fork's
+  * Apollo/config-file surface) hot-reloaded by the sweep loop (ref:
+  * HoodieMuiltiTableFlinkStreamer file mode,
+  * MultiTableStringToRowDataMapFunction's Apollo change listener). */
+class ConfigDrivenIngestSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmp(): Path = Files.createTempDirectory("graft_cfg_")
+  private def write(p: Path, s: String): Unit =
+    Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+
+  private def cfg(topic: String, base: String, name: String,
+      fields: String = """{"name":"id","type":"bigint"},{"name":"v","type":"varchar(32)"},{"name":"ts","type":"bigint"}""",
+      tableType: String = "COPY_ON_WRITE", extraTc: String = ""): String =
+    s"""{
+       |  "fields": [$fields],
+       |  "kafka_config": {"topic": "$topic"},
+       |  "table_config": {
+       |    "table_type": "$tableType", "base_path": "$base",
+       |    "table_name": "$name", "record_key_field": "id",
+       |    "precombine_field": "ts"$extraTc
+       |  }
+       |}""".stripMargin
+
+  test("type strings map per the reference subset") {
+    assert(LaneSpec.fieldType("varchar(100)") === StringType)
+    assert(LaneSpec.fieldType("string") === StringType)
+    assert(LaneSpec.fieldType("decimal(10,2)") === DecimalType(10, 2))
+    assert(LaneSpec.fieldType("timestamp(3)") === TimestampType)
+    assert(LaneSpec.fieldType("int") === IntegerType)
+    assert(LaneSpec.fieldType("bigint") === LongType)
+    assert(LaneSpec.fieldType("double") === DoubleType)
+    assert(LaneSpec.fieldType("boolean") === BooleanType)
+    assert(LaneSpec.fieldType("date") === DateType)
+    val e = intercept[RuntimeException](LaneSpec.fieldType("uuid"))
+    assert(e.getMessage.contains("unsupported field type"))
+  }
+
+  test("two config files, two tables: I/U/D envelopes, exactly-once restart") {
+    val dir = tmp()
+    val brokers = Map("tA" -> new FakeBroker, "tB" -> new FakeBroker)
+    val baseA = s"$dir/tableA"; val baseB = s"$dir/tableB"
+    write(dir.resolve("a.json"), cfg("tA", baseA, "cfg_a"))
+    write(dir.resolve("b.json"), cfg("tB", baseB, "cfg_b",
+      fields = """{"name":"id","type":"bigint"},{"name":"v","type":"varchar(32)"},{"name":"ts","type":"bigint"},{"name":"day","type":"varchar(10)"}""",
+      tableType = "MERGE_ON_READ",
+      extraTc = """, "partition_field": "day", "payload": "event_time", "compaction_commits": 2"""))
+
+    brokers("tA").append(0,
+      """{"id":1,"v":"a1","ts":1,"op":"I"}""",
+      """{"id":2,"v":"b1","ts":1,"op":"I"}""")
+    brokers("tA").append(0,
+      """{"id":1,"v":"a2","ts":2,"op":"U"}""",
+      """{"id":2,"v":"b1","ts":3,"op":"D"}""")
+    brokers("tB").append(0,
+      """{"id":10,"v":"x","ts":1,"day":"2024-01-01","op":"I"}""",
+      """{"id":11,"v":"y","ts":1,"day":"2024-01-02","op":"I"}""")
+
+    def files() = Fs.list(dir).filter(_.toString.endsWith(".json"))
+    val ing = new ConfigDrivenIngest(spark, () => files(),
+      brokers(_).puller, valueCol = "v")
+    try {
+      assert(ing.drainAll() >= 2)
+      assert(ing.laneErrors.isEmpty)
+      val a = GraftTable.load(spark, baseA).snapshot()
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(a.toSet === Set((1L, "a2"))) // id2 deleted by op=D
+      val b = GraftTable.load(spark, baseB).snapshot()
+        .select("id", "day").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(b === Set((10L, "2024-01-01"), (11L, "2024-01-02")))
+      // hive-style partition dirs from the config's partition_field
+      assert(Files.isDirectory(Paths.get(baseB, "day=2024-01-01")))
+    } finally ing.close()
+
+    // restart: FRESH instance from the same files resumes from each
+    // table's own kafka:<topic> offset map — no replays, new data lands
+    brokers("tA").append(0, """{"id":3,"v":"c","ts":1,"op":"I"}""")
+    val ing2 = new ConfigDrivenIngest(spark, () => files(),
+      brokers(_).puller, valueCol = "v")
+    try {
+      assert(ing2.drainAll() === 1) // only lane A has lag
+      val a = GraftTable.load(spark, baseA).snapshot()
+        .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(a.toSet === Set((1L, "a2"), (3L, "c")))
+    } finally ing2.close()
+    GraftTable.drop(baseA); GraftTable.drop(baseB)
+  }
+
+  test("hot reload: schema add, lane add/retire, broken config keeps lane") {
+    val dir = tmp()
+    val brokers = Map("hA" -> new FakeBroker, "hB" -> new FakeBroker)
+    val baseA = s"$dir/tableA"; val baseB = s"$dir/tableB"
+    val fileA = dir.resolve("a.json"); val fileB = dir.resolve("b.json")
+    write(fileA, cfg("hA", baseA, "hot_a"))
+    brokers("hA").append(0, """{"id":1,"v":"a","ts":1,"op":"I"}""")
+
+    def files() = Fs.list(dir).filter(_.toString.endsWith(".json"))
+    val ing = new ConfigDrivenIngest(spark, () => files(),
+      brokers(_).puller, valueCol = "v")
+    try {
+      assert(ing.drainAll() === 1)
+      assert(ing.running.size === 1)
+
+      // the reference's Apollo-listener path: field list changes on the
+      // RUNNING streamer; next sweep rebuilds the lane, schema evolution
+      // on write carries the new column, old rows read back null
+      write(fileA, cfg("hA", baseA, "hot_a",
+        fields = """{"name":"id","type":"bigint"},{"name":"v","type":"varchar(32)"},{"name":"ts","type":"bigint"},{"name":"score","type":"double"}"""))
+      brokers("hA").append(0, """{"id":2,"v":"b","ts":1,"score":0.5,"op":"I"}""")
+      assert(ing.drainAll() === 1)
+      val a = GraftTable.load(spark, baseA).snapshot()
+        .select("id", "score").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(a === Map(1L -> None, 2L -> Some(0.5)))
+
+      // a NEW config file starts a lane mid-run
+      write(fileB, cfg("hB", baseB, "hot_b"))
+      brokers("hB").append(0, """{"id":9,"v":"z","ts":1,"op":"I"}""")
+      assert(ing.drainAll() === 1)
+      assert(ing.running.size === 2)
+      assert(GraftTable.load(spark, baseB).snapshot().count() === 1)
+
+      // a BROKEN rewrite keeps the old lane running (error surfaced)
+      write(fileB, "{ not json")
+      brokers("hB").append(0, """{"id":10,"v":"z2","ts":1,"op":"I"}""")
+      assert(ing.drainAll() === 1)
+      assert(ing.laneErrors.keySet === Set(fileB.toString))
+      assert(GraftTable.load(spark, baseB).snapshot().count() === 2)
+
+      // deleting the file retires the lane: topic lag no longer drains
+      Files.delete(fileB)
+      brokers("hB").append(0, """{"id":11,"v":"z3","ts":1,"op":"I"}""")
+      assert(ing.drainAll() === 0)
+      assert(ing.running.size === 1)
+      assert(GraftTable.load(spark, baseB).snapshot().count() === 2)
+    } finally ing.close()
+    GraftTable.drop(baseA); GraftTable.drop(baseB)
+  }
+
+  test("unknown op and malformed envelope fail the batch, replayable") {
+    val dir = tmp()
+    val b = new FakeBroker
+    val base = s"$dir/tableX"
+    val file = dir.resolve("x.json")
+    write(file, cfg("tX", base, "strict_x"))
+    b.append(0, """{"id":1,"v":"a","ts":1,"op":"Q"}""")
+    val ing = new ConfigDrivenIngest(spark, () => Seq(file),
+      _ => b.puller, valueCol = "v")
+    try {
+      intercept[Exception](ing.sweep())
+      // nothing committed: the offset map never advanced
+      assert(GraftTable.load(spark, base).snapshot().count() === 0)
+      // fix arrives upstream as a compacted rewrite of the record
+      b.truncate(0, 1L)
+      b.append(0, """{"id":1,"v":"a","ts":1,"op":"I"}""")
+      assert(ing.drainAll() === 1)
+      assert(GraftTable.load(spark, base).snapshot().count() === 1)
+    } finally ing.close()
+    GraftTable.drop(base)
+  }
+}
