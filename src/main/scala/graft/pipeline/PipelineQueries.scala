@@ -342,6 +342,26 @@ object PipelineQueries {
         round(col("v") * 1e6).cast("long").as("value_micro"))
       .orderBy(col("vec_id"), col("component"))
 
+  /** BPE tokenizer TRAINING over the document corpus (Bpe.train): one
+    * distributed word-count pass, capped vocab, deterministic driver merge
+    * loop. Output = the ordered merge table (all scalar columns). */
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Bpe.train(Tables.documents(s, d), "text", numMerges = 200)
+      .map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "merge_left", "merge_right", "pair_count")
+      .orderBy("rank")
+  }
+
+  /** BPE ENCODE with merges trained on the same corpus: per-document word
+    * and BPE-token counts (Bpe.encodeCounts — the per-word merge kernel
+    * runs once per distinct word, never per occurrence). */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = Bpe.train(docs, "text", numMerges = 100)
+    Bpe.encodeCounts(s, docs, "doc_id", "text", merges).orderBy("doc_id")
+  }
+
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     val vecs = Tables.embeddings(s, d)
     Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") % 50 === 0), k = 5,
@@ -581,7 +601,9 @@ object PipelineQueries {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_lines_within" -> (dedupLinesWithinQ _),
     "pipeline_curate3" -> (pipelineCurate3 _),
-    "corpus_report" -> (corpusReport _)
+    "corpus_report" -> (corpusReport _),
+    "bpe_train" -> (bpeTrain _),
+    "bpe_encode" -> (bpeEncode _)
   )
 
   import TextFunctions.{sql => T}
