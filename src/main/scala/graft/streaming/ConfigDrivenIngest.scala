@@ -29,6 +29,9 @@ case class LaneSpec(
     keyFields: Seq[String],
     precombineField: Option[String],
     partitionField: Option[String],
+    partitionTimestampType: Option[String],
+    partitionFormat: String,
+    partitionInputFormat: String,
     payload: MergePayload,
     operation: String,
     compactionCommits: Int,
@@ -42,15 +45,24 @@ case class LaneSpec(
   /** Table config derived the way the fork's initHudiConfig derives
     * FlinkOptions (ref: HoodieMuiltiTableFlinkStreamer.java:171): hive-style
     * partitioning when a partition field is configured, non-partitioned
-    * otherwise. */
+    * otherwise; with `partition_timestamp_type` set, the partition path is
+    * DERIVED from the timestamp column the way the fork configures
+    * TimestampBasedAvroKeyGenerator (ref: HoodieFlinkStreamerWithApollo
+    * .java:104 EPOCHMILLISECONDS → dashed-day;
+    * HoodieMuiltiTableFlinkStreamer.java:211 DATE_STRING with input
+    * formats → PARTITION_FORMAT_DASHED_DAY output). */
   def tableConfig: TableConfig = TableConfig(
     name = tableName,
     tableType = tableType,
     keyFields = keyFields,
     precombineField = precombineField,
-    partitioning = partitionField
-      .map(f => PartitionByColumns(Seq(f), hiveStyle = true))
-      .getOrElse(NonPartitioned),
+    partitioning = (partitionField, partitionTimestampType) match {
+      case (Some(f), Some(tt)) => PartitionByTimestamp(f,
+        format = partitionFormat, hiveStyle = true, inputType = tt,
+        inputFormat = partitionInputFormat)
+      case (Some(f), None) => PartitionByColumns(Seq(f), hiveStyle = true)
+      case _ => NonPartitioned
+    },
     payload = payload)
 }
 
@@ -87,7 +99,9 @@ object LaneSpec {
     * `kafka_config.topic` (+ optional max_events_per_pull), `table_config`
     * = the hudi_config block re-named for this engine (table_type,
     * base_path, table_name, record_key_field, precombine_field,
-    * partition_field, payload, operation, compaction_commits,
+    * partition_field, partition_timestamp_type [timestamp | epoch_millis
+    * | epoch_seconds | date_string] + partition_format +
+    * partition_input_format, payload, operation, compaction_commits,
     * clean_retain_versions, archive_keep_last), optional top-level
     * `transformer_sql` over `<SRC>`. */
   def parse(json: String): LaneSpec = {
@@ -132,6 +146,14 @@ object LaneSpec {
       keyFields = keyFields,
       precombineField = precombine,
       partitionField = partition,
+      partitionTimestampType =
+        Option(tc.path("partition_timestamp_type").asText(null)),
+      partitionFormat =
+        Option(tc.path("partition_format").asText(null))
+          .getOrElse("yyyy-MM-dd"),
+      partitionInputFormat =
+        Option(tc.path("partition_input_format").asText(null))
+          .getOrElse("yyyy-MM-dd HH:mm:ss"),
       payload = Option(tc.path("payload").asText(null))
         .map(MergePayload.of).getOrElse(OverwriteLatest),
       operation = Option(tc.path("operation").asText(null))

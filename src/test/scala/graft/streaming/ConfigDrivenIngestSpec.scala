@@ -147,6 +147,40 @@ class ConfigDrivenIngestSpec extends AnyFunSuite {
     GraftTable.drop(baseA); GraftTable.drop(baseB)
   }
 
+  test("timestamp-derived partitions: epoch_millis to dashed-day path") {
+    // the fork's TimestampBasedAvroKeyGenerator posture: EPOCHMILLISECONDS
+    // input, yyyy-MM-dd partition output (HoodieFlinkStreamerWithApollo)
+    val dir = tmp()
+    val b = new FakeBroker
+    val base = s"$dir/tableTs"
+    val file = dir.resolve("ts.json")
+    write(file, s"""{
+      |  "fields": [{"name":"id","type":"bigint"},
+      |             {"name":"v","type":"varchar(32)"},
+      |             {"name":"ts","type":"bigint"}],
+      |  "kafka_config": {"topic": "tTs"},
+      |  "table_config": {
+      |    "table_type": "cow", "base_path": "$base",
+      |    "table_name": "ts_t", "record_key_field": "id",
+      |    "precombine_field": "ts", "partition_field": "ts",
+      |    "partition_timestamp_type": "epoch_millis"
+      |  }
+      |}""".stripMargin)
+    // 2024-01-01T12:00:00Z and 2024-01-02T01:00:00Z in epoch millis
+    b.append(0,
+      """{"id":1,"v":"a","ts":1704110400000,"op":"I"}""",
+      """{"id":2,"v":"b","ts":1704157200000,"op":"I"}""")
+    val ing = new ConfigDrivenIngest(spark, () => Seq(file),
+      _ => b.puller, valueCol = "v")
+    try {
+      assert(ing.drainAll() === 1)
+      assert(Files.isDirectory(Paths.get(base, "dt=2024-01-01")))
+      assert(Files.isDirectory(Paths.get(base, "dt=2024-01-02")))
+      assert(GraftTable.load(spark, base).snapshot().count() === 2)
+    } finally ing.close()
+    GraftTable.drop(base)
+  }
+
   test("unknown op and malformed envelope fail the batch, replayable") {
     val dir = tmp()
     val b = new FakeBroker
