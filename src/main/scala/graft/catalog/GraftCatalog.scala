@@ -56,26 +56,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   private[catalog] def linkOf(ident: Identifier): NioPath =
     dirOf(ident).resolveSibling(dirOf(ident).getFileName.toString + ".link")
 
+  /** Parsed .link redirect: (external path, read-optimized view?). Line 1
+    * is the LOCATION; an optional second line `ro` marks the identifier as
+    * a read-optimized VIEW of a MOR table — the `_ro` naming the
+    * reference's metastore sync registers (ref: hudi-sync HiveSyncTool
+    * .doSync — MOR syncs an RO and an RT table over one base path). */
+  private[catalog] def linkInfo(ident: Identifier): Option[(String, Boolean)] =
+    if (Files.isRegularFile(linkOf(ident))) {
+      val lines = new String(Files.readAllBytes(linkOf(ident)), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+      Some((lines(0), lines.length > 1 && lines(1) == "ro"))
+    } else None
+
   /** The table's base path: the warehouse-derived directory, unless a .link
     * file redirects to an external LOCATION. */
   private[catalog] def pathOf(ident: Identifier): String =
-    if (Files.isRegularFile(linkOf(ident)))
-      new String(Files.readAllBytes(linkOf(ident)), "UTF-8").trim
-    else dirOf(ident).toString
+    linkInfo(ident).map(_._1).getOrElse(dirOf(ident).toString)
+
+  /** Register an existing path-based table under `ident` (the catalog half
+    * of [[CatalogSync]]): writes the .link redirect, `ro` = the identifier
+    * serves the read-optimized query. Idempotent; refuses to shadow a
+    * table that physically lives in the warehouse directory. */
+  private[catalog] def register(ident: Identifier, path: String,
+      readOptimized: Boolean): Unit = {
+    require(!GraftTable.exists(dirOf(ident).toString),
+      s"cannot register '${ident}': a warehouse-resident table already " +
+        s"lives at ${dirOf(ident)}")
+    Files.createDirectories(linkOf(ident).getParent)
+    val body = if (readOptimized) s"$path\nro" else path
+    Files.write(linkOf(ident), body.getBytes("UTF-8")); ()
+  }
 
   override def tableExists(ident: Identifier): Boolean =
     GraftTable.exists(pathOf(ident))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftV2Table(pathOf(ident), (catalogName +: ident.namespace :+ ident.name).mkString("."))
+    new GraftV2Table(pathOf(ident),
+      (catalogName +: ident.namespace :+ ident.name).mkString("."),
+      readOptimized = linkInfo(ident).exists(_._2))
   }
 
   /** SQL time travel: `SELECT ... FROM graft.t VERSION AS OF '<instant>'`. */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftV2Table(pathOf(ident),
-      (catalogName +: ident.namespace :+ ident.name).mkString("."), Some(version))
+      (catalogName +: ident.namespace :+ ident.name).mkString("."), Some(version),
+      readOptimized = linkInfo(ident).exists(_._2))
   }
 
   /** `... TIMESTAMP AS OF <ts>` (micros, UTC) → timeline instant form. */
@@ -347,7 +374,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
  * columns); lineage metadata stays on the DataFrame API reads.
  */
 class GraftV2Table(val path: String, fullName: String,
-    val asOf: Option[String] = None) extends Table
+    val asOf: Option[String] = None,
+    val readOptimized: Boolean = false) extends Table
     with SupportsPartitionManagement with TruncatableTable
     with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
   override def name(): String = fullName

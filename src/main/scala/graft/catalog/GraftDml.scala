@@ -43,6 +43,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.resolved =>
       graftTarget(m.targetTable).map { case (gt, tOut) =>
         require(gt.asOf.isEmpty, "cannot MERGE into a time-travel relation")
+        require(!gt.readOptimized, "cannot MERGE into a read-optimized view")
         require(!m.withSchemaEvolution,
           "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft tables")
         GraftMergeCommand(gt.path, expandReads(spark, m.sourceTable),
@@ -53,22 +54,28 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case u @ UpdateTable(target, assignments, condition) if u.resolved =>
       graftTarget(target).map { case (gt, tOut) =>
         require(gt.asOf.isEmpty, "cannot UPDATE a time-travel relation")
+        require(!gt.readOptimized, "cannot UPDATE a read-optimized view")
         GraftUpdateCommand(gt.path, assignments, condition, tOut)
       }.getOrElse(u)
 
     case d @ DeleteFromTable(target, condition) if d.resolved =>
       graftTarget(target).map { case (gt, tOut) =>
         require(gt.asOf.isEmpty, "cannot DELETE from a time-travel relation")
+        require(!gt.readOptimized, "cannot DELETE from a read-optimized view")
         GraftDeleteCommand(gt.path, condition, tOut)
       }.getOrElse(d)
 
     case a @ AppendData(r: DataSourceV2Relation, query, _, _, _, _)
         if a.resolved && r.table.isInstanceOf[GraftV2Table] =>
+      require(!r.table.asInstanceOf[GraftV2Table].readOptimized,
+        "cannot INSERT into a read-optimized view")
       GraftWriteCommand(r.table.asInstanceOf[GraftV2Table].path,
         expandReads(spark, query), "append")
 
     case o @ OverwriteByExpression(r: DataSourceV2Relation, deleteExpr, query, _, _, _, _)
         if o.resolved && r.table.isInstanceOf[GraftV2Table] =>
+      require(!r.table.asInstanceOf[GraftV2Table].readOptimized,
+        "cannot INSERT OVERWRITE a read-optimized view")
       val wholeTable = deleteExpr.foldable &&
         deleteExpr.eval(null) == true
       GraftWriteCommand(r.table.asInstanceOf[GraftV2Table].path,
@@ -77,6 +84,8 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     case o @ OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, _, _)
         if o.resolved && r.table.isInstanceOf[GraftV2Table] =>
+      require(!r.table.asInstanceOf[GraftV2Table].readOptimized,
+        "cannot INSERT OVERWRITE a read-optimized view")
       GraftWriteCommand(r.table.asInstanceOf[GraftV2Table].path,
         expandReads(spark, query), "overwrite_partitions")
 
@@ -129,8 +138,12 @@ private[catalog] object GraftDml {
   def expandRelation(spark: SparkSession, r: DataSourceV2Relation): LogicalPlan = {
     val gt = r.table.asInstanceOf[GraftV2Table]
     val path = gt.path
-    val scan = GraftTable.load(spark, path).snapshot(asOf = gt.asOf)
-      .queryExecution.analyzed
+    val t = GraftTable.load(spark, path)
+    // an `_ro`-registered identifier (CatalogSync) serves the
+    // read-optimized query — base files only, the reference's RO table
+    val frame = if (gt.readOptimized) t.readOptimized(gt.asOf)
+                else t.snapshot(asOf = gt.asOf)
+    val scan = frame.queryExecution.analyzed
     val resolver = spark.sessionState.analyzer.resolver
     Project(r.output.map { a =>
       val src = scan.output.find(o => resolver(o.name, a.name)).getOrElse(

@@ -690,6 +690,21 @@ object GraftProcedures {
       (cat, a) => collect(
         GraftSql.validateDataTable(tableOf(cat, a.str(0))))),
 
+    Proc("sync_catalog",
+      "Register a path-based table in this catalog under db.name: COW " +
+        "registers <name>, MOR registers <name>_rt (snapshot) + <name>_ro " +
+        "(read-optimized), namespace auto-created; idempotent — schema " +
+        "and partitions resolve live from the path, so re-sync never " +
+        "drifts (ref: hudi-sync HiveSyncTool.syncHoodieTable).",
+      Seq(in("path", StringType), in("db", StringType),
+        in("table", StringType, "NULL")),
+      (cat, a) => {
+        val names = CatalogSync.syncTo(cat, SparkSession.active, a.str(0),
+          a.str(1), a.strOpt(2).filter(_.nonEmpty))
+        (StructType(Seq(StructField("registered", StringType))),
+          names.toArray.map(n => InternalRow(UTF8String.fromString(n))))
+      }),
+
     Proc("delete_metadata_table",
       "Remove the persisted metadata sidecar; reads fall back to timeline " +
         "resolution (ref: DeleteMetadataTableProcedure).",
