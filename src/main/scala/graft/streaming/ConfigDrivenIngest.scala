@@ -37,7 +37,9 @@ case class LaneSpec(
     compactionCommits: Int,
     cleanRetainVersions: Int,
     archiveKeepLast: Int,
-    transformerSql: Option[String]) {
+    transformerSql: Option[String],
+    catalogSyncDb: Option[String],
+    catalogSyncTable: Option[String]) {
 
   /** The declared row schema the topic's JSON envelopes parse against. */
   def schema: StructType = StructType(fields)
@@ -161,7 +163,14 @@ object LaneSpec {
       compactionCommits = tc.path("compaction_commits").asInt(0),
       cleanRetainVersions = tc.path("clean_retain_versions").asInt(0),
       archiveKeepLast = tc.path("archive_keep_last").asInt(0),
-      transformerSql = Option(root.path("transformer_sql").asText(null)))
+      transformerSql = Option(root.path("transformer_sql").asText(null)),
+      // the fork's hive_sync_config block (ref:
+      // HoodieMuiltiTableFlinkStreamer.java:186 initHudiConfig — sync_db +
+      // sync_table), re-expressed against the engine's own catalog
+      catalogSyncDb =
+        Option(root.path("catalog_sync_config").path("sync_db").asText(null)),
+      catalogSyncTable =
+        Option(root.path("catalog_sync_config").path("sync_table").asText(null)))
   }
 }
 
@@ -216,6 +225,11 @@ class ConfigDrivenIngest(
     val t =
       if (GraftTable.exists(spec.basePath)) GraftTable.load(spark, spec.basePath)
       else GraftTable.create(spark, spec.basePath, spec.tableConfig)
+    // HIVE_SYNC_ENABLED parity: a configured sync_db registers the table
+    // by name in the engine's catalog when the lane comes up (idempotent;
+    // live-resolving, so once is enough — no per-commit re-sync needed)
+    spec.catalogSyncDb.foreach(db => graft.catalog.CatalogSync.sync(
+      spark, spec.basePath, db, spec.catalogSyncTable))
     val source = new KafkaLikeSource(pullerFor(spec.topic),
       spec.maxEventsPerPull, Some(spec.topic)).forTable(t)
     new ContinuousIngest(t, source, spec.transformerSql,

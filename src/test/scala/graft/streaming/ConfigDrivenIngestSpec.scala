@@ -147,6 +147,36 @@ class ConfigDrivenIngestSpec extends AnyFunSuite {
     GraftTable.drop(baseA); GraftTable.drop(baseB)
   }
 
+  test("catalog_sync_config registers the lane's table by name") {
+    // the fork's hive_sync_config block: sync_db + sync_table
+    val dir = tmp()
+    val b = new FakeBroker
+    val base = s"$dir/tableSync"
+    val file = dir.resolve("s.json")
+    write(file, s"""{
+      |  "fields": [{"name":"id","type":"bigint"},
+      |             {"name":"v","type":"varchar(32)"},
+      |             {"name":"ts","type":"bigint"}],
+      |  "kafka_config": {"topic": "tSync"},
+      |  "table_config": {
+      |    "table_type": "MERGE_ON_READ", "base_path": "$base",
+      |    "table_name": "lane_sync", "record_key_field": "id",
+      |    "precombine_field": "ts"
+      |  },
+      |  "catalog_sync_config": {"sync_db": "streamdb"}
+      |}""".stripMargin)
+    b.append(0, """{"id":1,"v":"a","ts":1,"op":"I"}""")
+    val ing = new ConfigDrivenIngest(spark, () => Seq(file),
+      _ => b.puller, valueCol = "v")
+    try {
+      assert(ing.drainAll() === 1)
+      // MOR lane: _rt and _ro registered in the engine catalog
+      assert(spark.table("graft.streamdb.lane_sync_rt").count() === 1)
+      assert(spark.table("graft.streamdb.lane_sync_ro").count() === 1)
+    } finally ing.close()
+    GraftTable.drop(base)
+  }
+
   test("timestamp-derived partitions: epoch_millis to dashed-day path") {
     // the fork's TimestampBasedAvroKeyGenerator posture: EPOCHMILLISECONDS
     // input, yyyy-MM-dd partition output (HoodieFlinkStreamerWithApollo)
