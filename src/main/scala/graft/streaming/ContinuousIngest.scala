@@ -29,7 +29,14 @@ class ContinuousIngest(
     operation: String = "upsert",
     compactEvery: Int = 5,
     cleanRetainVersions: Int = 0, // 0 = cleaning off
-    archiveKeepLast: Int = 0 // 0 = archival off
+    archiveKeepLast: Int = 0, // 0 = archival off
+    // post-commit source acknowledgement (ref: hudi-utilities
+    // sources/Source.java onCommit — S3EventsSource deletes its processed
+    // queue messages only after the commit carrying them completed):
+    // called with the committed checkpoint AFTER writeBatch succeeds, so
+    // an ack-style source is at-least-once with the commit as the ack
+    // barrier (replays dedup through the table's upsert key)
+    onCommit: String => Unit = _ => ()
 ) extends AutoCloseable {
   require(compactEvery >= 0, "compactEvery must be >= 0 (0 = off)")
   transformerSql.foreach(q => require(q.contains("<SRC>"),
@@ -68,6 +75,7 @@ class ContinuousIngest(
   def step(): Option[String] = source().map { case (checkpoint, batch) =>
     val instant = t.writeBatch(transform(batch), operation,
       extra = Map("checkpoint" -> checkpoint))
+    onCommit(checkpoint)
     ingested += 1
     if (compactEvery > 0 && t.config.tableType == MergeOnRead &&
         ingested % compactEvery == 0 && pendingService.isCompleted) {
