@@ -713,6 +713,17 @@ object GraftProcedures {
         StructType(Seq(StructField("existed", BooleanType))),
         GraftSql.deleteMetadataTable(tableOf(cat, a.str(0))))),
 
+    Proc("repair_table",
+      "Dangling-file repair with a reversible backup (ref: hudi-utilities " +
+        "HoodieRepairTool modes): mode => 'dry_run' lists files on storage" +
+        " that no commit accounts for, 'repair' MOVES them to .graft/" +
+        "repair_backup/<id>/ (returned per row), 'undo' with backup => " +
+        "'<id>' restores that backup.",
+      Seq(in("table", StringType), in("mode", StringType, "'dry_run'"),
+        in("backup", StringType, "NULL")),
+      (cat, a) => collect(GraftSql.repairTable(tableOf(cat, a.str(0)),
+        a.str(1), a.strOpt(2)))),
+
     Proc("delete_marker",
       "Clear one instant's write-in-progress markers (inflight claim + " +
         "staged files) after a writer died mid-commit " +

@@ -550,6 +550,60 @@ object GraftSql {
       .toDF("path", "issue")
   }
 
+  /** repair_table (ref: hudi-utilities HoodieRepairTool.java — Mode
+    * REPAIR / DRY_RUN / UNDO): dangling files (present on storage, in no
+    * commit's accounting, not claimed by a live writer — exactly
+    * [[validateDataTable]]'s `dangling` bucket) are MOVED to a backup
+    * under `.graft/repair_backup/<id>/` preserving relative layout, so a
+    * mistaken repair is reversible; `dry_run` only lists; `undo` restores
+    * a named backup. The file set is crash debris — metadata-sized by
+    * definition — so the moves run on the driver like the reference's
+    * backup bookkeeping; the DETECTION underneath stays the validator's
+    * one distributed listing job. */
+  def repairTable(t: GraftTable, mode: String,
+      backup: Option[String] = None): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import t.spark.implicits._
+    val m = mode.toLowerCase
+    require(Set("dry_run", "repair", "undo")(m),
+      s"unknown repair mode '$mode' (dry_run | repair | undo)")
+    val base = Paths.get(t.basePath)
+    val backupRoot = Paths.get(t.basePath, ".graft", "repair_backup")
+    if (m == "undo") {
+      val id = backup.getOrElse(
+        sys.error("repair undo needs backup => '<backup id>'"))
+      val dir = backupRoot.resolve(id)
+      require(Files.isDirectory(dir), s"no repair backup '$id'")
+      val restored = Fs.walk(dir).filter(Files.isRegularFile(_)).map { p =>
+        val rel = dir.relativize(p)
+        val dest = base.resolve(rel)
+        Files.createDirectories(dest.getParent)
+        Files.move(p, dest, StandardCopyOption.REPLACE_EXISTING)
+        rel.toString
+      }
+      GraftTable.drop(dir.toString)
+      restored.sorted.map((_, "restored", id)).toDF("path", "action", "backup")
+    } else {
+      val dangling = validateDataTable(t)
+        .filter(col("issue") === "dangling")
+        .select("path").as[String].collect().sorted.toSeq
+      if (m == "dry_run")
+        dangling.map((_, "would_move", "")).toDF("path", "action", "backup")
+      else {
+        val id = java.time.format.DateTimeFormatter
+          .ofPattern("yyyyMMddHHmmssSSS")
+          .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))
+        val moved = dangling.map { rel =>
+          val dest = backupRoot.resolve(id).resolve(rel)
+          Files.createDirectories(dest.getParent)
+          Files.move(base.resolve(rel), dest)
+          rel
+        }
+        moved.map((_, "moved", id)).toDF("path", "action", "backup")
+      }
+    }
+  }
+
   /** delete_metadata_table (ref: DeleteMetadataTableProcedure): remove the
     * persisted metadata sidecar (reads fall back to timeline resolution). */
   def deleteMetadataTable(t: GraftTable): Boolean = {
