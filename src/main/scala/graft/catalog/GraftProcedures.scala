@@ -713,6 +713,28 @@ object GraftProcedures {
         StructType(Seq(StructField("existed", BooleanType))),
         GraftSql.deleteMetadataTable(tableOf(cat, a.str(0))))),
 
+    Proc("unschedule_compaction",
+      "Drop a pending compaction plan: its pinned groups become " +
+        "schedulable again and executing the plan fails (ref: " +
+        "HoodieCompactionAdminTool UNSCHEDULE_PLAN).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        tableOf(cat, a.str(0)).unscheduleCompaction(a.str(1))
+        one(instantResult, a.str(1))
+      }),
+
+    Proc("validate_compaction",
+      "Per-group health of a pending compaction plan: ok / superseded / " +
+        "missing_files (ref: HoodieCompactionAdminTool VALIDATE).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        val rows = tableOf(cat, a.str(0)).validateCompactionPlan(a.str(1))
+        (StructType(Seq(StructField("group", StringType),
+          StructField("status", StringType))),
+          rows.toArray.map { case (g, s) =>
+            InternalRow(UTF8String.fromString(g), UTF8String.fromString(s)) })
+      }),
+
     Proc("repair_table",
       "Dangling-file repair with a reversible backup (ref: hudi-utilities " +
         "HoodieRepairTool modes): mode => 'dry_run' lists files on storage" +

@@ -2676,6 +2676,47 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     } catch { case e: Throwable => timeline.abort(instant, "compactionreq"); throw e }
   }
 
+  /** Unschedule a pending compaction plan: the plan instant is removed, its
+    * pinned groups become schedulable again, and runCompaction of the plan
+    * fails (ref: hudi-utilities HoodieCompactionAdminTool UNSCHEDULE_PLAN →
+    * CompactionAdminClient.unscheduleCompactionPlan — the reference
+    * likewise deletes the requested instant). Executed plans are rejected:
+    * there is nothing left to unschedule. */
+  def unscheduleCompaction(planInstant: String): Unit = {
+    timeline.refresh()
+    require(timeline.completed().exists { case (i, a) =>
+        i == planInstant && a == "compactionreq" },
+      s"no pending compaction plan $planInstant")
+    assertNotExecuted(planInstant)
+    timeline.deleteInstant(planInstant, "compactionreq")
+  }
+
+  /** Validate a pending compaction plan against live state (ref:
+    * HoodieCompactionAdminTool VALIDATE → CompactionAdminClient
+    * .validateCompactionPlan): per planned group — `ok` when the group's
+    * base instant is unchanged and every planned file still exists,
+    * `superseded` when the group was rewritten since the plan (compaction
+    * would skip it), `missing_files` when planned files vanished from
+    * storage. */
+  def validateCompactionPlan(planInstant: String): Seq[(String, String)] = {
+    timeline.refresh()
+    val plan = timeline.read(planInstant, "compactionreq")
+    val live = slices(None).map(s => groupKey(s) -> s).toMap
+    val planned = plan.files.map(_.path).toSet
+    decodePlanGroups(plan.extra("baseInstants")).toSeq.sortBy(_._1).map {
+      case (k, bi) =>
+        live.get(k) match {
+          case Some(s) if s.baseInstant == bi =>
+            val missing = (s.baseFiles ++ s.logs.map(_._2))
+              .filter(f => planned(f.path))
+              .filterNot(f => Files.exists(Paths.get(basePath, f.path)))
+            if (missing.isEmpty) (k, "ok")
+            else (k, s"missing_files:${missing.map(_.path).mkString(",")}")
+          case _ => (k, "superseded")
+        }
+    }
+  }
+
   /** Execute a previously scheduled compaction plan. The new base files are
     * recorded with `origInstant = planInstant`, so they slot UNDER any log
     * file appended since the plan: interleaved deltacommits stay readable

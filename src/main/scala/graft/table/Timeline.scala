@@ -251,6 +251,16 @@ class Timeline(baseDir: String) {
     refresh()
   }
 
+  /** Physically remove a completed NON-DATA instant (service plans only —
+    * the admin unschedule path, ref: hudi CompactionAdminClient's
+    * unscheduleCompactionPlan deleting the requested instant). Data
+    * commits are never deleted this way (rollback owns that). */
+  def deleteInstant(instant: String, action: String): Unit = synchronized {
+    Files.deleteIfExists(dir.resolve(s"$instant.$action.json"))
+    metaCache.remove((instant, action))
+    refresh()
+  }
+
   def archivedInstants(): Seq[String] = {
     val arch = dir.resolve("archive")
     if (!Files.exists(arch)) Nil
