@@ -36,7 +36,12 @@ object Bench {
     // driver box is shared) can fake a multi-second "regression" in a
     // single-shot run. SPARK_GRAFT_BENCH_PASSES=1 restores single-shot.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // SPARK_GRAFT_ONLY=q1,q2 times just those queries — the iteration loop
+    // for chasing one regression without paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
     val sweeps = (1 to passes).map { _ =>
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()

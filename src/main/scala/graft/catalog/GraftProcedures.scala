@@ -735,6 +735,29 @@ object GraftProcedures {
             InternalRow(UTF8String.fromString(g), UTF8String.fromString(s)) })
       }),
 
+    Proc("unschedule_clustering",
+      "Drop a pending clustering plan: its pinned groups become " +
+        "schedulable again and executing the plan fails (ref: hudi-cli " +
+        "ClusteringCommand; twin of unschedule_compaction).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        tableOf(cat, a.str(0)).unscheduleClustering(a.str(1))
+        one(instantResult, a.str(1))
+      }),
+
+    Proc("validate_clustering",
+      "Per-group health of a pending clustering plan: ok / superseded / " +
+        "missing_files (superseded = rewritten or logged past the plan; " +
+        "runClustering would skip it).",
+      Seq(in("table", StringType), in("instant", StringType)),
+      (cat, a) => {
+        val rows = tableOf(cat, a.str(0)).validateClusteringPlan(a.str(1))
+        (StructType(Seq(StructField("group", StringType),
+          StructField("status", StringType))),
+          rows.toArray.map { case (g, s) =>
+            InternalRow(UTF8String.fromString(g), UTF8String.fromString(s)) })
+      }),
+
     Proc("repair_table",
       "Dangling-file repair with a reversible backup (ref: hudi-utilities " +
         "HoodieRepairTool modes): mode => 'dry_run' lists files on storage" +

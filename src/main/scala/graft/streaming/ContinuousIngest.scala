@@ -213,4 +213,18 @@ object ContinuousIngest {
     else findLegacy(t.timeline.metasSlim(None).reverseIterator)
       .orElse(findLegacy(t.timeline.archivedMetas().reverseIterator))
   }
+
+  /** Initial-checkpoint provider (ref: hudi-utilities checkpointing/
+    * InitialCheckPointProvider.java + InitialCheckpointFromAnotherHoodie
+    * TimelineProvider.java): seed a NEW table's first pull from ANOTHER
+    * table's recorded checkpoint of the same source kind. Migrating a
+    * pipeline to a fresh table (schema redesign, key change, backfill
+    * rebuild) then resumes from where the old table left off instead of
+    * re-reading the whole source. Purely a SEED: once the new table has
+    * committed its own checkpoint of that kind, the provider is never
+    * consulted again (checkpoints are resolved newest-first from the
+    * table's own timeline, the seed only fills the `None` case). */
+  def initialCheckpointFromTimeline(other: GraftTable, kind: String,
+      accept: String => Boolean = _ => true): Option[String] =
+    lastCheckpointFor(other, kind, accept)
 }

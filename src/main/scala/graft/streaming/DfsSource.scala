@@ -74,9 +74,14 @@ class DfsSource(spark: SparkSession, dir: String, format: String = "parquet",
   /** Source function bound to the TABLE's recorded checkpoint — each pull
     * resumes from the last commit's watermark, so a restarted (or crashed
     * mid-batch) ingest never double-applies a file: the checkpoint only
-    * advances inside the exactly-once commit. */
-  def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
-    () => pull(ContinuousIngest.lastCheckpointFor(t, DfsSource.Kind))
+    * advances inside the exactly-once commit. `initial` seeds the very
+    * first pull of a table with no `dfs:` checkpoint of its own (ref:
+    * DeltaStreamer --initial-checkpoint-provider; pair with
+    * [[ContinuousIngest.initialCheckpointFromTimeline]]). */
+  def forTable(t: GraftTable, initial: Option[String] = None)
+      : () => Option[(String, DataFrame)] =
+    () => pull(ContinuousIngest.lastCheckpointFor(t, DfsSource.Kind)
+        .orElse(initial))
       .map { case (ck, df) => (s"${DfsSource.Kind}:$ck", df) }
 }
 

@@ -83,8 +83,10 @@ class JdbcSource(spark: SparkSession, url: String, table: String,
     * from the last committed watermark; a crashed mid-batch ingest never
     * double-applies because the checkpoint only advances inside the
     * exactly-once commit. */
-  def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
-    () => pull(ContinuousIngest.lastCheckpointFor(t, JdbcSource.Kind))
+  def forTable(t: GraftTable, initial: Option[String] = None)
+      : () => Option[(String, DataFrame)] =
+    () => pull(ContinuousIngest.lastCheckpointFor(t, JdbcSource.Kind)
+        .orElse(initial))
       .map { case (ck, df) => (s"${JdbcSource.Kind}:$ck", df) }
 }
 

@@ -113,10 +113,12 @@ class KafkaLikeSource(puller: OffsetRangePuller,
     * KafkaOffsetGen.CheckpointUtils.offsetsToStr) — and only values for
     * THIS topic are read back, so several topics can feed one table (the
     * multi-topic streamer) without clobbering each other's offsets. */
-  def forTable(t: GraftTable): () => Option[(String, DataFrame)] =
+  def forTable(t: GraftTable, initial: Option[String] = None)
+      : () => Option[(String, DataFrame)] =
     () => {
       val committed = ContinuousIngest.lastCheckpointFor(t,
           KafkaLikeSource.Kind, v => KafkaLikeSource.topicOf(v) == topic)
+        .orElse(initial.filter(v => KafkaLikeSource.topicOf(v) == topic))
         .map(v => KafkaLikeSource.decodeOffsets(
           topic.fold(v)(tp => v.drop(tp.length + 1))))
         .getOrElse(Map.empty)

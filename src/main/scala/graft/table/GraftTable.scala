@@ -2717,6 +2717,44 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     }
   }
 
+  /** Unschedule a pending clustering plan — the clustering-side twin of
+    * [[unscheduleCompaction]] (ref: hudi-cli ClusteringCommand; the plan
+    * instant is deleted, its pinned groups become schedulable again). */
+  def unscheduleClustering(planInstant: String): Unit = {
+    timeline.refresh()
+    require(timeline.completed().exists { case (i, a) =>
+        i == planInstant && a == "clusteringreq" },
+      s"no pending clustering plan $planInstant")
+    assertNotExecuted(planInstant)
+    timeline.deleteInstant(planInstant, "clusteringreq")
+  }
+
+  /** Validate a pending clustering plan against live state — per planned
+    * group: `ok` when [[runClustering]] would still rewrite it (base
+    * instant unchanged, no log appended after the plan) and every planned
+    * file exists; `superseded` when the group was rewritten or logged past
+    * the plan (clustering skips it — replacing would drop interleaved
+    * rows); `missing_files` when planned files vanished from storage. */
+  def validateClusteringPlan(planInstant: String): Seq[(String, String)] = {
+    timeline.refresh()
+    val plan = timeline.read(planInstant, "clusteringreq")
+    val live = slices(None).map(s => groupKey(s) -> s).toMap
+    val planned = plan.files.map(_.path).toSet
+    decodePlanGroups(plan.extra("baseInstants")).toSeq.sortBy(_._1).map {
+      case (k, bi) =>
+        live.get(k) match {
+          case Some(s) if s.baseInstant == bi &&
+              s.logs.forall(_._1 <= planInstant) =>
+            val missing = (s.baseFiles ++ s.logs.map(_._2))
+              .filter(f => planned(f.path))
+              .filterNot(f => Files.exists(Paths.get(basePath, f.path)))
+            if (missing.isEmpty) (k, "ok")
+            else (k, s"missing_files:${missing.map(_.path).mkString(",")}")
+          case _ => (k, "superseded")
+        }
+    }
+  }
+
   /** Execute a previously scheduled compaction plan. The new base files are
     * recorded with `origInstant = planInstant`, so they slot UNDER any log
     * file appended since the plan: interleaved deltacommits stay readable
