@@ -3640,14 +3640,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     // retained there) into this segment.
     val newCkpts = newer.map { case (i, a) => timeline.readSlim(i, a) }
       .filter(_.operation == "checkpoint")
+    val archived = if (newCkpts.isEmpty) Nil else timeline.archivedInstants()
     val uncoveredFolded = newCkpts.flatMap { m =>
       (m.extra.get("archivedFrom"), m.extra.get("archivedTo")) match {
-        case (Some(lo), Some(hi)) =>
-          timeline.archivedInstants().filter(x => x >= lo && x <= hi)
+        case (Some(lo), Some(hi)) => archived.filter(x => x >= lo && x <= hi)
         case _ => Nil
       }
     }.distinct.filterNot(covered.contains)
-    val replay = uncoveredFolded.flatMap(timeline.archivedMeta)
+    // ONE archive listing for all replayed instants — the archive holds
+    // every instant the table ever completed, so per-instant lookups
+    // would be O(archive²) on a long-lived table
+    val replay = timeline.archivedMetaBatch(uncoveredFolded.toSet)
       .filter(m => dataActions(m.action))
     // an uncovered checkpoint folded into another checkpoint can recurse
     // arbitrarily deep — a rebuild is the always-correct answer

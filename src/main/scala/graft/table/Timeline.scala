@@ -271,13 +271,21 @@ class Timeline(baseDir: String) {
   /** One archived instant's full meta, any action (targeted lookup — the
     * metadata-table sync replays archive-before-sync commits from here
     * without loading the whole cold archive). */
-  def archivedMeta(instant: String): Option[CommitMeta] = {
+  def archivedMeta(instant: String): Option[CommitMeta] =
+    archivedMetaBatch(Set(instant)).headOption
+
+  /** Batch lookup of archived metas: ONE directory listing however many
+    * instants are requested — the archive can hold every instant the
+    * table ever completed, so per-instant listings would be O(n²) in the
+    * replay path. Hydrates only the matching files, ascending instant. */
+  def archivedMetaBatch(instants: Set[String]): Seq[CommitMeta] = {
     val arch = dir.resolve("archive")
-    if (!Files.exists(arch)) None
-    else Fs.list(arch).find { p =>
+    if (instants.isEmpty || !Files.exists(arch)) return Nil
+    Fs.list(arch).filter { p =>
       val n = p.getFileName.toString
-      n.startsWith(instant + ".") && n.endsWith(".json")
-    }.map(p => hydrate(Json.mapper.readValue[CommitMeta](Files.readAllBytes(p))))
+      n.endsWith(".json") && instants.contains(n.split('.')(0))
+    }.sortBy(_.getFileName.toString)
+      .map(p => hydrate(Json.mapper.readValue[CommitMeta](Files.readAllBytes(p))))
   }
 
   /** Full metadata of archived instants, oldest first (ref: hudi
