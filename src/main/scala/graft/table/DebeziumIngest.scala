@@ -47,28 +47,49 @@ object DebeziumIngest {
   def apply(t: GraftTable, changes: DataFrame, opCol: String = "op",
       beforeCol: String = "before", afterCol: String = "after",
       orderCol: String = "lsn"): Option[String] = {
+    requireDebeziumTable(t, orderCol)
+    val live = project(changes, opCol, beforeCol, afterCol, orderCol)
+    if (live.isEmpty) return None
+    Some(t.writeBatch(live, "upsert"))
+  }
+
+  /** The ordering/payload contract [[apply]] enforces, standalone so a
+    * composed pipeline (e.g. [[project]] as a [[graft.streaming
+    * .ContinuousIngest]] transform) can assert it once at wiring time. */
+  def requireDebeziumTable(t: GraftTable, orderCol: String = "lsn"): Unit = {
     require(t.config.payload == EventTimeOrdered,
       "Debezium ingest needs payload = event_time: change position must " +
         "out-rank arrival order, or replays would resurrect stale states")
     require(t.config.precombineField.contains(orderCol),
       s"Debezium ingest orders by '$orderCol', but the table precombines " +
         s"on ${t.config.precombineField.getOrElse("<none>")} — they must match")
+  }
+
+  /** The envelope → write-batch projection of [[apply]] as a standalone
+    * lazy transform — this is how the reference's DebeziumSource is
+    * actually BUILT (hudi-utilities sources/debezium/DebeziumSource.java:
+    * a Kafka source subclass whose processDataset applies exactly this
+    * mapping); composing it over [[graft.streaming.KafkaLikeSource]] via
+    * a ContinuousIngest transform re-creates Debezium-over-Kafka with
+    * exactly-once offset checkpoints. Returns rows shaped for
+    * `writeBatch(_, "upsert")`: image columns + the ordering column + the
+    * tombstone flag; Kafka-compaction tombstones (both images null) are
+    * dropped; an unknown op fails the batch from INSIDE the kept column,
+    * so column pruning cannot optimize the guard away. */
+  def project(changes: DataFrame, opCol: String = "op",
+      beforeCol: String = "before", afterCol: String = "after",
+      orderCol: String = "lsn"): DataFrame = {
     val isDel = col(opCol) === "d"
-    // the unknown-op guard lives INSIDE the kept tombstone column, so
-    // column pruning cannot optimize the check away (same idiom as
-    // TableConfig.keyExpr's null-key guard)
     val del = when(col(opCol).isin("c", "u", "r"), lit(false))
       .when(isDel, lit(true))
       .otherwise(raise_error(concat(lit("unknown Debezium op '"),
         col(opCol), lit("'"))).cast("boolean"))
-    val live = changes
+    changes
       // compaction tombstones carry no state at all — drop, don't fail
       .filter(col(beforeCol).isNotNull || col(afterCol).isNotNull)
       .withColumn("_g_img", when(isDel, col(beforeCol)).otherwise(col(afterCol)))
-    if (live.isEmpty) return None
-    val batch = live.select(
-      (col("_g_img.*") +: Seq(col(orderCol), del.as(GraftTable.DELETED))): _*)
-    Some(t.writeBatch(batch, "upsert"))
+      .select(
+        (col("_g_img.*") +: Seq(col(orderCol), del.as(GraftTable.DELETED))): _*)
   }
 
   /** AWS DMS-shaped CDC ingest (ref: hudi-common/src/main/java/org/apache/
