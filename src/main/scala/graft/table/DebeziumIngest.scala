@@ -145,6 +145,28 @@ object DebeziumIngest {
       precombineType: String = "date_string",
       precombineFormat: String = "yyyy-MM-dd HH:mm:ss",
       jsonCol: String = "value"): Option[String] = {
+    val batch = projectMaxwell(records, dataSchema, tableRegex,
+      databaseRegex, t.config.precombineField, precombineType,
+      precombineFormat, jsonCol)
+    if (batch.isEmpty) return None
+    Some(t.writeBatch(batch, "upsert"))
+  }
+
+  /** The Maxwell envelope → write-batch projection of [[applyMaxwell]] as
+    * a standalone lazy transform (ref: hudi-utilities sources/processor/
+    * maxwell/MaxwellJsonKafkaSourcePostProcessor.java is literally a
+    * KAFKA source post-processor): compose over
+    * [[graft.streaming.KafkaLikeSource]] via a ContinuousIngest transform
+    * for Maxwell-over-Kafka with exactly-once offset checkpoints.
+    * `precombineField` is passed explicitly (applyMaxwell reads it off
+    * the table) so the transform can be wired before any table exists. */
+  def projectMaxwell(records: DataFrame,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      tableRegex: String, databaseRegex: Option[String] = None,
+      precombineField: Option[String] = None,
+      precombineType: String = "date_string",
+      precombineFormat: String = "yyyy-MM-dd HH:mm:ss",
+      jsonCol: String = "value"): DataFrame = {
     require(Set("non_timestamp", "date_string", "epoch_millis",
       "unix_timestamp")(precombineType),
       s"unknown precombine field type '$precombineType' (non_timestamp | " +
@@ -161,7 +183,7 @@ object DebeziumIngest {
       .filter(col("_type").isin("insert", "update", "delete"))
     val parsed = targeted.withColumn("_row", from_json(col("_data"), dataSchema))
     val isDel = col("_type") === "delete"
-    val overridden = (precombineType, t.config.precombineField) match {
+    val overridden = (precombineType, precombineField) match {
       case ("non_timestamp", _) | (_, None) => parsed
       case (tpe, Some(p)) =>
         require(dataSchema.fieldNames.contains(p),
@@ -176,8 +198,6 @@ object DebeziumIngest {
           col("_row").withField(p, tsVal.cast(dataSchema(p).dataType)))
           .otherwise(col("_row")))
     }
-    if (overridden.isEmpty) return None
-    Some(t.writeBatch(
-      overridden.select(col("_row.*"), isDel.as(GraftTable.DELETED)), "upsert"))
+    overridden.select(col("_row.*"), isDel.as(GraftTable.DELETED))
   }
 }

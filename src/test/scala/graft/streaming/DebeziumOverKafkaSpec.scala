@@ -88,6 +88,49 @@ class DebeziumOverKafkaSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("maxwell-over-kafka: JSON envelopes decode via projectMaxwell, exactly-once") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("mxk", MergeOnRead,
+      keyFields = Seq("id")))
+    val msgs = ArrayBuffer(
+      """{"database":"shop","table":"customers","type":"insert","ts":1,"data":{"id":1,"v":"a"}}""",
+      """{"database":"shop","table":"customers","type":"insert","ts":2,"data":{"id":2,"v":"c"}}""",
+      """{"database":"shop","table":"orders","type":"insert","ts":3,"data":{"id":9,"v":"x"}}""",
+      """{"database":"shop","table":"customers","type":"table-alter","ts":4,"data":null}""")
+    val puller = new OffsetRangePuller {
+      def latestOffsets(): Map[Int, Long] = Map(0 -> msgs.size.toLong)
+      def earliestOffsets(): Map[Int, Long] = Map(0 -> 0L)
+      def fetch(ranges: Map[Int, (Long, Long)]): DataFrame = {
+        val (from, until) = ranges(0)
+        msgs.slice(from.toInt, until.toInt).toSeq.toDF("value")
+      }
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    def loopM(tt: GraftTable) = new ContinuousIngest(tt,
+      new KafkaLikeSource(puller, maxEventsPerPull = 3,
+        topic = Some("maxwell")).forTable(tt),
+      transforms = Seq(df => DebeziumIngest.projectMaxwell(df, schema,
+        tableRegex = "customers", precombineType = "non_timestamp")),
+      operation = "upsert", compactEvery = 0)
+    val ci = loopM(t)
+    try assert(ci.drain() === 2) finally ci.close() // 3-cap forces 2 pulls
+    assert(t.snapshot().select("id", "v").as[(Long, String)].collect()
+      .sorted.toSeq === Seq((1L, "a"), (2L, "c")),
+      "other tables and DDL rows are filtered, not applied")
+
+    // restart, then an update and a delete arrive
+    msgs += """{"database":"shop","table":"customers","type":"update","ts":5,"data":{"id":1,"v":"b"}}"""
+    msgs += """{"database":"shop","table":"customers","type":"delete","ts":6,"data":{"id":2,"v":"c"}}"""
+    val t2 = GraftTable.load(spark, dir)
+    val ci2 = loopM(t2)
+    try assert(ci2.drain() === 1) finally ci2.close()
+    assert(t2.snapshot().select("id", "v").as[(Long, String)].collect()
+      .sorted.toSeq === Seq((1L, "b")))
+    GraftTable.drop(dir)
+  }
+
   test("an unknown op fails the batch instead of writing garbage") {
     val dir = tmp()
     val t = mkTable(dir)
