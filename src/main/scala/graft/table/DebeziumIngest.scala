@@ -104,6 +104,14 @@ object DebeziumIngest {
     * timestamp column with `payload = event_time`. */
   def applyDms(t: GraftTable, changes: DataFrame,
       opCol: String = "Op"): Option[String] = {
+    if (changes.isEmpty) return None
+    Some(t.writeBatch(projectDms(changes, opCol), "upsert"))
+  }
+
+  /** The DMS `Op`-column → write-batch projection of [[applyDms]] as a
+    * standalone lazy transform (same composition seam as [[project]] /
+    * [[projectMaxwell]] — DMS streams commonly land via Kafka too). */
+  def projectDms(changes: DataFrame, opCol: String = "Op"): DataFrame = {
     require(changes.columns.contains(opCol),
       s"DMS ingest expects an '$opCol' column on every row")
     val op = upper(coalesce(col(opCol), lit("")))
@@ -113,10 +121,8 @@ object DebeziumIngest {
       .when(op === "D", lit(true))
       .otherwise(raise_error(concat(lit("unknown DMS op '"),
         col(opCol), lit("'"))).cast("boolean"))
-    if (changes.isEmpty) return None
     val rest = changes.columns.filterNot(_ == opCol).map(col).toSeq
-    Some(t.writeBatch(
-      changes.select(rest :+ del.as(GraftTable.DELETED): _*), "upsert"))
+    changes.select(rest :+ del.as(GraftTable.DELETED): _*)
   }
 
   /** Maxwell-shaped CDC ingest (ref: hudi-utilities sources/processor/
