@@ -272,11 +272,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     loadTable(ident)
   }
 
+  /** DROP TABLE. A `.link`-registered identifier is EXTERNAL (the catalog
+    * half of [[CatalogSync]] — the reference's HiveSyncTool registers
+    * EXTERNAL tables for exactly this reason): dropping it only unregisters
+    * the link, never deletes lake data. In particular a MOR sync registers
+    * `<name>_rt` and `<name>_ro` over ONE shared base path — deleting the
+    * path through either link would silently destroy the other. Only a
+    * warehouse-resident (catalog-managed) table's data is deleted. */
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)
     if (existed) {
-      GraftTable.drop(pathOf(ident))
-      Files.deleteIfExists(linkOf(ident))
+      if (linkInfo(ident).isDefined) Files.deleteIfExists(linkOf(ident))
+      else GraftTable.drop(pathOf(ident))
     }
     existed
   }
@@ -382,6 +389,15 @@ class GraftV2Table(val path: String, fullName: String,
 
   private lazy val table: GraftTable = GraftTable.load(SparkSession.active, path)
 
+  /** An `_ro` identifier is a read-optimized VIEW over a shared MOR base
+    * path; every mutation entry point this Table exposes (truncate,
+    * partition drop/truncate, index DDL) must refuse, mirroring the
+    * GraftDmlRule guard on MERGE/UPDATE/DELETE/INSERT — otherwise
+    * `TRUNCATE TABLE name_ro` mutates the base table through the view. */
+  private def requireWritable(op: String): Unit =
+    require(!readOptimized,
+      s"$op is not allowed on read-optimized view $fullName; use the _rt table")
+
   // ---- SupportsIndex: CREATE/DROP INDEX as bloom-sidecar backfill (ref:
   // hudi-spark/.../command/IndexCommands.scala:28). The only index type is
   // the record-key bloom; columns, when given, must name the key fields.
@@ -390,6 +406,7 @@ class GraftV2Table(val path: String, fullName: String,
       columnsProperties: util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
         util.Map[String, String]],
       properties: util.Map[String, String]): Unit = {
+    requireWritable("CREATE INDEX")
     val cols = columns.map(_.fieldNames.mkString(".")).toSeq
     require(cols.isEmpty || cols == table.config.keyFields,
       s"graft indexes cover the record key ${table.config.keyFields.mkString(",")}" +
@@ -401,6 +418,7 @@ class GraftV2Table(val path: String, fullName: String,
   }
 
   override def dropIndex(indexName: String): Unit = {
+    requireWritable("DROP INDEX")
     if (!table.bloomIndexName.contains(indexName))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
         indexName, fullName, scala.None)
@@ -571,12 +589,16 @@ class GraftV2Table(val path: String, fullName: String,
       properties: util.Map[String, String]): Unit = ()
 
   override def dropPartition(ident: InternalRow): Boolean = {
+    requireWritable("ALTER TABLE DROP PARTITION")
     val p = pathOfIdent(ident)
     if (!livePartitionPaths.contains(p)) false
     else { table.deletePartitions(Seq(p)); true }
   }
 
-  override def truncatePartition(ident: InternalRow): Boolean = dropPartition(ident)
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    requireWritable("TRUNCATE PARTITION")
+    dropPartition(ident)
+  }
 
   override def replacePartitionMetadata(ident: InternalRow,
       properties: util.Map[String, String]): Unit =
@@ -589,6 +611,7 @@ class GraftV2Table(val path: String, fullName: String,
   // -- TRUNCATE TABLE ------------------------------------------------------
 
   override def truncateTable(): Boolean = {
+    requireWritable("TRUNCATE TABLE")
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

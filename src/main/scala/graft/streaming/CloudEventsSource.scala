@@ -115,6 +115,17 @@ class QueueEventsSource(spark: SparkSession, queue: MessageQueue,
  */
 object CloudObjectsLoad {
 
+  /** Existence check through the Hadoop FileSystem of the path's SCHEME —
+    * the flag's real use case is remote prefixes (s3a://, hdfs://), where
+    * a java.nio check would report every object missing and silently
+    * filter all windows to empty (ingest stalls instead of failing
+    * loudly). Resolving via Path.getFileSystem handles local and remote
+    * prefixes uniformly, exactly as spark.read would resolve the load. */
+  private[streaming] def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
   /** Build the object paths of one events window, filtered like the
     * reference (S3_KEY_PREFIX / S3_IGNORE_KEY_PREFIX /
     * S3_IGNORE_KEY_SUBSTRING), as `<fsPrefix><bucket>/<key>`. */
@@ -157,8 +168,7 @@ object CloudObjectsLoad {
         case Some((ck, window)) =>
           val paths = objectPaths(window, fsPrefix, keyPrefix,
             ignoreKeyPrefix, ignoreKeySubstring)
-            .filter(p => !checkExists ||
-              java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            .filter(p => !checkExists || pathExists(spark, p))
           if (paths.isEmpty) next()
           else Some((s"${CommitFeed.Kind}:$ck",
             spark.read.format(format).load(paths: _*)))

@@ -572,7 +572,16 @@ object GraftSql {
     if (m == "undo") {
       val id = backup.getOrElse(
         sys.error("repair undo needs backup => '<backup id>'"))
-      val dir = backupRoot.resolve(id)
+      // the id names a DIRECTLY-nested backup directory; a traversal id
+      // ('..', path separators) would let the walk+move below relocate
+      // arbitrary reachable files into the table root and then delete the
+      // escaped directory — reject anything that is not a plain child name
+      require(!id.contains('/') && !id.contains('\\') && id != ".." &&
+        id != "." && id.nonEmpty,
+        s"invalid backup id '$id' (must be a plain directory name)")
+      val dir = backupRoot.resolve(id).normalize()
+      require(dir.startsWith(backupRoot.normalize()),
+        s"backup id '$id' escapes the backup root")
       require(Files.isDirectory(dir), s"no repair backup '$id'")
       val restored = Fs.walk(dir).filter(Files.isRegularFile(_)).map { p =>
         val rel = dir.relativize(p)

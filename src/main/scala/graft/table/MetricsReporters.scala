@@ -2,7 +2,6 @@ package graft.table
 
 import java.io.OutputStreamWriter
 import java.net.Socket
-import java.time.format.DateTimeFormatter
 import java.time.{LocalDateTime, ZoneOffset}
 
 /** One write metric sample: a dotted path, a value, and the COMMIT's
@@ -51,10 +50,34 @@ class GraphiteMetricsReporter(host: String, port: Int) extends MetricsReporter {
 }
 
 object Metrics {
-  private val InstantFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS")
-
-  private[graft] def instantEpochSeconds(instant: String): Long =
-    LocalDateTime.parse(instant, InstantFmt).toEpochSecond(ZoneOffset.UTC)
+  /** Lenient instant → epoch-seconds. Instants are opaque ORDERED strings
+    * everywhere else in the engine, and the allocator's collision path
+    * (Timeline.startInstant: BigInt + 1) can mint non-calendar digit runs
+    * (…115959999 + 1 → …115960000, seconds = 60) — strict
+    * LocalDateTime.parse would throw for any table containing one. Decompose
+    * the yyyyMMddHHmmss prefix numerically and CARRY overflowed fields
+    * (sec ≥ 60 → minute, min ≥ 60 → hour, …) so every digit string maps to a
+    * monotone, close-enough timestamp; anything non-numeric degrades to 0
+    * rather than sinking the metrics report. */
+  private[graft] def instantEpochSeconds(instant: String): Long = {
+    val digits = instant.takeWhile(_.isDigit)
+    if (digits.length < 14) return 0L
+    def seg(from: Int, len: Int) = digits.slice(from, from + len).toInt
+    try {
+      var (yr, mo, dy) = (seg(0, 4), seg(4, 2), seg(6, 2))
+      var (hh, mi, ss) = (seg(8, 2), seg(10, 2), seg(12, 2))
+      // carry overflowed time fields upward; clamp date fields into range
+      mi += ss / 60; ss %= 60
+      hh += mi / 60; mi %= 60
+      dy += hh / 24; hh %= 24
+      if (mo < 1) mo = 1; if (mo > 12) mo = 12
+      if (dy < 1) dy = 1
+      val maxDay = java.time.YearMonth.of(yr, mo).lengthOfMonth()
+      val extraDays = math.max(0, dy - maxDay)
+      LocalDateTime.of(yr, mo, math.min(dy, maxDay), hh, mi, ss)
+        .plusDays(extraDays.toLong).toEpochSecond(ZoneOffset.UTC)
+    } catch { case _: RuntimeException => 0L }
+  }
 
   /** The table's write metrics as points (ref: HoodieMetrics.java commit
     * duration / files / records / bytes gauges): one point per (data

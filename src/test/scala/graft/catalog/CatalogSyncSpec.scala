@@ -72,6 +72,52 @@ class CatalogSyncSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("DROP TABLE on a synced (link) identifier unregisters without deleting data") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("sync_drop", MergeOnRead,
+      keyFields = Seq("id")))
+    t.bulkInsert(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val names = CatalogSync.sync(spark, dir, "lakedb")
+    assert(names === Seq("graft.lakedb.sync_drop_rt", "graft.lakedb.sync_drop_ro"))
+    // dropping the _ro registration must NOT delete the shared base path:
+    // _rt and path-based reads keep working
+    spark.sql("DROP TABLE graft.lakedb.sync_drop_ro")
+    assert(GraftTable.exists(dir))
+    assert(spark.table("graft.lakedb.sync_drop_rt").count() === 2)
+    assert(spark.read.format("graft").load(dir).count() === 2)
+    // dropping the remaining registration also keeps the data
+    spark.sql("DROP TABLE graft.lakedb.sync_drop_rt")
+    assert(GraftTable.exists(dir))
+    assert(spark.read.format("graft").load(dir).count() === 2)
+    GraftTable.drop(dir)
+  }
+
+  test("read-optimized view rejects every mutation entry point") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("sync_guard", MergeOnRead,
+      keyFields = Seq("id"), partitioning = PartitionByColumns(Seq("p"))))
+    t.bulkInsert(Seq((1L, "x", "a"), (2L, "y", "b")).toDF("id", "v", "p"))
+    CatalogSync.sync(spark, dir, "lakedb")
+    def rejected(sqlText: String): Unit = {
+      val e = intercept[Exception](spark.sql(sqlText))
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+      assert(msgs.contains("read-optimized"), s"$sqlText → $msgs")
+    }
+    rejected("TRUNCATE TABLE graft.lakedb.sync_guard_ro")
+    rejected("ALTER TABLE graft.lakedb.sync_guard_ro DROP PARTITION (p = 'a')")
+    rejected("CREATE INDEX ro_idx ON graft.lakedb.sync_guard_ro (id)")
+    rejected("DROP INDEX ro_idx ON graft.lakedb.sync_guard_ro")
+    // the base table is untouched by all of the above
+    assert(spark.table("graft.lakedb.sync_guard_rt").count() === 2)
+    // the _rt identifier accepts the same operations
+    spark.sql("TRUNCATE TABLE graft.lakedb.sync_guard_rt")
+    assert(spark.table("graft.lakedb.sync_guard_rt").count() === 0)
+    spark.sql("DROP TABLE graft.lakedb.sync_guard_rt")
+    spark.sql("DROP TABLE graft.lakedb.sync_guard_ro")
+    GraftTable.drop(dir)
+  }
+
   test("sync refuses to shadow a warehouse-resident table") {
     val dir = tmp()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.shadowdb")

@@ -479,8 +479,14 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e = fresh("t_ext")
     sql(s"CREATE TABLE graft.$e USING graft LOCATION '$ext'")
     assert(sql(s"SELECT count(*) AS c FROM graft.$e").collect()(0).getLong(0) === 2)
-    sql(s"DROP TABLE graft.$e") // drops registration + data
-    assert(!GraftTable.exists(ext))
+    // LOCATION-registered tables are EXTERNAL: DROP only unregisters the
+    // link, lake data survives (Hive/Spark external semantics — and a MOR
+    // sync registers _rt/_ro over ONE base path, so a data-deleting drop
+    // through either link would destroy the other)
+    sql(s"DROP TABLE graft.$e")
+    assert(!sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains(e))
+    assert(GraftTable.exists(ext)) // data intact
+    // warehouse-resident (managed) tables DO drop their data
     sql(s"DROP TABLE graft.$n")
     assert(!sql("SHOW TABLES IN graft").collect().map(_.getString(1)).contains(n))
   }

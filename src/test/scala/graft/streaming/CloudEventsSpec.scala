@@ -124,4 +124,16 @@ class CloudEventsSpec extends AnyFunSuite {
     } finally { stage1.close(); stage2.close() }
     GraftTable.drop(eventsDir); GraftTable.drop(targetDir)
   }
+
+  test("pathExists resolves through the path's Hadoop FileSystem scheme") {
+    val root = tmp()
+    Files.write(java.nio.file.Paths.get(root, "obj.bin"), Array[Byte](1))
+    // plain local path AND explicit file: scheme both resolve (a java.nio
+    // check would also pass these — the point is the resolution goes
+    // through Path.getFileSystem, which handles s3a://hdfs:// uniformly)
+    assert(CloudObjectsLoad.pathExists(spark, s"$root/obj.bin"))
+    assert(CloudObjectsLoad.pathExists(spark, s"file:$root/obj.bin"))
+    assert(!CloudObjectsLoad.pathExists(spark, s"$root/missing.bin"))
+    assert(!CloudObjectsLoad.pathExists(spark, s"file:$root/missing.bin"))
+  }
 }

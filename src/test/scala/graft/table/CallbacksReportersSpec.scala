@@ -100,4 +100,24 @@ class CallbacksReportersSpec extends AnyFunSuite {
     assert(recs.size === 2 && recs.forall(_ >= 1) && recs.max === 3)
     GraftTable.drop(dir)
   }
+
+  test("instantEpochSeconds is lenient to collision-minted non-calendar instants") {
+    // calendar instant parses exactly
+    assert(Metrics.instantEpochSeconds("20240101000000000") === 1704067200L)
+    // the allocator's collision path is BigInt+1: …115959999 + 1 overflows
+    // the seconds field (…115960 = sec 60); leniency must carry, not throw,
+    // and ORDER must be preserved across the overflow boundary
+    val before = Metrics.instantEpochSeconds("20240101115959999")
+    val after = Metrics.instantEpochSeconds("20240101115960000")
+    assert(after === before + 1, s"$before vs $after")
+    // minute/hour/day overflow all carry: 236060 = 23:60:60 → next day 00:01:00
+    assert(Metrics.instantEpochSeconds("20240101236060000") ===
+      Metrics.instantEpochSeconds("20240102000100000"))
+    // day past month end carries into the next month
+    assert(Metrics.instantEpochSeconds("20240132000000000") ===
+      Metrics.instantEpochSeconds("20240201000000000"))
+    // junk degrades to 0 instead of sinking the report
+    assert(Metrics.instantEpochSeconds("bogus") === 0L)
+    assert(Metrics.instantEpochSeconds("2024") === 0L)
+  }
 }

@@ -76,4 +76,29 @@ class RepairToolSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown repair mode"))
     GraftTable.drop(dir)
   }
+
+  test("undo rejects traversal backup ids; escaped dirs are never walked") {
+    val dir = Files.createTempDirectory("graft_repair3_").toString
+    val t = GraftTable.create(spark, dir, TableConfig("rep3", CopyOnWrite,
+      keyFields = Seq("id")))
+    t.bulkInsert(Seq((1L, "a")).toDF("id", "v"))
+    // plant a sentinel OUTSIDE the backup root that a '..' id could reach
+    val outside = Files.createTempDirectory("graft_outside_")
+    Files.write(outside.resolve("sentinel.txt"), "keep".getBytes("UTF-8"))
+    val rel = java.nio.file.Paths.get(dir, ".graft", "repair_backup")
+      .relativize(outside).toString
+    for (bad <- Seq("..", ".", "", rel, "a/b", "..\\x")) {
+      val e = intercept[Exception](GraftSql.repairTable(t, "undo", Some(bad)))
+      assert(e.getMessage.contains("invalid backup id") ||
+        e.getMessage.contains("escapes") ||
+        e.getMessage.contains("needs backup"), s"'$bad' → ${e.getMessage}")
+    }
+    // the sentinel survived every rejected attempt
+    assert(Files.isRegularFile(outside.resolve("sentinel.txt")))
+    // an unknown-but-plain id still reports cleanly
+    val e2 = intercept[Exception](GraftSql.repairTable(t, "undo", Some("nope")))
+    assert(e2.getMessage.contains("no repair backup"))
+    GraftTable.drop(dir)
+    GraftTable.drop(outside.toString)
+  }
 }
