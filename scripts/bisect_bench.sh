@@ -1,0 +1,53 @@
+#!/bin/bash
+# Same-box, code-vs-code bench bisect: HEAD vs a baseline commit over a
+# fixed 10-query subset (min-of-2 sweeps each, run back-to-back on the
+# same box, never concurrently). Box-state drift has confounded recorded
+# round-over-round tails twice; this writes the comparison that cannot be
+# confounded into bench_bisect.json at the repo root, which graft.Bench
+# embeds verbatim as the "bisect" field of its output line — so the
+# per-round BENCH artifact carries the box-immune ratio.
+#
+# Usage: scripts/bisect_bench.sh [baseline-commit]
+#   baseline defaults to the newest "round N: ..." driver commit.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+BASE=${1:-$(git log --grep='^round ' -n1 --format=%H)}
+HEAD_COMMIT=$(git rev-parse HEAD)
+SUBSET=${SPARK_GRAFT_BISECT_SUBSET:-q1_pricing_summary,q9_product_profit,q_asof_join,text_quality,dedup_minhash,pipeline_curate3,lake_upsert_snapshot,lake_cdc,lake_mdt_cold,lake_compaction}
+SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+WT=$(mktemp -d /tmp/graft_bisect_XXXXXX)
+rmdir "$WT"
+git worktree add --detach "$WT" "$BASE" >/dev/null
+
+run() (
+  cd "$1"
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_ONLY="$SUBSET" \
+    SPARK_GRAFT_BENCH_PASSES=2 sbt -batch "runMain graft.Bench" 2>/dev/null \
+    | grep '"metric"' | tail -1
+)
+
+echo "[bisect] baseline $BASE ..." >&2
+BASE_LINE=$(run "$WT")
+echo "[bisect] head $HEAD_COMMIT ..." >&2
+HEAD_LINE=$(run .)
+
+python3 - "$BASE" "$HEAD_COMMIT" "$BASE_LINE" "$HEAD_LINE" <<'EOF'
+import json, sys
+base_commit, head_commit, base_line, head_line = sys.argv[1:5]
+b, h = json.loads(base_line), json.loads(head_line)
+bq = {k: v for k, v in b["queries"].items() if v >= 0}
+hq = {k: v for k, v in h["queries"].items() if v >= 0}
+common = sorted(set(bq) & set(hq))
+bt, ht = sum(bq[k] for k in common), sum(hq[k] for k in common)
+out = {"baseline_commit": base_commit, "head_commit": head_commit,
+       "queries": common,
+       "baseline_total_sec": round(bt, 2), "head_total_sec": round(ht, 2),
+       "ratio": round(ht / bt, 3) if bt > 0 else None,
+       "baseline": {k: bq[k] for k in common},
+       "head": {k: hq[k] for k in common}}
+open("bench_bisect.json", "w").write(json.dumps(out) + "\n")
+print(f"[bisect] ratio {out['ratio']} ({ht:.1f}s head vs {bt:.1f}s baseline "
+      f"over {len(common)} queries)")
+EOF
+
+git worktree remove --force "$WT"

@@ -22,13 +22,20 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup at the smallest SF so timed numbers reflect the
     // steady state, not first-query compilation
+    // SPARK_GRAFT_ONLY=q1,q2 times just those queries — the iteration loop
+    // for chasing one regression without paying the full sweep (warmup
+    // respects it too, so a 10-query bisect never pays a 117-query warmup)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1") {
       val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
       var failed = 0
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count()
-        catch { case _: Throwable => failed += 1 }
-      }
+      SparkEntry.queries
+        .filter { case (n, _) => only.forall(_(n)) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count()
+          catch { case _: Throwable => failed += 1 }
+        }
       if (failed > 0) // silent skip would inflate the first timed query
         System.err.println(s"[bench] WARMUP incomplete: $failed queries failed on $warmDir")
     }
@@ -36,10 +43,6 @@ object Bench {
     // driver box is shared) can fake a multi-second "regression" in a
     // single-shot run. SPARK_GRAFT_BENCH_PASSES=1 restores single-shot.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    // SPARK_GRAFT_ONLY=q1,q2 times just those queries — the iteration loop
-    // for chasing one regression without paying the full sweep
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_(n)) }
     val sweeps = (1 to passes).map { _ =>
@@ -67,7 +70,27 @@ object Bench {
           else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // box-state-immune comparison: scripts/bisect_bench.sh runs HEAD vs the
+    // previous round's snapshot back-to-back on THIS box over a fixed
+    // 10-query subset and writes bench_bisect.json; embedding it here puts
+    // the code-vs-code ratio into the per-round BENCH artifact (recorded
+    // tails compared across rounds have twice been confounded by box drift)
+    val bisect = try {
+      val p = java.nio.file.Paths.get("bench_bisect.json")
+      if (!java.nio.file.Files.isRegularFile(p)) ""
+      else {
+        // compact summary only — the full per-query detail stays in the
+        // committed bench_bisect.json; the console line is tail-truncated
+        // by log capture and the lake_* timings at the end must survive
+        val n = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        s""""bisect":{"baseline_commit":"${n.path("baseline_commit").asText}",""" +
+          s""""head_commit":"${n.path("head_commit").asText}",""" +
+          s""""ratio":${n.path("ratio").asText("null")},""" +
+          s""""head_total_sec":${n.path("head_total_sec").asText("0")},""" +
+          s""""baseline_total_sec":${n.path("baseline_total_sec").asText("0")}},"""
+      }
+    } catch { case _: Exception => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$bisect"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // self-reported machine-readable artifact: the console line gets tail-
     // truncated by log capture, so round-over-round comparison needs a file

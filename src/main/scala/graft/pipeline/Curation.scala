@@ -16,21 +16,27 @@ object Curation {
    * the step that turns pairwise near-dup hits (minhash/simhash/jaccard)
    * into dedup decisions: every component keeps one canonical document.
    *
-   * Min-label propagation to a fixpoint: each round every vertex takes the
-   * smallest component id among itself and its neighbors. Rounds are plain
-   * shuffles on vertex id, `localCheckpoint` cuts the growing lineage, and
-   * the loop stops when a round changes nothing. Near-dup graphs are
-   * star/clique-shaped (tiny diameter), so this converges in 2–4 rounds
-   * regardless of corpus size — the per-round cost is O(|E|) shuffle, the
-   * driver only sees a per-round changed-count scalar. `maxIter` bounds
-   * pathological chain graphs (diameter-length convergence).
+   * Min-label propagation with POINTER JUMPING to a fixpoint: each round
+   * every vertex takes the smallest component id among itself and its
+   * neighbors, then re-labels through its label's own label
+   * (comp(v) := comp(comp(v)) — path compression). The jump halves label-
+   * chain depth per round, so convergence is O(log diameter) rounds, not
+   * O(diameter): a 1000-long near-dup CHAIN converges in ~12 rounds where
+   * plain propagation needs 1000. Rounds are plain shuffles on vertex id,
+   * `localCheckpoint` cuts the growing lineage, the driver only sees a
+   * per-round changed flag. Near-dup graphs are star/clique-shaped (tiny
+   * diameter), so typical convergence stays 2–4 rounds.
+   *
+   * THROWS on `maxIter` exhaustion instead of returning silently-wrong
+   * clusters — an unconverged labelling splits one true component into
+   * several, and downstream dedup would then keep duplicates.
    *
    * Returns (id, component) with component = the smallest vertex id in the
    * component — deterministic, engine-independent.
    */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       idCol: String = "id", srcCol: String = "id_a", dstCol: String = "id_b",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     var comp = vertices.select(col(idCol).as("id"), col(idCol).as("comp"))
@@ -42,14 +48,32 @@ object Curation {
       val viaNeighbors = sym
         .join(comp.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("comp")).as("ncomp"))
-      val next = comp.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+      val propagated = comp.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           (col("ncomp") < col("comp")).as("changed"))
+      // pointer jump: follow the new label to ITS (previous-round) label.
+      // Labels are always member-vertex ids, least() keeps them monotone
+      // decreasing, so the jump preserves the invariant while compressing
+      // chains — comp(comp(v)) ≤ comp(v) because every label only shrinks
+      val next = propagated.join(
+          comp.select(col("id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+          col("changed"))
         .localCheckpoint()
+      // convergence tests the PROPAGATION step only: no neighbor improved
+      // any label ⇒ labels are constant across every edge ⇒ constant per
+      // component ⇒ the jump is a no-op too (comp(min) = min)
       converged = next.filter(col("changed")).limit(1).isEmpty
       comp = next.select(col("id"), col("comp"))
       round += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "the graph's effective diameter survived pointer jumping " +
+        "(raise maxIter); refusing to return unconverged (wrong) clusters")
     comp
   }
 

@@ -142,6 +142,67 @@ object Dedup {
     materialized
   }
 
+  /** Exact-substring span REMOVAL — the actual transformation of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), extending [[substringDupSignal]]'s per-doc signal: every
+    * n-token window occurring ≥2 times in the corpus (across OR within
+    * docs) is removed at every occurrence except the globally FIRST
+    * (smallest (doc, pos)) — first occurrence wins, later copies of the
+    * span are dropped and the doc is reassembled from its surviving
+    * tokens.
+    *
+    * Corpus-linear throughout (the dedup_lines_within shape): one window
+    * explode, one window-function pass keyed on the window value (the
+    * shuffle the df-agg in the SIGNAL does anyway), a covered-position
+    * anti-join on (doc, pos), and a per-doc sort-rebuild — no pairwise
+    * joins anywhere. `hashed` shrinks the shuffle key to xxhash64 for the
+    * at-scale mode (identical output modulo ~|windows|²/2⁶⁴ collisions);
+    * default off so the external oracle states exact strings.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean): original whitespace
+    * token count, removed-token count, and the rebuilt text (`""` when
+    * every token was removed). Docs shorter than n tokens pass through
+    * untouched. */
+  def substringRemove(docs: DataFrame, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
+    val withToks = docs
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occRaw = withToks.filter(size(col("toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
+        .as(Seq("pos", "sh")))
+    val occ = if (hashed)
+      occRaw.select(col(idCol), col("pos"), xxhash64(col("sh")).as("sh"))
+    else occRaw
+    // first occurrence in global (doc, pos) order survives; later
+    // occurrences of any window seen >= 2 times are removal spans
+    val bySh = Window.partitionBy(col("sh"))
+    val marked = occ
+      .withColumn("_rn", row_number().over(bySh.orderBy(col(idCol), col("pos"))))
+      .withColumn("_cnt", count(lit(1)).over(bySh))
+      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    val covered = marked.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
+    val tokens = withToks.select(col(idCol),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val rebuilt = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean"))
+    val out = withToks
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean"))
+    materializeAndRelease(out, withToks)
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -161,39 +222,64 @@ object Dedup {
     docs.select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
 
-  /** All pairs with shingle-Jaccard ≥ tau. Exact: the join key is the
-    * shingle (as a 64-bit hash — long joins shuffle a fraction of the
-    * bytes of string joins; collision odds are ~|shingles|²/2⁶⁴), so only
-    * documents sharing a shingle ever meet.
+  /** All pairs with shingle-Jaccard ≥ tau. The join key is the shingle
+    * (as a 64-bit hash — long joins shuffle a fraction of the bytes of
+    * string joins; collision odds are ~|shingles|²/2⁶⁴), so only documents
+    * sharing a shingle ever meet.
     *
-    * `maxDocFrac` caps each shingle's document frequency: a boilerplate
-    * shingle shared by f docs contributes f² candidate pairs, so one hot
-    * shingle in 1M docs is 10¹² joined rows. Capping at (say) 0.01 drops
-    * such shingles from CANDIDATE GENERATION only — near-dup pairs still
-    * meet through their rarer shingles — but sizes/counts then exclude
-    * them, making the jaccard approximate-from-below. The default 1.0
-    * disables the cap (exact, matches the SQL oracle). */
+    * `maxDocFrac` caps each shingle's document frequency in CANDIDATE
+    * GENERATION: a boilerplate shingle shared by f docs contributes f²
+    * joined rows, so one hot shingle in 1M docs is 10¹² rows before the
+    * groupBy — the cap is ON BY DEFAULT so the operator is scale-safe
+    * without caller discipline. The reported jaccard stays EXACT: sizes
+    * come from the FULL shingle sets, and each candidate pair's shared
+    * HOT shingles are counted back in via a per-doc hot-shingle array
+    * (tiny — at most the handful of corpus-wide boilerplate shingles) —
+    * so capping changes neither the value nor the tau test for any pair
+    * that meets. The only approximation is RECALL: a pair whose EVERY
+    * shared shingle is hot never meets — at tau ≥ 0.5 such docs are
+    * majority corpus-wide boilerplate. `maxDocFrac >= 1.0` disables the
+    * cap (single-phase exhaustive join). */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      maxDocFrac: Double = 1.0): DataFrame = {
+      maxDocFrac: Double = 0.1): DataFrame = {
     // cached: consumed by the sizes agg and both join sides
     val shAll = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh =
-      if (maxDocFrac >= 1.0) shAll
+    val hot =
+      if (maxDocFrac >= 1.0) None
       else {
         val maxDf = math.max(2L, (docs.count() * maxDocFrac).toLong)
-        // one small agg over the cached shingles; the anti-join side
-        // (hot shingles) is tiny by construction -> broadcast
-        val hot = shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("shingle"))
-        shAll.join(broadcast(hot), Seq("shingle"), "left_anti")
+        // one small agg over the cached shingles; the hot set is tiny by
+        // construction (each member is in > maxDocFrac of the corpus, so
+        // |hot| < totalShingleOccurrences / maxDf) -> broadcast
+        Some(shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("shingle")))
       }
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val sh = hot.fold(shAll)(h => shAll.join(broadcast(h), Seq("shingle"), "left_anti"))
+    // sizes over the FULL sets — the denominator never depends on the cap
+    val sizes = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    val commonNonHot = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common_nh"))
+    // exact hot-shingle intersection per candidate pair: each doc carries
+    // its (few) hot shingles as an array; two hash joins + array_intersect
+    val common = hot match {
+      case None => commonNonHot.withColumnRenamed("common_nh", "common")
+      case Some(h) =>
+        val hotPerDoc = shAll.join(broadcast(h), Seq("shingle"))
+          .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("hot_sh"))
+        val noHot = lit(Array.empty[Long])
+        commonNonHot
+          .join(hotPerDoc.select(col(idCol).as("id_a"), col("hot_sh").as("hot_a")),
+            Seq("id_a"), "left")
+          .join(hotPerDoc.select(col(idCol).as("id_b"), col("hot_sh").as("hot_b")),
+            Seq("id_b"), "left")
+          .withColumn("common", col("common_nh") + size(array_intersect(
+            coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot))))
+          .select(col("id_a"), col("id_b"), col("common"))
+    }
     val result = common
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))

@@ -494,6 +494,30 @@ object PipelineQueries {
     Dedup.substringDupSignal(docsWithNearDups(s, d), n = 10)
       .orderBy(col("doc_id"))
 
+  /** Exact-substring span REMOVAL (Lee et al. 2022's transformation, not
+    * just the signal): duplicated 10-token windows are dropped at every
+    * occurrence but the globally first, docs reassembled from surviving
+    * tokens — the planted near-dup copies lose their duplicated body and
+    * keep only the windows touching their unique tail. */
+  def dedupSubstringRemoval(s: SparkSession, d: String): DataFrame =
+    Dedup.substringRemove(docsWithNearDups(s, d), n = 10)
+      .orderBy(col("doc_id"))
+
+  /** Round-11 curation composed end-to-end: exact-substring span removal →
+    * retention gate (docs keeping ≥ half their tokens) → token shard
+    * packing of the REWRITTEN text. The removal-then-pack shape is the
+    * Lee-et-al. pipeline's tail: train on deduplicated spans, not
+    * duplicated ones. */
+  def pipelineCurate4(s: SparkSession, d: String): DataFrame =
+    Curation.packTokenShards(
+      Dedup.substringRemove(docsWithNearDups(s, d), n = 10)
+        .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens"))
+        .select(col("doc_id"), col("clean"),
+          (col("n_tokens") - col("n_removed")).as("kept_tokens")),
+      col("kept_tokens"), budget = 1500L, orderCol = "doc_id")
+      .select(col("doc_id"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+
   /** Round-7 curation composed end-to-end: Gopher rules gate →
     * exact-substring duplication gate (≤10% duplicated 10-token windows,
     * the Lee-et-al. removal-threshold shape) → within-doc line dedup →
@@ -599,6 +623,8 @@ object PipelineQueries {
     "dedup_incremental" -> (dedupIncremental _),
     "embed_project" -> (embedProject _),
     "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_removal" -> (dedupSubstringRemoval _),
+    "pipeline_curate4" -> (pipelineCurate4 _),
     "dedup_lines_within" -> (dedupLinesWithinQ _),
     "pipeline_curate3" -> (pipelineCurate3 _),
     "corpus_report" -> (corpusReport _),
@@ -1195,6 +1221,72 @@ object PipelineQueries {
          |SELECT d.doc_id, CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
          |  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows
          |FROM all_docs d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "dedup_substring_removal" -> {
+      val w10 = (0 until 10).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |         FROM all_docs),
+         |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
+         |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |marked AS (SELECT doc_id, pos,
+         |             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+         |             count(*) OVER (PARTITION BY sh) AS cnt
+         |           FROM occ),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+         |        FROM marked, unnest(range(0, 10)) AS r(j)
+         |        WHERE cnt >= 2 AND rn > 1),
+         |tokens AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |           FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tokens tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = tk.doc_id AND c.cpos = tk.pos)),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY pos) AS clean
+         |        FROM kept GROUP BY doc_id),
+         |sz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT sz.doc_id, sz.n_tokens,
+         |  CAST(sz.n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean, '') AS clean
+         |FROM sz LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "pipeline_curate4" -> {
+      val w10 = (0 until 10).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |         FROM all_docs),
+         |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
+         |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |marked AS (SELECT doc_id, pos,
+         |             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+         |             count(*) OVER (PARTITION BY sh) AS cnt
+         |           FROM occ),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+         |        FROM marked, unnest(range(0, 10)) AS r(j)
+         |        WHERE cnt >= 2 AND rn > 1),
+         |tokens AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |           FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+         |kept AS (SELECT tk.doc_id, tk.pos FROM tokens tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = tk.doc_id AND c.cpos = tk.pos)),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+         |        FROM kept GROUP BY doc_id),
+         |sz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |gated AS (SELECT sz.doc_id,
+         |            coalesce(n_kept, 0) AS tokens
+         |          FROM sz LEFT JOIN reb USING (doc_id)
+         |          WHERE coalesce(n_kept, 0) * 2 >= sz.n_tokens)
+         |SELECT doc_id, CAST(tokens AS BIGINT) AS tokens,
+         |  CAST(floor((sum(tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tokens)
+         |    / 1500.0) AS BIGINT) AS shard
+         |FROM gated ORDER BY doc_id""".stripMargin
     },
     "dedup_lines_within" ->
       """WITH p AS (SELECT doc_id,

@@ -131,6 +131,95 @@ object AvroFiles {
     out
   }
 
+  /** Decode a BINARY column of raw avro datums (the Kafka wire shape —
+    * no container header; ref: hudi-utilities sources/AvroKafkaSource.java
+    * + AvroConvertor.fromAvroBinary + deser/KafkaAvroSchemaDeserializer,
+    * which deserializes each record against a CONFIGURED source schema):
+    * every row's `payloadCol` bytes are decoded against `schemaJson` (a
+    * record schema in the supported subset) and the record's fields
+    * REPLACE the payload column; every other envelope column (topic,
+    * partition, offset, ts — whatever the source carried) passes through
+    * unchanged, so the transform composes on a KafkaLikeSource /
+    * ConfigDrivenIngest lane exactly like the Debezium/Maxwell
+    * projections.
+    *
+    * Distributed: one GenericDatumReader per PARTITION (schema parse and
+    * decoder are reused across the partition's rows), nothing driver-side.
+    * A null payload yields null record fields (the envelope row survives);
+    * corrupt bytes fail the task — the exactly-once ingest loop replays
+    * the batch after the producer is fixed, data is never silently
+    * dropped. */
+  def decodeDatums(df: DataFrame, schemaJson: String,
+      payloadCol: String = "value"): DataFrame = {
+    val writer = new Schema.Parser().parse(schemaJson)
+    require(writer.getType == Schema.Type.RECORD,
+      s"avro payload schema must be a record, got $writer")
+    val recType = sparkType(writer).asInstanceOf[StructType]
+    val others = df.schema.fields.filter(_.name != payloadCol)
+    require(others.length < df.schema.fields.length,
+      s"payload column '$payloadCol' not found in ${df.schema.fieldNames.mkString(",")}")
+    require(!others.exists(f => recType.fieldNames.contains(f.name)),
+      s"decoded avro fields ${recType.fieldNames.mkString(",")} collide with " +
+        s"envelope columns ${others.map(_.name).mkString(",")}")
+    val outSchema = StructType(recType.fields ++ others)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val otherIdx = others.map(f => df.schema.fieldIndex(f.name))
+    val spark = df.sparkSession
+    val rows = df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson) // not serializable
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      val factory = org.apache.avro.io.DecoderFactory.get()
+      var decoder: org.apache.avro.io.BinaryDecoder = null
+      val nulls = Seq.fill[Any](schema.getFields.size)(null)
+      it.map { row =>
+        val fields =
+          if (row.isNullAt(payloadIdx)) nulls
+          else {
+            val bytes = row.getAs[Array[Byte]](payloadIdx)
+            decoder = factory.binaryDecoder(bytes, decoder)
+            val rec = reader.read(null, decoder)
+            convert(rec, schema).asInstanceOf[Row].toSeq
+          }
+        Row.fromSeq(fields ++ otherIdx.map(row.get))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Encode rows as raw avro datum bytes against `schemaJson` — the test
+    * and tooling inverse of [[decodeDatums]] (what a Kafka producer's avro
+    * serializer emits, sans registry framing). Column order and types must
+    * match the schema's field order under [[sparkType]]. */
+  def encodeDatum(schemaJson: String, values: Seq[Any]): Array[Byte] = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    schema.getFields.asScala.zip(values).foreach { case (f, v) =>
+      rec.put(f.pos(), toAvro(v, nonNull(f.schema())))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+    new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema)
+      .write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** External Scala value → avro datum for the primitive/logical subset
+    * the encoder needs (tests + tooling; not a hot path). */
+  private def toAvro(v: Any, s: Schema): Any = v match {
+    case null => null
+    case ts: java.sql.Timestamp => s.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros =>
+        ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+      case _ => ts.getTime
+    }
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case bd: java.math.BigDecimal =>
+      ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+    case b: Array[Byte] => ByteBuffer.wrap(b)
+    case other => other // string / int / long / float / double / boolean
+  }
+
   /** The writer schema of one container file (driver-side header read). */
   def schemaOf(conf: Configuration, path: String): Schema = {
     val in = new FsInput(new HPath(path), conf)

@@ -19,10 +19,28 @@ import graft.table._
  * or string, decimal(p,s), timestamp, int, bigint, float, double,
  * boolean, date.
  */
+/** Per-source-kind lane settings beyond Kafka (round-11: the fork's
+  * operating model extended over the WHOLE source matrix — one config dir
+  * can mix kafka, dfs-inbox, jdbc and cloud-events lanes; ref: the
+  * reference's --source-class flag selecting JsonKafkaSource /
+  * ParquetDFSSource / JdbcSource / S3EventsHoodieIncrSource for one
+  * streamer). */
+case class DfsLane(dir: String, format: String, maxFilesPerPull: Int)
+case class JdbcLane(url: String, table: String, ckptCol: Option[String],
+    maxRowsPerPull: Long, options: Map[String, String])
+case class CloudEventsLane(eventsTable: String, format: String,
+    fsPrefix: String, keyPrefix: Option[String],
+    ignoreKeyPrefix: Option[String], ignoreKeySubstring: Option[String],
+    checkExists: Boolean, maxInstantsPerPull: Int)
+
 case class LaneSpec(
     fields: Seq[StructField],
+    sourceType: String,
     topic: String,
     maxEventsPerPull: Long,
+    dfs: Option[DfsLane],
+    jdbc: Option[JdbcLane],
+    cloudEvents: Option[CloudEventsLane],
     tableType: TableType,
     basePath: String,
     tableName: String,
@@ -122,6 +140,41 @@ object LaneSpec {
     }.toSeq
     require(fields.map(_.name).distinct.size == fields.size,
       "duplicate field names in streamer config")
+    val sourceType = Option(root.path("source_type").asText(null))
+      .map(_.toLowerCase).getOrElse("kafka")
+    require(Set("kafka", "dfs", "jdbc", "cloud_events")(sourceType),
+      s"unknown source_type '$sourceType' (kafka | dfs | jdbc | cloud_events)")
+    def opt(node: com.fasterxml.jackson.databind.JsonNode, p: String) =
+      Option(node.path(p).asText(null)).filter(_.nonEmpty)
+    val dfsLane = if (sourceType != "dfs") None else {
+      val c = root.path("dfs_config")
+      Some(DfsLane(req(c, "dir"),
+        opt(c, "format").getOrElse("parquet"),
+        Option(c.path("max_files_per_pull").asInt(0)).filter(_ > 0)
+          .getOrElse(Int.MaxValue)))
+    }
+    val jdbcLane = if (sourceType != "jdbc") None else {
+      val c = root.path("jdbc_config")
+      Some(JdbcLane(req(c, "url"), req(c, "table"),
+        opt(c, "checkpoint_column"),
+        Option(c.path("max_rows_per_pull").asLong(0L)).filter(_ > 0)
+          .getOrElse(Long.MaxValue),
+        Option(c.path("options")).filter(_.isObject)
+          .map(_.properties().asScala.map(e =>
+            e.getKey -> e.getValue.asText).toMap)
+          .getOrElse(Map.empty)))
+    }
+    val ceLane = if (sourceType != "cloud_events") None else {
+      val c = root.path("cloud_events_config")
+      Some(CloudEventsLane(req(c, "events_table"),
+        opt(c, "format").getOrElse("parquet"),
+        opt(c, "fs_prefix").getOrElse(""),
+        opt(c, "key_prefix"), opt(c, "ignore_key_prefix"),
+        opt(c, "ignore_key_substring"),
+        c.path("check_exists").asBoolean(false),
+        Option(c.path("max_instants_per_pull").asInt(0)).filter(_ > 0)
+          .getOrElse(1)))
+    }
     val kafka = root.path("kafka_config")
     val tc = root.path("table_config")
     val declared = fields.map(_.name).toSet
@@ -132,10 +185,14 @@ object LaneSpec {
       s"config column '$c' is not in the declared fields"))
     LaneSpec(
       fields = fields,
-      topic = req(kafka, "topic"),
+      sourceType = sourceType,
+      topic = if (sourceType == "kafka") req(kafka, "topic") else "",
       maxEventsPerPull =
         Option(kafka.path("max_events_per_pull").asLong(0L))
           .filter(_ > 0).getOrElse(Long.MaxValue),
+      dfs = dfsLane,
+      jdbc = jdbcLane,
+      cloudEvents = ceLane,
       // accept the reference's enum names too (fork configs say
       // MERGE_ON_READ / COPY_ON_WRITE, ref FlinkOptions.TABLE_TYPE)
       tableType = TableType.of(req(tc, "table_type").toLowerCase match {
@@ -230,14 +287,49 @@ class ConfigDrivenIngest(
     // live-resolving, so once is enough — no per-commit re-sync needed)
     spec.catalogSyncDb.foreach(db => graft.catalog.CatalogSync.sync(
       spark, spec.basePath, db, spec.catalogSyncTable))
-    val source = new KafkaLikeSource(pullerFor(spec.topic),
-      spec.maxEventsPerPull, Some(spec.topic)).forTable(t)
+    // one lane per source KIND (ref: the reference's --source-class flag;
+    // each kind resumes from its own namespaced checkpoint, so a config
+    // dir can mix kafka, dfs, jdbc and cloud-events lanes freely). Kafka
+    // lanes decode the fork's op-routed JSON envelope; the already-columnar
+    // kinds conform to the declared schema instead.
+    val (source, laneTransform) = spec.sourceType match {
+      case "kafka" =>
+        (new KafkaLikeSource(pullerFor(spec.topic),
+          spec.maxEventsPerPull, Some(spec.topic)).forTable(t),
+          envelopeTransform(spec))
+      case "dfs" =>
+        val c = spec.dfs.get
+        (new DfsSource(spark, c.dir, c.format, c.maxFilesPerPull).forTable(t),
+          conformTransform(spec))
+      case "jdbc" =>
+        val c = spec.jdbc.get
+        (new JdbcSource(spark, c.url, c.table, c.ckptCol, c.maxRowsPerPull,
+          c.options).forTable(t),
+          conformTransform(spec))
+      case "cloud_events" =>
+        val c = spec.cloudEvents.get
+        (CloudObjectsLoad.fromEventsTable(spark,
+          GraftTable.load(spark, c.eventsTable), t, c.format, c.fsPrefix,
+          c.keyPrefix, c.ignoreKeyPrefix, c.ignoreKeySubstring,
+          c.checkExists, c.maxInstantsPerPull),
+          conformTransform(spec))
+    }
     new ContinuousIngest(t, source, spec.transformerSql,
-      transforms = Seq(envelopeTransform(spec)),
+      transforms = Seq(laneTransform),
       operation = spec.operation,
       compactEvery = spec.compactionCommits,
       cleanRetainVersions = spec.cleanRetainVersions,
       archiveKeepLast = spec.archiveKeepLast)
+  }
+
+  /** Declared-schema conformance for already-columnar sources (dfs / jdbc
+    * / cloud-events): project exactly the declared fields, cast to the
+    * declared types — a lane's contract is its config, whatever extra
+    * columns the files or remote table carry. */
+  private[streaming] def conformTransform(spec: LaneSpec)
+      : DataFrame => DataFrame = { df =>
+    df.select(spec.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
   /** The declared-schema JSON parse + op routing as ONE codegen projection

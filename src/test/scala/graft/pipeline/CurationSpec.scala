@@ -43,6 +43,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: a planted 1000-chain converges in log rounds") {
+    // adversarial worst case for plain min-label propagation: one chain of
+    // length 1000 (diameter 999) needs 999 propagation rounds without
+    // pointer jumping — with it, convergence fits the default maxIter
+    val n = 1000
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val comp = Curation.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(comp.length === n)
+    assert(comp.forall(_._2 === 1L),
+      s"chain did not collapse to component 1: ${comp.filter(_._2 != 1L).take(5).toSeq}")
+  }
+
+  test("connectedComponents throws on maxIter exhaustion instead of wrong clusters") {
+    val n = 64
+    val verts = (1 to n).map(_.toLong).toDF("id")
+    val edges = (1 until n).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    // a 64-chain cannot converge in 2 rounds even with jumping
+    val e = intercept[IllegalStateException](
+      Curation.connectedComponents(verts, edges, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dupClusters keeps exactly the smallest id per cluster") {
     val verts = Seq(5L, 6L, 7L, 8L).toDF("id")
     val pairs = Seq((6L, 5L), (7L, 6L)).toDF("id_a", "id_b")

@@ -85,6 +85,75 @@ class PipelineSpec extends AnyFunSuite {
       s"df cap lost planted pairs: ${kept.size}/${planted.size}")
   }
 
+  test("default hot-shingle cap: corpus-wide boilerplate never enters the pair join, jaccard stays exact") {
+    import spark.implicits._
+    // 100 docs, each with unique content plus ONE boilerplate sentence
+    // shared by every doc; odd docs near-dup their predecessor
+    val docs = (0 until 100).map { i =>
+      val base = s"alpha$i beta$i gamma$i delta$i eps$i zeta$i eta$i " +
+        "common boiler plate sentence here"
+      val text = if (i % 2 == 1) s"alpha${i - 1} beta${i - 1} gamma${i - 1} " +
+        s"delta${i - 1} eps${i - 1} zeta${i - 1} tail$i " +
+        "common boiler plate sentence here" else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    // capped-by-default output must EQUAL the exhaustive exact one — the
+    // hot boilerplate shingles are counted back in via the per-doc hot
+    // array, so both pairs and values match bit-for-bit
+    def runs(frac: Double) = Dedup.jaccardPairs(docs, n = 3, tau = 0.3,
+        maxDocFrac = frac).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = runs(1.0)
+    val capped = runs(0.1) // the default
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+    assert(capped === exact,
+      s"capped diverged: missing=${(exact.keySet -- capped.keySet).take(3)} " +
+        s"extra=${(capped.keySet -- exact.keySet).take(3)}")
+    // pin the candidate-join bound: Σ df² over join-eligible shingles.
+    // The three interior boilerplate shingles have df=100 each (3·10⁴
+    // joined rows uncapped); with the default cap (maxDf=10) they are
+    // hot and excluded, leaving only rare shingles (df ≤ 10)
+    val dfs = Dedup.shingleHashes(docs, 3).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+    val maxDf = 10L // max(2, 100 * 0.1)
+    val hotRows = dfs.filter(col("df") > maxDf)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L))).collect()(0).getLong(0)
+    val cappedRows = dfs.filter(col("df") <= maxDf)
+      .agg(coalesce(sum(col("df") * col("df")), lit(0L))).collect()(0).getLong(0)
+    assert(hotRows >= 3L * 100 * 100,
+      s"fixture lost its hot shingles (hotRows=$hotRows)")
+    assert(cappedRows < 3000,
+      s"capped join not bounded: $cappedRows candidate rows")
+  }
+
+  test("substringRemove: first occurrence wins, spans drop, within-doc repeats collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),        // owns the first "a b c" / "b c d"
+      (2L, "a b c d x y"),        // duplicated head -> only unique tail kept
+      (3L, "z a b c d w"),        // duplicated middle -> edges kept
+      (4L, "p q r p q r p q r"),  // within-doc repeat collapses to first
+      (5L, "a b")                 // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) = Dedup.substringRemove(docs, n = 3, hashed = hashed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(hashed = false)
+    assert(got(1L) === ((6L, 0L, "a b c d e f")))
+    assert(got(2L) === ((6L, 4L, "x y")))
+    assert(got(3L) === ((6L, 4L, "z w")))
+    assert(got(4L) === ((9L, 6L, "p q r")))
+    assert(got(5L) === ((2L, 0L, "a b")))
+    // the at-scale hashed mode is pinned equal
+    assert(run(hashed = true) === got)
+    // a fully-duplicated doc reassembles to the empty string, not null
+    val twins = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val t2 = Dedup.substringRemove(twins, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(t2(1L) === ((0L, "a b c d")))
+    assert(t2(2L) === ((4L, "")))
+  }
+
   test("simhash: near-identical docs collide within small hamming distance") {
     val pairs = Dedup.simhashPairs(nearDupDocs, maxHamming = 10)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -232,4 +232,98 @@ class ConfigDrivenIngestSpec extends AnyFunSuite {
     } finally ing.close()
     GraftTable.drop(base)
   }
+
+  test("mixed source kinds in one config dir: kafka + dfs + jdbc + cloud_events, exactly-once each") {
+    import spark.implicits._
+    val dir = tmp()
+    val fieldsJson =
+      """{"name":"id","type":"bigint"},{"name":"v","type":"varchar(32)"},{"name":"ts","type":"bigint"}"""
+    def tcJson(base: String, name: String) =
+      s""""table_config": {"table_type": "COPY_ON_WRITE", "base_path": "$base",
+         |  "table_name": "$name", "record_key_field": "id",
+         |  "precombine_field": "ts"}""".stripMargin
+
+    // kafka lane
+    val broker = new FakeBroker
+    broker.append(0, """{"id":1,"v":"k1","ts":1,"op":"I"}""")
+    write(dir.resolve("k.json"), cfg("tK", s"$dir/tk", "mix_k"))
+
+    // dfs lane: parquet inbox
+    val inbox = Files.createTempDirectory("graft_mix_inbox_")
+    Seq((10L, "d1", 1L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$inbox/f1.parquet")
+    write(dir.resolve("d.json"),
+      s"""{"fields": [$fieldsJson], "source_type": "dfs",
+         |  "dfs_config": {"dir": "$inbox", "format": "parquet"},
+         |  ${tcJson(s"$dir/td", "mix_d")}}""".stripMargin)
+
+    // jdbc lane: derby in-memory
+    val url = "jdbc:derby:memory:graftcfgmix;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE JSRC (id BIGINT, v VARCHAR(32), ts BIGINT)")
+    conn.createStatement().execute("INSERT INTO JSRC VALUES (20, 'j1', 1)")
+    write(dir.resolve("j.json"),
+      s"""{"fields": [$fieldsJson], "source_type": "jdbc",
+         |  "jdbc_config": {"url": "$url", "table": "JSRC",
+         |    "checkpoint_column": "id",
+         |    "options": {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}},
+         |  ${tcJson(s"$dir/tj", "mix_j")}}""".stripMargin)
+
+    // cloud-events lane: events table + objects on "storage"
+    val objRoot = Files.createTempDirectory("graft_mix_obj_")
+    Seq((30L, "c1", 1L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$objRoot/bkt/data/o1.parquet")
+    val eventsDir = Files.createTempDirectory("graft_mix_ev_").toString
+    val events = GraftTable.create(spark, eventsDir, TableConfig("mix_ev",
+      CopyOnWrite, keyFields = Seq("bucket", "key")))
+    events.bulkInsert(Seq(("bkt", "data/o1.parquet", 1L))
+      .toDF("bucket", "key", "size"))
+    write(dir.resolve("c.json"),
+      s"""{"fields": [$fieldsJson], "source_type": "cloud_events",
+         |  "cloud_events_config": {"events_table": "$eventsDir",
+         |    "fs_prefix": "$objRoot/", "key_prefix": "data/"},
+         |  ${tcJson(s"$dir/tc", "mix_c")}}""".stripMargin)
+
+    def files() = Fs.list(dir).filter(_.toString.endsWith(".json"))
+    def snap(base: String) = GraftTable.load(spark, base).snapshot()
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val ing = new ConfigDrivenIngest(spark, () => files(),
+      pullerFor = _ => broker.puller, valueCol = "v")
+    try {
+      assert(ing.drainAll() === 4, ing.laneErrors.toString)
+      assert(ing.laneErrors.isEmpty, ing.laneErrors.toString)
+      assert(snap(s"$dir/tk") === Set((1L, "k1")))
+      assert(snap(s"$dir/td") === Set((10L, "d1")))
+      assert(snap(s"$dir/tj") === Set((20L, "j1")))
+      assert(snap(s"$dir/tc") === Set((30L, "c1")))
+    } finally ing.close()
+
+    // restart from a FRESH instance: each lane resumes from its own
+    // namespaced checkpoint (kafka:/dfs:/jdbc:/incr:) — no replays, and
+    // new arrivals on every kind land exactly once
+    broker.append(0, """{"id":2,"v":"k2","ts":2,"op":"I"}""")
+    Seq((11L, "d2", 2L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$inbox/f2.parquet")
+    conn.createStatement().execute("INSERT INTO JSRC VALUES (21, 'j2', 2)")
+    Seq((31L, "c2", 2L)).toDF("id", "v", "ts")
+      .coalesce(1).write.parquet(s"$objRoot/bkt/data/o2.parquet")
+    events.upsert(Seq(("bkt", "data/o2.parquet", 1L))
+      .toDF("bucket", "key", "size"))
+    val ing2 = new ConfigDrivenIngest(spark, () => files(),
+      pullerFor = _ => broker.puller, valueCol = "v")
+    try {
+      assert(ing2.drainAll() === 4, ing2.laneErrors.toString)
+      assert(snap(s"$dir/tk") === Set((1L, "k1"), (2L, "k2")))
+      assert(snap(s"$dir/td") === Set((10L, "d1"), (11L, "d2")))
+      assert(snap(s"$dir/tj") === Set((20L, "j1"), (21L, "j2")))
+      assert(snap(s"$dir/tc") === Set((30L, "c1"), (31L, "c2")))
+      // caught up: nothing replays
+      assert(ing2.drainAll() === 0)
+    } finally ing2.close()
+    conn.close()
+    Seq(s"$dir/tk", s"$dir/td", s"$dir/tj", s"$dir/tc", eventsDir)
+      .foreach(GraftTable.drop)
+  }
 }
