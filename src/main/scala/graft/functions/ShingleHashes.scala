@@ -36,6 +36,28 @@ case class ShingleHashesExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positional variant: ALL window hashes in token order (no dedup), so
+  * `posexplode` yields (pos, hash) aligned with the document's 0-based
+  * whitespace-token positions — the kernel for exact-substring operators
+  * (signal + removal), whose hashed at-scale mode otherwise still built
+  * one window STRING per position before hashing it. */
+case class ShingleHashesAllExpr(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n >= 1, s"shingle size n must be >= 1, got $n")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashes.evalAll(input.asInstanceOf[UTF8String].toString, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.evalAll($c.toString(), $n)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object ShingleHashes {
   private final val P = 0x100000001b3L // FNV prime
 
@@ -49,21 +71,7 @@ object ShingleHashes {
 
   def eval(s: String, n: Int): ArrayData = {
     // hash each whitespace-separated word (FNV-1a), streaming
-    val wordHashes = new java.util.ArrayList[java.lang.Long](64)
-    var h = 0xcbf29ce484222325L
-    var inWord = false
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (inWord) { wordHashes.add(h); h = 0xcbf29ce484222325L; inWord = false }
-      } else {
-        h = (h ^ c) * P
-        inWord = true
-      }
-      i += 1
-    }
-    if (inWord) wordHashes.add(h)
+    val wordHashes = wordHashesOf(s)
     val w = wordHashes.size()
     if (w < n) return new GenericArrayData(Array.empty[Long])
     val seen = new java.util.HashSet[java.lang.Long](w * 2)
@@ -83,7 +91,48 @@ object ShingleHashes {
     new GenericArrayData(arr)
   }
 
+  /** Word FNV-1a hashes of the whitespace tokens, streaming one pass. */
+  private def wordHashesOf(s: String): java.util.ArrayList[java.lang.Long] = {
+    val wordHashes = new java.util.ArrayList[java.lang.Long](64)
+    var h = 0xcbf29ce484222325L
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (inWord) { wordHashes.add(h); h = 0xcbf29ce484222325L; inWord = false }
+      } else {
+        h = (h ^ c) * P
+        inWord = true
+      }
+      i += 1
+    }
+    if (inWord) wordHashes.add(h)
+    wordHashes
+  }
+
+  /** ALL window hashes, one per start position, in order (no dedup). */
+  def evalAll(s: String, n: Int): ArrayData = {
+    val wordHashes = wordHashesOf(s)
+    val w = wordHashes.size()
+    if (w < n) return new GenericArrayData(Array.empty[Long])
+    val arr = new Array[Long](w - n + 1)
+    var j = 0
+    while (j + n <= w) {
+      var g = 0L
+      var k = 0
+      while (k < n) { g = g * 0x9E3779B1L + wordHashes.get(j + k); k += 1 }
+      arr(j) = mix(g)
+      j += 1
+    }
+    new GenericArrayData(arr)
+  }
+
   /** Column API: distinct hashed word n-gram shingles. */
   def apply(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(c), n))
+
+  /** Column API: per-position window hashes (posexplode-ready). */
+  def all(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashesAllExpr(ColumnBridge.expression(c), n))
 }

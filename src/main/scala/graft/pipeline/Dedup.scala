@@ -119,14 +119,16 @@ object Dedup {
       transform(sequence(lit(0), size(toks) - n), i =>
         array_join(slice(toks, i + lit(1), lit(n)), " "))
     ).otherwise(array())
-    // `hashed` is the at-scale mode: the shuffle key shrinks from a
-    // ~60-byte window string to an 8-byte xxhash64 — identical counts
-    // modulo astronomically unlikely collisions (spec-pinned equal at
-    // test scale); default off so the external oracle states exact strings
-    val win = explode(windows).as("sh")
+    // `hashed` is the at-scale mode: the native one-pass kernel
+    // (ShingleHashes.all) emits an 8-byte hash per window position with NO
+    // intermediate token arrays or window strings, and the shuffle key
+    // shrinks from a ~60-byte string to a long — identical counts modulo
+    // astronomically unlikely collisions (spec-pinned equal at test
+    // scale); default off so the external oracle states exact strings
     val exploded = (if (hashed)
-        docs.select(col(idCol), win).select(col(idCol), xxhash64(col("sh")).as("sh"))
-      else docs.select(col(idCol), win))
+        docs.select(col(idCol),
+          explode(graft.functions.ShingleHashes.all(col(textCol), n)).as("sh"))
+      else docs.select(col(idCol), explode(windows).as("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = exploded.groupBy(col("sh")).agg(countDistinct(col(idCol)).as("df"))
     val perDoc = exploded.join(dfc, Seq("sh"))
@@ -169,14 +171,16 @@ object Dedup {
     val withToks = docs
       .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val occRaw = withToks.filter(size(col("toks")) >= n)
+    // positions from the native kernel align with `toks` (same whitespace
+    // tokenization), so the hashed mode never builds a window string
+    val occ = if (hashed)
+      docs.select(col(idCol), posexplode(
+        graft.functions.ShingleHashes.all(col(textCol), n)).as(Seq("pos", "sh")))
+    else withToks.filter(size(col("toks")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("toks")) - n),
           i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
         .as(Seq("pos", "sh")))
-    val occ = if (hashed)
-      occRaw.select(col(idCol), col("pos"), xxhash64(col("sh")).as("sh"))
-    else occRaw
     // first occurrence in global (doc, pos) order survives; later
     // occurrences of any window seen >= 2 times are removal spans
     val bySh = Window.partitionBy(col("sh"))

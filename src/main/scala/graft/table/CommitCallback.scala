@@ -67,6 +67,52 @@ class HttpCommitCallback extends CommitCallback {
   }
 }
 
+/** Producer half of a message-bus commit callback: anything that can
+  * publish one (key, payload) record to a named topic plugs in — a thin
+  * Kafka/Pulsar producer wrapper in a real deployment (the brokers
+  * themselves stay excluded as external systems), an in-memory fake in
+  * tests. Mirrors the pull-side [[graft.streaming.OffsetRangePuller]]
+  * posture. */
+trait MessageBusProducer {
+  def send(topic: String, key: String, payload: String): Unit
+}
+
+/**
+ * Message-bus commit callback (ref: hudi-client-common callback/impl/
+ * HoodieWriteCommitKafkaCallback.java + the hudi-utilities pulsar
+ * sibling): publishes the commit JSON to
+ * `graft.commit.callback.bus.topic`, keyed by the table name — the
+ * reference keys by table so one topic can carry many tables' commit
+ * streams partition-ordered per table. The producer is injected by CLASS
+ * NAME (`graft.commit.callback.bus.producer.class`, a no-arg-constructible
+ * [[MessageBusProducer]]), exactly how the reference injects its callback
+ * implementation; failures PROPAGATE per this engine's callback contract.
+ */
+class MessageBusCommitCallback extends CommitCallback {
+  private var topic = ""
+  private var producer: MessageBusProducer = _
+
+  override def configure(options: Map[String, String]): Unit = {
+    topic = options.getOrElse("graft.commit.callback.bus.topic",
+      sys.error("MessageBusCommitCallback needs graft.commit.callback.bus.topic"))
+    val cls = options.getOrElse("graft.commit.callback.bus.producer.class",
+      sys.error("MessageBusCommitCallback needs " +
+        "graft.commit.callback.bus.producer.class"))
+    producer = Class.forName(cls).getDeclaredConstructor()
+      .newInstance().asInstanceOf[MessageBusProducer]
+  }
+
+  override def onCommit(tablePath: String, meta: CommitMeta): Unit = {
+    require(producer != null, "MessageBusCommitCallback not configured")
+    val name = java.nio.file.Paths.get(tablePath).getFileName.toString
+    producer.send(topic, name, Json.mapper.writeValueAsString(Map(
+      "tableBasePath" -> tablePath, "instant" -> meta.instant,
+      "action" -> meta.action, "operation" -> meta.operation,
+      "files" -> meta.files.size, "rows" -> meta.files.map(_.rows).sum,
+      "replaced" -> meta.replaced.size)))
+  }
+}
+
 /** File-based callback for auditable pipelines: appends one JSON line per
   * commit to `<table>/.graft/commit_callbacks.log` (the shape the
   * reference's HTTP callback POSTs, durably on local storage instead). */

@@ -7,6 +7,19 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import graft.TestSpark
 import org.scalatest.funsuite.AnyFunSuite
 
+/** In-memory recording producer for the message-bus callback (the
+  * Kafka-producer stand-in; instantiated by class name, records are
+  * observable through the companion). */
+class RecordingBusProducer extends MessageBusProducer {
+  override def send(topic: String, key: String, payload: String): Unit =
+    RecordingBusProducer.records.synchronized {
+      RecordingBusProducer.records += ((topic, key, payload))
+    }
+}
+object RecordingBusProducer {
+  val records: mutable.Buffer[(String, String, String)] = mutable.Buffer()
+}
+
 /** Network commit callbacks + push metrics reporters against in-JVM
   * localhost servers (ref: HoodieWriteCommitHttpCallbackClient,
   * MetricsGraphiteReporter — external SYSTEMS stay out, the protocols
@@ -98,6 +111,46 @@ class CallbacksReportersSpec extends AnyFunSuite {
       .map(_.split(' ')(1).toLong)
     // bulk insert wrote 3 rows; the COW upsert rewrote its whole group
     assert(recs.size === 2 && recs.forall(_ >= 1) && recs.max === 3)
+    GraftTable.drop(dir)
+  }
+
+  test("MessageBusCommitCallback publishes commit JSON keyed by table name") {
+    RecordingBusProducer.records.synchronized(RecordingBusProducer.records.clear())
+    val dir = tmp()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.format("graft")
+      .option("graft.table.name", "bus_t")
+      .option("graft.recordkey.field", "id")
+      .option("graft.operation", "bulk_insert")
+      .option("graft.commit.callback.class", "graft.table.MessageBusCommitCallback")
+      .option("graft.commit.callback.bus.topic", "lake.commits")
+      .option("graft.commit.callback.bus.producer.class",
+        "graft.table.RecordingBusProducer")
+      .mode("overwrite").save(dir)
+    val recs = RecordingBusProducer.records.synchronized(
+      RecordingBusProducer.records.toList)
+    assert(recs.size === 1)
+    val (topic, key, payload) = recs.head
+    assert(topic === "lake.commits")
+    // keyed by the table's directory name (partition-ordered per table on
+    // a shared commits topic, the reference's Kafka callback posture)
+    assert(key === java.nio.file.Paths.get(dir).getFileName.toString)
+    assert(payload.contains("\"operation\":\"bulk_insert\"") ||
+      payload.contains("\"operation\" : \"bulk_insert\""), payload)
+    assert(payload.contains("\"rows\":3") || payload.contains("\"rows\" : 3"), payload)
+    // missing producer config propagates (callback contract)
+    val e = intercept[Exception] {
+      Seq((4L, "d")).toDF("id", "v")
+        .write.format("graft")
+        .option("graft.operation", "upsert")
+        .option("graft.commit.callback.class",
+          "graft.table.MessageBusCommitCallback")
+        .option("graft.commit.callback.bus.topic", "lake.commits")
+        .mode("append").save(dir)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => String.valueOf(t.getMessage).contains("producer.class")),
+      e.toString)
     GraftTable.drop(dir)
   }
 
