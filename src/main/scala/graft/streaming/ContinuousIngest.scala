@@ -53,6 +53,19 @@ class ContinuousIngest(
   @volatile private var pendingService: Future[Option[String]] = Future.successful(None)
   @volatile private var pendingClean: Future[Option[String]] = Future.successful(None)
 
+  /** Jobs submitted from the service thread carry the services pool (ref:
+    * AsyncCompactService.COMPACT_POOL_NAME + SchedulerConfGenerator): under
+    * `spark.scheduler.mode=FAIR` with [[SchedulerPools.sparkConfigs]]'
+    * allocation file, a long compaction rewrite time-shares with ingest
+    * jobs instead of queueing ahead of them — on a real cluster this is
+    * what keeps the ingest cadence flat while services churn. Without FAIR
+    * mode the property is inert, so it is always set. */
+  private def inServicePool[T](body: => T): T = {
+    t.spark.sparkContext.setLocalProperty(
+      "spark.scheduler.pool", SchedulerPools.ServicesPool)
+    body
+  }
+
   /** The last table-service execution kicked off by the loop (tests and
     * shutdown drain it). */
   def lastService: Future[Option[String]] = pendingService
@@ -81,7 +94,7 @@ class ContinuousIngest(
         ingested % compactEvery == 0 && pendingService.isCompleted) {
       // plan on THIS thread (metadata listing only), execute off it
       t.scheduleCompaction().foreach { plan =>
-        pendingService = Future(t.runCompaction(plan))
+        pendingService = Future(inServicePool(t.runCompaction(plan)))
       }
     }
     // clean/archive cadence decoupled from compaction: 2× the compaction
@@ -96,7 +109,7 @@ class ContinuousIngest(
       // serialized behind any in-flight compaction by the single-thread
       // pool; runClean revalidates against whatever landed meanwhile
       t.scheduleClean(KeepLatestFileVersions(cleanRetainVersions)).foreach { plan =>
-        pendingClean = Future(t.runClean(plan))
+        pendingClean = Future(inServicePool(t.runClean(plan)))
       }
     // keep the file-listing metadata table current on the same cadence —
     // the sync is O(commits since last sync), so steady-state cost stays
@@ -146,6 +159,48 @@ class ContinuousIngest(
         scala.concurrent.duration.Duration(120, "s"))
       catch { case _: Throwable => }
     pool.shutdown()
+  }
+}
+
+/**
+ * FAIR-scheduler pool split for continuous ingest (ref: hudi-utilities
+ * deltastreamer/SchedulerConfGenerator.java — the reference generates a
+ * spark fair-scheduler allocation XML with deltasync/compaction/clustering
+ * pools when `spark.scheduler.mode=FAIR`, so table services time-share
+ * with the sync loop instead of queueing ahead of it): [[sparkConfigs]]
+ * writes the allocation file and returns the confs to set on the
+ * SparkSession BUILDER; [[ContinuousIngest]] tags every service-thread job
+ * with [[ServicesPool]] unconditionally (inert without FAIR mode). Ingest
+ * jobs run in the caller's pool — set [[IngestPool]] on the ingest thread
+ * to give the sync loop its weighted share.
+ */
+object SchedulerPools {
+  val IngestPool = "graft-ingest"
+  val ServicesPool = "graft-services"
+
+  /** Allocation file + confs (ref: SchedulerConfGenerator.generateConfig —
+    * same pool XML shape, two pools instead of three because compaction,
+    * clustering and cleaning share the single service thread here). */
+  def sparkConfigs(ingestWeight: Int = 2, ingestMinShare: Int = 2,
+      servicesWeight: Int = 1, servicesMinShare: Int = 1): Map[String, String] = {
+    val xml =
+      s"""<?xml version="1.0"?>
+         |<allocations>
+         |  <pool name="$IngestPool">
+         |    <schedulingMode>FAIR</schedulingMode>
+         |    <weight>$ingestWeight</weight>
+         |    <minShare>$ingestMinShare</minShare>
+         |  </pool>
+         |  <pool name="$ServicesPool">
+         |    <schedulingMode>FAIR</schedulingMode>
+         |    <weight>$servicesWeight</weight>
+         |    <minShare>$servicesMinShare</minShare>
+         |  </pool>
+         |</allocations>""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_scheduler_", ".xml")
+    java.nio.file.Files.write(f, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Map("spark.scheduler.mode" -> "FAIR",
+      "spark.scheduler.allocation.file" -> f.toString)
   }
 }
 
@@ -227,4 +282,49 @@ object ContinuousIngest {
   def initialCheckpointFromTimeline(other: GraftTable, kind: String,
       accept: String => Boolean = _ => true): Option[String] =
     lastCheckpointFor(other, kind, accept)
+
+  /** File name of one Kafka-Connect-HDFS output object:
+    * `topic+partition+lowerOffset+upperOffset(.ext)` — the reference's
+    * exact pattern (KafkaConnectHdfsProvider.KafkaConnectPathFilter). */
+  private val ConnectFile =
+    """([a-zA-Z0-9._\-]+)\+(\d+)\+(\d+)\+(\d+)(\.\w+)?""".r
+
+  /** Initial Kafka checkpoint derived from a Kafka-Connect-HDFS managed
+    * data set (ref: hudi-utilities checkpointing/KafkaConnectHdfsProvider
+    * .java): migrating a connect-written directory tree to streaming
+    * ingest resumes from where connect left off instead of offset 0.
+    * Recurses only `name=value`-style partition directories (connect's
+    * layout), takes each kafka partition's MAX upper offset, requires the
+    * partition set be contiguous 0..max (a missing partition means the
+    * scan saw an incomplete tree — resuming would silently skip its
+    * data), and returns the `topic,0:o,1:o,...` checkpoint string that
+    * [[KafkaLikeSource.forTable]] accepts as `initial`. Like the
+    * reference, the recorded offset is the last WRITTEN offset, so the
+    * first pull re-reads one record per partition — at-least-once, deduped
+    * through the table's upsert key. */
+  def initialCheckpointFromKafkaConnect(dir: java.nio.file.Path): String = {
+    import scala.collection.mutable
+    val files = mutable.Buffer[(String, Int, Long)]() // (topic, partition, upper)
+    def scan(d: java.nio.file.Path): Unit =
+      graft.table.Fs.list(d).foreach { p =>
+        if (java.nio.file.Files.isDirectory(p)) {
+          if (p.getFileName.toString.contains("=")) scan(p)
+        } else p.getFileName.toString match {
+          case ConnectFile(topic, part, _, upper, _) =>
+            files += ((topic, part.toInt, upper.toLong))
+          case _ => // not a connect object (checkpoint/tmp/etc.)
+        }
+      }
+    scan(dir)
+    require(files.nonEmpty, s"no Kafka-Connect-HDFS files found under $dir")
+    val topics = files.map(_._1).distinct
+    require(topics.size == 1,
+      s"Kafka-Connect tree under $dir mixes topics: ${topics.mkString(",")}")
+    val byPart = files.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val maxPart = byPart.keys.max
+    require(byPart.size == maxPart + 1,
+      s"missing partition in the connect scan under $dir: saw " +
+        s"${byPart.size} partitions, expected ${maxPart + 1} (0..$maxPart)")
+    topics.head + "," + KafkaLikeSource.encodeOffsets(byPart)
+  }
 }

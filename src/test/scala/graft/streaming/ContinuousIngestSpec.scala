@@ -59,6 +59,55 @@ class ContinuousIngestSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("service jobs carry the FAIR services pool; sparkConfigs writes the allocation file") {
+    // allocation confs: FAIR mode + a parseable file declaring both pools
+    val confs = SchedulerPools.sparkConfigs()
+    assert(confs("spark.scheduler.mode") === "FAIR")
+    val xml = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(confs("spark.scheduler.allocation.file"))), "UTF-8")
+    val parsed = scala.xml.XML.loadString(xml)
+    assert((parsed \ "pool").map(_ \@ "name").toSet ===
+      Set(SchedulerPools.IngestPool, SchedulerPools.ServicesPool))
+
+    // jobs submitted by the service thread are tagged with the services
+    // pool (observable via each job's submission properties)
+    val pools = scala.collection.mutable.Set[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null) pools.synchronized { pools += p }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("ci_pool", MergeOnRead,
+      keyFields = Seq("id"), precombineField = Some("seq")))
+    import spark.implicits._
+    t.bulkInsert(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "seq", "v"))
+    var n = 0
+    val source = () => {
+      n += 1
+      if (n > 2) None
+      else Some((s"p$n", Seq((1L, n + 1L, s"u$n")).toDF("id", "seq", "v")))
+    }
+    val ci = new ContinuousIngest(t, source, compactEvery = 1)
+    try {
+      assert(ci.drain() === 2)
+      // drain the async compaction execution, then poll the listener bus
+      scala.concurrent.Await.result(ci.lastService,
+        scala.concurrent.duration.Duration(60, "s"))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!pools.synchronized(pools(SchedulerPools.ServicesPool)) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(pools.synchronized(pools(SchedulerPools.ServicesPool)),
+        s"no service job carried the pool; saw ${pools.synchronized(pools.toSet)}")
+    } finally {
+      ci.close()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    GraftTable.drop(dir)
+  }
+
   test("ingest loop cleans via the schedule/execute split, off the ingest thread") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("ci_c", CopyOnWrite,

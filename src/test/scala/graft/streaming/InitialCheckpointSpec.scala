@@ -113,4 +113,56 @@ class InitialCheckpointSpec extends AnyFunSuite {
     assert(ot.snapshot().count() === 20)
     GraftTable.drop(oldDir); GraftTable.drop(newDir); GraftTable.drop(otherDir)
   }
+
+  test("kafka-connect: checkpoint derived from a connect-HDFS tree, wired as the seed") {
+    val root = Files.createTempDirectory("graft_connect_")
+    // connect layout: name=value partition dirs; files
+    // topic+partition+lower+upper.ext; checkpoint/tmp noise ignored
+    def put(rel: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte](1)); ()
+    }
+    put("dt=2024-01-01/clicks+0+0+99.parquet")
+    put("dt=2024-01-01/clicks+1+0+49.parquet")
+    put("dt=2024-01-02/clicks+0+100+149.parquet")
+    put("dt=2024-01-02/_tmp.12345")         // rejected by the file pattern
+    put("logs/ignored+9+0+5.parquet")       // non-"=" dir: never recursed
+    val ck = ContinuousIngest.initialCheckpointFromKafkaConnect(root)
+    // per-partition MAX upper offset, topic-prefixed — the reference's
+    // exact checkpoint string (re-reads one record per partition,
+    // at-least-once, deduped by the upsert key)
+    assert(ck === "clicks,0:149,1:49")
+
+    // the derived string seeds a KafkaLikeSource: the first pull resumes
+    // from the connect offsets, not 0
+    val b = new FakeBroker
+    b.append(0, (0 to 151).map(i => s"r0_$i"): _*) // offsets 0..151
+    b.append(1, (0 to 50).map(i => s"r1_$i"): _*)  // offsets 0..50
+    val dir = Files.createTempDirectory("graft_connect_t_").toString
+    val t = GraftTable.create(spark, dir, TableConfig("ck_conn",
+      CopyOnWrite, keyFields = Seq("v")))
+    val src = new KafkaLikeSource(b.puller, topic = Some("clicks"))
+    var pulled: Seq[String] = Nil
+    val ci = new ContinuousIngest(t,
+      () => src.forTable(t, initial = Some(ck))().map { case (c, df) =>
+        val vs = df.select("v")
+        pulled = vs.collect().map(_.getString(0)).toSeq; (c, vs)
+      },
+      operation = "insert", compactEvery = 0)
+    try assert(ci.drain() === 1) finally ci.close()
+    // partition 0 resumes at 149 (re-reads the last connect record),
+    // partition 1 at 49 — nothing below re-ingested
+    assert(pulled.toSet === Set("r0_149", "r0_150", "r0_151", "r1_49", "r1_50"))
+
+    // a gapped partition set refuses (missing partition = silent data skip)
+    val gap = Files.createTempDirectory("graft_connect_gap_")
+    Files.createDirectories(gap.resolve("dt=x"))
+    Files.write(gap.resolve("dt=x/t+0+0+9.parquet"), Array[Byte](1))
+    Files.write(gap.resolve("dt=x/t+2+0+9.parquet"), Array[Byte](1))
+    val e = intercept[IllegalArgumentException](
+      ContinuousIngest.initialCheckpointFromKafkaConnect(gap))
+    assert(e.getMessage.contains("missing partition"))
+    GraftTable.drop(dir)
+  }
 }
