@@ -207,6 +207,67 @@ object Dedup {
     materializeAndRelease(out, withToks)
   }
 
+  /** Incremental (batch-vs-corpus) exact-substring span removal — the
+    * production shape of [[substringRemove]]: the curated CORPUS is
+    * immutable (already stored, already deduplicated), so a batch window
+    * is removed when it occurs ANYWHERE in the corpus (the corpus always
+    * wins) or when an earlier batch occurrence exists (within-batch
+    * first-occurrence-wins, exactly the batch variant's rule). Only batch
+    * docs are rewritten and returned.
+    *
+    * Corpus cost: ONE window explode collapsed to DISTINCT window keys —
+    * the curated corpus is never re-shuffled as text (the
+    * dedup_incremental posture); the batch pays the same window-function
+    * pass as the batch variant plus one semi-join-shaped membership mark
+    * against the corpus keys. */
+  def substringRemoveIncremental(corpus: DataFrame, batch: DataFrame,
+      n: Int = 10, idCol: String = "doc_id", textCol: String = "text",
+      hashed: Boolean = false): DataFrame = {
+    def windowsOf(docs: DataFrame) =
+      if (hashed)
+        docs.select(col(idCol), posexplode(
+          graft.functions.ShingleHashes.all(col(textCol), n)).as(Seq("pos", "sh")))
+      else {
+        val toks = split(trim(col(textCol)), "\\s+")
+        docs.filter(size(toks) >= n)
+          .select(col(idCol), posexplode(
+            transform(sequence(lit(0), size(toks) - n),
+              i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+            .as(Seq("pos", "sh")))
+      }
+    val corpusSh = windowsOf(corpus).select(col("sh")).distinct()
+    val withToks = batch
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val occ = windowsOf(batch)
+    val bySh = Window.partitionBy(col("sh"))
+    // membership mark via a LEFT join against the corpus keys (semi-join
+    // shaped: the corpus side is distinct keys only)
+    val marked = occ
+      .withColumn("_rn", row_number().over(bySh.orderBy(col(idCol), col("pos"))))
+      .withColumn("_cnt", count(lit(1)).over(bySh))
+      .join(corpusSh.withColumn("_in_corpus", lit(true)), Seq("sh"), "left")
+      .filter(coalesce(col("_in_corpus"), lit(false)) ||
+        (col("_cnt") >= 2 && col("_rn") > 1))
+    val covered = marked.select(col(idCol),
+      explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
+    val tokens = withToks.select(col(idCol),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val rebuilt = tokens.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean"))
+    val out = withToks
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean"))
+    materializeAndRelease(out, withToks)
+  }
+
   /** Distinct word n-gram shingles per document. */
   def shingles(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

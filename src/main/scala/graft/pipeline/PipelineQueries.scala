@@ -503,6 +503,22 @@ object PipelineQueries {
     Dedup.substringRemove(docsWithNearDups(s, d), n = 10)
       .orderBy(col("doc_id"))
 
+  /** Incremental span removal: a crawl batch (near-copies of curated docs
+    * plus novel docs) rewritten against the immutable corpus — corpus
+    * windows always win, within-batch first occurrence wins; the corpus
+    * collapses to distinct window keys, never re-shuffled as text. */
+  def dedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" fresh tail piece")).as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 250)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    Dedup.substringRemoveIncremental(corpus, batch, n = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-11 curation composed end-to-end: exact-substring span removal →
     * retention gate (docs keeping ≥ half their tokens) → token shard
     * packing of the REWRITTEN text. The removal-then-pack shape is the
@@ -624,6 +640,7 @@ object PipelineQueries {
     "embed_project" -> (embedProject _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_substring_removal" -> (dedupSubstringRemoval _),
+    "dedup_substring_incremental" -> (dedupSubstringIncremental _),
     "pipeline_curate4" -> (pipelineCurate4 _),
     "dedup_lines_within" -> (dedupLinesWithinQ _),
     "pipeline_curate3" -> (pipelineCurate3 _),
@@ -1239,6 +1256,43 @@ object PipelineQueries {
          |cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
          |        FROM marked, unnest(range(0, 10)) AS r(j)
          |        WHERE cnt >= 2 AND rn > 1),
+         |tokens AS (SELECT doc_id, i AS pos, t[i] AS tok
+         |           FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tokens tk
+         |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                           WHERE c.doc_id = tk.doc_id AND c.cpos = tk.pos)),
+         |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY pos) AS clean
+         |        FROM kept GROUP BY doc_id),
+         |sz AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT sz.doc_id, sz.n_tokens,
+         |  CAST(sz.n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+         |  coalesce(clean, '') AS clean
+         |FROM sz LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+    "dedup_substring_incremental" -> {
+      val w10 = (0 until 10).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |batch AS (
+         |  SELECT doc_id + 10000 AS doc_id, text || ' fresh tail piece' AS text
+         |  FROM documents WHERE doc_id < 100
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text FROM documents WHERE doc_id >= 250),
+         |ctoks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+         |csh AS (SELECT DISTINCT $w10 AS sh
+         |        FROM ctoks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |         FROM batch),
+         |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
+         |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
+         |marked AS (SELECT doc_id, pos, sh,
+         |             row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+         |             count(*) OVER (PARTITION BY sh) AS cnt
+         |           FROM occ),
+         |rem AS (SELECT doc_id, pos FROM marked
+         |        WHERE sh IN (SELECT sh FROM csh) OR (cnt >= 2 AND rn > 1)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+         |        FROM rem, unnest(range(0, 10)) AS r(j)),
          |tokens AS (SELECT doc_id, i AS pos, t[i] AS tok
          |           FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
          |kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tokens tk

@@ -154,6 +154,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(t2(2L) === ((4L, "")))
   }
 
+  test("substringRemoveIncremental: corpus wins, within-batch first wins, novel docs untouched") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c x y"),  // head window in the corpus -> only tail kept
+      (11L, "p q r s"),    // novel, first in batch -> untouched
+      (12L, "p q r s"),    // within-batch copy of 11 -> fully removed
+      (13L, "c d e z w")   // corpus-tail window -> only unique tail kept
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) =
+      Dedup.substringRemoveIncremental(corpus, batch, n = 3, hashed = hashed)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(hashed = false)
+    assert(got(10L) === ((5L, 3L, "x y")))
+    assert(got(11L) === ((4L, 0L, "p q r s")))
+    assert(got(12L) === ((4L, 4L, "")))
+    assert(got(13L) === ((5L, 3L, "z w")))
+    assert(run(hashed = true) === got)
+  }
+
   test("simhash: near-identical docs collide within small hamming distance") {
     val pairs = Dedup.simhashPairs(nearDupDocs, maxHamming = 10)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
