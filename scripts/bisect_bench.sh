@@ -9,6 +9,11 @@
 #
 # Usage: scripts/bisect_bench.sh [baseline-commit]
 #   baseline defaults to the newest "round N: ..." driver commit.
+#
+# Noise floor: three same-day runs over IDENTICAL benched code paths
+# measured ratios 1.023 / 0.931 / 1.127 — treat any single run as
+# parity±10%; only a ratio outside that band on a re-run is a real
+# code-level shift.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 BASE=${1:-$(git log --grep='^round ' -n1 --format=%H)}
