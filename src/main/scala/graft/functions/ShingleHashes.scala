@@ -16,9 +16,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * dominated every dedup query's runtime; this emits the hash of each
  * n-gram window directly from word hashes.
  */
-/** Tokenizes on Character.isWhitespace: equivalent to the regex `\s+`
-  * composed path for ASCII text; exotic Unicode whitespace can differ —
-  * normalize upstream if that matters for an oracle comparison. */
+/** Tokenizes on EXACTLY Java regex `\s` ([ \t\n\x0B\f\r]) — bit-identical
+  * token boundaries to the composed `split(text, "\s+")` path on ANY
+  * input, including Unicode whitespace (U+3000/U+2028/U+2000-200A stay
+  * INSIDE tokens on both paths; Character.isWhitespace would split them
+  * and silently shift every window position against the Spark-side
+  * tokens). Leading/trailing whitespace yields no empty tokens, matching
+  * the filtered-split `Dedup.wsToks`. */
 case class ShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1, s"shingle size n must be >= 1, got $n")
@@ -91,6 +95,12 @@ object ShingleHashes {
     new GenericArrayData(arr)
   }
 
+  /** Java-regex-`\s` whitespace: space, \t, \n, \x0B, \f, \r — the exact
+    * set `split(text, "\s+")` breaks on, so kernel positions align with
+    * the composed path's tokens on any input. */
+  @inline private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
   /** Word FNV-1a hashes of the whitespace tokens, streaming one pass. */
   private def wordHashesOf(s: String): java.util.ArrayList[java.lang.Long] = {
     val wordHashes = new java.util.ArrayList[java.lang.Long](64)
@@ -99,7 +109,7 @@ object ShingleHashes {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Character.isWhitespace(c)) {
+      if (isAsciiSpace(c)) {
         if (inWord) { wordHashes.add(h); h = 0xcbf29ce484222325L; inWord = false }
       } else {
         h = (h ^ c) * P

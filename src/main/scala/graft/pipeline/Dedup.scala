@@ -101,6 +101,34 @@ object Dedup {
       .drop("_h")
   }
 
+  /** ONE whitespace tokenization for every positional substring operator:
+    * ASCII `\s+` split with empty tokens dropped, so a leading tab/newline
+    * (which `trim` — spaces only — would not strip) cannot shift every
+    * position by one. The hashed at-scale mode feeds `concat_ws(" ", toks)`
+    * into the native kernel, so the kernel's positions align with THESE
+    * tokens by construction — the kernel's own Character.isWhitespace
+    * tokenizer disagrees with `\s+` on Unicode whitespace (U+3000, U+2028,
+    * U+2000-200A: common in web/CJK crawls), and any disagreement between
+    * the position source and the rebuild side removes the WRONG tokens. */
+  private def wsToks(textCol: Column): Column =
+    filter(split(textCol, "\\s+"), t => t =!= lit(""))
+
+  /** First-occurrence survivor selection without a window function: a
+    * `row_number().over(Window.partitionBy(sh))` ships EVERY occurrence of
+    * a window value to one reducer and sorts it there — at corpus scale a
+    * boilerplate 10-token window ("all rights reserved…") occurs in 10⁶+
+    * documents and that reducer is the job. `groupBy(sh).agg(min(struct))`
+    * is partial-aggregatable (map-side combine shrinks each hot key to one
+    * row per map task before the shuffle) and the join-back on `sh` is
+    * AQE-skew-splittable. Returns occ rows extended with `_first`
+    * (smallest (id, pos) struct for the window) and `_cnt`. */
+  private def withFirstOccurrence(occ: DataFrame, idCol: String): DataFrame = {
+    val firsts = occ.groupBy(col("sh"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"),
+        count(lit(1)).as("_cnt"))
+    occ.join(firsts, Seq("sh"))
+  }
+
   /** Exact-substring duplication signal (Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better": long verbatim token
     * windows shared across documents — there via suffix arrays; here as
@@ -114,17 +142,19 @@ object Dedup {
   def substringDupSignal(docs: DataFrame, n: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = wsToks(col(textCol))
     val windows = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
         array_join(slice(toks, i + lit(1), lit(n)), " "))
     ).otherwise(array())
     // `hashed` is the at-scale mode: the native one-pass kernel
     // (ShingleHashes.all) emits an 8-byte hash per window position with NO
-    // intermediate token arrays or window strings, and the shuffle key
-    // shrinks from a ~60-byte string to a long — identical counts modulo
-    // astronomically unlikely collisions (spec-pinned equal at test
-    // scale); default off so the external oracle states exact strings
+    // intermediate window strings, and the shuffle key shrinks from a
+    // ~60-byte string to a long — identical counts modulo astronomically
+    // unlikely collisions (spec-pinned equal at test scale); default off
+    // so the external oracle states exact strings. The kernel's tokenizer
+    // is bit-identical to [[wsToks]] (exact Java-\s set, no empty tokens),
+    // so both modes count windows over identical token boundaries.
     val exploded = (if (hashed)
         docs.select(col(idCol),
           explode(graft.functions.ShingleHashes.all(col(textCol), n)).as("sh"))
@@ -154,12 +184,17 @@ object Dedup {
     * tokens.
     *
     * Corpus-linear throughout (the dedup_lines_within shape): one window
-    * explode, one window-function pass keyed on the window value (the
-    * shuffle the df-agg in the SIGNAL does anyway), a covered-position
-    * anti-join on (doc, pos), and a per-doc sort-rebuild — no pairwise
-    * joins anywhere. `hashed` shrinks the shuffle key to xxhash64 for the
-    * at-scale mode (identical output modulo ~|windows|²/2⁶⁴ collisions);
-    * default off so the external oracle states exact strings.
+    * explode, one partial-aggregatable (window → min(doc,pos), count)
+    * groupBy plus a join-back on the window value — NEVER a window
+    * function (a `row_number().over(partitionBy(sh))` would sort every
+    * occurrence of a hot boilerplate window on one reducer; the agg+join
+    * shape map-side-combines hot keys and AQE can split the skewed join
+    * partition), a covered-position anti-join on (doc, pos), and a
+    * per-doc sort-rebuild — no pairwise joins anywhere. `hashed` shrinks
+    * the shuffle key to the native kernel's 8-byte hash for the at-scale
+    * mode (identical output modulo ~|windows|²/2⁶⁴ collisions); default
+    * off so the external oracle states exact strings. Both modes derive
+    * positions from the SAME [[wsToks]] tokenization as the rebuild side.
     *
     * Returns (idCol, n_tokens, n_removed, clean): original whitespace
     * token count, removed-token count, and the rebuilt text (`""` when
@@ -168,14 +203,26 @@ object Dedup {
   def substringRemove(docs: DataFrame, n: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
+    val (out, cached) = substringRemovePlan(docs, n, idCol, textCol, hashed)
+    materializeAndRelease(out, cached)
+  }
+
+  /** The un-materialized plan of [[substringRemove]] plus its pinned token
+    * cache — split out so plan-quality specs can assert the physical shape
+    * (no window function keyed on the window value) before execution. */
+  private[graft] def substringRemovePlan(docs: DataFrame, n: Int,
+      idCol: String, textCol: String,
+      hashed: Boolean): (DataFrame, DataFrame) = {
     val withToks = docs
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol), wsToks(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // positions from the native kernel align with `toks` (same whitespace
-    // tokenization), so the hashed mode never builds a window string
+    // hashed mode: the kernel's tokenizer is bit-identical to [[wsToks]]
+    // (exact Java-\s set, no empty tokens), so its positions align with
+    // `toks` on any input — no window strings, no re-joined doc string
     val occ = if (hashed)
       docs.select(col(idCol), posexplode(
-        graft.functions.ShingleHashes.all(col(textCol), n)).as(Seq("pos", "sh")))
+        graft.functions.ShingleHashes.all(col(textCol), n))
+        .as(Seq("pos", "sh")))
     else withToks.filter(size(col("toks")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("toks")) - n),
@@ -183,11 +230,9 @@ object Dedup {
         .as(Seq("pos", "sh")))
     // first occurrence in global (doc, pos) order survives; later
     // occurrences of any window seen >= 2 times are removal spans
-    val bySh = Window.partitionBy(col("sh"))
-    val marked = occ
-      .withColumn("_rn", row_number().over(bySh.orderBy(col(idCol), col("pos"))))
-      .withColumn("_cnt", count(lit(1)).over(bySh))
-      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    val marked = withFirstOccurrence(occ, idCol)
+      .filter(col("_cnt") >= 2 &&
+        struct(col(idCol), col("pos")) =!= col("_first"))
     val covered = marked.select(col(idCol),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
     val tokens = withToks.select(col(idCol),
@@ -204,7 +249,7 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean"), lit("")).as("clean"))
-    materializeAndRelease(out, withToks)
+    (out, withToks)
   }
 
   /** Incremental (batch-vs-corpus) exact-substring span removal — the
@@ -217,9 +262,9 @@ object Dedup {
     *
     * Corpus cost: ONE window explode collapsed to DISTINCT window keys —
     * the curated corpus is never re-shuffled as text (the
-    * dedup_incremental posture); the batch pays the same window-function
-    * pass as the batch variant plus one semi-join-shaped membership mark
-    * against the corpus keys. */
+    * dedup_incremental posture); the batch pays the same skew-safe
+    * first-occurrence agg+join as the batch variant plus one
+    * semi-join-shaped membership mark against the corpus keys. */
   def substringRemoveIncremental(corpus: DataFrame, batch: DataFrame,
       n: Int = 10, idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
@@ -228,7 +273,7 @@ object Dedup {
         docs.select(col(idCol), posexplode(
           graft.functions.ShingleHashes.all(col(textCol), n)).as(Seq("pos", "sh")))
       else {
-        val toks = split(trim(col(textCol)), "\\s+")
+        val toks = wsToks(col(textCol))
         docs.filter(size(toks) >= n)
           .select(col(idCol), posexplode(
             transform(sequence(lit(0), size(toks) - n),
@@ -237,18 +282,17 @@ object Dedup {
       }
     val corpusSh = windowsOf(corpus).select(col("sh")).distinct()
     val withToks = batch
-      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("toks"))
+      .select(col(idCol), wsToks(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val occ = windowsOf(batch)
-    val bySh = Window.partitionBy(col("sh"))
     // membership mark via a LEFT join against the corpus keys (semi-join
-    // shaped: the corpus side is distinct keys only)
-    val marked = occ
-      .withColumn("_rn", row_number().over(bySh.orderBy(col(idCol), col("pos"))))
-      .withColumn("_cnt", count(lit(1)).over(bySh))
+    // shaped: the corpus side is distinct keys only); within-batch
+    // first-occurrence via the skew-safe agg+join, not a window function
+    val marked = withFirstOccurrence(occ, idCol)
       .join(corpusSh.withColumn("_in_corpus", lit(true)), Seq("sh"), "left")
       .filter(coalesce(col("_in_corpus"), lit(false)) ||
-        (col("_cnt") >= 2 && col("_rn") > 1))
+        (col("_cnt") >= 2 &&
+          struct(col(idCol), col("pos")) =!= col("_first")))
     val covered = marked.select(col(idCol),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
     val tokens = withToks.select(col(idCol),
@@ -304,24 +348,43 @@ object Dedup {
     * that meets. The only approximation is RECALL: a pair whose EVERY
     * shared shingle is hot never meets — at tau ≥ 0.5 such docs are
     * majority corpus-wide boilerplate. `maxDocFrac >= 1.0` disables the
-    * cap (single-phase exhaustive join). */
+    * cap (single-phase exhaustive join).
+    *
+    * The hot set is tiny by construction (each member appears in >
+    * maxDocFrac of the corpus, so |hot| < occurrences / maxDf — a few
+    * thousand longs at any scale), so it is collected to the driver and
+    * inlined as an InSet predicate: exclusion is a map-side filter (no
+    * anti-join), and when the set is EMPTY — a clean corpus, the common
+    * case — the plan short-circuits to the single-phase exhaustive join
+    * with zero cap overhead. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFrac: Double = 0.1): DataFrame = {
+    val (result, cached) = jaccardPairsPlan(docs, n, tau, idCol, textCol, maxDocFrac)
+    materializeAndRelease(result, cached)
+  }
+
+  /** The un-materialized plan of [[jaccardPairs]] plus its pinned shingle
+    * cache — split out so plan-quality specs can assert the clean-corpus
+    * short-circuit (no hot-recount joins when the hot set is empty). */
+  private[graft] def jaccardPairsPlan(docs: DataFrame, n: Int, tau: Double,
+      idCol: String, textCol: String,
+      maxDocFrac: Double): (DataFrame, DataFrame) = {
     // cached: consumed by the sizes agg and both join sides
     val shAll = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot =
-      if (maxDocFrac >= 1.0) None
+    val hotSet: Array[Long] =
+      if (maxDocFrac >= 1.0) Array.empty
       else {
         val maxDf = math.max(2L, (docs.count() * maxDocFrac).toLong)
-        // one small agg over the cached shingles; the hot set is tiny by
-        // construction (each member is in > maxDocFrac of the corpus, so
-        // |hot| < totalShingleOccurrences / maxDf) -> broadcast
-        Some(shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("shingle")))
+        // one small agg over the cached shingles; driver-safe by the
+        // |hot| < occurrences / maxDf bound
+        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("shingle"))
+          .collect().map(_.getLong(0))
       }
-    val sh = hot.fold(shAll)(h => shAll.join(broadcast(h), Seq("shingle"), "left_anti"))
+    val isHot = col("shingle").isin(hotSet.map(Long.box): _*)
+    val sh = if (hotSet.isEmpty) shAll else shAll.filter(!isHot)
     // sizes over the FULL sets — the denominator never depends on the cap
     val sizes = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -330,20 +393,20 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common_nh"))
     // exact hot-shingle intersection per candidate pair: each doc carries
     // its (few) hot shingles as an array; two hash joins + array_intersect
-    val common = hot match {
-      case None => commonNonHot.withColumnRenamed("common_nh", "common")
-      case Some(h) =>
-        val hotPerDoc = shAll.join(broadcast(h), Seq("shingle"))
-          .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("hot_sh"))
-        val noHot = lit(Array.empty[Long])
-        commonNonHot
-          .join(hotPerDoc.select(col(idCol).as("id_a"), col("hot_sh").as("hot_a")),
-            Seq("id_a"), "left")
-          .join(hotPerDoc.select(col(idCol).as("id_b"), col("hot_sh").as("hot_b")),
-            Seq("id_b"), "left")
-          .withColumn("common", col("common_nh") + size(array_intersect(
-            coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot))))
-          .select(col("id_a"), col("id_b"), col("common"))
+    val common = if (hotSet.isEmpty)
+      commonNonHot.withColumnRenamed("common_nh", "common")
+    else {
+      val hotPerDoc = shAll.filter(isHot)
+        .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("hot_sh"))
+      val noHot = lit(Array.empty[Long])
+      commonNonHot
+        .join(hotPerDoc.select(col(idCol).as("id_a"), col("hot_sh").as("hot_a")),
+          Seq("id_a"), "left")
+        .join(hotPerDoc.select(col(idCol).as("id_b"), col("hot_sh").as("hot_b")),
+          Seq("id_b"), "left")
+        .withColumn("common", col("common_nh") + size(array_intersect(
+          coalesce(col("hot_a"), noHot), coalesce(col("hot_b"), noHot))))
+        .select(col("id_a"), col("id_b"), col("common"))
     }
     val result = common
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -352,7 +415,7 @@ object Dedup {
         (col("sz_a") + col("sz_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    materializeAndRelease(result, shAll)
+    (result, shAll)
   }
 
   /** Force `result` (small: pairs above threshold) into local checkpoint

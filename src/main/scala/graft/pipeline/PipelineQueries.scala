@@ -37,6 +37,10 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Inherits jaccardPairs' default hot-shingle cap (maxDocFrac = 0.1):
+    * values stay exact for every reported pair, but a pair whose EVERY
+    * shared shingle is corpus-wide boilerplate is never generated — the
+    * documented recall trade the scale-safe default makes. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(docsWithNearDups(s, d), n = 3, tau = 0.5)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -285,7 +289,10 @@ object PipelineQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Pairwise near-dup hits → dedup decisions: connected components over
-    * the n-gram Jaccard pairs, one canonical doc kept per cluster. */
+    * the n-gram Jaccard pairs, one canonical doc kept per cluster.
+    * Inherits jaccardPairs' default hot-shingle cap (maxDocFrac = 0.1) and
+    * its recall caveat: docs whose ONLY overlap is corpus-wide boilerplate
+    * never pair, so they land in separate clusters. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = docsWithNearDups(s, d)
     val pairs = Dedup.jaccardPairs(docs, n = 3, tau = 0.5)
@@ -1227,7 +1234,7 @@ object PipelineQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
-         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
          |         FROM all_docs),
          |w AS (SELECT doc_id, $w10 AS sh
          |      FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
@@ -1245,7 +1252,7 @@ object PipelineQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
-         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
          |         FROM all_docs),
          |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
          |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
@@ -1278,10 +1285,10 @@ object PipelineQueries {
          |  FROM documents WHERE doc_id < 100
          |  UNION ALL
          |  SELECT doc_id + 20000, text FROM documents WHERE doc_id >= 250),
-         |ctoks AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM corpus),
+         |ctoks AS (SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t FROM corpus),
          |csh AS (SELECT DISTINCT $w10 AS sh
          |        FROM ctoks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
-         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
          |         FROM batch),
          |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
          |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),
@@ -1313,7 +1320,7 @@ object PipelineQueries {
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
          |  SELECT doc_id + 10000, text || ' graft extra' FROM documents),
-         |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+         |toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
          |         FROM all_docs),
          |occ AS (SELECT doc_id, i AS pos, $w10 AS sh
          |        FROM toks, unnest(range(1, len(t) - 8)) AS u(i) WHERE len(t) >= 10),

@@ -33,6 +33,24 @@ class PlanSpec extends AnyFunSuite {
       "column pruning lost:\n" + p)
   }
 
+  test("substring span removal: no window function keyed on the window value") {
+    import org.apache.spark.sql.functions.col
+    // first-occurrence selection must be the partial-aggregatable
+    // groupBy(sh).agg(min(struct), count) + join-back — a
+    // row_number().over(partitionBy(sh)) ships every occurrence of a hot
+    // boilerplate window to ONE sorting reducer at corpus scale
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val (out, cached) =
+      pipeline.Dedup.substringRemovePlan(docs, 10, "doc_id", "text", hashed = true)
+    try {
+      val windows = out.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"span removal regressed to a window function:\n${windows.mkString("\n")}")
+    } finally cached.unpersist(blocking = false)
+  }
+
   test("token-shard packing: no single-partition global window") {
     import org.apache.spark.sql.functions.col
     val packed = pipeline.Curation.packTokenShards(

@@ -126,6 +126,33 @@ class PipelineSpec extends AnyFunSuite {
       s"capped join not bounded: $cappedRows candidate rows")
   }
 
+  test("hot-shingle cap short-circuits to the single-phase plan on a clean corpus") {
+    import spark.implicits._
+    // the cap is on by default; when the hot set comes back EMPTY (clean
+    // corpus — the common case) the plan must be the single-phase
+    // exhaustive one: pair join + two sizes joins, NO hot-recount joins
+    def joinCount(docs: org.apache.spark.sql.DataFrame): Int = {
+      val (out, cached) =
+        Dedup.jaccardPairsPlan(docs, 3, 0.3, "doc_id", "text", 0.1)
+      try out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+      finally cached.unpersist(blocking = false)
+    }
+    val clean = (0 until 50)
+      .map(i => (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+    assert(joinCount(clean) === 3,
+      "clean corpus must short-circuit to the single-phase plan")
+    // one corpus-wide boilerplate shingle -> hot set non-empty -> the two
+    // hot-recount joins appear (and only then)
+    val dirty = (0 until 50)
+      .map(i => (i.toLong, s"hot boiler plate u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    assert(joinCount(dirty) === 5,
+      "hot corpus must add exactly the two hot-recount joins")
+  }
+
   test("substringRemove: first occurrence wins, spans drop, within-doc repeats collapse") {
     import spark.implicits._
     val docs = Seq(
@@ -173,6 +200,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(12L) === ((4L, 4L, "")))
     assert(got(13L) === ((5L, 3L, "z w")))
     assert(run(hashed = true) === got)
+  }
+
+  test("substringRemove: planted corpus-wide hot window stays correct at volume") {
+    import spark.implicits._
+    // one boilerplate window in EVERY doc — the crawl shape the operator
+    // exists for; a row_number window plan funnels all of these through
+    // one sorting reducer, the agg+join plan map-side-combines the hot key
+    val nDocs = 2000
+    val docs = (0 until nDocs)
+      .map(i => (i.toLong, s"hot win dow u${i}a u${i}b")).toDF("doc_id", "text")
+    val got = Dedup.substringRemove(docs, n = 3, hashed = true)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.size === nDocs)
+    assert(got(0L) === ((0L, "hot win dow u0a u0b")))
+    (1 until nDocs).foreach { i =>
+      assert(got(i.toLong) === ((3L, s"u${i}a u${i}b")), s"doc $i")
+    }
+  }
+
+  test("substringRemove: hashed and exact modes share one tokenization on hostile whitespace") {
+    import spark.implicits._
+    // leading tab/newline (trim strips spaces only) used to shift every
+    // hashed-mode position by one; U+3000 (ideographic space) splits under
+    // Character.isWhitespace but not Java \s — both sides now tokenize
+    // identically (ASCII \s+ with empties dropped), so U+3000 stays INSIDE
+    // its token in both modes and leading whitespace shifts nothing
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "\ta b c d e"),     // leading tab: token-identical to doc 1
+      (3L, "\n a b c d e"),    // leading newline + space
+      (4L, "x　y a b c z") // U+3000 inside the first token, both modes
+    ).toDF("doc_id", "text")
+    def run(hashed: Boolean) = Dedup.substringRemove(docs, n = 3, hashed = hashed)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val got = run(hashed = false)
+    assert(got(1L) === ((5L, 0L, "a b c d e")))
+    assert(got(2L) === ((5L, 5L, "")))
+    assert(got(3L) === ((5L, 5L, "")))
+    // doc 4's "a b c" duplicates doc 1's first window: positions 1-3 drop
+    assert(got(4L) === ((5L, 3L, "x　y z")))
+    assert(run(hashed = true) === got)
+    // the incremental variant shares the tokenization
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq((10L, "\tz w a b c")).toDF("doc_id", "text")
+    def runInc(hashed: Boolean) =
+      Dedup.substringRemoveIncremental(corpus, batch, n = 3, hashed = hashed)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val gotInc = runInc(hashed = false)
+    assert(gotInc(10L) === ((5L, 3L, "z w")))
+    assert(runInc(hashed = true) === gotInc)
   }
 
   test("simhash: near-identical docs collide within small hamming distance") {
