@@ -267,7 +267,16 @@ class ConfigDrivenIngest(
     configFiles: () => Seq[Path],
     pullerFor: String => OffsetRangePuller,
     valueCol: String = "value",
-    opCol: String = "op") extends AutoCloseable {
+    opCol: String = "op",
+    parallelism: Int = 1) extends AutoCloseable {
+  require(parallelism >= 1, "parallelism must be >= 1")
+
+  /** Bounded lane-step pool (the reference's concurrent-operators shape;
+    * see [[ConcurrentLanes]]): lanes are rebuilt by refresh() on the
+    * driver thread, only step() fans out. */
+  private val sweepPool =
+    if (parallelism <= 1) None
+    else Some(ConcurrentLanes.newPool(parallelism, "configdriven"))
 
   /** live lanes keyed by config file path: (raw config text, loop). */
   private val lanes = scala.collection.mutable.LinkedHashMap[
@@ -386,10 +395,18 @@ class ConfigDrivenIngest(
   }
 
   /** One sweep: converge lanes to the current configs, then step each lane
-    * once. Returns the number of lanes that ingested a batch. */
+    * once — concurrently when `parallelism > 1` (one slow lane must not
+    * delay every other lane's commit). Returns the number of lanes that
+    * ingested a batch. */
   def sweep(): Int = {
     refresh()
-    lanes.values.count(_._2.step().isDefined)
+    sweepPool match {
+      case None => lanes.values.count(_._2.step().isDefined)
+      case Some(p) => ConcurrentLanes.stepAll(p,
+        lanes.values.toSeq.map { case (_, ing) =>
+          (spark.sparkContext, () => ing.step())
+        })
+    }
   }
 
   /** Sweep until every lane reports dry in the same sweep (one-shot mode).
@@ -409,5 +426,6 @@ class ConfigDrivenIngest(
   def close(): Unit = {
     lanes.values.foreach(_._2.close())
     lanes.clear()
+    sweepPool.foreach(_.shutdown())
   }
 }

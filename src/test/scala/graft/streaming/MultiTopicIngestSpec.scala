@@ -63,6 +63,87 @@ class MultiTopicIngestSpec extends AnyFunSuite {
     GraftTable.drop(dirA); GraftTable.drop(dirB)
   }
 
+  test("parallel sweep: a blocked lane does not delay a sibling lane's commit; exactly-once across restart") {
+    val (dirA, dirB) = (tmp(), tmp())
+    val tA = table(dirA, "mti_slow")
+    val tB = table(dirB, "mti_fast")
+    val bA = new FakeBroker; val bB = new FakeBroker
+    bA.append(0, "a1"); bB.append(0, "b1")
+    // lane A's pull blocks on a gate the TEST releases only after
+    // observing lane B's commit — the sequential sweep (which steps A
+    // first) would deadlock here, so the assertion IS the concurrency
+    val aGate = new java.util.concurrent.CountDownLatch(1)
+    val aStarted = new java.util.concurrent.CountDownLatch(1)
+    val srcA = new KafkaLikeSource(bA.puller, 10, Some("slow")).forTable(tA)
+    val gatedA: () => Option[(String, org.apache.spark.sql.DataFrame)] = () => {
+      aStarted.countDown()
+      aGate.await(60, java.util.concurrent.TimeUnit.SECONDS)
+      srcA()
+    }
+    def fastLane() =
+      IngestLane(tB, new KafkaLikeSource(bB.puller, 10, Some("fast")).forTable(tB),
+        operation = "insert")
+    val mt = new MultiTopicIngest(Seq(
+      IngestLane(tA, gatedA, operation = "insert"), fastLane()),
+      parallelism = 2)
+    val sweepResult = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val sweeper = new Thread(() => sweepResult.set(mt.sweep()), "test-sweeper")
+    try {
+      sweeper.start()
+      assert(aStarted.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "slow lane never started")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var committed = false
+      while (!committed && System.nanoTime() < deadline) {
+        committed = tB.snapshot().count() == 1
+        if (!committed) Thread.sleep(100)
+      }
+      assert(committed, "fast lane's commit waited on the blocked slow lane")
+    } finally {
+      aGate.countDown()
+      sweeper.join(120000)
+      mt.close()
+    }
+    assert(sweepResult.get() === 2) // both lanes ingested in the one sweep
+    assert(tA.snapshot().count() === 1)
+    // restart with fresh sources under concurrent sweeps: each lane
+    // resumes from its own table's offsets, exactly-once
+    bA.append(0, "a2"); bB.append(0, "b2", "b3")
+    val mt2 = new MultiTopicIngest(Seq(
+      IngestLane(tA, new KafkaLikeSource(bA.puller, 10, Some("slow")).forTable(tA),
+        operation = "insert"), fastLane()),
+      parallelism = 2)
+    try assert(mt2.drainAll() === 2) finally mt2.close()
+    val snapA = tA.snapshot(); val snapB = tB.snapshot()
+    assert(snapA.count() === 2 &&
+      snapA.select("part", "off").distinct().count() === 2, "slow lane re-read")
+    assert(snapB.count() === 3 &&
+      snapB.select("part", "off").distinct().count() === 3, "fast lane re-read")
+    GraftTable.drop(dirA); GraftTable.drop(dirB)
+  }
+
+  test("parallel sweep: a failing lane surfaces only after siblings finish their step") {
+    val (dirA, dirB) = (tmp(), tmp())
+    val tA = table(dirA, "mti_fail")
+    val tB = table(dirB, "mti_ok")
+    val bB = new FakeBroker
+    bB.append(0, "b1")
+    val failing: () => Option[(String, org.apache.spark.sql.DataFrame)] =
+      () => throw new RuntimeException("lane boom")
+    val mt = new MultiTopicIngest(Seq(
+      IngestLane(tA, failing, operation = "insert"),
+      IngestLane(tB, new KafkaLikeSource(bB.puller, 10, Some("ok")).forTable(tB),
+        operation = "insert")),
+      parallelism = 2)
+    try {
+      val e = intercept[RuntimeException](mt.sweep())
+      assert(e.getMessage === "lane boom")
+      // the sibling's commit landed despite the failure
+      assert(tB.snapshot().count() === 1)
+    } finally mt.close()
+    GraftTable.drop(dirA); GraftTable.drop(dirB)
+  }
+
   test("two topics feed ONE table: per-topic offset maps never cross") {
     val dir = tmp()
     val t = table(dir, "mti_one", keys = Seq("topic", "part", "off"))
