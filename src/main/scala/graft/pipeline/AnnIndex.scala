@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.table._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted ANN index (SURVEY.md §2.3): the production
+ * build-once/query-many shape of [[Similarity.ivfPqTopK]] — FAISS's
+ * operational model re-expressed over the lake engine. A build trains the
+ * IVF coarse centroids and PQ codebooks ONCE, encodes the corpus once, and
+ * persists all three as Graft tables under one index directory:
+ *
+ *   - `centroids`  (cid, vec)        — nlist rows, metadata-sized
+ *   - `codebooks`  (sub, cell, vec)  — m·ksub rows, metadata-sized
+ *   - `codes`      (vec_id, cid, codes) — one row per corpus vector,
+ *     PARTITIONED BY cid (hive-style), so a query probing nprobe cells
+ *     reads exactly those partitions — the lake engine's partition-pruned
+ *     listing serves the IVF inverted-file lookup
+ *
+ * Every query then pays NO training and NO corpus encode: load the two
+ * metadata-sized tables to the driver (the same footprint the in-memory
+ * path already broadcasts), scan only the probed `codes` partitions, and
+ * run the SAME search core ([[Similarity.ivfPqSearch]]) — results are
+ * bit-identical to the in-memory path by construction (training is
+ * deterministic: id-ordered init, no RNG).
+ *
+ * 100 TB posture: the build is the one corpus-scale job (train on an
+ * id-strided sample, encode in one map pass, bulk-insert partitioned by
+ * cid); queries touch nprobe/nlist of the CODES (m small ints per vector,
+ * not the raw floats) plus the k·rerank exact-rerank rows. Index refresh
+ * is a table write like any other — upsert new vectors' codes into their
+ * cid partition; the lake table's timeline gives the index versioning,
+ * time travel and incremental reads for free.
+ */
+object AnnIndex {
+
+  /** Train + encode + persist an IVF-PQ index for `corpus` under
+    * `indexDir`. Returns the number of indexed vectors. */
+  def buildIvfPq(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
+      trainSampleMod: Long = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cN = Similarity.l2normalize(corpus, vecCol)
+    val coarse = Similarity.trainIvfCentroids(cN, nlist, trainIters,
+      trainSampleMod, idCol, vecCol)
+    val books = Similarity.trainPqCodebooks(cN, m, ksub, trainIters,
+      trainSampleMod, idCol, vecCol)
+    val centroidsT = GraftTable.create(spark, s"$indexDir/centroids",
+      TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
+    centroidsT.bulkInsert(
+      coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("cid", "vec"))
+    val codebooksT = GraftTable.create(spark, s"$indexDir/codebooks",
+      TableConfig("ann_codebooks", CopyOnWrite, keyFields = Seq("sub", "cell")))
+    codebooksT.bulkInsert(
+      books.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (v, c) => (s, c, v) }
+      }.toSeq.toDF("sub", "cell", "vec"))
+    // codes + coarse cell in ONE projection over one corpus pass, landed
+    // partitioned by cid — the inverted file IS the partition layout
+    val codesT = GraftTable.create(spark, s"$indexDir/codes",
+      TableConfig("ann_codes", CopyOnWrite, keyFields = Seq("vec_id"),
+        partitioning = PartitionByColumns(Seq("cid"))))
+    codesT.bulkInsert(cN.select(
+      col(idCol).as("vec_id"),
+      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"),
+      Similarity.pqCodes(books, vecCol).as("codes")))
+    codesT.snapshot().count()
+  }
+
+  /** Incremental index refresh — the operational complement of
+    * [[buildIvfPq]] (FAISS's add()/remove-and-re-add shape): encode new
+    * or changed vectors with the PERSISTED centroids + codebooks — no
+    * retraining, one map pass over just the delta — and upsert their
+    * codes into the codes table. A vector whose nearest cell changed
+    * moves to its new cid partition via the global-index upsert (the old
+    * row is tombstoned in place), so the inverted file stays consistent;
+    * the lake timeline versions every refresh. Quantization drift (the
+    * codebooks were trained before these vectors existed) is the standard
+    * FAISS trade — rebuild when drift warrants it. Returns the commit
+    * instant. */
+  def upsertIvfPq(indexDir: String, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val spark = vectors.sparkSession
+    val (coarse, books) = loadTrained(spark, indexDir)
+    val vN = Similarity.l2normalize(vectors, vecCol)
+    val enc = vN.select(
+      col(idCol).as("vec_id"),
+      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"),
+      Similarity.pqCodes(books, vecCol).as("codes"))
+    GraftTable.load(spark, s"$indexDir/codes").upsertGlobal(enc)
+  }
+
+  /** Load the two metadata-sized tables back as driver arrays. */
+  private def loadTrained(spark: SparkSession, indexDir: String)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val coarse = GraftTable.load(spark, s"$indexDir/centroids").snapshot()
+      .select("cid", "vec").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
+    val rows = GraftTable.load(spark, s"$indexDir/codebooks").snapshot()
+      .select("sub", "cell", "vec").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.tabulate(m)(s =>
+      rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Float](2).toArray))
+    (coarse, books)
+  }
+
+  /** Query a persisted IVF-PQ index: bit-identical to
+    * [[Similarity.ivfPqTopK]] with the same build parameters, but with no
+    * per-query training or corpus encode — and the codes scan prunes to
+    * the probed cid partitions. `corpus` supplies the exact-rerank
+    * vectors (the index stores codes only, the FAISS refine shape). */
+  def queryIvfPq(indexDir: String, corpus: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 4, rerank: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val spark = corpus.sparkSession
+    val (coarse, books) = loadTrained(spark, indexDir)
+    val cN = Similarity.l2normalize(corpus, vecCol)
+    val qN = Similarity.l2normalize(queries, vecCol)
+    // probed cells across all queries (query sets are small — the
+    // interactive-ANN shape): one metadata-sized job, then the codes read
+    // lists and scans ONLY those partitions
+    val probed = qN
+      .select(explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid"))
+      .distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
+    val enc = GraftTable.load(spark, s"$indexDir/codes")
+      .snapshot(partitionPred = probed.contains)
+      .select(col("vec_id").as("neighbor_id"), col("codes"), col("cid"))
+    Similarity.ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank,
+      idCol, vecCol)
+  }
+}

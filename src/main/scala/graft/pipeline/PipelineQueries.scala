@@ -109,6 +109,22 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Build-once/query-many ANN: persist the IVF-PQ index (centroids +
+    * codebooks + cid-partitioned codes) as graft tables, then answer the
+    * query from the PERSISTED index — spec-pinned bit-identical to
+    * [[annIvfPqTopk]]'s in-memory path (rows-only here: the training is
+    * not SQL-expressible). */
+  def annIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann/ivfpq_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.table.GraftTable.drop(dir)
+    AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+    AnnIndex.queryIvfPq(dir, vecs, vecs.filter(col("vec_id") % 50 === 0),
+      k = 5, nprobe = 6)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -612,6 +628,7 @@ object PipelineQueries {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
+    "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),
     "pipeline_curate" -> (pipelineCurate _),

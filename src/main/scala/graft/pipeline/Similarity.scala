@@ -127,7 +127,7 @@ object Similarity {
   /** Per-row L2 normalization (zero vectors pass through), so dot product
     * over the normalized space IS cosine — the precondition for comparing
     * PQ-ADC rankings against the cosine brute force. */
-  private def l2normalize(df: DataFrame, vecCol: String): DataFrame = {
+  private[pipeline] def l2normalize(df: DataFrame, vecCol: String): DataFrame = {
     import graft.functions.VectorExprs._
     df.withColumn(vecCol,
       when(normF(col(vecCol)) === 0.0f, col(vecCol))
@@ -193,7 +193,7 @@ object Similarity {
     * small ints — the index compression that lets a 100 TB corpus's ANN
     * index fit in executor memory. */
   /** The m-sub-code array expression for one vector column. */
-  private def pqCodes(books: Array[Array[Array[Float]]],
+  private[pipeline] def pqCodes(books: Array[Array[Array[Float]]],
       vecCol: String): org.apache.spark.sql.Column = {
     import graft.functions.IvfExprs.nearestCentroids
     val dsub = books(0)(0).length
@@ -239,7 +239,6 @@ object Similarity {
       trainIters: Int = 3, trainSampleMod: Long = 1, rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
-    import graft.functions.VectorExprs._
     val cN = l2normalize(corpus, vecCol)
     val qN = l2normalize(queries, vecCol)
     val coarse = trainIvfCentroids(cN, nlist, trainIters, trainSampleMod, idCol, vecCol)
@@ -249,6 +248,21 @@ object Similarity {
     val enc = cN.select(col(idCol).as("neighbor_id"),
       pqCodes(books, vecCol).as("codes"),
       element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"))
+    ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank, idCol, vecCol)
+  }
+
+  /** The IVF-PQ query side over an ALREADY-ENCODED corpus — shared verbatim
+    * by [[ivfPqTopK]] (in-memory build) and [[AnnIndex.queryIvfPq]]
+    * (persisted index), so the two paths are bit-identical by
+    * construction. `enc` carries (neighbor_id, codes, cid); `cN`/`qN` are
+    * the L2-normalized corpus (exact-rerank source) and queries. */
+  private[pipeline] def ivfPqSearch(enc: DataFrame, cN: DataFrame,
+      qN: DataFrame, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], k: Int, nprobe: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    import graft.functions.VectorExprs._
+    val m = books.length
     val qT = qN.select(Seq(col(idCol).as("query_id"),
         explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid")) ++
       adcTables(books, vecCol): _*)

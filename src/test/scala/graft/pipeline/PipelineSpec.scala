@@ -342,6 +342,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.25, f"IVF-PQ recall@5 $recall%.2f below floor")
   }
 
+  test("persisted IVF-PQ index: query result is bit-identical to the in-memory path") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+    try {
+      val n = AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+      assert(n === vecs.count(), "every corpus vector must be indexed")
+      // the three index tables are real graft tables; codes partition by cid
+      val codes = graft.table.GraftTable.load(spark, s"$dir/codes")
+      assert(codes.snapshot().select("cid").distinct().count() > 1,
+        "codes must land in multiple cid partitions")
+      val persisted = AnnIndex.queryIvfPq(dir, vecs, queries, k = 5, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val inMemory = Similarity.ivfPqTopK(vecs, queries, k = 5,
+        nlist = 16, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(persisted === inMemory,
+        "persisted-index query diverged from the in-memory build")
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
+  test("persisted IVF-PQ: incremental upsert adds and moves vectors without retraining") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val n = vecs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_annupd_").toString
+    try {
+      AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+      // each read loads fresh: the refresh commits through its own writer
+      // instance, the reader pattern is load-then-snapshot
+      def codes() = graft.table.GraftTable.load(spark, s"$dir/codes")
+      // ADD: a brand-new vector that exactly duplicates query 0's
+      // embedding — after the refresh it must surface as its top neighbor
+      val q0 = vecs.filter(col("vec_id") === 0L)
+      val newId = n + 1000L
+      val added = q0.select(lit(newId).as("vec_id"), col("embedding"))
+      AnnIndex.upsertIvfPq(dir, added)
+      assert(codes().snapshot().count() === n + 1)
+      val corpusNow = vecs.select(col("vec_id"), col("embedding"))
+        .unionByName(added.select(col("vec_id"), col("embedding")))
+      val top = AnnIndex.queryIvfPq(dir, corpusNow, q0, k = 1, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(top === Set((0L, newId)),
+        s"exact-duplicate vector must be the top neighbor, got $top")
+      // MOVE: re-point vector 1's embedding at a vector from a DIFFERENT
+      // cell; the global-index upsert must move its codes row to the new
+      // cid partition without duplicating the key
+      val cidOf = codes().snapshot().select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val donor = cidOf.find { case (id, c) =>
+        id != 1L && id != newId && c != cidOf(1L) }.get._1
+      val moved = vecs.filter(col("vec_id") === donor)
+        .select(lit(1L).as("vec_id"), col("embedding"))
+      AnnIndex.upsertIvfPq(dir, moved)
+      val after = codes().snapshot().select("vec_id", "cid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1))
+      assert(after.length === n + 1, "partition move duplicated or lost a row")
+      assert(after.toMap.apply(1L) === cidOf(donor),
+        "moved vector must land in its donor's cell")
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
