@@ -3,6 +3,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  import scala.jdk.CollectionConverters._
+
+  /** Current git HEAD commit, read straight from .git (no subprocess):
+    * used to mark an embedded bench_bisect.json as stale when it was
+    * produced at a different commit. */
+  private def gitHead(): Option[String] = try {
+    import java.nio.file.{Files, Paths}
+    val head = new String(Files.readAllBytes(Paths.get(".git", "HEAD")),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    if (!head.startsWith("ref: ")) Some(head)
+    else {
+      val ref = head.drop(5)
+      val refPath = Paths.get(".git").resolve(ref)
+      if (Files.isRegularFile(refPath))
+        Some(new String(Files.readAllBytes(refPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      else {
+        val packed = Paths.get(".git", "packed-refs")
+        if (!Files.isRegularFile(packed)) None
+        else Files.readAllLines(packed).asScala
+          .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+          .map(_.split(' ')(0))
+      }
+    }
+  } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // measured at sf0.1 on a 32-cpu box: 8 threads beats 4/16/32 (per-task
@@ -83,8 +109,19 @@ object Bench {
         // committed bench_bisect.json; the console line is tail-truncated
         // by log capture and the lake_* timings at the end must survive
         val n = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        // staleness guard: a committed bisect from a PREVIOUS round must
+        // not read as current — compare its head_commit to the running
+        // git HEAD and say so explicitly when they differ
+        val recordedHead = n.path("head_commit").asText
+        val stale = gitHead() match {
+          case Some(cur) if recordedHead.nonEmpty =>
+            if (cur.startsWith(recordedHead) || recordedHead.startsWith(cur))
+              "false" else "true"
+          case _ => "null" // undeterminable (no .git): flag as unknown
+        }
         s""""bisect":{"baseline_commit":"${n.path("baseline_commit").asText}",""" +
-          s""""head_commit":"${n.path("head_commit").asText}",""" +
+          s""""head_commit":"$recordedHead",""" +
+          s""""stale":$stale,""" +
           s""""ratio":${n.path("ratio").asText("null")},""" +
           s""""head_total_sec":${n.path("head_total_sec").asText("0")},""" +
           s""""baseline_total_sec":${n.path("baseline_total_sec").asText("0")}},"""

@@ -66,11 +66,14 @@ object Metrics {
     try {
       var (yr, mo, dy) = (seg(0, 4), seg(4, 2), seg(6, 2))
       var (hh, mi, ss) = (seg(8, 2), seg(10, 2), seg(12, 2))
-      // carry overflowed time fields upward; clamp date fields into range
+      // carry overflowed fields upward — month included: clamping mo > 12
+      // to 12 would map a lexicographically LARGER digit string (…13 01…)
+      // to an EARLIER epoch than …12 31…, breaking monotonicity
       mi += ss / 60; ss %= 60
       hh += mi / 60; mi %= 60
       dy += hh / 24; hh %= 24
-      if (mo < 1) mo = 1; if (mo > 12) mo = 12
+      if (mo < 1) mo = 1
+      yr += (mo - 1) / 12; mo = (mo - 1) % 12 + 1
       if (dy < 1) dy = 1
       val maxDay = java.time.YearMonth.of(yr, mo).lengthOfMonth()
       val extraDays = math.max(0, dy - maxDay)

@@ -169,6 +169,12 @@ class CallbacksReportersSpec extends AnyFunSuite {
     // day past month end carries into the next month
     assert(Metrics.instantEpochSeconds("20240132000000000") ===
       Metrics.instantEpochSeconds("20240201000000000"))
+    // month overflow carries into the next year (clamping to 12 would map
+    // the lexicographically LARGER …1301… BELOW …1231… — an inversion)
+    assert(Metrics.instantEpochSeconds("20241301000000000") ===
+      Metrics.instantEpochSeconds("20250101000000000"))
+    assert(Metrics.instantEpochSeconds("20241301000000000") >
+      Metrics.instantEpochSeconds("20241231000000000"))
     // junk degrades to 0 instead of sinking the report
     assert(Metrics.instantEpochSeconds("bogus") === 0L)
     assert(Metrics.instantEpochSeconds("2024") === 0L)
