@@ -119,15 +119,29 @@ object AnalyticsQueries {
   }
 
   /** Top-k per group: 5 highest-revenue customers within each market
-    * segment (dense window rank, partial agg before the window shuffle). */
+    * segment. TWO-PHASE top-k, not one window: there are only 5 segments,
+    * so a single `row_number().over(partitionBy(c_mktsegment))` sorts a
+    * fifth of ALL customers on one reducer at corpus scale. Phase 1 salts
+    * the partition key (c_custkey % 32) and takes the top 5 per (segment,
+    * salt) — 32-way parallel, each reducer sorts 1/160th; phase 2
+    * re-ranks only the ≤ 5·32 survivors per segment (metadata-sized).
+    * The global top 5 is always a subset of the per-salt top 5s, so the
+    * result is identical. */
   def qTopCustomers(s: SparkSession, d: String): DataFrame = {
     val perCust = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(Exact.sumMoney(col("o_totalprice")).as("raw_rev"))
     val c = Tables.customer(s, d)
+    val salts = 32
+    val wSalt = Window.partitionBy(col("c_mktsegment"), col("_salt"))
+      .orderBy(col("raw_rev").desc, col("c_custkey"))
+    val survivors = c.join(perCust, col("c_custkey") === col("o_custkey"))
+      .withColumn("_salt", pmod(col("c_custkey"), lit(salts)))
+      .withColumn("_r", row_number().over(wSalt))
+      .filter(col("_r") <= 5).drop("_r", "_salt")
     val w = Window.partitionBy(col("c_mktsegment"))
       .orderBy(col("raw_rev").desc, col("c_custkey"))
-    c.join(perCust, col("c_custkey") === col("o_custkey"))
+    survivors
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("c_mktsegment"), col("c_custkey"),

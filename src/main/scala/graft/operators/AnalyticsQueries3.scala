@@ -91,9 +91,12 @@ object AnalyticsQueries3 {
     val fOrders = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
     val perOrderSupp = li.join(fOrders, col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val w = Window.partitionBy(col("l_orderkey"))
+    // sole-supplier detection as a partial-aggregatable groupBy (count
+    // plus min — when the count is 1 the min IS the one supplier), not a
+    // window: same rows out, map-side combinable, no per-key sort
     val sole = perOrderSupp
-      .withColumn("n_supp", count(lit(1)).over(w))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), min(col("l_suppkey")).as("l_suppkey"))
       .filter(col("n_supp") === 1)
     sole.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))

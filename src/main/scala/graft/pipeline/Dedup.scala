@@ -16,13 +16,21 @@ object Dedup {
 
   /** Exact dedup on content hash: keep the lowest id per md5(text).
     * Null text hashes to a per-document sentinel — unknown content is not
-    * equal to other unknown content, so null-text docs are all kept. */
+    * equal to other unknown content, so null-text docs are all kept.
+    *
+    * Keeper selection is a partial-aggregatable `groupBy(_h).agg(min(id))`
+    * + semi-join back on (_h, id) — NEVER a window: a boilerplate page
+    * ("404 not found") duplicated 10⁸ times in a crawl is exactly what
+    * this operator exists to collapse, and a
+    * `row_number().over(partitionBy(_h))` would ship every copy (with its
+    * TEXT) to one sorting reducer; the agg collapses the hot hash
+    * map-side and the join-back key is unique per keeper. Assumes ids are
+    * unique (the corpus contract everywhere in this module). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
-    docs.withColumn("_h",
+    val hashed = docs.withColumn("_h",
       coalesce(md5(col(textCol)), concat(lit("null:"), col(idCol).cast("string"))))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_h", "_rn")
+    val keep = hashed.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+    hashed.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
   }
 
   /** URL canonicalization — the first dedup key of every crawl pipeline
@@ -57,11 +65,12 @@ object Dedup {
     * shuffle on the canonical string — at 100 TB the shuffle carries
     * (url, id), never documents. */
   def byUrl(docs: DataFrame, urlCol: Column, idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col("_cu")).orderBy(col(idCol))
-    docs.withColumn("_cu", canonicalizeUrl(urlCol))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    // same skew-safe keeper shape as [[exact]]: a hot canonical URL
+    // (crawled 10⁶ times) collapses map-side instead of sorting on one
+    // reducer
+    val withCu = docs.withColumn("_cu", canonicalizeUrl(urlCol))
+    val keep = withCu.groupBy(col("_cu")).agg(min(col(idCol)).as(idCol))
+    withCu.join(keep, Seq("_cu", idCol), "left_semi")
       .withColumnRenamed("_cu", "url_canonical")
   }
 
@@ -74,11 +83,11 @@ object Dedup {
   def exactNormalized(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val norm = lower(trim(regexp_replace(col(textCol), "[^A-Za-z0-9]+", " ")))
-    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
-    docs.withColumn("_h",
+    val hashed = docs.withColumn("_h",
       coalesce(md5(norm), concat(lit("null:"), col(idCol).cast("string"))))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_h", "_rn")
+    // skew-safe keeper selection — see [[exact]]
+    val keep = hashed.groupBy(col("_h")).agg(min(col(idCol)).as(idCol))
+    hashed.join(keep, Seq("_h", idCol), "left_semi").drop("_h")
   }
 
   /** Incremental (snapshot-over-snapshot) dedup — the Dolma/CCNet shape

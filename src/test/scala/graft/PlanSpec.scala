@@ -51,6 +51,37 @@ class PlanSpec extends AnyFunSuite {
     } finally cached.unpersist(blocking = false)
   }
 
+  test("exact/url dedup keepers: aggregate + semi-join, never a window on the content key") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // a boilerplate page duplicated 10^8 times is the hot key these
+    // operators exist to collapse — keeper selection must stay the
+    // map-side-combinable groupBy(min) + semi-join, not row_number()
+    def windows(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    assert(windows(pipeline.Dedup.exact(docs)).isEmpty,
+      "exact dedup regressed to a window")
+    assert(windows(pipeline.Dedup.exactNormalized(docs)).isEmpty,
+      "normalized dedup regressed to a window")
+    val withUrl = docs.withColumn("url",
+      concat(lit("https://ex.com/p/"), col("doc_id")))
+    assert(windows(pipeline.Dedup.byUrl(withUrl, col("url"))).isEmpty,
+      "url dedup regressed to a window")
+  }
+
+  test("top-k per segment is the salted two-phase shape") {
+    // 5 segments → a single segment-keyed window sorts a fifth of all
+    // customers on one reducer; the two-phase plan shows exactly two
+    // Window nodes (salted pass + survivor re-rank)
+    val q = operators.AnalyticsQueries.qTopCustomers(spark, sf)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 2,
+      s"expected salted + final windows, got ${windows.size}")
+  }
+
   test("token-shard packing: no single-partition global window") {
     import org.apache.spark.sql.functions.col
     val packed = pipeline.Curation.packTokenShards(
