@@ -128,13 +128,19 @@ object Dedup {
     * boilerplate 10-token window ("all rights reserved…") occurs in 10⁶+
     * documents and that reducer is the job. `groupBy(sh).agg(min(struct))`
     * is partial-aggregatable (map-side combine shrinks each hot key to one
-    * row per map task before the shuffle) and the join-back on `sh` is
-    * AQE-skew-splittable. Returns occ rows extended with `_first`
-    * (smallest (id, pos) struct for the window) and `_cnt`. */
-  private def withFirstOccurrence(occ: DataFrame, idCol: String): DataFrame = {
+    * row per map task before the shuffle); the join-back carries ONLY the
+    * windows seen ≥ 2 times (filtered BEFORE the join — the vast majority
+    * of windows are unique, so the right side collapses to the duplicated
+    * few and AQE can turn the join-back into a broadcast), and is
+    * AQE-skew-splittable otherwise. Returns only the occ rows of
+    * DUPLICATED windows, extended with `_first` (smallest (id, pos) for
+    * the window). */
+  private def dupOccurrences(occ: DataFrame, idCol: String): DataFrame = {
     val firsts = occ.groupBy(col("sh"))
       .agg(min(struct(col(idCol), col("pos"))).as("_first"),
         count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .select(col("sh"), col("_first"))
     occ.join(firsts, Seq("sh"))
   }
 
@@ -213,22 +219,26 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
     val (out, cached) = substringRemovePlan(docs, n, idCol, textCol, hashed)
-    materializeAndRelease(out, cached)
+    materializeAndReleaseAll(out, cached)
   }
 
-  /** The un-materialized plan of [[substringRemove]] plus its pinned token
-    * cache — split out so plan-quality specs can assert the physical shape
-    * (no window function keyed on the window value) before execution. */
+  /** The un-materialized plan of [[substringRemove]] plus its pinned
+    * caches — split out so plan-quality specs can assert the physical
+    * shape (no window function keyed on the window value) before
+    * execution. `occ` is persisted because the agg+join first-occurrence
+    * selection consumes it TWICE (agg side + probe side) — without the
+    * cache the scan + kernel + posexplode lineage executes twice, which
+    * is exactly the premium a single-pass window plan never paid. */
   private[graft] def substringRemovePlan(docs: DataFrame, n: Int,
       idCol: String, textCol: String,
-      hashed: Boolean): (DataFrame, DataFrame) = {
+      hashed: Boolean): (DataFrame, Seq[DataFrame]) = {
     val withToks = docs
       .select(col(idCol), wsToks(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hashed mode: the kernel's tokenizer is bit-identical to [[wsToks]]
     // (exact Java-\s set, no empty tokens), so its positions align with
     // `toks` on any input — no window strings, no re-joined doc string
-    val occ = if (hashed)
+    val occ = (if (hashed)
       docs.select(col(idCol), posexplode(
         graft.functions.ShingleHashes.all(col(textCol), n))
         .as(Seq("pos", "sh")))
@@ -236,12 +246,12 @@ object Dedup {
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("toks")) - n),
           i => array_join(slice(col("toks"), i + lit(1), lit(n)), " ")))
-        .as(Seq("pos", "sh")))
+        .as(Seq("pos", "sh"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // first occurrence in global (doc, pos) order survives; later
     // occurrences of any window seen >= 2 times are removal spans
-    val marked = withFirstOccurrence(occ, idCol)
-      .filter(col("_cnt") >= 2 &&
-        struct(col(idCol), col("pos")) =!= col("_first"))
+    val marked = dupOccurrences(occ, idCol)
+      .filter(struct(col(idCol), col("pos")) =!= col("_first"))
     val covered = marked.select(col(idCol),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
     val tokens = withToks.select(col(idCol),
@@ -258,7 +268,7 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean"), lit("")).as("clean"))
-    (out, withToks)
+    (out, Seq(withToks, occ))
   }
 
   /** Incremental (batch-vs-corpus) exact-substring span removal — the
@@ -293,15 +303,20 @@ object Dedup {
     val withToks = batch
       .select(col(idCol), wsToks(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned: consumed three times (corpus semi-join, dup agg, dup probe)
     val occ = windowsOf(batch)
-    // membership mark via a LEFT join against the corpus keys (semi-join
-    // shaped: the corpus side is distinct keys only); within-batch
-    // first-occurrence via the skew-safe agg+join, not a window function
-    val marked = withFirstOccurrence(occ, idCol)
-      .join(corpusSh.withColumn("_in_corpus", lit(true)), Seq("sh"), "left")
-      .filter(coalesce(col("_in_corpus"), lit(false)) ||
-        (col("_cnt") >= 2 &&
-          struct(col(idCol), col("pos")) =!= col("_first")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two independent removal marks, unioned: (a) the window occurs in the
+    // immutable corpus — a semi-join against its distinct keys (the corpus
+    // always wins); (b) a within-batch later occurrence of a duplicated
+    // window — the batch variant's skew-safe agg+join over ONLY the
+    // duplicated windows. Overlaps collapse in `covered`'s distinct.
+    val markedCorpus = occ.join(corpusSh, Seq("sh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    val markedBatch = dupOccurrences(occ, idCol)
+      .filter(struct(col(idCol), col("pos")) =!= col("_first"))
+      .select(col(idCol), col("pos"))
+    val marked = markedCorpus.unionByName(markedBatch)
     val covered = marked.select(col(idCol),
       explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos")).distinct()
     val tokens = withToks.select(col(idCol),
@@ -318,7 +333,7 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean"), lit("")).as("clean"))
-    materializeAndRelease(out, withToks)
+    materializeAndReleaseAll(out, Seq(withToks, occ))
   }
 
   /** Distinct word n-gram shingles per document. */
@@ -431,9 +446,13 @@ object Dedup {
     * storage, then release the big intermediate cache it was built from —
     * otherwise the shingle blocks stay pinned for the session after the
     * returned frame is consumed. */
-  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame = {
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame): DataFrame =
+    materializeAndReleaseAll(result, Seq(cached))
+
+  private def materializeAndReleaseAll(result: DataFrame,
+      cached: Seq[DataFrame]): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    cached.unpersist(blocking = false)
+    cached.foreach(_.unpersist(blocking = false))
     out
   }
 

@@ -48,7 +48,7 @@ class PlanSpec extends AnyFunSuite {
       }
       assert(windows.isEmpty,
         s"span removal regressed to a window function:\n${windows.mkString("\n")}")
-    } finally cached.unpersist(blocking = false)
+    } finally cached.foreach(_.unpersist(blocking = false))
   }
 
   test("exact/url dedup keepers: aggregate + semi-join, never a window on the content key") {
