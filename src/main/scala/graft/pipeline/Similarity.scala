@@ -14,9 +14,33 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Per-query top-k without a candidates-sized per-query sort: ONE window
+    * keyed on query_id ships every candidate of a query to one reducer
+    * and sorts it there — at 10⁹ corpus vectors and ten queries, ten
+    * reducers own the whole job. Phase 1 ranks within (query,
+    * upstream-partition) slices — `spark_partition_id()` is captured
+    * BEFORE the shuffle, so the window keys are numerous and balanced —
+    * and phase 2 re-ranks only the ≤ k·numPartitions survivors
+    * (metadata-sized). Identical to the single global window for any
+    * deterministic total order (the global top k is a subset of the union
+    * of partition-local top ks). Emits `rnk` (1-based long). */
+  private def topKPerQuery(cands: DataFrame, k: Int,
+      ord: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val wLocal = Window.partitionBy(col("query_id"), col("_part"))
+      .orderBy(ord: _*)
+    val wGlobal = Window.partitionBy(col("query_id")).orderBy(ord: _*)
+    cands.withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k)
+      .drop("_lr", "_part")
+      .withColumn("rnk", row_number().over(wGlobal).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-pairs excluded). Queries are broadcast; the corpus is
-    * scanned once — the plan a 1000-executor cluster wants. */
+    * scanned once and ranked via the two-phase [[topKPerQuery]] — the
+    * plan a 1000-executor cluster wants. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExprs._
@@ -24,12 +48,9 @@ object Similarity {
       normF(col(vecCol)).as("n_q"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       normF(col(vecCol)).as("n_c"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) / (col("n_q") * col("n_c")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(cands, k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
@@ -113,14 +134,11 @@ object Similarity {
       threshold > 0 && est <= BigInt(threshold)
     }
     val joined = if (doBroadcast) c.join(broadcast(q), Seq("cid")) else c.join(q, Seq("cid"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    joined
+    val cands = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
         (normF(col("q_vec")) * normF(col("c_vec"))))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(cands, k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 
@@ -266,13 +284,13 @@ object Similarity {
     val qT = qN.select(Seq(col(idCol).as("query_id"),
         explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid")) ++
       adcTables(books, vecCol): _*)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("_adc").desc, col("neighbor_id"))
-    val shortlist = enc.join(broadcast(qT), Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("_adc", adcScore(m))
-      .withColumn("_arnk", row_number().over(wAdc))
-      .filter(col("_arnk") <= k * math.max(1, rerank))
+    // the ADC shortlist ranks nprobe/nlist of the corpus per query — the
+    // two-phase rank keeps that off a single per-query reducer
+    val shortlist = topKPerQuery(
+      enc.join(broadcast(qT), Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("_adc", adcScore(m)),
+      k * math.max(1, rerank), Seq(col("_adc").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"))
     val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -305,16 +323,15 @@ object Similarity {
     val enc = pqEncode(cN, books, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
     val qT = qN.select(col(idCol).as("query_id") +: adcTables(books, vecCol): _*)
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("_adc").desc, col("neighbor_id"))
-    // ADC shortlist over codes only, then EXACT rerank of k·rerank
-    // candidates against the true vectors (the FAISS refine step): the
-    // full-width scan stays m lookups/row; exact cosine touches only the
-    // shortlist — a vanishing fraction of the corpus at scale
-    val shortlist = enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
-      .withColumn("_adc", adcScore(m))
-      .withColumn("_arnk", row_number().over(wAdc))
-      .filter(col("_arnk") <= k * math.max(1, rerank))
+    // ADC shortlist over codes only (two-phase rank — the full-corpus
+    // code scan never sorts on one per-query reducer), then EXACT rerank
+    // of k·rerank candidates against the true vectors (the FAISS refine
+    // step): the full-width scan stays m lookups/row; exact cosine
+    // touches only the shortlist — a vanishing fraction at scale
+    val shortlist = topKPerQuery(
+      enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
+        .withColumn("_adc", adcScore(m)),
+      k * math.max(1, rerank), Seq(col("_adc").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"))
     val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -361,14 +378,11 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("q_vec")).as("q_vec"), first(col("c_vec")).as("c_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
     import graft.functions.VectorExprs._
-    cands
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (normF(col("q_vec")) * normF(col("c_vec"))))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    topKPerQuery(
+      cands.withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (normF(col("q_vec")) * normF(col("c_vec")))),
+      k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 }

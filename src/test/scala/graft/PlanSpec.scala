@@ -70,6 +70,21 @@ class PlanSpec extends AnyFunSuite {
       "url dedup regressed to a window")
   }
 
+  test("ANN brute-force top-k is the two-phase per-query shape") {
+    import org.apache.spark.sql.functions.col
+    // one window keyed on query_id alone would sort the WHOLE corpus per
+    // query on one reducer; the two-phase plan shows exactly two Window
+    // nodes (partition-local rank + survivor re-rank)
+    val vecs = Tables.embeddings(spark, sf)
+    val q = pipeline.Similarity.bruteForceTopK(
+      vecs, vecs.filter(col("vec_id") % 50 === 0), 5)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size === 2,
+      s"expected local + global windows, got ${windows.size}")
+  }
+
   test("top-k per segment is the salted two-phase shape") {
     // 5 segments → a single segment-keyed window sorts a fifth of all
     // customers on one reducer; the two-phase plan shows exactly two
