@@ -370,19 +370,22 @@ object Similarity {
       val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * tables
       threshold > 0 && est <= BigInt(threshold)
     }
-    // dedup pairs that collided in several tables WITHOUT shuffling the
-    // embedding payloads: group on the ids, keep one copy of the vectors
     val joined = if (doBroadcast) cb.join(broadcast(qb), Seq("table", "bucket"))
                  else cb.join(qb, Seq("table", "bucket"))
+    // score BEFORE deduplicating multi-table collisions: the cosine is
+    // identical for every collision of one pair, so first(sim) after the
+    // (query, neighbor) groupBy is exact — and the dedup shuffle then
+    // carries 8 bytes per row instead of two embedding payloads (a ~100×
+    // byte reduction at 768 dims, bought with one cheap codegen'd dot
+    // product per extra collision, bounded by `tables`)
+    import graft.functions.VectorExprs._
     val cands = joined
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
+        (normF(col("q_vec")) * normF(col("c_vec"))))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("q_vec")).as("q_vec"), first(col("c_vec")).as("c_vec"))
-    import graft.functions.VectorExprs._
-    topKPerQuery(
-      cands.withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
-        (normF(col("q_vec")) * normF(col("c_vec")))),
-      k, Seq(col("sim").desc, col("neighbor_id")))
+      .agg(first(col("sim")).as("sim"))
+    topKPerQuery(cands, k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
   }
 }
