@@ -119,8 +119,17 @@ object Dedup {
     * tokenizer disagrees with `\s+` on Unicode whitespace (U+3000, U+2028,
     * U+2000-200A: common in web/CJK crawls), and any disagreement between
     * the position source and the rebuild side removes the WRONG tokens. */
-  private def wsToks(textCol: Column): Column =
-    filter(split(textCol, "\\s+"), t => t =!= lit(""))
+  private def wsToks(textCol: Column): Column = {
+    // strip LEADING whitespace (any Java-\s kind) then split: no empty
+    // tokens — Java split drops trailing empties and interior `\s+` runs
+    // can't produce one — without a per-element lambda filter (a
+    // higher-order filter costs a lambda eval per token in the hot path
+    // of every substring operator). Whitespace-only text explicitly maps
+    // to the empty array (split would yield [""]).
+    val stripped = regexp_replace(textCol, "^\\s+", "")
+    when(stripped === "", typedlit(Array.empty[String]))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   /** First-occurrence survivor selection without a window function: a
     * `row_number().over(Window.partitionBy(sh))` ships EVERY occurrence of
