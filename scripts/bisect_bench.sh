@@ -46,9 +46,17 @@ echo "[bisect] head $HEAD_COMMIT ..." >&2
 HEAD_LINE=$(run .)
 
 python3 - "$BASE" "$HEAD_COMMIT" "$BASE_LINE" "$HEAD_LINE" <<'EOF'
-import json, sys
+import json, sys, hashlib, pathlib
 base_commit, head_commit, base_line, head_line = sys.argv[1:5]
 b, h = json.loads(base_line), json.loads(head_line)
+# digest of the benched source: graft.Bench compares this against the
+# running tree (stale flag immune to artifact-only commits) — must
+# mirror Bench.srcDigest byte-for-byte
+dig = hashlib.sha256()
+for p in sorted(pathlib.Path('src/main').rglob('*.scala'),
+                key=lambda p: p.as_posix()):
+    dig.update(p.as_posix().encode())
+    dig.update(p.read_bytes())
 bq = {k: v for k, v in b["queries"].items() if v >= 0}
 hq = {k: v for k, v in h["queries"].items() if v >= 0}
 common = sorted(set(bq) & set(hq))
@@ -56,6 +64,7 @@ bt, ht = sum(bq[k] for k in common), sum(hq[k] for k in common)
 per_query = {k: (round(hq[k] / bq[k], 3) if bq[k] > 0 else None)
              for k in common}
 out = {"baseline_commit": base_commit, "head_commit": head_commit,
+       "src_digest": dig.hexdigest(),
        "queries": common,
        "baseline_total_sec": round(bt, 2), "head_total_sec": round(ht, 2),
        "ratio": round(ht / bt, 3) if bt > 0 else None,

@@ -29,6 +29,27 @@ object Bench {
     }
   } catch { case _: Exception => None }
 
+  /** SHA-256 over src/main's .scala files (sorted relative paths + bytes)
+    * — the EXACT "is the benched code the same" question. The commit
+    * comparison alone cries wolf when the only commit since the bisect is
+    * the bisect artifact itself; the digest is immune to artifact-only
+    * and test-only commits. Must mirror scripts/bisect_bench.sh's
+    * src_digest computation byte-for-byte. */
+  private def srcDigest(): Option[String] = try {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get("src", "main")
+    if (!Files.isDirectory(base)) return None
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val files = Files.walk(base).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString.replace('\\', '/'))
+    files.foreach { p =>
+      md.update(p.toString.replace('\\', '/').getBytes("UTF-8"))
+      md.update(Files.readAllBytes(p))
+    }
+    Some(md.digest().map("%02x".format(_)).mkString)
+  } catch { case _: Exception => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // measured at sf0.1 on a 32-cpu box: 8 threads beats 4/16/32 (per-task
@@ -110,14 +131,21 @@ object Bench {
         // by log capture and the lake_* timings at the end must survive
         val n = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p))
         // staleness guard: a committed bisect from a PREVIOUS round must
-        // not read as current — compare its head_commit to the running
-        // git HEAD and say so explicitly when they differ
+        // not read as current. Primary check: the SOURCE DIGEST the
+        // bisect recorded vs the running tree's (immune to artifact-only
+        // commits like committing the bisect json itself); fallback for
+        // older artifacts without a digest: commit comparison.
         val recordedHead = n.path("head_commit").asText
-        val stale = gitHead() match {
-          case Some(cur) if recordedHead.nonEmpty =>
-            if (cur.startsWith(recordedHead) || recordedHead.startsWith(cur))
-              "false" else "true"
-          case _ => "null" // undeterminable (no .git): flag as unknown
+        val recordedDigest = n.path("src_digest").asText("")
+        val stale = (recordedDigest, srcDigest()) match {
+          case (rec, Some(cur)) if rec.nonEmpty =>
+            if (rec == cur) "false" else "true"
+          case _ => gitHead() match {
+            case Some(cur) if recordedHead.nonEmpty =>
+              if (cur.startsWith(recordedHead) || recordedHead.startsWith(cur))
+                "false" else "true"
+            case _ => "null" // undeterminable: flag as unknown
+          }
         }
         s""""bisect":{"baseline_commit":"${n.path("baseline_commit").asText}",""" +
           s""""head_commit":"$recordedHead",""" +
