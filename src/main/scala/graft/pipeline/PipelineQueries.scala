@@ -512,9 +512,14 @@ object PipelineQueries {
       .orderBy(col("vec_id"), col("j"))
 
   /** Exact-substring duplication signal (Lee et al. 2022) over the
-    * near-dup corpus: 10-token windows shared across documents. */
+    * near-dup corpus: 10-token windows shared across documents. All five
+    * substring queries run the `hashed` at-scale mode: the window hash is
+    * purely the INTERNAL shuffle key — counts and rebuilt text are
+    * bit-identical to the string mode (spec-pinned), so the DuckDB oracle
+    * (which states string semantics) still hash-matches while the benched
+    * plan is the one a cluster would run. */
   def dedupSubstring(s: SparkSession, d: String): DataFrame =
-    Dedup.substringDupSignal(docsWithNearDups(s, d), n = 10)
+    Dedup.substringDupSignal(docsWithNearDups(s, d), n = 10, hashed = true)
       .orderBy(col("doc_id"))
 
   /** Exact-substring span REMOVAL (Lee et al. 2022's transformation, not
@@ -523,7 +528,7 @@ object PipelineQueries {
     * tokens — the planted near-dup copies lose their duplicated body and
     * keep only the windows touching their unique tail. */
   def dedupSubstringRemoval(s: SparkSession, d: String): DataFrame =
-    Dedup.substringRemove(docsWithNearDups(s, d), n = 10)
+    Dedup.substringRemove(docsWithNearDups(s, d), n = 10, hashed = true)
       .orderBy(col("doc_id"))
 
   /** Incremental span removal: a crawl batch (near-copies of curated docs
@@ -538,7 +543,7 @@ object PipelineQueries {
         concat(col("text"), lit(" fresh tail piece")).as("text"))
       .unionByName(docs.filter(col("doc_id") >= 250)
         .select((col("doc_id") + 20000).as("doc_id"), col("text")))
-    Dedup.substringRemoveIncremental(corpus, batch, n = 10)
+    Dedup.substringRemoveIncremental(corpus, batch, n = 10, hashed = true)
       .orderBy(col("doc_id"))
   }
 
@@ -549,7 +554,7 @@ object PipelineQueries {
     * duplicated ones. */
   def pipelineCurate4(s: SparkSession, d: String): DataFrame =
     Curation.packTokenShards(
-      Dedup.substringRemove(docsWithNearDups(s, d), n = 10)
+      Dedup.substringRemove(docsWithNearDups(s, d), n = 10, hashed = true)
         .filter((col("n_tokens") - col("n_removed")) * 2 >= col("n_tokens"))
         .select(col("doc_id"), col("clean"),
           (col("n_tokens") - col("n_removed")).as("kept_tokens")),
@@ -571,7 +576,8 @@ object PipelineQueries {
           linify(concat(col("text"), lit(" graft extra"))).as("gtext")))
     val keep = TextFunctions.gopherColumns(col("gtext")).toMap.apply("keep")
     val g = corpus.filter(keep === 1)
-    val cleanIds = Dedup.substringDupSignal(g, n = 10, textCol = "gtext")
+    val cleanIds = Dedup.substringDupSignal(g, n = 10, textCol = "gtext",
+      hashed = true)
       .filter(col("dup_windows") * 10L <= col("n_windows")).select("doc_id")
     val kept = g.join(cleanIds, Seq("doc_id"), "left_semi")
     val lines = Curation.dedupLinesWithin(kept, col("gtext"))
