@@ -96,6 +96,64 @@ object AnnIndex {
     GraftTable.load(spark, s"$indexDir/codes").upsertGlobal(enc)
   }
 
+  /** Train-free sibling: persist a random-hyperplane LSH index as ONE
+    * graft table of (bucket, vec_id, table, vec) rows — one row per
+    * (vector, hash table) — partitioned by the hash-table id (bounded:
+    * `tables` partitions) and GLOBAL-SORTED on the (bucket, vec_id) key,
+    * so each file within a partition covers a disjoint bucket range and
+    * a probe's `bucket IN (...)` predicate prunes to ~1 file per bucket
+    * from key-range stats alone. The (planes, tables) parameters ride in
+    * a meta file so queries can't silently probe with mismatched
+    * hyperplanes. Returns the number of index rows (vectors × tables). */
+  def buildLsh(corpus: DataFrame, indexDir: String, planes: Int = 4,
+      tables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val t = GraftTable.create(spark, s"$indexDir/buckets",
+      TableConfig("ann_lsh_buckets", CopyOnWrite,
+        keyFields = Seq("bucket", "vec_id"),
+        partitioning = PartitionByColumns(Seq("table")),
+        targetFileSizeRows = 100000))
+    t.bulkInsert(
+      Similarity.lshBuckets(corpus, planes, tables, idCol, vecCol,
+        "vec_id", "vec"),
+      sortMode = "global_sort")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "lsh_meta.json"),
+      s"""{"planes":$planes,"tables":$tables}""".getBytes("UTF-8"))
+    t.snapshot().count()
+  }
+
+  /** Query the persisted LSH index: bit-identical to
+    * [[Similarity.lshTopK]] with the build's (planes, tables) — the
+    * bucketing expression, collision join, exact-cosine scoring, and
+    * two-phase top-k are shared code. The scan side filters to the
+    * queries' probed buckets BEFORE the join (an explicit pushed-down
+    * predicate — the probed set is |queries|·tables pairs, driver-tiny),
+    * so key-range stats skip every unprobed file. */
+  def queryLsh(indexDir: String, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "lsh_meta.json")))
+    val (planes, tables) = (meta.path("planes").asInt, meta.path("tables").asInt)
+    val qb = Similarity.lshBuckets(queries, planes, tables, idCol, vecCol,
+      "query_id", "q_vec")
+    // probed buckets: one tiny driver-side set feeding a plain
+    // `bucket IN (...)` predicate — a RAW-column InSet the scan's
+    // key-range file stats can act on (a composite (table, bucket)
+    // expression would defeat stats pruning); the equi-join right after
+    // enforces the exact (table, bucket) pairing anyway
+    val probed = qb.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val enc = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
+        col("vec").as("c_vec"))
+      .filter(col("bucket").isin(probed.map(Long.box): _*))
+    Similarity.rankLshCollisions(
+      enc.join(broadcast(qb), Seq("table", "bucket")), k)
+  }
+
   /** Load the two metadata-sized tables back as driver arrays. */
   private def loadTrained(spark: SparkSession, indexDir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {

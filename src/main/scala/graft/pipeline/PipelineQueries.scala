@@ -109,6 +109,20 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Persisted-LSH sibling of [[annIvfPqPersisted]]: hyperplane buckets
+    * land as one bucket-key-sorted graft table; the query probes with a
+    * pushed-down bucket IN-set and must match the in-memory lshTopK
+    * bit-for-bit (rows-only: hyperplane hashing is not SQL-expressible). */
+  def annLshPersisted(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann/lsh_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.table.GraftTable.drop(dir)
+    AnnIndex.buildLsh(vecs, dir, planes = 4, tables = 8)
+    AnnIndex.queryLsh(dir, vecs.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Build-once/query-many ANN: persist the IVF-PQ index (centroids +
     * codebooks + cid-partitioned codes) as graft tables, then answer the
     * query from the PERSISTED index — spec-pinned bit-identical to
@@ -635,6 +649,7 @@ object PipelineQueries {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "ann_lsh_persisted" -> (annLshPersisted _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),
     "pipeline_curate" -> (pipelineCurate _),

@@ -355,29 +355,21 @@ object Similarity {
     * plan-time (`optimizedPlan.stats`, no job) × `tables` (each query row is
     * exploded per table, carrying its embedding) against the session's
     * `spark.sql.autoBroadcastJoinThreshold`; `broadcastQueries` overrides. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 4, tables: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec), posexplode(
-        array((0 until tables).map(t => lshBucket(col(vecCol), planes, t * 1000)): _*))
-        .as(Seq("table", "bucket")))
-    val qb = bucketed(queries, "query_id", "q_vec")
-    val cb = bucketed(corpus, "neighbor_id", "c_vec")
-    val doBroadcast = broadcastQueries.getOrElse {
-      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * tables
-      threshold > 0 && est <= BigInt(threshold)
-    }
-    val joined = if (doBroadcast) cb.join(broadcast(qb), Seq("table", "bucket"))
-                 else cb.join(qb, Seq("table", "bucket"))
-    // score BEFORE deduplicating multi-table collisions: the cosine is
-    // identical for every collision of one pair, so first(sim) after the
-    // (query, neighbor) groupBy is exact — and the dedup shuffle then
-    // carries 8 bytes per row instead of two embedding payloads (a ~100×
-    // byte reduction at 768 dims, bought with one cheap codegen'd dot
-    // product per extra collision, bounded by `tables`)
+  /** One row per (vector, hash table): (idAs, vecAs, table, bucket) — the
+    * shared bucketing of [[lshTopK]] and the persisted [[AnnIndex]] LSH
+    * index (same expression ⇒ same buckets ⇒ bit-identical candidates). */
+  private[pipeline] def lshBuckets(df: DataFrame, planes: Int, tables: Int,
+      idCol: String, vecCol: String, idAs: String, vecAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs), posexplode(
+      array((0 until tables).map(t => lshBucket(col(vecCol), planes, t * 1000)): _*))
+      .as(Seq("table", "bucket")))
+
+  /** Exact-cosine ranking of LSH bucket collisions — shared tail of
+    * [[lshTopK]] and [[AnnIndex.queryLsh]]. Scores BEFORE deduplicating
+    * multi-table collisions (the cosine is identical per pair, so
+    * first(sim) is exact and the dedup shuffle carries 8 bytes per row
+    * instead of two embedding payloads), then two-phase per-query top-k. */
+  private[pipeline] def rankLshCollisions(joined: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorExprs._
     val cands = joined
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -387,5 +379,23 @@ object Similarity {
       .agg(first(col("sim")).as("sim"))
     topKPerQuery(cands, k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
+  }
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 4, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      lshBuckets(df, planes, tables, idCol, vecCol, id, vec)
+    val qb = bucketed(queries, "query_id", "q_vec")
+    val cb = bucketed(corpus, "neighbor_id", "c_vec")
+    val doBroadcast = broadcastQueries.getOrElse {
+      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * tables
+      threshold > 0 && est <= BigInt(threshold)
+    }
+    val joined = if (doBroadcast) cb.join(broadcast(qb), Seq("table", "bucket"))
+                 else cb.join(qb, Seq("table", "bucket"))
+    rankLshCollisions(joined, k)
   }
 }

@@ -363,6 +363,23 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.table.GraftTable.drop(dir)
   }
 
+  test("persisted LSH index: query result is bit-identical to the in-memory path") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx_").toString
+    try {
+      val n = AnnIndex.buildLsh(vecs, dir, planes = 4, tables = 8)
+      assert(n === vecs.count() * 8, "one index row per (vector, table)")
+      val persisted = AnnIndex.queryLsh(dir, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val inMemory = Similarity.lshTopK(vecs, queries, k = 5,
+        planes = 4, tables = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(persisted === inMemory,
+        "persisted-LSH query diverged from the in-memory path")
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
   test("persisted IVF-PQ: incremental upsert adds and moves vectors without retraining") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf)
