@@ -40,9 +40,11 @@ object Bench {
     val base = Paths.get("src", "main")
     if (!Files.isDirectory(base)) return None
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    val files = Files.walk(base).iterator().asScala
+    // graft.table.Fs.walk closes the underlying stream (Files.walk holds
+    // an OS fd until closed)
+    val files = graft.table.Fs.walk(base)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
-      .toSeq.sortBy(_.toString.replace('\\', '/'))
+      .sortBy(_.toString.replace('\\', '/'))
     files.foreach { p =>
       md.update(p.toString.replace('\\', '/').getBytes("UTF-8"))
       md.update(Files.readAllBytes(p))

@@ -120,13 +120,15 @@ object Dedup {
     * U+2000-200A: common in web/CJK crawls), and any disagreement between
     * the position source and the rebuild side removes the WRONG tokens. */
   private def wsToks(textCol: Column): Column = {
-    // strip LEADING whitespace (any Java-\s kind) then split: no empty
-    // tokens — Java split drops trailing empties and interior `\s+` runs
-    // can't produce one — without a per-element lambda filter (a
-    // higher-order filter costs a lambda eval per token in the hot path
-    // of every substring operator). Whitespace-only text explicitly maps
-    // to the empty array (split would yield [""]).
-    val stripped = regexp_replace(textCol, "^\\s+", "")
+    // strip BOTH ends (any Java-\s kind) then split: no empty tokens —
+    // Spark's split uses Java split with limit -1, which KEEPS trailing
+    // empty strings (unlike limit 0), so trailing whitespace must be
+    // stripped up front; interior `\s+` runs can't produce an empty. This
+    // avoids a per-element lambda filter (a higher-order filter costs a
+    // lambda eval per token in the hot path of every substring operator).
+    // Whitespace-only text explicitly maps to the empty array (split
+    // would yield [""]).
+    val stripped = regexp_replace(textCol, "^\\s+|\\s+$", "")
     when(stripped === "", typedlit(Array.empty[String]))
       .otherwise(split(stripped, "\\s+"))
   }
@@ -383,13 +385,21 @@ object Dedup {
     * majority corpus-wide boilerplate. `maxDocFrac >= 1.0` disables the
     * cap (single-phase exhaustive join).
     *
-    * The hot set is tiny by construction (each member appears in >
-    * maxDocFrac of the corpus, so |hot| < occurrences / maxDf — a few
-    * thousand longs at any scale), so it is collected to the driver and
-    * inlined as an InSet predicate: exclusion is a map-side filter (no
-    * anti-join), and when the set is EMPTY — a clean corpus, the common
-    * case — the plan short-circuits to the single-phase exhaustive join
-    * with zero cap overhead. */
+    * At the default maxDocFrac the hot set is tiny by construction (each
+    * member appears in > maxDocFrac of the corpus, so |hot| <
+    * occurrences / maxDf — a few thousand longs at any scale), so it is
+    * collected to the driver and inlined as an InSet predicate: exclusion
+    * is a map-side filter (no anti-join), and when the set is EMPTY — a
+    * clean corpus, the common case — the plan short-circuits to the
+    * single-phase exhaustive join with zero cap overhead. A set that
+    * overflows [[HotInlineCap]] (possible when the caller passes a small
+    * maxDocFrac on a big corpus) is never collected: exclusion falls back
+    * to anti/semi joins against the hot frame. */
+  /** Max hot shingles inlined as a driver-side InSet predicate; beyond
+    * this the exclusion falls back to anti/semi joins (see
+    * [[jaccardPairsPlan]]). */
+  private[graft] val HotInlineCap = 10000
+
   def jaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       maxDocFrac: Double = 0.1): DataFrame = {
@@ -401,23 +411,36 @@ object Dedup {
     * cache — split out so plan-quality specs can assert the clean-corpus
     * short-circuit (no hot-recount joins when the hot set is empty). */
   private[graft] def jaccardPairsPlan(docs: DataFrame, n: Int, tau: Double,
-      idCol: String, textCol: String,
-      maxDocFrac: Double): (DataFrame, DataFrame) = {
+      idCol: String, textCol: String, maxDocFrac: Double,
+      hotInlineCap: Int = HotInlineCap): (DataFrame, DataFrame) = {
     // cached: consumed by the sizes agg and both join sides
     val shAll = shingleHashes(docs, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hotSet: Array[Long] =
-      if (maxDocFrac >= 1.0) Array.empty
+    // For the default maxDocFrac the hot set is tiny by construction
+    // (|hot| < occurrences / maxDf), but the API allows any maxDocFrac > 0,
+    // and a small fraction on a large corpus makes a full collect a driver
+    // OOM / plan-size blowup. Probe with limit(cap+1): when the set fits
+    // the cap it is collected and inlined as a map-side InSet predicate;
+    // otherwise exclusion falls back to anti/semi joins against the hot
+    // frame (AQE broadcasts it when it is in fact small enough).
+    val hotDf: Option[DataFrame] =
+      if (maxDocFrac >= 1.0) None
       else {
         val maxDf = math.max(2L, (docs.count() * maxDocFrac).toLong)
-        // one small agg over the cached shingles; driver-safe by the
-        // |hot| < occurrences / maxDf bound
-        shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf).select(col("shingle"))
-          .collect().map(_.getLong(0))
+        Some(shAll.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("shingle")))
       }
-    val isHot = col("shingle").isin(hotSet.map(Long.box): _*)
-    val sh = if (hotSet.isEmpty) shAll else shAll.filter(!isHot)
+    val probed: Array[Long] = hotDf match {
+      case None => Array.empty
+      case Some(h) => h.limit(hotInlineCap + 1).collect().map(_.getLong(0))
+    }
+    val inlineHot = probed.length <= hotInlineCap
+    val noHotShingles = hotDf.isEmpty || (inlineHot && probed.isEmpty)
+    val isHot = col("shingle").isin(probed.map(Long.box): _*)
+    val sh =
+      if (noHotShingles) shAll
+      else if (inlineHot) shAll.filter(!isHot)
+      else shAll.join(hotDf.get, Seq("shingle"), "left_anti")
     // sizes over the FULL sets — the denominator never depends on the cap
     val sizes = shAll.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
@@ -426,10 +449,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common_nh"))
     // exact hot-shingle intersection per candidate pair: each doc carries
     // its (few) hot shingles as an array; two hash joins + array_intersect
-    val common = if (hotSet.isEmpty)
+    val common = if (noHotShingles)
       commonNonHot.withColumnRenamed("common_nh", "common")
     else {
-      val hotPerDoc = shAll.filter(isHot)
+      val hotRows =
+        if (inlineHot) shAll.filter(isHot)
+        else shAll.join(hotDf.get, Seq("shingle"), "left_semi")
+      val hotPerDoc = hotRows
         .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("hot_sh"))
       val noHot = lit(Array.empty[Long])
       commonNonHot

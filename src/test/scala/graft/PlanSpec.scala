@@ -68,6 +68,15 @@ class PlanSpec extends AnyFunSuite {
       concat(lit("https://ex.com/p/"), col("doc_id")))
     assert(windows(pipeline.Dedup.byUrl(withUrl, col("url"))).isEmpty,
       "url dedup regressed to a window")
+    // pin the documented id-uniqueness contract: the semi-join keeper
+    // keeps EVERY row sharing the minimal id within a hash group, so
+    // duplicate ids survive dedup (silent on dirty input by design —
+    // callers own id uniqueness)
+    import spark.implicits._
+    val dirty = Seq((1L, "same"), (1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assert(pipeline.Dedup.exact(dirty).count() === 3,
+      "documented contract changed: duplicate ids no longer survive")
   }
 
   test("ANN brute-force top-k is the two-phase per-query shape") {

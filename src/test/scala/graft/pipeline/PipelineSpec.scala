@@ -153,6 +153,41 @@ class PipelineSpec extends AnyFunSuite {
       "hot corpus must add exactly the two hot-recount joins")
   }
 
+  test("hot-shingle cap overflowing the inline limit falls back to join exclusion") {
+    import spark.implicits._
+    // a hot set larger than hotInlineCap must never be collected/inlined:
+    // exclusion switches to anti/semi joins against the hot frame, and the
+    // output stays bit-identical to the inline path
+    val docs = (0 until 50)
+      .map(i => (i.toLong, s"hot boiler plate page u${i}a u${i}b"))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = {
+      val (out, cached) =
+        Dedup.jaccardPairsPlan(docs, 3, 0.3, "doc_id", "text", 0.1, cap)
+      try out.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      finally cached.unpersist(blocking = false)
+    }
+    def joins(cap: Int) = {
+      val (out, cached) =
+        Dedup.jaccardPairsPlan(docs, 3, 0.3, "doc_id", "text", 0.1, cap)
+      try out.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.map(_.joinType.toString).sorted
+      finally cached.unpersist(blocking = false)
+    }
+    val inline = run(Dedup.HotInlineCap)
+    val fallback = run(0) // every hot set overflows a zero cap
+    assert(inline === fallback, "fallback path diverged from inline path")
+    // fallback plan carries the anti + semi exclusion joins the inline
+    // InSet predicate replaces
+    val fb = joins(0)
+    assert(fb.contains("LeftAnti") && fb.contains("LeftSemi"),
+      s"expected anti+semi exclusion joins in fallback plan, got $fb")
+    assert(!joins(Dedup.HotInlineCap).exists(j => j == "LeftAnti"),
+      "inline path must not anti-join")
+  }
+
   test("substringRemove: first occurrence wins, spans drop, within-doc repeats collapse") {
     import spark.implicits._
     val docs = Seq(
@@ -230,7 +265,13 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "a b c d e"),
       (2L, "\ta b c d e"),     // leading tab: token-identical to doc 1
       (3L, "\n a b c d e"),    // leading newline + space
-      (4L, "x　y a b c z") // U+3000 inside the first token, both modes
+      (4L, "x　y a b c z"), // U+3000 inside the first token, both modes
+      // trailing whitespace: Spark's split (limit -1) KEEPS trailing empty
+      // strings, so an un-stripped tail would add a phantom empty token —
+      // n_tokens inflated, string mode emitting a window the hashed kernel
+      // never sees. Both docs must be token-identical to doc 1.
+      (5L, "a b c d e "),
+      (6L, "a b c d e\t\n")
     ).toDF("doc_id", "text")
     def run(hashed: Boolean) = Dedup.substringRemove(docs, n = 3, hashed = hashed)
       .collect().map(r => r.getLong(0) ->
@@ -241,6 +282,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(3L) === ((5L, 5L, "")))
     // doc 4's "a b c" duplicates doc 1's first window: positions 1-3 drop
     assert(got(4L) === ((5L, 3L, "x　y z")))
+    // trailing-whitespace docs are full duplicates of doc 1's token stream
+    assert(got(5L) === ((5L, 5L, "")))
+    assert(got(6L) === ((5L, 5L, "")))
     assert(run(hashed = true) === got)
     // the incremental variant shares the tokenization
     val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
