@@ -65,11 +65,13 @@ object AnnIndex {
     val codesT = GraftTable.create(spark, s"$indexDir/codes",
       TableConfig("ann_codes", CopyOnWrite, keyFields = Seq("vec_id"),
         partitioning = PartitionByColumns(Seq("cid"))))
-    codesT.bulkInsert(cN.select(
+    val instant = codesT.bulkInsert(cN.select(
       col(idCol).as("vec_id"),
       element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"),
       Similarity.pqCodes(books, vecCol).as("codes")))
-    codesT.snapshot().count()
+    // indexed-row count from the commit's write stats — no corpus-scale
+    // read-back of the table we just wrote
+    codesT.commitRows(instant)
   }
 
   /** Incremental index refresh — the operational complement of
@@ -114,14 +116,15 @@ object AnnIndex {
         keyFields = Seq("bucket", "vec_id"),
         partitioning = PartitionByColumns(Seq("table")),
         targetFileSizeRows = 100000))
-    t.bulkInsert(
+    val instant = t.bulkInsert(
       Similarity.lshBuckets(corpus, planes, tables, idCol, vecCol,
         "vec_id", "vec"),
       sortMode = "global_sort")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "lsh_meta.json"),
       s"""{"planes":$planes,"tables":$tables}""".getBytes("UTF-8"))
-    t.snapshot().count()
+    // row count from the commit's write stats — no index-scale read-back
+    t.commitRows(instant)
   }
 
   /** Query the persisted LSH index: bit-identical to

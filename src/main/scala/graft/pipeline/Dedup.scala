@@ -496,7 +496,7 @@ object Dedup {
     * ONE signature definition for the whole module: [[minhashSignatures]]
     * and [[minhashLshPairs]] share this, so persisted signatures are
     * comparable with the LSH path's internal ones. */
-  private def signaturesFrom(sh: DataFrame, numHashes: Int, idCol: String): DataFrame = {
+  private[pipeline] def signaturesFrom(sh: DataFrame, numHashes: Int, idCol: String): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"_m$i"))
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -552,7 +552,7 @@ object Dedup {
   /** LSH band buckets of a signature frame: one (id, band, bucket) row per
     * band — [[minhashLshPairs]] and [[minhashIncremental]] share this, so
     * a persisted corpus bucket table is comparable with either path. */
-  private def bandBuckets(sig: DataFrame, bands: Int, rows: Int,
+  private[pipeline] def bandBuckets(sig: DataFrame, bands: Int, rows: Int,
       idCol: String): DataFrame =
     sig.select(col(idCol), posexplode(
       array((0 until bands).map(b =>
@@ -572,16 +572,18 @@ object Dedup {
    * BUCKET — never an all-pairs product; the corpus contributes one
    * shingle+signature pass that collapses to (id, band, bucket) before
    * the join, and its TEXT is re-read only for candidate ids (an
-   * equi-join semi-filter). At a steady ingest cadence, persist
-   * [[minhashSignatures]] of the curated corpus as its own
-   * incrementally-maintained table and pass it as `existingSig` — then
-   * the per-batch cost is O(batch + |corpus signatures| + candidates),
-   * the same posture as the exact gate.
+   * equi-join semi-filter). At a steady ingest cadence, use
+   * [[MinhashIndex]] — the persisted (bucket, doc_id, band) table whose
+   * snapshot arrives here as `existingBands` — then the per-batch cost is
+   * O(batch + index scan + candidates), the same posture as the exact
+   * gate; `existingSig` is the intermediate option (persisted signatures,
+   * bands recomputed per batch).
    */
   def minhashIncremental(existing: DataFrame, batch: DataFrame,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8, tau: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      existingSig: Option[DataFrame] = None): DataFrame = {
+      existingSig: Option[DataFrame] = None,
+      existingBands: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
@@ -592,10 +594,17 @@ object Dedup {
     val bsh = shingleHashes(kept, n, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bSig = signaturesFrom(bsh, numHashes, idCol)
-    val cSig = existingSig.getOrElse(
-      minhashSignatures(existing, n, numHashes, idCol, textCol))
+    // corpus band buckets: from the persisted index ([[MinhashIndex]]),
+    // from persisted signatures, or (the from-scratch path) one full
+    // corpus shingle+signature pass. Lazy getOrElse: with a persisted
+    // source the full-corpus pass is never planned, let alone run.
+    val cBands = existingBands.getOrElse {
+      val cSig = existingSig.getOrElse(
+        minhashSignatures(existing, n, numHashes, idCol, textCol))
+      bandBuckets(cSig, bands, rows, idCol)
+    }
     val cands = bandBuckets(bSig, bands, rows, idCol).as("b")
-      .join(bandBuckets(cSig, bands, rows, idCol).as("c"),
+      .join(cBands.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col(s"b.$idCol").as("id_b"), col(s"c.$idCol").as("id_c"))
       .distinct()

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import graft.table._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Persisted MinHash band-bucket index (SURVEY.md §2.3) — the dedup sibling
+ * of [[AnnIndex]]: the build-once/refresh-incrementally shape of the
+ * continuous-crawl near-dup gate. Without it, every
+ * [[Dedup.minhashIncremental]] batch pays one full corpus shingle +
+ * signature pass — corpus-linear per batch, quadratic over the crawl's
+ * life. With it, the corpus side of the gate is a scan of this table:
+ *
+ *   - `buckets` (bucket, doc_id, band) — `bands` rows per corpus document,
+ *     partitioned by band (bounded: `bands` partitions) and GLOBAL-SORTED
+ *     on (bucket, doc_id), the same posture as [[AnnIndex.buildLsh]]: each
+ *     file within a band partition covers a disjoint bucket range, so
+ *     key-range stats prune a probe to the few colliding files.
+ *
+ * The banding parameters (n, numHashes, bands) ride in a meta file so a
+ * gate can't silently probe with mismatched shingling. Signatures and
+ * banding are the module's ONE shared definition
+ * ([[Dedup.signaturesFrom]] / [[Dedup.bandBuckets]]), so the persisted
+ * gate is bit-identical to the inline one by construction (both are
+ * deterministic xxhash64 transforms — no RNG).
+ *
+ * 100 TB posture: the build is the one corpus-scale job; each batch then
+ * costs O(batch shingles + index scan + candidates) — the corpus TEXT is
+ * re-read only for candidate docs (a semi-join pushed at the lake table),
+ * never re-shingled wholesale. Refresh is a keyed upsert like any other
+ * table write: replaying a crashed batch re-upserts the same
+ * (bucket, doc_id) keys — exactly-once by idempotence — and the lake
+ * timeline gives the index versioning and time travel for free.
+ *
+ * Ref (behavior, not code): hudi-utilities deltastreamer's
+ * transformer-chain ingest loop; Lee et al. 2022 / CCNet for the
+ * gate-new-crawl-batches-against-curated-corpus shape.
+ */
+object MinhashIndex {
+
+  /** Shingle + signature + band the curated corpus ONCE and persist the
+    * band-bucket table under `indexDir`. Returns the number of index rows
+    * (documents × bands), read from the commit's write stats — no
+    * index-scale read-back. */
+  def build(corpus: DataFrame, indexDir: String, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): Long = {
+    val spark = corpus.sparkSession
+    val t = GraftTable.create(spark, s"$indexDir/buckets",
+      TableConfig("minhash_buckets", CopyOnWrite,
+        keyFields = Seq("bucket", "doc_id"),
+        partitioning = PartitionByColumns(Seq("band")),
+        targetFileSizeRows = 100000))
+    val instant = t.bulkInsert(bandRows(corpus, n, numHashes, bands,
+      idCol, textCol), sortMode = "global_sort")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "minhash_meta.json"),
+      s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
+    t.commitRows(instant)
+  }
+
+  /** Incremental refresh — the append step of the crawl loop: signature +
+    * band ONLY the new documents (one map-side pass over the delta; the
+    * existing corpus is untouched) and upsert their rows. Keys are
+    * (bucket, doc_id), so replaying the same batch after a crash is a
+    * same-key upsert — exactly-once by idempotence. Intended for the
+    * crawl contract (doc ids append-only, text immutable): a CHANGED
+    * document's old buckets are stale until its rows are deleted first —
+    * the same rebuild-on-drift trade [[AnnIndex.upsertIvfPq]] documents.
+    * Returns the commit instant. */
+  def upsert(indexDir: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    val spark = newDocs.sparkSession
+    val (n, numHashes, bands) = meta(indexDir)
+    GraftTable.load(spark, s"$indexDir/buckets")
+      .upsertGlobal(bandRows(newDocs, n, numHashes, bands, idCol, textCol))
+  }
+
+  /** Batch-vs-corpus near-dup gate against the PERSISTED index:
+    * bit-identical to [[Dedup.minhashIncremental]] with the build's
+    * parameters — banding, candidate join, exact-Jaccard verification and
+    * survivor selection are shared code. The corpus contributes only (a)
+    * this table's (bucket, doc_id) rows on the candidate join and (b) its
+    * text for CANDIDATE docs on the verification semi-join — no full
+    * corpus shingle or signature pass exists in any plan. The index is
+    * authoritative for the corpus's membership in band space: a corpus doc
+    * not yet upserted here is invisible to the gate until refreshed. */
+  def gate(indexDir: String, existing: DataFrame, batch: DataFrame,
+      tau: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val (n, numHashes, bands) = meta(indexDir)
+    val cBands = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+      .select(col("doc_id").as(idCol), col("band"), col("bucket"))
+    Dedup.minhashIncremental(existing, batch, n, numHashes, bands, tau,
+      idCol, textCol, existingBands = Some(cBands))
+  }
+
+  /** One crawl-loop step: gate `batch` against the index, upsert the
+    * survivors into the curated `corpus` table, then refresh the index
+    * with the survivors' bands — so the NEXT batch sees them. Crash
+    * anywhere and replay the batch: the gate's survivor set is a
+    * deterministic function of (index, batch), and both upserts are keyed
+    * (doc_id / (bucket, doc_id)), so the replay rewrites the same rows —
+    * exactly-once end to end. Returns the admitted survivors. */
+  def admit(indexDir: String, corpus: GraftTable, batch: DataFrame,
+      tau: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // pin the survivor set BEFORE refreshing the index: a lazy frame
+    // re-evaluated after the refresh would see the survivors' own bands
+    // and gate them out of their own admission
+    val survivors = gate(indexDir, corpus.snapshot(), batch, tau,
+      idCol, textCol).localCheckpoint(true)
+    if (!survivors.isEmpty) {
+      corpus.upsertGlobal(survivors)
+      upsert(indexDir, survivors, idCol, textCol)
+    }
+    survivors
+  }
+
+  /** (doc_id, band, bucket) rows of `docs` under the module's one
+    * signature/banding definition. */
+  private def bandRows(docs: DataFrame, n: Int, numHashes: Int, bands: Int,
+      idCol: String, textCol: String): DataFrame =
+    Dedup.bandBuckets(
+      Dedup.minhashSignatures(docs, n, numHashes, idCol, textCol),
+      bands, numHashes / bands, idCol)
+      .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
+
+  private def meta(indexDir: String): (Int, Int, Int) = {
+    val j = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "minhash_meta.json")))
+    (j.path("n").asInt, j.path("numHashes").asInt, j.path("bands").asInt)
+  }
+}

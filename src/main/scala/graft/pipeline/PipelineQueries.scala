@@ -71,6 +71,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The continuous-crawl form of [[dedupMinhashIncremental]]: the corpus's
+    * band buckets come from the PERSISTED [[MinhashIndex]] table instead of
+    * a per-batch corpus re-signature — spec-pinned bit-identical to the
+    * inline gate (rows-only here: LSH banding is not SQL-expressible). */
+  def dedupMinhashPersisted(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val existing = docs.filter(col("doc_id") < 250)
+    val batch = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra")))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann/mh_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.table.GraftTable.drop(dir)
+    MinhashIndex.build(existing, dir, n = 3, numHashes = 32, bands = 8)
+    MinhashIndex.gate(dir, existing, batch, tau = 0.5)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
     val v = Tables.embeddings(s, d)
     v.unionByName(v.withColumn("vec_id", col("vec_id") + 100000))
@@ -636,6 +655,7 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_incremental" -> (dedupMinhashIncremental _),
+    "dedup_minhash_persisted" -> (dedupMinhashPersisted _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),

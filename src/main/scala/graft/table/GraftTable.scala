@@ -435,6 +435,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   timeline.manifestLoader = readManifest
   private def dataActions = Set("commit", "deltacommit", "replacecommit")
 
+  /** Rows written by one commit, from its recorded per-file write stats
+    * (the same source `CALL show_commit_write_stats` serves). Metadata-only
+    * — an index build returns its indexed-row count from here instead of a
+    * corpus-scale re-count of the table it just wrote. */
+  def commitRows(instant: String): Long = {
+    timeline.refresh()
+    timeline.metasSlim(None).find(_.instant == instant)
+      .map(_.files.map(_.rows).sum).getOrElse(0L)
+  }
+
   /** Columnar checkpoint manifests (ref: hudi's metadata-table principle —
     * HoodieBackedTableMetadata.java — no process ever parses a monolithic
     * file-listing document): the archival checkpoint's carried file set is

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import graft.{Tables, TestSpark}
+import graft.table.{GraftTable, TableConfig, CopyOnWrite}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted MinHash band-bucket index: the continuous-crawl near-dup
+  * gate's build-once/refresh-incrementally corpus side. */
+class MinhashIndexSpec extends AnyFunSuite {
+  import TestSpark.{spark, sf}
+
+  private def gateRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("persisted gate is bit-identical to the inline gate") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") < 250)
+    val batch = docs
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+    try {
+      val n = MinhashIndex.build(existing, dir, n = 3, numHashes = 32, bands = 8)
+      assert(n === existing.count() * 8, "one index row per (doc, band)")
+      val persisted = gateRows(MinhashIndex.gate(dir, existing, batch, tau = 0.5))
+      val inline = gateRows(Dedup.minhashIncremental(existing, batch,
+        n = 3, numHashes = 32, bands = 8, tau = 0.5))
+      assert(persisted === inline,
+        s"persisted gate diverged: missing=${(inline -- persisted).take(3)} " +
+          s"extra=${(persisted -- inline).take(3)}")
+    } finally GraftTable.drop(dir)
+  }
+
+  test("index is authoritative: corpus text is never re-signatured per batch") {
+    // a corpus doc NOT yet in the index must be invisible to the gate —
+    // its near-copy passes. If the gate ever recomputed corpus signatures
+    // from text, the copy would be gated and this spec would fail. After
+    // an incremental refresh (one pass over the DELTA only) the copy is
+    // gated; replaying the refresh is a same-key upsert (exactly-once).
+    val docs = Tables.documents(spark, sf)
+    val indexed = docs.filter(col("doc_id") < 200)
+    val late = docs.filter(col("doc_id") === 230)
+    val existing = indexed.unionByName(late)
+    val lateCopy = late
+      .withColumn("doc_id", col("doc_id") + 10000)
+      .withColumn("text", concat(col("text"), lit(" graft extra")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx_").toString
+    try {
+      MinhashIndex.build(indexed, dir, n = 3, numHashes = 32, bands = 8)
+      assert(gateRows(MinhashIndex.gate(dir, existing, lateCopy)) ===
+        Set(10230L),
+        "unindexed corpus doc must be invisible until the index is refreshed")
+      MinhashIndex.upsert(dir, late)
+      def idxRows() = GraftTable.load(spark, s"$dir/buckets")
+        .snapshot().count()
+      val afterRefresh = idxRows()
+      assert(afterRefresh === (indexed.count() + 1) * 8)
+      assert(gateRows(MinhashIndex.gate(dir, existing, lateCopy)).isEmpty,
+        "refreshed index must gate the near-copy")
+      // crash-replay of the same refresh: same (bucket, doc_id) keys
+      MinhashIndex.upsert(dir, late)
+      assert(idxRows() === afterRefresh, "refresh replay duplicated rows")
+      assert(gateRows(MinhashIndex.gate(dir, existing, lateCopy)).isEmpty)
+    } finally GraftTable.drop(dir)
+  }
+
+  test("admit loop: survivors flow to corpus + index exactly once across crash-replay") {
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhadmit_").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_mhcorp_").toString
+    try {
+      val corpus = GraftTable.create(spark, corpusDir,
+        TableConfig("curated", CopyOnWrite, keyFields = Seq("doc_id")))
+      corpus.bulkInsert(seed)
+      MinhashIndex.build(seed, dir, n = 3, numHashes = 32, bands = 8)
+      // batch 1: near-copies of corpus docs (gated) + novel docs (admitted)
+      val copies = seed.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      val novel = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val batch1 = copies.unionByName(novel)
+      val admitted = gateRows(MinhashIndex.admit(dir, corpus, batch1))
+      assert(admitted === novel.collect().map(_.getLong(0)).toSet,
+        "admit must gate corpus near-copies and admit novel docs")
+      def corpusIds() = GraftTable.load(spark, corpusDir).snapshot()
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val after1 = corpusIds()
+      assert(after1 === gateRows(seed) ++ admitted)
+      // crash-replay of batch 1 (e.g. corpus committed, index not): the
+      // whole step is keyed-idempotent — replay admits nothing new and
+      // leaves the corpus/index row sets unchanged
+      val corpusReload = GraftTable.load(spark, corpusDir)
+      val replay = gateRows(MinhashIndex.admit(dir, corpusReload, batch1))
+      assert(replay.isEmpty, "replayed batch must be fully gated")
+      assert(corpusIds() === after1, "replay changed the corpus")
+      assert(GraftTable.load(spark, s"$dir/buckets").snapshot().count() ===
+        (seed.count() + admitted.size) * 8, "replay changed the index")
+      // batch 2 near-copies of batch-1 survivors: the NEXT batch sees them
+      val batch2 = novel
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      assert(gateRows(MinhashIndex.admit(dir,
+        GraftTable.load(spark, corpusDir), batch2)).isEmpty,
+        "batch-1 survivors must gate their batch-2 near-copies")
+    } finally {
+      GraftTable.drop(dir)
+      GraftTable.drop(corpusDir)
+    }
+  }
+
+  test("commitRows serves build counts from write stats, not a table scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cr_").toString
+    try {
+      val t = GraftTable.create(spark, dir,
+        TableConfig("cr", CopyOnWrite, keyFields = Seq("id")))
+      val i1 = t.bulkInsert((1 to 7).map(i => (i, s"v$i")).toDF("id", "v"))
+      assert(t.commitRows(i1) === 7L)
+      val i2 = t.upsertGlobal(Seq((8, "v8"), (1, "v1b")).toDF("id", "v"))
+      assert(t.commitRows(i2) >= 2L, "upsert commit must record its writes")
+      assert(t.commitRows("nope") === 0L)
+    } finally GraftTable.drop(dir)
+  }
+}
