@@ -135,26 +135,37 @@ object AnnIndex {
     * predicate — the probed set is |queries|·tables pairs, driver-tiny),
     * so key-range stats skip every unprobed file. */
   def queryLsh(indexDir: String, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val spark = queries.sparkSession
     val meta = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(indexDir, "lsh_meta.json")))
     val (planes, tables) = (meta.path("planes").asInt, meta.path("tables").asInt)
     val qb = Similarity.lshBuckets(queries, planes, tables, idCol, vecCol,
       "query_id", "q_vec")
-    // probed buckets: one tiny driver-side set feeding a plain
-    // `bucket IN (...)` predicate — a RAW-column InSet the scan's
-    // key-range file stats can act on (a composite (table, bucket)
-    // expression would defeat stats pruning); the equi-join right after
-    // enforces the exact (table, bucket) pairing anyway
-    val probed = qb.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0))
-    val enc = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+    // size-aware like lshTopK (same estimate, same override knob): a
+    // corpus-sized query frame shuffle-joins on (table, bucket) instead
+    // of OOMing the driver as a broadcast — and then the bucket InSet
+    // file-pruning below is skipped too (its driver collect has the same
+    // |queries|·tables footprint as the broadcast it accompanies)
+    val doBroadcast = Similarity.queryBroadcastDecision(
+      queries, tables, broadcastQueries)
+    val base = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
         col("vec").as("c_vec"))
-      .filter(col("bucket").isin(probed.map(Long.box): _*))
+    val enc = if (!doBroadcast) base else {
+      // probed buckets: one tiny driver-side set feeding a plain
+      // `bucket IN (...)` predicate — a RAW-column InSet the scan's
+      // key-range file stats can act on (a composite (table, bucket)
+      // expression would defeat stats pruning); the equi-join right after
+      // enforces the exact (table, bucket) pairing anyway
+      val probed = qb.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0))
+      base.filter(col("bucket").isin(probed.map(Long.box): _*))
+    }
     Similarity.rankLshCollisions(
-      enc.join(broadcast(qb), Seq("table", "bucket")), k)
+      enc.join(if (doBroadcast) broadcast(qb) else qb,
+        Seq("table", "bucket")), k)
   }
 
   /** Load the two metadata-sized tables back as driver arrays. */
@@ -179,15 +190,17 @@ object AnnIndex {
     * vectors (the index stores codes only, the FAISS refine shape). */
   def queryIvfPq(indexDir: String, corpus: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int = 4, rerank: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
     val spark = corpus.sparkSession
     val (coarse, books) = loadTrained(spark, indexDir)
     val cN = Similarity.l2normalize(corpus, vecCol)
     val qN = Similarity.l2normalize(queries, vecCol)
-    // probed cells across all queries (query sets are small — the
-    // interactive-ANN shape): one metadata-sized job, then the codes read
-    // lists and scans ONLY those partitions
+    // probed cells across all queries: the distinct cid set is bounded by
+    // nlist (driver-tiny at ANY query count), so partition pruning is
+    // safe even for corpus-sized query frames; the codes read lists and
+    // scans ONLY those partitions
     val probed = qN
       .select(explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid"))
       .distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
@@ -195,6 +208,6 @@ object AnnIndex {
       .snapshot(partitionPred = probed.contains)
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("cid"))
     Similarity.ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank,
-      idCol, vecCol)
+      idCol, vecCol, broadcastQueries)
   }
 }

@@ -37,18 +37,43 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** ONE size-aware broadcast decision for every ANN query side: returns
+    * whether the query frame should ride broadcast, from `base`'s
+    * plan-time estimate (`optimizedPlan.stats`, no job) times `factor`
+    * (the derived frame's row/width expansion: per-table or per-cell
+    * explode, ADC tables) against the session's
+    * `spark.sql.autoBroadcastJoinThreshold`. A corpus-vs-corpus query
+    * frame (the SemDeDup-over-PQ shape — 10⁶+ queries) must NOT be
+    * force-broadcast: that OOMs the driver where a shuffle join scales.
+    * `overrideOpt` (the public `broadcastQueries` knob) wins when set. */
+  private[pipeline] def queryBroadcastDecision(base: DataFrame, factor: Long,
+      overrideOpt: Option[Boolean]): Boolean =
+    overrideOpt.getOrElse {
+      val threshold = base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val est = base.queryExecution.optimizedPlan.stats.sizeInBytes * factor
+      threshold > 0 && est <= BigInt(threshold)
+    }
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
-    * vectors (self-pairs excluded). Queries are broadcast; the corpus is
-    * scanned once and ranked via the two-phase [[topKPerQuery]] — the
-    * plan a 1000-executor cluster wants. */
+    * vectors (self-pairs excluded). Small query sets ride broadcast so
+    * the corpus never shuffles; a corpus-sized query frame falls back to
+    * a distributed cross join (brute force IS all-pairs — the fallback
+    * just keeps it off the driver). The corpus is scanned once and ranked
+    * via the two-phase [[topKPerQuery]] — the plan a 1000-executor
+    * cluster wants. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     import graft.functions.VectorExprs._
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       normF(col(vecCol)).as("n_q"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       normF(col(vecCol)).as("n_c"))
-    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val joined =
+      if (queryBroadcastDecision(queries, 1, broadcastQueries))
+        c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      else c.crossJoin(q).filter(col("query_id") =!= col("neighbor_id"))
+    val cands = joined
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) / (col("n_q") * col("n_c")))
     topKPerQuery(cands, k, Seq(col("sim").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"), col("rnk"))
@@ -128,12 +153,10 @@ object Similarity {
       element_at(nearestCentroids(col(vecCol), cents, 1), 1).as("cid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       explode(nearestCentroids(col(vecCol), cents, nprobe)).as("cid"))
-    val doBroadcast = broadcastQueries.getOrElse {
-      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * nprobe
-      threshold > 0 && est <= BigInt(threshold)
-    }
-    val joined = if (doBroadcast) c.join(broadcast(q), Seq("cid")) else c.join(q, Seq("cid"))
+    val joined =
+      if (queryBroadcastDecision(queries, nprobe, broadcastQueries))
+        c.join(broadcast(q), Seq("cid"))
+      else c.join(q, Seq("cid"))
     val cands = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")) /
@@ -255,7 +278,8 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       trainIters: Int = 3, trainSampleMod: Long = 1, rerank: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
     val cN = l2normalize(corpus, vecCol)
     val qN = l2normalize(queries, vecCol)
@@ -266,7 +290,8 @@ object Similarity {
     val enc = cN.select(col(idCol).as("neighbor_id"),
       pqCodes(books, vecCol).as("codes"),
       element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"))
-    ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank, idCol, vecCol)
+    ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank, idCol, vecCol,
+      broadcastQueries)
   }
 
   /** The IVF-PQ query side over an ALREADY-ENCODED corpus — shared verbatim
@@ -277,26 +302,49 @@ object Similarity {
   private[pipeline] def ivfPqSearch(enc: DataFrame, cN: DataFrame,
       qN: DataFrame, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]], k: Int, nprobe: Int, rerank: Int,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
     import graft.functions.VectorExprs._
     val m = books.length
     val qT = qN.select(Seq(col(idCol).as("query_id"),
         explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid")) ++
       adcTables(books, vecCol): _*)
+    // size-aware like [[lshTopK]]: each query row explodes nprobe ways and
+    // swaps its embedding for the m·ksub-float ADC table (≈2× the vector
+    // at defaults, hence the extra factor); a corpus-sized query frame
+    // falls back to a shuffle join on cid instead of OOMing the driver
+    val qJoin =
+      if (queryBroadcastDecision(qN, nprobe.toLong * 2, broadcastQueries))
+        broadcast(qT)
+      else qT
     // the ADC shortlist ranks nprobe/nlist of the corpus per query — the
     // two-phase rank keeps that off a single per-query reducer
     val shortlist = topKPerQuery(
-      enc.join(broadcast(qT), Seq("cid"))
+      enc.join(qJoin, Seq("cid"))
         .filter(col("query_id") =!= col("neighbor_id"))
         .withColumn("_adc", adcScore(m)),
       k * math.max(1, rerank), Seq(col("_adc").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"))
+    rerankShortlist(shortlist, cN, qN, k, idCol, vecCol, broadcastQueries)
+  }
+
+  /** Exact-cosine rerank of an ADC shortlist (the FAISS refine step) —
+    * shared tail of [[ivfPqSearch]] and [[pqTopK]]. The query-vector join
+    * is size-aware: the shortlist is k·rerank rows per query
+    * (metadata-sized), so an un-broadcastable query frame just shuffles
+    * both small sides on query_id. */
+  private def rerankShortlist(shortlist: DataFrame, cN: DataFrame,
+      qN: DataFrame, k: Int, idCol: String, vecCol: String,
+      broadcastQueries: Option[Boolean]): DataFrame = {
+    import graft.functions.VectorExprs._
     val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val qJoin =
+      if (queryBroadcastDecision(qN, 1, broadcastQueries)) broadcast(qVec) else qVec
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    shortlist.join(cVec, Seq("neighbor_id")).join(broadcast(qVec), Seq("query_id"))
+    shortlist.join(cVec, Seq("neighbor_id")).join(qJoin, Seq("query_id"))
       .withColumn("sim", dotF(col("q_vec"), col("c_vec")))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -309,14 +357,17 @@ object Similarity {
     * table of subspace dot products against the codebooks — scoring a
     * candidate is then m array lookups over its codes, never touching the
     * original vector. The scan side reads codes only (the compressed
-    * index); queries ride broadcast with their tables. The 100 TB shape:
-    * compose with [[ivfTopK]]'s coarse cells to prune candidates, exactly
-    * as FAISS IVF-PQ does. */
+    * index); small query sets ride broadcast with their tables, and a
+    * corpus-sized query frame falls back to a distributed cross join
+    * (flat ADC IS all-pairs over codes — the fallback keeps it off the
+    * driver; the pruned at-scale shape is [[ivfPqTopK]]). The 100 TB
+    * shape: compose with [[ivfTopK]]'s coarse cells to prune candidates,
+    * exactly as FAISS IVF-PQ does. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
       trainSampleMod: Long = 1, rerank: Int = 4, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorExprs._
+      vecCol: String = "embedding",
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
     val cN = l2normalize(corpus, vecCol)
     val qN = l2normalize(queries, vecCol)
     val books = trainPqCodebooks(cN, m, ksub, trainIters, trainSampleMod, idCol, vecCol)
@@ -328,20 +379,15 @@ object Similarity {
     // of k·rerank candidates against the true vectors (the FAISS refine
     // step): the full-width scan stays m lookups/row; exact cosine
     // touches only the shortlist — a vanishing fraction at scale
+    val joined =
+      if (queryBroadcastDecision(qN, 2, broadcastQueries))
+        enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
+      else enc.crossJoin(qT).filter(col("query_id") =!= col("neighbor_id"))
     val shortlist = topKPerQuery(
-      enc.join(broadcast(qT), col("query_id") =!= col("neighbor_id"))
-        .withColumn("_adc", adcScore(m)),
+      joined.withColumn("_adc", adcScore(m)),
       k * math.max(1, rerank), Seq(col("_adc").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"))
-    val cVec = cN.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val qVec = qN.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    shortlist.join(cVec, Seq("neighbor_id")).join(broadcast(qVec), Seq("query_id"))
-      .withColumn("sim", dotF(col("q_vec"), col("c_vec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"))
+    rerankShortlist(shortlist, cN, qN, k, idCol, vecCol, broadcastQueries)
   }
 
   /** Approximate top-k via random-hyperplane LSH with `tables` independent
@@ -389,13 +435,10 @@ object Similarity {
       lshBuckets(df, planes, tables, idCol, vecCol, id, vec)
     val qb = bucketed(queries, "query_id", "q_vec")
     val cb = bucketed(corpus, "neighbor_id", "c_vec")
-    val doBroadcast = broadcastQueries.getOrElse {
-      val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-      val est = queries.queryExecution.optimizedPlan.stats.sizeInBytes * tables
-      threshold > 0 && est <= BigInt(threshold)
-    }
-    val joined = if (doBroadcast) cb.join(broadcast(qb), Seq("table", "bucket"))
-                 else cb.join(qb, Seq("table", "bucket"))
+    val joined =
+      if (queryBroadcastDecision(queries, tables, broadcastQueries))
+        cb.join(broadcast(qb), Seq("table", "bucket"))
+      else cb.join(qb, Seq("table", "bucket"))
     rankLshCollisions(joined, k)
   }
 }

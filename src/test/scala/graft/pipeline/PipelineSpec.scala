@@ -421,6 +421,21 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(persisted === inMemory,
         "persisted-LSH query diverged from the in-memory path")
+      // size-aware branch (shared with lshTopK): a corpus-sized query
+      // frame shuffle-joins — bit-identical, and no broadcast under a
+      // tight threshold stand-in for 100 TB
+      val forced = AnnIndex.queryLsh(dir, queries, k = 5,
+        broadcastQueries = Some(false))
+      assert(forced.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === inMemory,
+        "persisted-LSH shuffle fallback diverged")
+      val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+        assert(!AnnIndex.queryLsh(dir, vecs, k = 3).queryExecution
+          .executedPlan.toString.contains("BroadcastExchange"),
+          "corpus-sized query frame broadcast in persisted-LSH query")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
     } finally graft.table.GraftTable.drop(dir)
   }
 
@@ -586,6 +601,43 @@ class PipelineSpec extends AnyFunSuite {
       // explicit override still wins
       assert(hasBroadcast(
         Similarity.lshTopK(vecs, vecs, 3, broadcastQueries = Some(true))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+  }
+
+  test("ADC + persisted query sides share the size-aware broadcast branch") {
+    // round-12 verdict: ivfPqSearch / pqTopK / queryLsh force-broadcast
+    // the query frame — a corpus-vs-corpus query set (SemDeDup-over-PQ)
+    // OOMs the driver where lshTopK/ivfTopK already fall back. The
+    // fallback must be bit-identical and must actually shuffle.
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def noBroadcast(df: org.apache.spark.sql.DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString.contains("BroadcastExchange")
+    // forced-shuffle results ≡ broadcast results, per operator
+    assert(rows(Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16, nprobe = 6,
+      broadcastQueries = Some(false))) ===
+      rows(Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16, nprobe = 6)),
+      "ivfPqTopK shuffle fallback diverged")
+    assert(rows(Similarity.pqTopK(vecs, queries, 5,
+      broadcastQueries = Some(false))) ===
+      rows(Similarity.pqTopK(vecs, queries, 5)),
+      "pqTopK shuffle fallback diverged")
+    assert(rows(Similarity.bruteForceTopK(vecs, queries, 5,
+      broadcastQueries = Some(false))) ===
+      rows(Similarity.bruteForceTopK(vecs, queries, 5)),
+      "bruteForceTopK cross-join fallback diverged")
+    // a tight threshold stands in for a 100 TB corpus vs the default
+    // 10 MB: the AUTO estimate must pick the shuffle join on its own
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      assert(noBroadcast(Similarity.ivfPqTopK(vecs, vecs, 3,
+        nlist = 4, nprobe = 2)),
+        "corpus-sized query frame broadcast in ivfPqTopK")
+      assert(noBroadcast(Similarity.pqTopK(vecs, vecs, 3)),
+        "corpus-sized query frame broadcast in pqTopK")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
   }
 
