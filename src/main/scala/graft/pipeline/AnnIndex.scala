@@ -36,19 +36,24 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Train + encode + persist an IVF-PQ index for `corpus` under
-    * `indexDir`. Returns the number of indexed vectors. */
+    * `indexDir`. `residual` (default true, FAISS's default) encodes cell
+    * residuals — better recall at the same (m, ksub); the choice is
+    * VERSIONED into `ivfpq_meta.json` so queries and refreshes can never
+    * mix encodings, and a pre-residual index (no meta file) still loads
+    * as the raw-vector v1 format. Returns the number of indexed vectors. */
   def buildIvfPq(corpus: DataFrame, indexDir: String, nlist: Int = 16,
       m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
       trainSampleMod: Long = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
-    import graft.functions.IvfExprs.nearestCentroids
+      vecCol: String = "embedding", residual: Boolean = true): Long = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cN = Similarity.l2normalize(corpus, vecCol)
     val coarse = Similarity.trainIvfCentroids(cN, nlist, trainIters,
       trainSampleMod, idCol, vecCol)
-    val books = Similarity.trainPqCodebooks(cN, m, ksub, trainIters,
-      trainSampleMod, idCol, vecCol)
+    // shared with ivfPqTopK: same training, same one-pass encode, so
+    // persisted codes are bit-identical to the in-memory build's
+    val (books, enc) = Similarity.encodeIvfPq(cN, coarse, m, ksub,
+      trainIters, trainSampleMod, residual, idCol, vecCol)
     val centroidsT = GraftTable.create(spark, s"$indexDir/centroids",
       TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
     centroidsT.bulkInsert(
@@ -60,18 +65,29 @@ object AnnIndex {
       books.zipWithIndex.flatMap { case (book, s) =>
         book.zipWithIndex.map { case (v, c) => (s, c, v) }
       }.toSeq.toDF("sub", "cell", "vec"))
-    // codes + coarse cell in ONE projection over one corpus pass, landed
-    // partitioned by cid — the inverted file IS the partition layout
+    // codes landed partitioned by cid — the inverted file IS the
+    // partition layout
     val codesT = GraftTable.create(spark, s"$indexDir/codes",
       TableConfig("ann_codes", CopyOnWrite, keyFields = Seq("vec_id"),
         partitioning = PartitionByColumns(Seq("cid"))))
-    val instant = codesT.bulkInsert(cN.select(
-      col(idCol).as("vec_id"),
-      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"),
-      Similarity.pqCodes(books, vecCol).as("codes")))
+    val instant = codesT.bulkInsert(enc.select(
+      col("neighbor_id").as("vec_id"), col("cid"), col("codes")))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(indexDir, "ivfpq_meta.json"),
+      s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"}"""
+        .getBytes("UTF-8"))
     // indexed-row count from the commit's write stats — no corpus-scale
     // read-back of the table we just wrote
     codesT.commitRows(instant)
+  }
+
+  /** Whether `indexDir` holds residual-encoded codes: v2 meta says;
+    * a missing meta file IS the v1 raw-vector format. */
+  private def ivfPqResidual(indexDir: String): Boolean = {
+    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
+    java.nio.file.Files.exists(p) &&
+      graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p))
+        .path("encoding").asText == "residual"
   }
 
   /** Incremental index refresh — the operational complement of
@@ -87,14 +103,13 @@ object AnnIndex {
     * instant. */
   def upsertIvfPq(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
-    import graft.functions.IvfExprs.nearestCentroids
     val spark = vectors.sparkSession
     val (coarse, books) = loadTrained(spark, indexDir)
     val vN = Similarity.l2normalize(vectors, vecCol)
-    val enc = vN.select(
-      col(idCol).as("vec_id"),
-      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"),
-      Similarity.pqCodes(books, vecCol).as("codes"))
+    // encoding (residual vs raw) comes from the index's versioned meta —
+    // a refresh can never mix encodings with the build
+    val enc = Similarity.assignCodes(vN, coarse, books,
+      ivfPqResidual(indexDir), idCol, vecCol, "vec_id")
     GraftTable.load(spark, s"$indexDir/codes").upsertGlobal(enc)
   }
 
@@ -208,6 +223,6 @@ object AnnIndex {
       .snapshot(partitionPred = probed.contains)
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("cid"))
     Similarity.ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank,
-      idCol, vecCol, broadcastQueries)
+      idCol, vecCol, broadcastQueries, residual = ivfPqResidual(indexDir))
   }
 }

@@ -266,50 +266,117 @@ object Similarity {
     (0 until m).map(s =>
       element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
 
+  /** The coarse-centroid matrix as a literal column. */
+  private def coarseLit(coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
+    array(coarse.map(c => array(c.map(lit): _*)): _*)
+
+  /** Residual of `vec` against its cell's coarse centroid (float math,
+    * deterministic): the quantity residual PQ encodes. */
+  private def residualOf(vec: org.apache.spark.sql.Column,
+      cid: org.apache.spark.sql.Column,
+      coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
+    zip_with(vec, element_at(coarseLit(coarse), cid + 1), (a, b) => a - b)
+
+  /** q · coarse[cid] — the per-(query, probed-cell) constant residual ADC
+    * adds back: q·x = q·c + q·r when x = c + r. */
+  private def qDotCentroid(vec: org.apache.spark.sql.Column,
+      cid: org.apache.spark.sql.Column,
+      coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
+    aggregate(zip_with(vec, element_at(coarseLit(coarse), cid + 1),
+      (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _)
+
   /** FAISS-style IVF-PQ: coarse centroids prune candidates to the query's
     * `nprobe` cells (equi-join on cid, never a cross join), PQ-ADC ranks
     * within them (m lookups per candidate over m-byte codes), and the
     * k·rerank shortlist reranks by exact cosine. The complete 100 TB ANN
     * architecture: per query, work = nprobe/nlist of the corpus scanned as
     * CODES plus k·rerank full vectors — both knobs trade recall for cost
-    * independently. Encoding is of the raw (normalized) vector, not the
-    * cell residual — residual PQ is a drop-in refinement behind the same
-    * surface. */
+    * independently.
+    *
+    * `residual = true` (the default, FAISS's default too) encodes each
+    * vector's RESIDUAL against its cell's coarse centroid instead of the
+    * raw normalized vector: residuals are smaller and re-centered, so the
+    * same (m, ksub) budget quantizes them with less error — materially
+    * better recall for free once the coarse step exists. The ADC identity
+    * is exact: q·x = q·c (one constant per (query, probed cell)) + q·r
+    * (the table lookups); codebooks are trained on residuals. `false`
+    * keeps the raw-vector encoding (and is what pre-residual persisted
+    * indexes load as). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       trainIters: Int = 3, trainSampleMod: Long = 1, rerank: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
-    import graft.functions.IvfExprs.nearestCentroids
+      broadcastQueries: Option[Boolean] = None,
+      residual: Boolean = true): DataFrame = {
     val cN = l2normalize(corpus, vecCol)
     val qN = l2normalize(queries, vecCol)
     val coarse = trainIvfCentroids(cN, nlist, trainIters, trainSampleMod, idCol, vecCol)
-    val books = trainPqCodebooks(cN, m, ksub, trainIters, trainSampleMod, idCol, vecCol)
-    // codes + coarse cell in ONE projection over one corpus pass — no
-    // self-join to reunite them
-    val enc = cN.select(col(idCol).as("neighbor_id"),
-      pqCodes(books, vecCol).as("codes"),
-      element_at(nearestCentroids(col(vecCol), coarse, 1), 1).as("cid"))
+    val (books, enc) = encodeIvfPq(cN, coarse, m, ksub, trainIters,
+      trainSampleMod, residual, idCol, vecCol)
     ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank, idCol, vecCol,
-      broadcastQueries)
+      broadcastQueries, residual)
+  }
+
+  /** Train codebooks (on residuals or raw vectors) and encode the corpus —
+    * codes + coarse cell in ONE projection over one corpus pass, no
+    * self-join to reunite them. Shared by [[ivfPqTopK]] and
+    * [[AnnIndex.buildIvfPq]] so in-memory and persisted codes are
+    * bit-identical. `cN` must already be L2-normalized. */
+  private[pipeline] def encodeIvfPq(cN: DataFrame, coarse: Array[Array[Float]],
+      m: Int, ksub: Int, trainIters: Int, trainSampleMod: Long,
+      residual: Boolean, idCol: String, vecCol: String)
+      : (Array[Array[Array[Float]]], DataFrame) = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)
+    val encSrc =
+      if (residual) cN.withColumn("_res", residualOf(col(vecCol), cid, coarse))
+      else cN.withColumn("_res", col(vecCol))
+    val books = trainPqCodebooks(encSrc, m, ksub, trainIters,
+      trainSampleMod, idCol, "_res")
+    (books, assignCodes(cN, coarse, books, residual, idCol, vecCol, "neighbor_id"))
+  }
+
+  /** Encode vectors against ALREADY-TRAINED centroids + codebooks (one
+    * map pass, no shuffle) — the index-refresh path shares this with the
+    * build so delta codes are produced exactly like build codes. `vN`
+    * must already be L2-normalized. Emits (idAs, cid, codes). */
+  private[pipeline] def assignCodes(vN: DataFrame, coarse: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], residual: Boolean,
+      idCol: String, vecCol: String, idAs: String): DataFrame = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)
+    val src =
+      if (residual) vN.withColumn("_res", residualOf(col(vecCol), cid, coarse))
+      else vN.withColumn("_res", col(vecCol))
+    src.select(col(idCol).as(idAs), cid.as("cid"),
+      pqCodes(books, "_res").as("codes"))
   }
 
   /** The IVF-PQ query side over an ALREADY-ENCODED corpus — shared verbatim
     * by [[ivfPqTopK]] (in-memory build) and [[AnnIndex.queryIvfPq]]
     * (persisted index), so the two paths are bit-identical by
     * construction. `enc` carries (neighbor_id, codes, cid); `cN`/`qN` are
-    * the L2-normalized corpus (exact-rerank source) and queries. */
+    * the L2-normalized corpus (exact-rerank source) and queries.
+    * `residual` must match how `enc`'s codes were produced. */
   private[pipeline] def ivfPqSearch(enc: DataFrame, cN: DataFrame,
       qN: DataFrame, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]], k: Int, nprobe: Int, rerank: Int,
       idCol: String, vecCol: String,
-      broadcastQueries: Option[Boolean] = None): DataFrame = {
+      broadcastQueries: Option[Boolean] = None,
+      residual: Boolean = false): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
-    import graft.functions.VectorExprs._
     val m = books.length
-    val qT = qN.select(Seq(col(idCol).as("query_id"),
-        explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid")) ++
-      adcTables(books, vecCol): _*)
+    // residual ADC: score = q·c (cell constant, one column per exploded
+    // probe row) + Σ table lookups of the residual codebooks. Two selects
+    // (explode first, then the cid-dependent _qc) — the optimizer
+    // collapses the projections.
+    val qExp = qN.select(col(idCol).as("query_id"), col(vecCol),
+      explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid"))
+    val qcCols =
+      if (residual) Seq(qDotCentroid(col(vecCol), col("cid"), coarse).as("_qc"))
+      else Seq.empty
+    val qT = qExp.select(Seq(col("query_id"), col("cid")) ++
+      qcCols ++ adcTables(books, vecCol): _*)
     // size-aware like [[lshTopK]]: each query row explodes nprobe ways and
     // swaps its embedding for the m·ksub-float ADC table (≈2× the vector
     // at defaults, hence the extra factor); a corpus-sized query frame
@@ -318,12 +385,13 @@ object Similarity {
       if (queryBroadcastDecision(qN, nprobe.toLong * 2, broadcastQueries))
         broadcast(qT)
       else qT
+    val score = if (residual) col("_qc") + adcScore(m) else adcScore(m)
     // the ADC shortlist ranks nprobe/nlist of the corpus per query — the
     // two-phase rank keeps that off a single per-query reducer
     val shortlist = topKPerQuery(
       enc.join(qJoin, Seq("cid"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("_adc", adcScore(m)),
+        .withColumn("_adc", score),
       k * math.max(1, rerank), Seq(col("_adc").desc, col("neighbor_id")))
       .select(col("query_id"), col("neighbor_id"))
     rerankShortlist(shortlist, cN, qN, k, idCol, vecCol, broadcastQueries)

@@ -372,7 +372,10 @@ class PipelineSpec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sf)
     val queries = vecs.filter(col("vec_id") % 50 === 0)
     // candidate set with every cell probed == the PQ full scan -> identical
-    val full = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 8, nprobe = 8)
+    // (raw encoding: flat PQ has no coarse centroids to take residuals
+    // against, so the shared-kernel identity is pinned in raw mode)
+    val full = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 8, nprobe = 8,
+      residual = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val pq = Similarity.pqTopK(vecs, queries, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
@@ -384,6 +387,39 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(pruned).size.toDouble / exact.size
     assert(recall >= 0.25, f"IVF-PQ recall@5 $recall%.2f below floor")
+  }
+
+  test("residual PQ: recall at the same (m, ksub) is >= raw encoding; formats versioned") {
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(residual: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16,
+        nprobe = 6, residual = residual)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val (rRes, rRaw) = (recallOf(true), recallOf(false))
+    assert(rRes >= rRaw,
+      f"residual encoding must not lose recall: residual=$rRes%.3f raw=$rRaw%.3f")
+    // persisted format versioning: a v2 build queries residual; stripping
+    // the meta file makes the SAME tables load as the v1 raw format (old
+    // indexes keep working), matching an in-memory raw search over the
+    // persisted raw codes only when the codes ARE raw
+    val dir = java.nio.file.Files.createTempDirectory("graft_respq_").toString
+    try {
+      AnnIndex.buildIvfPq(vecs, dir, nlist = 16, residual = false)
+      // raw build + meta deleted == pre-residual index layout
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(dir, "ivfpq_meta.json"))
+      val v1 = AnnIndex.queryIvfPq(dir, vecs, queries, k = 5, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val inMemoryRaw = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16,
+        nprobe = 6, residual = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(v1 === inMemoryRaw, "meta-less index must load as v1 raw")
+    } finally graft.table.GraftTable.drop(dir)
   }
 
   test("persisted IVF-PQ index: query result is bit-identical to the in-memory path") {
