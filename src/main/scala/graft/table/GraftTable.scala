@@ -1123,15 +1123,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * recorded key min/max. The ONE pruning rule shared by upsert tagging
     * and merge classification — they must never disagree on which files
     * hold a key. Empty recorded range = unknown (e.g. bootstrapped file)
-    * -> always a candidate. */
+    * -> always a candidate. Log files participate in the range check:
+    * a MOR slice can hold keys that exist ONLY in its logs (small-file
+    * packed inserts), so pruning by base ranges alone would hide them
+    * from tagging and duplicate the key on the next upsert. */
   private[graft] def candidateSlices(df: DataFrame, cur: Seq[FileSlice]): Seq[FileSlice] = {
     val ranges = df.groupBy(col(PART))
       .agg(min(col(KEY)).as("mn"), max(col(KEY)).as("mx"))
       .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
     val rangeCands = cur.filter { s =>
       ranges.get(s.partition).exists { case (mn, mx) =>
-        s.baseFiles.exists(b => (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
-          (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax)))
+        (s.baseFiles ++ s.logs.map(_._2))
+          .exists(b => (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
+            (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax)))
       }
     }
     bloomRefine(df, rangeCands)
@@ -1142,23 +1146,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * [min,max] span the key space, ranges prune nothing — the per-file key
     * blooms still do. One pass over the batch checks each key against the
     * broadcast blooms of its partition's candidates (range-gated per file);
-    * a slice none of whose base files might contain any batch key is
+    * a slice none of whose files might contain any batch key is
     * dropped before its files are ever read. No false negatives: every
-    * written key is in its file's filter, so upserts can't duplicate. */
+    * written key is in its file's filter, so upserts can't duplicate.
+    * MOR log files carry blooms too (stageWrite keeps their while-writing
+    * sidecars) because packed inserts put NEW keys in logs; a slice with a
+    * bloom-less log (written before log sidecars existed) is never
+    * pruned — conservative, correct for pre-existing tables. */
   private def bloomRefine(df: DataFrame, cands: Seq[FileSlice]): Seq[FileSlice] = {
+    def slFiles(s: FileSlice): Seq[FileMeta] = s.baseFiles ++ s.logs.map(_._2)
     // a CREATE INDEX backfill covers files whose commit predates the
     // hasBloom flag — with the marker present, try every slice's sidecars
     val backfilled = bloomIndexName.nonEmpty
     val (bloomable, rest) = cands.partition(s =>
-      s.baseFiles.nonEmpty && (backfilled || s.baseFiles.forall(_.hasBloom)))
+      s.baseFiles.nonEmpty && (backfilled || slFiles(s).forall(_.hasBloom)))
     // below 2 prunable slices the batch pass costs more than it saves
     if (bloomable.size < 2) return cands
     import scala.collection.parallel.CollectionConverters._
     // metadata-table blooms first (ONE batched scan for every candidate),
     // per-file sidecar opens only for files the partition doesn't cover
-    val batched = mdtBlooms(bloomable.flatMap(_.baseFiles.map(_.path)))
+    val batched = mdtBlooms(bloomable.flatMap(slFiles(_).map(_.path)))
     val loaded = bloomable.par.map { s =>
-      s -> s.baseFiles.map(f => (f.keyMin, f.keyMax,
+      s -> slFiles(s).map(f => (f.keyMin, f.keyMax,
         batched.get(f.path).orElse(KeyBloom.load(basePath, f.path))))
     }.seq
     val (checked, unloadable) = loaded.partition(_._2.forall(_._3.nonEmpty))
@@ -1213,10 +1222,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val cands = candidateSlices(df, cur)
       if (cands.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
       val data = schemaAt(None).getOrElse(new StructType())
-      val existing = readConformed(
-        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant)), data,
+      // MOR: log files are part of the key index — a packed insert's key
+      // lives ONLY in a log until compaction, and missing it here would
+      // route its next upsert as a second insert (duplicate row). A key
+      // updated in a log then appears once per file version, so the
+      // (key, part, fid) projection dedupes — fid is identical across
+      // versions (a key never changes group), making distinct() exact.
+      val hasLogs = cands.exists(_.logs.nonEmpty)
+      val existing0 = readConformed(
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant) ++
+          s.logs.map { case (i, f) => f -> i }), data,
         needFileId = true)
         .select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"))
+      val existing = if (hasLogs) existing0.distinct() else existing0
       df.join(existing, Seq(KEY, PART), "left")
   }
 
@@ -1327,15 +1345,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     import scala.collection.parallel.CollectionConverters._
     val moved = planned.toSeq.par.map { case (src, dest, rel, partition, fid, isLog) =>
       Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      // the while-writing bloom sidecar travels with its base file; log
-      // files never consult blooms (merge reads every log row) -> drop
+      // the while-writing bloom sidecar travels with its file — base AND
+      // log: merge reads never consult blooms, but upsert TAGGING does,
+      // and a log file can hold keys absent from its base (packed inserts)
       val side = Paths.get(src.toString + ".bloom")
       val hasBloom =
-        if (!isLog && Files.exists(side)) {
+        if (Files.exists(side)) {
           Files.move(side, Paths.get(dest.toString + ".bloom"),
             StandardCopyOption.ATOMIC_MOVE)
           true
-        } else { Files.deleteIfExists(side); false }
+        } else false
       (rel, partition, fid, hasBloom)
     }.seq
     GraftTable.drop(staging.toString)
@@ -1842,14 +1861,29 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         } else {
           val tagged = pin(if (preTagged) cached else tag(cached, cur))
           // one metadata-sized collect for the whole write: rows per
-          // (partition, tagged group); null group = insert
-          val groupCounts = tagged.groupBy(col(PART), col("_g_fid")).count().collect()
-            .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
-          batchRows = groupCounts.map(_._3).sum
-          val insertCounts = groupCounts.collect { case (p, None, n) => p -> n }.toMap
-          val (assigned, packKeys) = assignInserts(tagged, cur, instant,
-            allowBinpack = !mor, insertCounts)
-          val touchedExisting = (groupCounts.collect { case (p, Some(f), _) => s"$p|$f" }
+          // (partition, tagged group, liveness); null group = insert
+          val groupCounts = tagged.groupBy(col(PART), col("_g_fid"), col(DELETED))
+            .count().collect()
+            .map(r => (r.getString(0), Option(r.getString(1)), r.getBoolean(2),
+              r.getLong(3)))
+          batchRows = groupCounts.map(_._4).sum
+          val insertCounts =
+            groupCounts.collect { case (p, None, false, n) => p -> n }
+              .groupMapReduce(_._1)(_._2)(_ + _)
+          // an untagged delete is a no-op (its key doesn't exist): drop it
+          // BEFORE assignment so it can't ride into a bin-packed group's
+          // log as a junk tombstone or skew the packing arithmetic
+          val live =
+            if (groupCounts.exists { case (_, g, d, _) => g.isEmpty && d })
+              tagged.filter(col("_g_fid").isNotNull || !col(DELETED))
+            else tagged
+          // MOR bin-packs too (ref: UpsertPartitioner small-file
+          // assignment): packed inserts ride into logGroups below, so they
+          // append as LOG files of the under-sized group — no base rewrite,
+          // no new file group. COW packed groups rewrite (affected path).
+          val (assigned, packKeys) = assignInserts(live, cur, instant,
+            allowBinpack = true, insertCounts)
+          val touchedExisting = (groupCounts.collect { case (p, Some(f), _, _) => s"$p|$f" }
             .toSet ++ packKeys).filter(curByKey.contains)
           if (mor) {
             // updates/deletes -> log files of their group; inserts -> new base
@@ -2214,7 +2248,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     Option(r.getString(0)).map(_ -> r.getString(1)) match {
       case None => Nil // empty batch
       case Some((mn, mx)) =>
-        cur.filter(s => s.baseFiles.exists(b =>
+        // logs participate: MOR packed inserts put new keys in log files
+        cur.filter(s => (s.baseFiles ++ s.logs.map(_._2)).exists(b =>
           (b.keyMin.isEmpty || CodePointOrder.le(b.keyMin, mx)) &&
             (b.keyMax.isEmpty || CodePointOrder.le(mn, b.keyMax))))
     }

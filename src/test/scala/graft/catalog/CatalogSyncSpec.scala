@@ -26,14 +26,16 @@ class CatalogSyncSpec extends AnyFunSuite {
     assert(names === Seq("graft.lakedb.sync_mor_rt", "graft.lakedb.sync_mor_ro"))
 
     // _rt = snapshot (log merged); _ro = base files only — the UPDATE to
-    // id 2 lives in a log file and is invisible, while id 3's INSERT wrote
-    // a new base file and shows (the reference's RO semantics exactly)
+    // id 2 lives in a log file and is invisible, and id 3's INSERT
+    // bin-packed into the under-sized group's LOG (round-13 MOR small-file
+    // packing), so it is invisible too until compaction — the reference's
+    // RO semantics with a log-indexing-capable index (canIndexLogFiles)
     val rt = spark.table("graft.lakedb.sync_mor_rt")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rt === Set((1L, "a"), (2L, "B2"), (3L, "c")))
     val ro = spark.table("graft.lakedb.sync_mor_ro")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(ro === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(ro === Set((1L, "a"), (2L, "b")))
 
     // after compaction the RO view catches up — same registration
     t.compact()

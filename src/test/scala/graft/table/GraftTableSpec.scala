@@ -215,6 +215,51 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("mor small-file packing: tiny inserts append as logs, never new groups") {
+    val dir = tmp()
+    val t = ordersTable(MergeOnRead, dir)
+    val base = orders.filter(col("o_orderkey") % 50 === 0)
+    t.upsert(base) // empty table: inserts open the initial (under-sized) groups
+    val groups0 = t.slices(None).map(s => (s.partition, s.fileId)).toSet
+    def tiny(i: Int): DataFrame = orders.filter(col("o_orderkey") % 50 === i)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(90000000L))
+    val tinyRows = (1 to 3).map(i => { t.upsert(tiny(i)); tiny(i).count() }).sum
+    val slices1 = t.slices(None)
+    // the packing contract: N tiny MOR inserts do NOT grow the group count —
+    // they append as log files of the under-sized existing groups
+    assert(slices1.map(s => (s.partition, s.fileId)).toSet === groups0,
+      "tiny MOR inserts must bin-pack into existing groups, not open new ones")
+    assert(slices1.exists(_.logs.nonEmpty), "packed inserts must land in logs")
+    // packed-insert log files carry while-writing bloom sidecars (tagging
+    // consults them; merge reads never do)
+    assert(t.timeline.metas(None).flatMap(_.files).filter(_.isLog).forall(_.hasBloom))
+    assert(t.snapshot().count() === base.count() + tinyRows)
+    // read-optimized = base files only: log-resident inserts are invisible
+    // until compaction (MOR contract)
+    assert(t.readOptimized().count() === base.count())
+    // tagging finds LOG-resident keys: re-upserting a packed key must
+    // UPDATE it in place, not insert a duplicate
+    t.upsert(tiny(1).withColumn("o_totalprice", lit(77.0)))
+    assert(t.slices(None).map(s => (s.partition, s.fileId)).toSet === groups0)
+    val snap2 = t.snapshot()
+    assert(snap2.count() === base.count() + tinyRows, "log-resident key re-upsert duplicated rows")
+    assert(snap2.filter(col("o_orderkey") >= 90000000L && col("o_orderkey") % 50 === 1)
+      .filter(col("o_totalprice") =!= 77.0).count() === 0)
+    // deleting a log-resident key tombstones it in its group's log
+    t.delete(tiny(2).limit(1))
+    assert(t.snapshot().count() === base.count() + tinyRows - 1)
+    // compaction folds packed inserts into the base; snapshot equality holds
+    // and read-optimized converges to the snapshot
+    val snapBefore = t.snapshot().select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(t.compact().nonEmpty)
+    assert(t.slices(None).forall(_.logs.isEmpty))
+    assert(t.snapshot().select("o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet === snapBefore)
+    assert(t.readOptimized().count() === base.count() + tinyRows - 1)
+    GraftTable.drop(dir)
+  }
+
   test("mor: upsert goes to logs; read-optimized skips them until compaction") {
     val dir = tmp()
     val t = ordersTable(MergeOnRead, dir)
