@@ -26,7 +26,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 BASE=${1:-$(git log --grep='^round ' -n1 --format=%H)}
 HEAD_COMMIT=$(git rev-parse HEAD)
-SUBSET=${SPARK_GRAFT_BISECT_SUBSET:-q1_pricing_summary,q9_product_profit,q_asof_join,text_quality,dedup_minhash,dedup_clusters,dedup_substring_removal,pipeline_curate3,lake_upsert_snapshot,lake_cdc,lake_mdt_cold,lake_compaction,lake_incremental,lake_orc}
+# shellcheck source=bench_subset.env
+. "$(dirname "$0")/bench_subset.env"
+SUBSET=${SPARK_GRAFT_BISECT_SUBSET:-$GRAFT_BENCH_SUBSET}
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 PASSES=${SPARK_GRAFT_BISECT_PASSES:-3}
 WT=$(mktemp -d /tmp/graft_bisect_XXXXXX)

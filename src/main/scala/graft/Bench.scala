@@ -149,12 +149,22 @@ object Bench {
             case _ => "null" // undeterminable: flag as unknown
           }
         }
+        // compact scaling summary (scripts/scaling_bench.sh): factor + the
+        // worst per-query time ratio — the super-linear-plan detector; full
+        // per-query detail stays in the committed bench_bisect.json
+        val sc = n.path("scaling")
+        val scaling =
+          if (sc.isMissingNode) ""
+          else s""""scaling":{"factor":${sc.path("factor").asText("0")},""" +
+            s""""max_ratio":${sc.path("max_ratio").asText("null")},""" +
+            s""""max_query":"${sc.path("max_query").asText("")}"},"""
         s""""bisect":{"baseline_commit":"${n.path("baseline_commit").asText}",""" +
           s""""head_commit":"$recordedHead",""" +
           s""""stale":$stale,""" +
           s""""ratio":${n.path("ratio").asText("null")},""" +
           s""""head_total_sec":${n.path("head_total_sec").asText("0")},""" +
-          s""""baseline_total_sec":${n.path("baseline_total_sec").asText("0")}},"""
+          s""""baseline_total_sec":${n.path("baseline_total_sec").asText("0")}},""" +
+          scaling
       }
     } catch { case _: Exception => "" }
     val line = s"""{"metric":"total","value":$total,"unit":"sec",$bisect"queries":$qs,"sf":"$sfDir"}"""
