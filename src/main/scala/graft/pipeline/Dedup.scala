@@ -25,7 +25,9 @@ object Dedup {
     * `row_number().over(partitionBy(_h))` would ship every copy (with its
     * TEXT) to one sorting reducer; the agg collapses the hot hash
     * map-side and the join-back key is unique per keeper. Assumes ids are
-    * unique (the corpus contract everywhere in this module). */
+    * unique (the corpus contract everywhere in this module); on dirty
+    * input, every row CARRYING the minimal id survives — rows, not one
+    * row (spec-pinned, so the shape can't silently drift). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val hashed = docs.withColumn("_h",
       coalesce(md5(col(textCol)), concat(lit("null:"), col(idCol).cast("string"))))

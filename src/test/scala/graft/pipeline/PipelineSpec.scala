@@ -18,6 +18,22 @@ class PipelineSpec extends AnyFunSuite {
       .withColumn("text", concat(col("text"), lit(" graft extra"))))
   }
 
+  test("exact dedup dirty-id contract: every row carrying the minimal id survives") {
+    import TestSpark.spark.implicits._
+    // the corpus contract is unique ids; this pins the DOCUMENTED failure
+    // mode on dirty input (duplicate ids): the skew-safe agg+semi-join
+    // keeps all rows with the minimal id, not exactly one row
+    val docs = Seq((1L, "same text"), (1L, "same text"), (2L, "same text"),
+      (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs)
+    assert(out.filter(col("doc_id") === 1L).count() === 2)
+    assert(out.filter(col("doc_id") === 2L).count() === 0)
+    assert(out.filter(col("doc_id") === 3L).count() === 1)
+    // clean input: exactly one keeper per distinct content
+    val clean = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    assert(Dedup.exact(clean).select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("minhash-LSH finds the same pairs as exact jaccard at tau=0.5") {
     // verification step makes LSH precision exact; recall depends on banding.
     val exact = Dedup.jaccardPairs(nearDupDocs, n = 3, tau = 0.5)
