@@ -1149,17 +1149,22 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * a slice none of whose files might contain any batch key is
     * dropped before its files are ever read. No false negatives: every
     * written key is in its file's filter, so upserts can't duplicate.
-    * MOR log files carry blooms too (stageWrite keeps their while-writing
-    * sidecars) because packed inserts put NEW keys in logs; a slice with a
-    * bloom-less log (written before log sidecars existed) is never
-    * pruned — conservative, correct for pre-existing tables. */
+    * INSERT-BEARING log files (MOR small-file packed inserts) carry blooms
+    * too and join the check — hasBloom on a log IS the "can introduce
+    * keys" marker; a bloom-less log is a pure-update log whose keys are
+    * base-covered, so base blooms alone decide for it. */
   private def bloomRefine(df: DataFrame, cands: Seq[FileSlice]): Seq[FileSlice] = {
-    def slFiles(s: FileSlice): Seq[FileMeta] = s.baseFiles ++ s.logs.map(_._2)
+    def slFiles(s: FileSlice): Seq[FileMeta] =
+      s.baseFiles ++ s.logs.map(_._2).filter(_.hasBloom)
     // a CREATE INDEX backfill covers files whose commit predates the
     // hasBloom flag — with the marker present, try every slice's sidecars
     val backfilled = bloomIndexName.nonEmpty
+    // ORC never writes log blooms, so an ORC slice WITH logs can hold
+    // unmarked insert-bearing logs (packed inserts) — never bloom-prune it
+    val orcLogs = config.baseFileFormat == "orc"
     val (bloomable, rest) = cands.partition(s =>
-      s.baseFiles.nonEmpty && (backfilled || slFiles(s).forall(_.hasBloom)))
+      s.baseFiles.nonEmpty && !(orcLogs && s.logs.nonEmpty) &&
+        (backfilled || s.baseFiles.forall(_.hasBloom)))
     // below 2 prunable slices the batch pass costs more than it saves
     if (bloomable.size < 2) return cands
     import scala.collection.parallel.CollectionConverters._
@@ -1222,19 +1227,30 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       val cands = candidateSlices(df, cur)
       if (cands.isEmpty) return df.withColumn("_g_fid", lit(null).cast(StringType))
       val data = schemaAt(None).getOrElse(new StructType())
-      // MOR: log files are part of the key index — a packed insert's key
-      // lives ONLY in a log until compaction, and missing it here would
-      // route its next upsert as a second insert (duplicate row). A key
-      // updated in a log then appears once per file version, so the
-      // (key, part, fid) projection dedupes — fid is identical across
-      // versions (a key never changes group), making distinct() exact.
-      val hasLogs = cands.exists(_.logs.nonEmpty)
+      // MOR: INSERT-BEARING log files are part of the key index — a packed
+      // insert's key lives ONLY in a log until compaction, and missing it
+      // here would route its next upsert as a second insert (duplicate
+      // row). hasBloom on a log is the durable "can introduce keys"
+      // marker (stageWrite), so pure-update logs — whose keys are all
+      // base-covered — are never read; ORC can't carry the marker, so ORC
+      // reads every candidate log (conservative). A key then appears once
+      // per file version with the SAME fid (a key never changes group
+      // under the upsert doors), so groupBy(min) collapses the versions
+      // exactly; if the permissive insert door violated key uniqueness
+      // across groups, min() still routes each incoming row to ONE
+      // deterministic group — never a fan-out that would double an update.
+      val orcLogs = config.baseFileFormat == "orc"
+      def keyedLogs(s: FileSlice) =
+        s.logs.collect { case (i, f) if orcLogs || f.hasBloom => f -> i }
+      val hasLogs = cands.exists(keyedLogs(_).nonEmpty)
       val existing0 = readConformed(
-        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant) ++
-          s.logs.map { case (i, f) => f -> i }), data,
-        needFileId = true)
+        cands.flatMap(s => s.baseFiles.map(_ -> s.baseInstant) ++ keyedLogs(s)),
+        data, needFileId = true)
         .select(col(KEY), col(PART), col(FILE_ID).as("_g_fid"))
-      val existing = if (hasLogs) existing0.distinct() else existing0
+      val existing =
+        if (hasLogs) existing0.groupBy(col(KEY), col(PART))
+          .agg(min(col("_g_fid")).as("_g_fid"))
+        else existing0
       df.join(existing, Seq(KEY, PART), "left")
   }
 
@@ -1282,8 +1298,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     * file group is written by exactly one task, key-sorted within the file;
     * then O(#files) metadata renames into place. `logGroups` names the
     * (partition|fileId) groups whose output is a MOR log file. */
+  /** `bloomLogGroups` ⊆ logGroups: groups whose log output this commit may
+    * seed with NEW keys (MOR small-file packed inserts) — only their log
+    * files keep the while-writing bloom sidecar, so `hasBloom` on a log
+    * file is the durable "this log can introduce keys" marker (it rides in
+    * FileMeta through manifests and archival checkpoints). Pure-update
+    * logs stay sidecar-free and tagging/bloom pruning never touch them:
+    * their keys are base-covered by construction. */
   private def stageWrite(out: DataFrame, instant: String,
-      logGroups: Set[String], preArranged: Boolean = false): Seq[FileMeta] = {
+      logGroups: Set[String], preArranged: Boolean = false,
+      bloomLogGroups: Set[String] = Set.empty): Seq[FileMeta] = {
     val staging = Paths.get(basePath, ".graft", s"staging_$instant")
     val tagged = out.withColumn("_gp", col(PART)).withColumn("_gf", col(FILE_ID))
     // preArranged: the caller already co-located each (partition, fileId)
@@ -1345,16 +1369,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     import scala.collection.parallel.CollectionConverters._
     val moved = planned.toSeq.par.map { case (src, dest, rel, partition, fid, isLog) =>
       Files.move(src, dest, StandardCopyOption.ATOMIC_MOVE)
-      // the while-writing bloom sidecar travels with its file — base AND
-      // log: merge reads never consult blooms, but upsert TAGGING does,
-      // and a log file can hold keys absent from its base (packed inserts)
+      // the while-writing bloom sidecar travels with base files and with
+      // INSERT-BEARING log files (bloomLogGroups — merge reads never
+      // consult blooms, but upsert tagging does, and a packed log can hold
+      // keys absent from its base); pure-update logs drop theirs, keeping
+      // hasBloom=false as the "keys are base-covered" signal
       val side = Paths.get(src.toString + ".bloom")
+      val keepSide = !isLog || bloomLogGroups.contains(s"$partition|$fid")
       val hasBloom =
-        if (Files.exists(side)) {
+        if (keepSide && Files.exists(side)) {
           Files.move(side, Paths.get(dest.toString + ".bloom"),
             StandardCopyOption.ATOMIC_MOVE)
           true
-        } else false
+        } else { Files.deleteIfExists(side); false }
       (rel, partition, fid, hasBloom)
     }.seq
     GraftTable.drop(staging.toString)
@@ -1460,7 +1487,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
   def dropBloomIndex(): Unit = {
     require(bloomIndexName.nonEmpty, "no bloom index to drop")
     Files.deleteIfExists(bloomIndexMarker)
-    slices(None).flatMap(_.baseFiles).foreach { f =>
+    slices(None).flatMap(s => s.baseFiles ++ s.logs.map(_._2)).foreach { f =>
       Files.deleteIfExists(Paths.get(basePath, KeyBloom.sidecar(f.path)))
     }
     GraftTable.drop(mdtBloomsDir.toString)
@@ -1545,18 +1572,19 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
 
   private[graft] def mdtBloomsDir = Paths.get(basePath, ".graft", "metadata", "blooms")
 
-  /** Fold every live base file's bloom sidecar into the metadata table's
+  /** Fold every live file's bloom sidecar into the metadata table's
     * blooms partition (ref: hudi-common .../metadata/MetadataPartitionType
     * .java:27 BLOOM_FILTERS): one parquet dataset of (path, bloom) rows,
     * range-partitioned and sorted by path so candidate lookups prune to a
     * few row groups. With it in place, tagging reads the candidates'
     * blooms in ONE batched scan instead of one object-store GET per
     * candidate file — at millions of files that per-file GET is the
-    * tagging bottleneck. Sidecars stay the source of truth (written
-    * in-line by every commit); re-sync after enough new commits, or let
-    * [[runIndex]] refresh it. */
+    * tagging bottleneck. MOR log files fold too (they carry sidecars since
+    * log-side insert packing; tagging consults them). Sidecars stay the
+    * source of truth (written in-line by every commit); re-sync after
+    * enough new commits, or let [[runIndex]] refresh it. */
   def syncBloomMetadata(): Int = {
-    val paths = slices(None).flatMap(_.baseFiles)
+    val paths = slices(None).flatMap(s => s.baseFiles ++ s.logs.map(_._2))
       .filterNot(_.external)
       .map(_.path)
       .filter(r => Files.isRegularFile(Paths.get(basePath, KeyBloom.sidecar(r))))
@@ -1823,7 +1851,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // batch row count rides into the commit metadata (stats_wa write
       // amplification) — every branch already collects it, no extra job
       var batchRows = 0L
-      val (out, logGroups, touched) =
+      val (out, logGroups, touched, packedLogGroups) =
         if (globalSort) {
           // GLOBAL_SORT layout: one range shuffle on (partition, key) slices
           // disjoint key ranges per new file — each spark partition becomes
@@ -1838,7 +1866,8 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             .repartitionByRange(nFiles, col(PART), col(KEY))
             .withColumn(FILE_ID,
               format_string(s"g$instant-r%05d", spark_partition_id()))
-          (ranged.filter(!col(DELETED)), Set.empty[String], Set.empty[String])
+          (ranged.filter(!col(DELETED)), Set.empty[String], Set.empty[String],
+            Set.empty[String])
         } else if (!taggingOps(op)) {
           val withFid = cached.withColumn("_g_fid", lit(null).cast(StringType))
           // one metadata-sized collect: inserts per partition
@@ -1852,12 +1881,16 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
             allowBinpack = op != "bulk_insert" && config.populateMetaFields,
             insertCounts)
           val packTargets = packKeys.toSeq.flatMap(curByKey.get)
-          // bin-packed groups must be rewritten (old rows + new rows)
+          // bin-packed groups must be rewritten (old rows + new rows) —
+          // even on MOR, where the upsert door packs as log appends: the
+          // permissive insert door ALLOWS duplicate keys, and a log row
+          // sharing a key with its pack target would be silently collapsed
+          // by the snapshot's latest-wins merge instead of duplicating
           val withOld =
             if (packTargets.isEmpty) assigned.filter(!col(DELETED))
             else readSliceRows(packTargets, merged, needFileId = true)
               .unionByName(assigned.filter(!col(DELETED)))
-          (withOld, Set.empty[String], packKeys)
+          (withOld, Set.empty[String], packKeys, Set.empty[String])
         } else {
           val tagged = pin(if (preTagged) cached else tag(cached, cur))
           // one metadata-sized collect for the whole write: rows per
@@ -1898,7 +1931,7 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
                 concat_ws("|", col(PART), col(FILE_ID)) === col("_g_tch"), "left")
               .filter(col("_g_tch").isNotNull || !col(DELETED))
               .drop("_g_tch")
-            (cleaned, touchedExisting, touchedExisting)
+            (cleaned, touchedExisting, touchedExisting, packKeys)
           } else {
             val affected = touchedExisting.toSeq.flatMap(curByKey.get)
             val out = config.payload match {
@@ -1921,10 +1954,11 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
                 val newRows = assigned.filter(!col(DELETED))
                 oldRows.map(_.unionByName(newRows)).getOrElse(newRows)
             }
-            (out, Set.empty[String], touchedExisting)
+            (out, Set.empty[String], touchedExisting, Set.empty[String])
           }
         }
-      val files = stageWrite(out, instant, logGroups, preArranged = globalSort)
+      val files = stageWrite(out, instant, logGroups, preArranged = globalSort,
+        bloomLogGroups = packedLogGroups)
       // optimistic concurrency (ref: hudi SimpleConcurrentFileWritesConflict
       // ResolutionStrategy): fail if a commit completed since we started
       // touches any of the same file groups. The conflict set includes the

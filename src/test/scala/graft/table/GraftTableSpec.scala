@@ -230,8 +230,9 @@ class GraftTableSpec extends AnyFunSuite {
     assert(slices1.map(s => (s.partition, s.fileId)).toSet === groups0,
       "tiny MOR inserts must bin-pack into existing groups, not open new ones")
     assert(slices1.exists(_.logs.nonEmpty), "packed inserts must land in logs")
-    // packed-insert log files carry while-writing bloom sidecars (tagging
-    // consults them; merge reads never do)
+    // packed-insert log files carry while-writing bloom sidecars — hasBloom
+    // on a log is the "can introduce keys" marker tagging consults (merge
+    // reads never do)
     assert(t.timeline.metas(None).flatMap(_.files).filter(_.isLog).forall(_.hasBloom))
     assert(t.snapshot().count() === base.count() + tinyRows)
     // read-optimized = base files only: log-resident inserts are invisible
@@ -241,6 +242,10 @@ class GraftTableSpec extends AnyFunSuite {
     // UPDATE it in place, not insert a duplicate
     t.upsert(tiny(1).withColumn("o_totalprice", lit(77.0)))
     assert(t.slices(None).map(s => (s.partition, s.fileId)).toSet === groups0)
+    // the pure-UPDATE commit's log stays unmarked (its keys are
+    // base-or-marked-log covered), so tagging never reads it
+    val updLogs = t.timeline.metas(None).last.files.filter(_.isLog)
+    assert(updLogs.nonEmpty && updLogs.forall(!_.hasBloom))
     val snap2 = t.snapshot()
     assert(snap2.count() === base.count() + tinyRows, "log-resident key re-upsert duplicated rows")
     assert(snap2.filter(col("o_orderkey") >= 90000000L && col("o_orderkey") % 50 === 1)
