@@ -72,10 +72,18 @@ object AnnIndex {
         partitioning = PartitionByColumns(Seq("cid"))))
     val instant = codesT.bulkInsert(enc.select(
       col("neighbor_id").as("vec_id"), col("cid"), col("codes")))
+    // drift baseline: mean squared reconstruction error on the TRAINING
+    // sample (the id-strided subset the codebooks actually saw — a
+    // sample-scale pass, not a second corpus read-back), persisted so
+    // driftStats can compare future deltas against what training achieved
+    val sample = if (trainSampleMod > 1)
+      cN.filter(col(idCol) % trainSampleMod === 0) else cN
+    val (_, trainErr) = Similarity.meanPqError(sample, coarse, books,
+      residual, idCol, vecCol)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "ivfpq_meta.json"),
-      s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"}"""
-        .getBytes("UTF-8"))
+      (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}",""" +
+        s""""train_err":$trainErr}""").getBytes("UTF-8"))
     // indexed-row count from the commit's write stats — no corpus-scale
     // read-back of the table we just wrote
     codesT.commitRows(instant)
@@ -113,6 +121,63 @@ object AnnIndex {
     GraftTable.load(spark, s"$indexDir/codes").upsertGlobal(enc)
   }
 
+  /** Quantization-drift report for the persisted IVF-PQ index: mean
+    * squared PQ reconstruction error of `vectors` (typically the latest
+    * ingest delta, or an id-strided corpus sample) under the PERSISTED
+    * centroids + codebooks, against the build-time baseline the meta file
+    * records. [[upsertIvfPq]] documents the FAISS trade — codebooks
+    * trained before the delta existed quantize it worse — and this is the
+    * statistic that says WHEN the rebuild is warranted: `ratio` near 1
+    * means the delta still matches the training distribution; a
+    * sustained climb means recall is silently decaying and the index
+    * should be rebuilt. One sample-scale map pass + scalar aggregate —
+    * never a corpus or index scan. `trainErr`/`ratio` are None for a
+    * pre-baseline (v1/early-v2) index. */
+  def driftStats(indexDir: String, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DriftStats = {
+    val (coarse, books) = loadTrained(vectors.sparkSession, indexDir)
+    val (n, err) = Similarity.meanPqError(vectors, coarse, books,
+      ivfPqResidual(indexDir), idCol, vecCol)
+    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
+    val trainErr =
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val node = graft.table.Json.mapper
+          .readTree(java.nio.file.Files.readAllBytes(p)).path("train_err")
+        if (node.isMissingNode) None else Some(node.asDouble)
+      }
+    DriftStats(n, err, trainErr,
+      trainErr.filter(_ > 0).map(t => err / t))
+  }
+
+  /** [[driftStats]] result: `ratio` = meanSqError / trainMeanSqError —
+    * the rebuild signal (None when the index predates the baseline). */
+  case class DriftStats(n: Long, meanSqError: Double,
+      trainMeanSqError: Option[Double], ratio: Option[Double])
+
+  /** Delete vectors from the persisted IVF-PQ index — the takedown path
+    * (FAISS `remove_ids`): a record removed from the corpus (takedown,
+    * retention, dedup) must stop surfacing as a neighbor. The codes table
+    * is keyed by vec_id but partitioned by cid, and the caller only knows
+    * the ids — so the rows to tombstone are located with a left-semi join
+    * against the index itself (an INDEX-scale scan of m-byte code rows,
+    * never the corpus), then deleted through the ordinary record-level
+    * delete door: the lake timeline versions the removal, and replaying
+    * it is a same-key tombstone — idempotent. Returns the commit
+    * instant. */
+  def deleteIvfPq(indexDir: String, ids: DataFrame,
+      idCol: String = "vec_id"): String = {
+    val t = GraftTable.load(ids.sparkSession, s"$indexDir/codes")
+    val doomed = t.snapshot().select("vec_id", "cid")
+      .join(ids.select(col(idCol).as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      // pin the (key, partition) rows before writing to the table they
+      // were read from — same posture as MinhashIndex.admit; the frame is
+      // ids-sized, not corpus-sized
+      .localCheckpoint(true)
+    t.delete(doomed)
+  }
+
   /** Train-free sibling: persist a random-hyperplane LSH index as ONE
     * graft table of (bucket, vec_id, table, vec) rows — one row per
     * (vector, hash table) — partitioned by the hash-table id (bounded:
@@ -140,6 +205,49 @@ object AnnIndex {
       s"""{"planes":$planes,"tables":$tables}""".getBytes("UTF-8"))
     // row count from the commit's write stats — no index-scale read-back
     t.commitRows(instant)
+  }
+
+  /** Incremental add for the LSH index: bucket ONLY the new vectors with
+    * the build's persisted (planes, tables) — the hyperplanes are a
+    * deterministic function of those parameters, so no train state is
+    * read — and upsert their rows. Keys are (bucket, vec_id): replaying a
+    * crashed batch re-upserts the same rows, exactly-once by idempotence.
+    * For a CHANGED vector use [[refreshLsh]] — its OLD buckets are
+    * different keys that a bare upsert would leave stale. */
+  def upsertLsh(indexDir: String, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val meta = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(indexDir, "lsh_meta.json")))
+    GraftTable.load(vectors.sparkSession, s"$indexDir/buckets").upsertGlobal(
+      Similarity.lshBuckets(vectors, meta.path("planes").asInt,
+        meta.path("tables").asInt, idCol, vecCol, "vec_id", "vec"))
+  }
+
+  /** Delete vectors from the persisted LSH index — see [[deleteIvfPq]]
+    * for the contract; here a vector owns `tables` rows under DIFFERENT
+    * (bucket, vec_id) keys, so the semi-join locates all of them. */
+  def deleteLsh(indexDir: String, ids: DataFrame,
+      idCol: String = "vec_id"): String = {
+    val t = GraftTable.load(ids.sparkSession, s"$indexDir/buckets")
+    val doomed = t.snapshot().select("bucket", "vec_id", "table")
+      .join(ids.select(col(idCol).as("vec_id")).distinct(),
+        Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    t.delete(doomed)
+  }
+
+  /** Changed-vector refresh for the LSH index: delete the ids' old rows,
+    * then insert their new buckets — closing the staleness trade
+    * [[upsertIvfPq]] documents (the IVF-PQ codes table is keyed by vec_id
+    * alone, so its upsert IS the refresh; the LSH and MinhashIndex bucket
+    * tables key on (bucket, id) and need the explicit two-step). Two
+    * commits: a crash in between leaves the ids absent from the index
+    * (invisible as neighbors, never wrong) and the replay re-runs both
+    * keyed writes — idempotent. */
+  def refreshLsh(indexDir: String, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    deleteLsh(indexDir, vectors.select(idCol), idCol)
+    upsertLsh(indexDir, vectors, idCol, vecCol)
   }
 
   /** Query the persisted LSH index: bit-identical to

@@ -66,15 +66,46 @@ object MinhashIndex {
     * (bucket, doc_id), so replaying the same batch after a crash is a
     * same-key upsert — exactly-once by idempotence. Intended for the
     * crawl contract (doc ids append-only, text immutable): a CHANGED
-    * document's old buckets are stale until its rows are deleted first —
-    * the same rebuild-on-drift trade [[AnnIndex.upsertIvfPq]] documents.
-    * Returns the commit instant. */
+    * document's old buckets are different keys a bare upsert leaves
+    * stale — use [[refresh]] for those. Returns the commit instant. */
   def upsert(indexDir: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): String = {
     val spark = newDocs.sparkSession
     val (n, numHashes, bands) = meta(indexDir)
     GraftTable.load(spark, s"$indexDir/buckets")
       .upsertGlobal(bandRows(newDocs, n, numHashes, bands, idCol, textCol))
+  }
+
+  /** Delete documents from the index — the takedown path, and the first
+    * half of [[refresh]]: a doc removed from the curated corpus must stop
+    * gating future crawl batches (its near-dups become admissible again).
+    * The caller knows only doc ids; the (bucket, doc_id, band) rows to
+    * tombstone are located with a left-semi join against the index itself
+    * — an INDEX-scale scan (`bands` longs per doc), never a corpus text
+    * pass. Replay is a same-key tombstone — idempotent. */
+  def delete(indexDir: String, docIds: DataFrame,
+      idCol: String = "doc_id"): String = {
+    val t = GraftTable.load(docIds.sparkSession, s"$indexDir/buckets")
+    val doomed = t.snapshot().select("bucket", "doc_id", "band")
+      .join(docIds.select(col(idCol).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      // pin before writing to the table the rows were read from (same
+      // posture as admit's survivor pin); ids-sized, not corpus-sized
+      .localCheckpoint(true)
+    t.delete(doomed)
+  }
+
+  /** Changed-document refresh: delete the docs' OLD band rows (their new
+    * text hashes to different buckets — different keys a bare [[upsert]]
+    * would leave stale, the trade upsert's doc names), then band + upsert
+    * the new text. Two commits: a crash in between leaves the docs absent
+    * from the index (their near-dups admissible — never a WRONG gate, the
+    * same window a not-yet-indexed doc has) and replaying the refresh
+    * re-runs both keyed writes — idempotent. */
+  def refresh(indexDir: String, changedDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): String = {
+    delete(indexDir, changedDocs.select(idCol), idCol)
+    upsert(indexDir, changedDocs, idCol, textCol)
   }
 
   /** Batch-vs-corpus near-dup gate against the PERSISTED index:

@@ -247,6 +247,46 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     vecs.select(col(idCol), pqCodes(books, vecCol).as("codes"))
 
+  /** Squared PQ reconstruction error of one (already residual-or-raw)
+    * vector column: Σ_sub ‖res_sub − codebook[sub][nearest cell]‖² — the
+    * quantity PQ training minimizes, so its mean over a corpus sample is
+    * THE quantization-drift statistic: vectors from the training
+    * distribution score near the build-time mean, a drifted delta scores
+    * above it (the codebooks were trained before those vectors existed —
+    * the rebuild signal [[AnnIndex.driftStats]] serves). */
+  private[pipeline] def pqSqError(books: Array[Array[Array[Float]]],
+      resCol: String): org.apache.spark.sql.Column = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val dsub = books(0)(0).length
+    books.indices.map { s =>
+      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
+      val sub = slice(col(resCol), s * dsub + 1, dsub)
+      val cell = element_at(nearestCentroids(sub, books(s), 1), 1)
+      aggregate(zip_with(sub, element_at(bookLit, cell + 1), (a, b) => {
+        val d = a.cast("double") - b.cast("double"); d * d
+      }), lit(0.0), _ + _)
+    }.reduce(_ + _)
+  }
+
+  /** Mean squared reconstruction error of `vectors` under an ALREADY-
+    * TRAINED (coarse, books) pair — one map pass + a scalar aggregate,
+    * no shuffle beyond the final combine. Shared by the build (baseline
+    * on the training sample) and [[AnnIndex.driftStats]] (delta probe),
+    * so the two numbers are the same statistic by construction. */
+  private[pipeline] def meanPqError(vectors: DataFrame,
+      coarse: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      residual: Boolean, idCol: String, vecCol: String): (Long, Double) = {
+    import graft.functions.IvfExprs.nearestCentroids
+    val vN = l2normalize(vectors, vecCol)
+    val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)
+    val src =
+      if (residual) vN.withColumn("_res", residualOf(col(vecCol), cid, coarse))
+      else vN.withColumn("_res", col(vecCol))
+    val row = src.select(pqSqError(books, "_res").as("_e"))
+      .agg(count(lit(1)).as("n"), avg(col("_e")).as("err")).head
+    (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
+  }
+
   /** Per-query ADC lookup tables: one (ksub)-entry column of subspace dot
     * products per subspace, the codebooks inlined as literals. */
   private def adcTables(books: Array[Array[Array[Float]]],

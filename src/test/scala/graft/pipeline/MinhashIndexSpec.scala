@@ -65,6 +65,59 @@ class MinhashIndexSpec extends AnyFunSuite {
     } finally GraftTable.drop(dir)
   }
 
+  test("delete reopens the gate; changed-doc refresh gates on NEW text and matches a rebuild") {
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhdel_").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_mhreb_").toString
+    try {
+      MinhashIndex.build(existing, dir, n = 3, numHashes = 32, bands = 8)
+      import spark.implicits._
+      val copyOf7 = existing.filter(col("doc_id") === 7)
+        .select(lit(10007L).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      assert(gateRows(MinhashIndex.gate(dir, existing, copyOf7)).isEmpty,
+        "near-copy of an indexed doc must be gated before the takedown")
+      // takedown: doc 7 leaves the corpus; its near-dups become admissible
+      MinhashIndex.delete(dir, Seq(7L).toDF("doc_id"))
+      val existingAfter = existing.filter(col("doc_id") =!= 7)
+      assert(GraftTable.load(spark, s"$dir/buckets").snapshot()
+        .filter(col("doc_id") === 7).isEmpty, "deleted doc's rows survive")
+      assert(gateRows(MinhashIndex.gate(dir, existingAfter, copyOf7)) ===
+        Set(10007L), "takedown must reopen the gate for the doc's near-dups")
+      // delete replay: same-key tombstones, idempotent
+      MinhashIndex.delete(dir, Seq(7L).toDF("doc_id"))
+      assert(gateRows(MinhashIndex.gate(dir, existingAfter, copyOf7)) ===
+        Set(10007L))
+      // changed-doc refresh: doc 3 takes doc 250's text; the gate must
+      // follow the NEW text (old near-dups admissible, new ones gated) and
+      // agree with an index REBUILT from the updated corpus on both probes
+      val newText = docs.filter(col("doc_id") === 250)
+        .select("text").head.getString(0)
+      val changed = Seq((3L, newText)).toDF("doc_id", "text")
+      MinhashIndex.refresh(dir, changed)
+      val updated = existingAfter.filter(col("doc_id") =!= 3)
+        .unionByName(changed)
+      MinhashIndex.build(updated, dir2, n = 3, numHashes = 32, bands = 8)
+      val oldCopy = existing.filter(col("doc_id") === 3)
+        .select(lit(10003L).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      val newCopy = Seq((10250L, newText + " graft extra")).toDF("doc_id", "text")
+      for (probe <- Seq(oldCopy, newCopy)) {
+        assert(gateRows(MinhashIndex.gate(dir, updated, probe)) ===
+          gateRows(MinhashIndex.gate(dir2, updated, probe)),
+          "refreshed index must agree with a rebuild from the updated corpus")
+      }
+      assert(gateRows(MinhashIndex.gate(dir, updated, oldCopy)) ===
+        Set(10003L), "near-dup of the doc's OLD text must be admissible")
+      assert(gateRows(MinhashIndex.gate(dir, updated, newCopy)).isEmpty,
+        "near-dup of the doc's NEW text must be gated")
+    } finally {
+      GraftTable.drop(dir)
+      GraftTable.drop(dir2)
+    }
+  }
+
   test("admit loop: survivors flow to corpus + index exactly once across crash-replay") {
     val docs = Tables.documents(spark, sf)
     val seed = docs.filter(col("doc_id") < 200)

@@ -532,6 +532,129 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.table.GraftTable.drop(dir)
   }
 
+  test("driftStats: training corpus scores at baseline, off-distribution delta climbs") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_").toString
+    try {
+      AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+      // the exact training corpus IS the baseline: same vectors, same
+      // persisted codebooks, same statistic — ratio 1 up to fp summation
+      // order across partitions
+      val onTrain = AnnIndex.driftStats(dir, vecs)
+      assert(onTrain.n === vecs.count())
+      assert(onTrain.trainMeanSqError.exists(_ > 0),
+        "build must persist a positive baseline")
+      assert(onTrain.ratio.exists(r => math.abs(r - 1.0) < 1e-6),
+        s"training corpus must score at baseline, got ${onTrain.ratio}")
+      // off-distribution delta: one-hot basis vectors — unit norm like the
+      // corpus but maximally concentrated where the training cloud is
+      // diffuse; the persisted quantizer must reconstruct them worse
+      val dim = 64
+      val drifted = (0L until 256L).map { i =>
+        (i + 900000L, Array.tabulate(dim)(d =>
+          if (d == (i % dim).toInt) 1.0f else 0.0f))
+      }.toDF("vec_id", "embedding")
+      val onDrift = AnnIndex.driftStats(dir, drifted)
+      assert(onDrift.n === 256)
+      assert(onDrift.ratio.exists(_ > 1.1),
+        s"off-distribution delta must read above baseline, got ${onDrift.ratio}")
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
+  test("persisted IVF-PQ: delete is the takedown path — removed vectors never surface") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anndel_").toString
+    try {
+      AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+      def ranked(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(t => (t._1, t._3)).toSeq
+      val baseline = ranked(AnnIndex.queryIvfPq(dir, vecs, queries,
+        k = 5, nprobe = 6))
+      // take down the top neighbor of the first query
+      val firstQ = baseline.head._1
+      val doomed = baseline.find(t => t._1 == firstQ && t._3 == 1).get._2
+      AnnIndex.deleteIvfPq(dir, Seq(doomed).toDF("vec_id"))
+      val n = vecs.count()
+      def liveCodes() = graft.table.GraftTable.load(spark, s"$dir/codes")
+        .snapshot()
+      assert(liveCodes().count() === n - 1, "delete must tombstone one row")
+      assert(liveCodes().filter(col("vec_id") === doomed).isEmpty)
+      val corpusAfter = vecs.filter(col("vec_id") =!= doomed)
+      val after = ranked(AnnIndex.queryIvfPq(dir, corpusAfter, queries,
+        k = 5, nprobe = 6))
+      assert(!after.exists(_._2 == doomed),
+        "deleted vector surfaced as a neighbor")
+      // per query: surviving baseline candidates keep their relative order
+      // (ADC scores of the others are untouched by the removal); queries
+      // that never saw the doomed id are bit-identical
+      val affected = baseline.filter(_._2 == doomed).map(_._1).toSet
+      assert(affected.nonEmpty, "fixture must plant an affected query")
+      for (q <- baseline.map(_._1).distinct) {
+        val b = baseline.filter(_._1 == q)
+        val a = after.filter(_._1 == q)
+        if (!affected(q)) assert(a === b, s"unaffected query $q changed")
+        else {
+          val survivors = b.filter(_._2 != doomed).map(_._2)
+          assert(a.map(_._2).filter(b.map(_._2).toSet) === survivors,
+            s"query $q: survivor order changed after delete")
+        }
+      }
+      // replay: same-key tombstone, idempotent
+      AnnIndex.deleteIvfPq(dir, Seq(doomed).toDF("vec_id"))
+      assert(liveCodes().count() === n - 1)
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
+  test("persisted LSH: upsert adds, delete removes, refresh leaves no stale buckets") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+    val n = vecs.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshmnt_").toString
+    try {
+      AnnIndex.buildLsh(vecs, dir, planes = 4, tables = 8)
+      def buckets() = graft.table.GraftTable.load(spark, s"$dir/buckets")
+        .snapshot()
+      // ADD: a new exact duplicate of query 0 must collide in every table
+      // and surface as its top neighbor
+      val q0 = vecs.filter(col("vec_id") === 0L)
+      val newId = n + 1000L
+      AnnIndex.upsertLsh(dir, q0.select(lit(newId).as("vec_id"),
+        col("embedding")))
+      assert(buckets().count() === (n + 1) * 8)
+      val top1 = AnnIndex.queryLsh(dir, q0, k = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(top1 === Set((0L, newId)),
+        "added exact duplicate must be the top LSH neighbor")
+      // REFRESH: re-point the duplicate at vector 37's embedding — its old
+      // bucket rows are DIFFERENT keys; refresh must delete them (a bare
+      // upsert leaves up to 16 rows for the id)
+      val donor = vecs.filter(col("vec_id") === 37L)
+      AnnIndex.refreshLsh(dir, donor.select(lit(newId).as("vec_id"),
+        col("embedding")))
+      assert(buckets().filter(col("vec_id") === newId).count() === 8,
+        "refresh left stale bucket rows for the changed vector")
+      val donorBuckets = buckets().filter(col("vec_id") === 37L)
+        .select("table", "bucket").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      val refreshed = buckets().filter(col("vec_id") === newId)
+        .select("table", "bucket").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(refreshed === donorBuckets,
+        "refreshed vector must hash to its donor's buckets")
+      // DELETE: takedown of the duplicate reopens query 0's neighborhood
+      AnnIndex.deleteLsh(dir, Seq(newId).toDF("vec_id"))
+      assert(buckets().filter(col("vec_id") === newId).isEmpty)
+      assert(buckets().count() === n * 8)
+      assert(!AnnIndex.queryLsh(dir, q0, k = 5).collect()
+        .exists(_.getLong(1) == newId), "deleted vector surfaced")
+      // replay: idempotent
+      AnnIndex.deleteLsh(dir, Seq(newId).toDF("vec_id"))
+      assert(buckets().count() === n * 8)
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
