@@ -128,9 +128,12 @@ object Dedup {
     // stripped up front; interior `\s+` runs can't produce an empty. This
     // avoids a per-element lambda filter (a higher-order filter costs a
     // lambda eval per token in the hot path of every substring operator).
-    // Whitespace-only text explicitly maps to the empty array (split
-    // would yield [""]).
-    val stripped = regexp_replace(textCol, "^\\s+|\\s+$", "")
+    // trim with an explicit set = Java \s exactly ([ \t\n\x0B\f\r]) is an
+    // ends-only character scan — the anchored-regex alternative
+    // (`^\s+|\s+$`) re-scans the WHOLE text per document in the hot path
+    // of all five substring operators. Whitespace-only text explicitly
+    // maps to the empty array (split would yield [""]).
+    val stripped = trim(textCol, " \t\n\u000B\f\r")
     when(stripped === "", typedlit(Array.empty[String]))
       .otherwise(split(stripped, "\\s+"))
   }
