@@ -53,7 +53,8 @@ object AnnIndex {
     // shared with ivfPqTopK: same training, same one-pass encode, so
     // persisted codes are bit-identical to the in-memory build's
     val (books, enc) = Similarity.encodeIvfPq(cN, coarse, m, ksub,
-      trainIters, trainSampleMod, residual, idCol, vecCol)
+      trainIters, trainSampleMod, residual, idCol, vecCol,
+      errAs = Some("_err"))
     val centroidsT = GraftTable.create(spark, s"$indexDir/centroids",
       TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
     centroidsT.bulkInsert(
@@ -70,16 +71,19 @@ object AnnIndex {
     val codesT = GraftTable.create(spark, s"$indexDir/codes",
       TableConfig("ann_codes", CopyOnWrite, keyFields = Seq("vec_id"),
         partitioning = PartitionByColumns(Seq("cid"))))
-    val instant = codesT.bulkInsert(enc.select(
-      col("neighbor_id").as("vec_id"), col("cid"), col("codes")))
-    // drift baseline: mean squared reconstruction error on the TRAINING
-    // sample (the id-strided subset the codebooks actually saw — a
-    // sample-scale pass, not a second corpus read-back), persisted so
-    // driftStats can compare future deltas against what training achieved
-    val sample = if (trainSampleMod > 1)
-      cN.filter(col(idCol) % trainSampleMod === 0) else cN
-    val (_, trainErr) = Similarity.meanPqError(sample, coarse, books,
-      residual, idCol, vecCol)
+    // drift baseline: mean squared reconstruction error of the WHOLE
+    // encoded corpus, observed DURING the codes write (error decoded from
+    // the just-assigned codes + a CollectMetrics node — zero extra jobs,
+    // zero extra corpus reads), persisted so driftStats can compare
+    // future deltas against what the index achieved at build time
+    val obs = org.apache.spark.sql.Observation("pq_train_err")
+    val instant = codesT.bulkInsert(enc
+      .observe(obs, avg(col("_err")).as("err"))
+      .select(col("neighbor_id").as("vec_id"), col("cid"), col("codes")))
+    val trainErr = obs.get.get("err") match {
+      case Some(v: java.lang.Double) => v.doubleValue
+      case _ => 0.0
+    }
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "ivfpq_meta.json"),
       (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}",""" +
@@ -125,14 +129,15 @@ object AnnIndex {
     * squared PQ reconstruction error of `vectors` (typically the latest
     * ingest delta, or an id-strided corpus sample) under the PERSISTED
     * centroids + codebooks, against the build-time baseline the meta file
-    * records. [[upsertIvfPq]] documents the FAISS trade — codebooks
-    * trained before the delta existed quantize it worse — and this is the
-    * statistic that says WHEN the rebuild is warranted: `ratio` near 1
-    * means the delta still matches the training distribution; a
-    * sustained climb means recall is silently decaying and the index
-    * should be rebuilt. One sample-scale map pass + scalar aggregate —
-    * never a corpus or index scan. `trainErr`/`ratio` are None for a
-    * pre-baseline (v1/early-v2) index. */
+    * records (the whole encoded corpus's mean error, observed for free
+    * during the build's codes write). [[upsertIvfPq]] documents the FAISS
+    * trade — codebooks trained before the delta existed quantize it
+    * worse — and this is the statistic that says WHEN the rebuild is
+    * warranted: `ratio` near 1 means the delta still matches the training
+    * distribution; a sustained climb means recall is silently decaying
+    * and the index should be rebuilt. One delta-scale map pass + scalar
+    * aggregate — never a corpus or index scan. `trainErr`/`ratio` are
+    * None for a pre-baseline (v1/early-v2) index. */
   def driftStats(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DriftStats = {
     val (coarse, books) = loadTrained(vectors.sparkSession, indexDir)

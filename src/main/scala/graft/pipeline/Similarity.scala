@@ -259,13 +259,33 @@ object Similarity {
     import graft.functions.IvfExprs.nearestCentroids
     val dsub = books(0)(0).length
     books.indices.map { s =>
-      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
       val sub = slice(col(resCol), s * dsub + 1, dsub)
-      val cell = element_at(nearestCentroids(sub, books(s), 1), 1)
-      aggregate(zip_with(sub, element_at(bookLit, cell + 1), (a, b) => {
-        val d = a.cast("double") - b.cast("double"); d * d
-      }), lit(0.0), _ + _)
+      subSqError(books, s, sub,
+        element_at(nearestCentroids(sub, books(s), 1), 1))
     }.reduce(_ + _)
+  }
+
+  /** [[pqSqError]] when the codes are ALREADY assigned (the build's encode
+    * pass): decode each sub-cell by literal lookup instead of recomputing
+    * the nearest centroid — the assigned code IS the nearest cell, so the
+    * two forms are the same number by construction. */
+  private[pipeline] def pqSqErrorFromCodes(books: Array[Array[Array[Float]]],
+      resCol: String, codesCol: String): org.apache.spark.sql.Column = {
+    val dsub = books(0)(0).length
+    books.indices.map { s =>
+      subSqError(books, s, slice(col(resCol), s * dsub + 1, dsub),
+        element_at(col(codesCol), s + 1))
+    }.reduce(_ + _)
+  }
+
+  /** ‖sub − books(s)(cell)‖² with the codebook inlined as a literal. */
+  private def subSqError(books: Array[Array[Array[Float]]], s: Int,
+      sub: org.apache.spark.sql.Column,
+      cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
+    aggregate(zip_with(sub, element_at(bookLit, cell + 1), (a, b) => {
+      val d = a.cast("double") - b.cast("double"); d * d
+    }), lit(0.0), _ + _)
   }
 
   /** Mean squared reconstruction error of `vectors` under an ALREADY-
@@ -364,7 +384,8 @@ object Similarity {
     * bit-identical. `cN` must already be L2-normalized. */
   private[pipeline] def encodeIvfPq(cN: DataFrame, coarse: Array[Array[Float]],
       m: Int, ksub: Int, trainIters: Int, trainSampleMod: Long,
-      residual: Boolean, idCol: String, vecCol: String)
+      residual: Boolean, idCol: String, vecCol: String,
+      errAs: Option[String] = None)
       : (Array[Array[Array[Float]]], DataFrame) = {
     import graft.functions.IvfExprs.nearestCentroids
     val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)
@@ -373,7 +394,8 @@ object Similarity {
       else cN.withColumn("_res", col(vecCol))
     val books = trainPqCodebooks(encSrc, m, ksub, trainIters,
       trainSampleMod, idCol, "_res")
-    (books, assignCodes(cN, coarse, books, residual, idCol, vecCol, "neighbor_id"))
+    (books, assignCodes(cN, coarse, books, residual, idCol, vecCol,
+      "neighbor_id", errAs))
   }
 
   /** Encode vectors against ALREADY-TRAINED centroids + codebooks (one
@@ -382,14 +404,21 @@ object Similarity {
     * must already be L2-normalized. Emits (idAs, cid, codes). */
   private[pipeline] def assignCodes(vN: DataFrame, coarse: Array[Array[Float]],
       books: Array[Array[Array[Float]]], residual: Boolean,
-      idCol: String, vecCol: String, idAs: String): DataFrame = {
+      idCol: String, vecCol: String, idAs: String,
+      errAs: Option[String] = None): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
     val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)
     val src =
       if (residual) vN.withColumn("_res", residualOf(col(vecCol), cid, coarse))
       else vN.withColumn("_res", col(vecCol))
-    src.select(col(idCol).as(idAs), cid.as("cid"),
-      pqCodes(books, "_res").as("codes"))
+    val coded = src.select(col(idCol).as(idAs), cid.as("cid"),
+      pqCodes(books, "_res").as("codes"), col("_res"))
+    // errAs: per-row squared reconstruction error decoded from the JUST-
+    // assigned codes (no second nearest-cell pass) — the build observes
+    // its mean during the codes write as the drift baseline
+    errAs.foldLeft(coded) { (d, e) =>
+      d.withColumn(e, pqSqErrorFromCodes(books, "_res", "codes"))
+    }.drop("_res")
   }
 
   /** The IVF-PQ query side over an ALREADY-ENCODED corpus — shared verbatim
