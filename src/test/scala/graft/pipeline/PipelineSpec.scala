@@ -655,6 +655,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.table.GraftTable.drop(dir)
   }
 
+  test("index tables are lake citizens: clustering re-layout keeps queries bit-identical") {
+    // the LSH probe prunes files via the build's global-sort key ranges and
+    // the IVF probe via cid partitions — both are ADVISORY physics, not
+    // correctness dependencies. Fragment each index with an upsert, then
+    // cluster on a sort that DESTROYS the write-time bucket-range layout:
+    // results must not move by a bit.
+    val vecs = Tables.embeddings(spark, sf)
+    val half = vecs.filter(col("vec_id") % 2 === 0)
+    val rest = vecs.filter(col("vec_id") % 2 === 1)
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val lshDir = java.nio.file.Files.createTempDirectory("graft_lshcl_").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pqcl_").toString
+    try {
+      AnnIndex.buildLsh(half, lshDir, planes = 4, tables = 8)
+      AnnIndex.upsertLsh(lshDir, rest)
+      AnnIndex.buildIvfPq(half, pqDir, nlist = 16)
+      AnnIndex.upsertIvfPq(pqDir, rest)
+      def lshRes() = AnnIndex.queryLsh(lshDir, queries, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def pqRes() = AnnIndex.queryIvfPq(pqDir, vecs, queries, k = 5, nprobe = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val (lsh0, pq0) = (lshRes(), pqRes())
+      assert(graft.table.GraftTable.load(spark, s"$lshDir/buckets")
+        .cluster(Seq("vec_id")).nonEmpty, "clustering must rewrite the index")
+      assert(graft.table.GraftTable.load(spark, s"$pqDir/codes")
+        .cluster(Seq("vec_id")).nonEmpty, "clustering must rewrite the codes")
+      assert(lshRes() === lsh0, "LSH query moved after clustering re-layout")
+      assert(pqRes() === pq0, "IVF-PQ query moved after clustering re-layout")
+    } finally {
+      graft.table.GraftTable.drop(lshDir)
+      graft.table.GraftTable.drop(pqDir)
+    }
+  }
+
   test("rolling fingerprint: stable, content-sensitive, codegen-compatible") {
     val docs = Tables.documents(spark, sf).limit(50)
     val fp1 = docs.select(col("doc_id"), RollingFingerprint(col("text")).as("fp"))
