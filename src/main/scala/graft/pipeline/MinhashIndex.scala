@@ -150,6 +150,56 @@ object MinhashIndex {
     survivors
   }
 
+  /** Repair the index to cover the corpus: band + upsert every corpus doc
+    * whose rows are MISSING from the index. The divergence this heals is
+    * structural in any loop whose checkpoint rides the corpus commit
+    * (a crash between the corpus write and the index refresh means the
+    * batch never replays — [[continuousIngest]]'s restart path), and it
+    * also absorbs an index lagging any out-of-band corpus write. Cost: an
+    * id-only anti-join (corpus ids vs index doc_ids — both single-column,
+    * index-scale) + one delta pass over the MISSING docs' text only; a
+    * consistent pair is a no-op (no commit, returns 0). Returns the
+    * number of docs added. */
+  def reconcile(indexDir: String, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    val spark = corpus.sparkSession
+    val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+      .select(col("doc_id").as(idCol)).distinct()
+    val missing = corpus.join(indexed, Seq(idCol), "left_anti")
+      // ids-scale pin: the frame drives BOTH the emptiness probe and the
+      // upsert — one evaluation of the anti-join
+      .localCheckpoint(true)
+    val n = missing.count()
+    if (n > 0) upsert(indexDir, missing, idCol, textCol)
+    n
+  }
+
+  /** The persisted gate wired into the DeltaStreamer-style continuous
+    * loop ([[graft.streaming.ContinuousIngest]]): each pulled batch is
+    * gated against the index (a TRANSFORM — survivors are what commits to
+    * the curated corpus, with the source checkpoint riding the commit),
+    * and the post-commit hook upserts the survivors' band rows so the
+    * NEXT batch sees them. The gate output is localCheckpoint-pinned, so
+    * the hook never re-evaluates it against the already-refreshed index.
+    * Crash anywhere: the checkpoint rides the corpus commit, so a batch
+    * that committed never replays — the constructor heals the one gap
+    * that leaves (corpus committed, index refresh lost) by running
+    * [[reconcile]] BEFORE the first pull. Compaction/clean/archive
+    * cadence and the services split are ContinuousIngest's own. */
+  def continuousIngest(corpus: GraftTable, indexDir: String,
+      source: () => Option[(String, DataFrame)], tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 5): graft.streaming.ContinuousIngest = {
+    reconcile(indexDir, corpus.snapshot(), idCol, textCol)
+    new graft.streaming.ContinuousIngest(corpus, source,
+      transforms = Seq(batch =>
+        gate(indexDir, corpus.snapshot(), batch, tau, idCol, textCol)
+          .localCheckpoint(true)),
+      compactEvery = compactEvery,
+      onBatchCommitted = (_, survivors) =>
+        if (!survivors.isEmpty) upsert(indexDir, survivors, idCol, textCol))
+  }
+
   /** (doc_id, band, bucket) rows of `docs` under the module's one
     * signature/banding definition. */
   private def bandRows(docs: DataFrame, n: Int, numHashes: Int, bands: Int,

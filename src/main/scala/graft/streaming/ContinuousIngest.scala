@@ -36,7 +36,18 @@ class ContinuousIngest(
     // called with the committed checkpoint AFTER writeBatch succeeds, so
     // an ack-style source is at-least-once with the commit as the ack
     // barrier (replays dedup through the table's upsert key)
-    onCommit: String => Unit = _ => ()
+    onCommit: String => Unit = _ => (),
+    // post-commit hook with the (instant, TRANSFORMED batch) that was just
+    // written — the seam for side state that must follow the table (e.g.
+    // [[graft.pipeline.MinhashIndex]] upserting the committed survivors'
+    // band rows). Runs BEFORE onCommit's source ack. The frame is the
+    // transform output — a transform that localCheckpoints (the gate
+    // wiring does) hands the hook pinned rows, not a recompute. A hook
+    // failure fails the step AFTER the commit: the checkpoint already
+    // rides the commit so the batch will NOT replay — hook consumers must
+    // be reconcilable from table state (MinhashIndex.reconcile is exactly
+    // that repair)
+    onBatchCommitted: (String, DataFrame) => Unit = (_, _) => ()
 ) extends AutoCloseable {
   require(compactEvery >= 0, "compactEvery must be >= 0 (0 = off)")
   transformerSql.foreach(q => require(q.contains("<SRC>"),
@@ -86,8 +97,10 @@ class ContinuousIngest(
     * and re-entrant-free by design — tests drive it directly; [[run]] loops
     * it. */
   def step(): Option[String] = source().map { case (checkpoint, batch) =>
-    val instant = t.writeBatch(transform(batch), operation,
+    val transformed = transform(batch)
+    val instant = t.writeBatch(transformed, operation,
       extra = Map("checkpoint" -> checkpoint))
+    onBatchCommitted(instant, transformed)
     onCommit(checkpoint)
     ingested += 1
     if (compactEvery > 0 && t.config.tableType == MergeOnRead &&

@@ -165,6 +165,68 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("continuous gated ingest: gate rides the loop, index follows commits, restart reconciles") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhing_").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_mhingc_").toString
+    try {
+      val corpus = GraftTable.create(spark, corpusDir,
+        TableConfig("curated", CopyOnWrite, keyFields = Seq("doc_id")))
+      corpus.bulkInsert(seed)
+      MinhashIndex.build(seed, dir, n = 3, numHashes = 32, bands = 8)
+      val novel = docs.filter(col("doc_id") >= 250 && col("doc_id") < 280)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      val copies = seed.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      // batch 2's near-copies of batch 1's novel docs are gated ONLY if the
+      // post-commit hook refreshed the index between the steps
+      val batch1 = copies.unionByName(novel)
+      val batch2 = novel
+        .select((col("doc_id") + 30000).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+        .unionByName(docs.filter(col("doc_id") === 300)
+          .select((col("doc_id") + 40000).as("doc_id"), col("text")))
+      val batches = Iterator(("cp1", batch1), ("cp2", batch2))
+      val ing = MinhashIndex.continuousIngest(corpus, dir,
+        () => if (batches.hasNext) Some(batches.next()) else None,
+        compactEvery = 0)
+      try assert(ing.run(maxCycles = 2, idleMs = 1) === 2) finally ing.close()
+      def corpusIds() = GraftTable.load(spark, corpusDir).snapshot()
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val novelIds = gateRows(novel)
+      val afterTwo = gateRows(seed) ++ novelIds + 40300L
+      assert(corpusIds() === afterTwo,
+        "loop must admit novel docs, gate corpus copies AND batch-1 near-copies")
+      assert(graft.streaming.ContinuousIngest.lastCheckpoint(
+        GraftTable.load(spark, corpusDir)) === Some("cp2"),
+        "source checkpoint must ride the corpus commit")
+      // restart after the checkpoint-rides-commit crash window: corpus has
+      // batch-1 survivors but their index refresh is LOST (simulated via
+      // delete). A fresh loop must reconcile before its first pull, so
+      // their near-copies stay gated instead of being re-admitted.
+      MinhashIndex.delete(dir, novel.select("doc_id"))
+      val batch3 = novel.select((col("doc_id") + 50000).as("doc_id"),
+        concat(col("text"), lit(" graft more")).as("text"))
+      val batches2 = Iterator(("cp3", batch3))
+      val ing2 = MinhashIndex.continuousIngest(
+        GraftTable.load(spark, corpusDir), dir,
+        () => if (batches2.hasNext) Some(batches2.next()) else None,
+        compactEvery = 0)
+      try assert(ing2.run(maxCycles = 1, idleMs = 1) === 1) finally ing2.close()
+      assert(corpusIds() === afterTwo,
+        "reconcile-on-restart must keep lost-refresh survivors gating their near-dups")
+      // and a consistent pair reconciles as a no-op
+      assert(MinhashIndex.reconcile(dir,
+        GraftTable.load(spark, corpusDir).snapshot()) === 0L)
+    } finally {
+      GraftTable.drop(dir)
+      GraftTable.drop(corpusDir)
+    }
+  }
+
   test("commitRows serves build counts from write stats, not a table scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cr_").toString
