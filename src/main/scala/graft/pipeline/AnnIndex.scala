@@ -84,23 +84,33 @@ object AnnIndex {
       case Some(v: java.lang.Double) => v.doubleValue
       case _ => 0.0
     }
+    // a NaN/Infinity mean (one poisoned embedding) must not write invalid
+    // JSON that bricks every later read of the index — such a build simply
+    // records no baseline (driftStats reports it as pre-baseline)
+    val errField =
+      if (java.lang.Double.isFinite(trainErr)) s""","train_err":$trainErr"""
+      else ""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "ivfpq_meta.json"),
-      (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}",""" +
-        s""""train_err":$trainErr}""").getBytes("UTF-8"))
+      (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"""" +
+        s"""$errField}""").getBytes("UTF-8"))
     // indexed-row count from the commit's write stats — no corpus-scale
     // read-back of the table we just wrote
     codesT.commitRows(instant)
   }
 
+  /** The parsed meta file, or None for a pre-meta (v1) index — ONE read
+    * serving both the encoding flag and the drift baseline. */
+  private def ivfPqMeta(indexDir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p)))
+  }
+
   /** Whether `indexDir` holds residual-encoded codes: v2 meta says;
     * a missing meta file IS the v1 raw-vector format. */
-  private def ivfPqResidual(indexDir: String): Boolean = {
-    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
-    java.nio.file.Files.exists(p) &&
-      graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p))
-        .path("encoding").asText == "residual"
-  }
+  private def ivfPqResidual(indexDir: String): Boolean =
+    ivfPqMeta(indexDir).exists(_.path("encoding").asText == "residual")
 
   /** Incremental index refresh — the operational complement of
     * [[buildIvfPq]] (FAISS's add()/remove-and-re-add shape): encode new
@@ -136,27 +146,30 @@ object AnnIndex {
     * warranted: `ratio` near 1 means the delta still matches the training
     * distribution; a sustained climb means recall is silently decaying
     * and the index should be rebuilt. One delta-scale map pass + scalar
-    * aggregate — never a corpus or index scan. `trainErr`/`ratio` are
-    * None for a pre-baseline (v1/early-v2) index. */
+    * aggregate — never a corpus or index scan. `trainMeanSqError` and
+    * `ratio` are None only for a pre-baseline index (v1/early-v2, or a
+    * build whose mean was non-finite); a legitimate ZERO baseline (PQ
+    * reconstructs the build corpus exactly) still signals — any delta
+    * error above it reads as ratio ∞, never as "no baseline". */
   def driftStats(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DriftStats = {
+    val meta = ivfPqMeta(indexDir)
+    val residual = meta.exists(_.path("encoding").asText == "residual")
     val (coarse, books) = loadTrained(vectors.sparkSession, indexDir)
     val (n, err) = Similarity.meanPqError(vectors, coarse, books,
-      ivfPqResidual(indexDir), idCol, vecCol)
-    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
-    val trainErr =
-      if (!java.nio.file.Files.exists(p)) None
-      else {
-        val node = graft.table.Json.mapper
-          .readTree(java.nio.file.Files.readAllBytes(p)).path("train_err")
-        if (node.isMissingNode) None else Some(node.asDouble)
-      }
-    DriftStats(n, err, trainErr,
-      trainErr.filter(_ > 0).map(t => err / t))
+      residual, vecCol)
+    val trainErr = meta.map(_.path("train_err"))
+      .filter(!_.isMissingNode).map(_.asDouble)
+    DriftStats(n, err, trainErr, trainErr.map { t =>
+      if (t > 0) err / t
+      else if (err == 0) 1.0
+      else Double.PositiveInfinity
+    })
   }
 
   /** [[driftStats]] result: `ratio` = meanSqError / trainMeanSqError —
-    * the rebuild signal (None when the index predates the baseline). */
+    * the rebuild signal (None when the index predates the baseline;
+    * ∞ when a zero baseline meets nonzero delta error). */
   case class DriftStats(n: Long, meanSqError: Double,
       trainMeanSqError: Option[Double], ratio: Option[Double])
 

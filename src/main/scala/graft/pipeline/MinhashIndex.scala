@@ -157,20 +157,25 @@ object MinhashIndex {
     * batch never replays — [[continuousIngest]]'s restart path), and it
     * also absorbs an index lagging any out-of-band corpus write. Cost: an
     * id-only anti-join (corpus ids vs index doc_ids — both single-column,
-    * index-scale) + one delta pass over the MISSING docs' text only; a
-    * consistent pair is a no-op (no commit, returns 0). Returns the
-    * number of docs added. */
+    * COLUMN-PRUNED scans), and only when something is missing, one text
+    * pass semi-joined to the missing ids; the consistent pair — every
+    * clean restart — never reads a byte of text and is a no-op (no
+    * commit, returns 0). Returns the number of docs added. */
   def reconcile(indexDir: String, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val spark = corpus.sparkSession
     val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
       .select(col("doc_id").as(idCol)).distinct()
-    val missing = corpus.join(indexed, Seq(idCol), "left_anti")
-      // ids-scale pin: the frame drives BOTH the emptiness probe and the
-      // upsert — one evaluation of the anti-join
+    // id-ONLY anti-join first (a column-pruned scan — the consistent
+    // case, every loop restart, never touches corpus text), pinned so the
+    // emptiness probe and the text semi-join share one evaluation
+    val missingIds = corpus.select(col(idCol))
+      .join(indexed, Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    val n = missing.count()
-    if (n > 0) upsert(indexDir, missing, idCol, textCol)
+    val n = missingIds.count()
+    if (n > 0)
+      upsert(indexDir, corpus.join(missingIds, Seq(idCol), "left_semi"),
+        idCol, textCol)
     n
   }
 

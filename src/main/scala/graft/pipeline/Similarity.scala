@@ -290,12 +290,14 @@ object Similarity {
 
   /** Mean squared reconstruction error of `vectors` under an ALREADY-
     * TRAINED (coarse, books) pair — one map pass + a scalar aggregate,
-    * no shuffle beyond the final combine. Shared by the build (baseline
-    * on the training sample) and [[AnnIndex.driftStats]] (delta probe),
-    * so the two numbers are the same statistic by construction. */
+    * no shuffle beyond the final combine. [[AnnIndex.driftStats]]'s delta
+    * probe; the same per-row statistic the build observes over the whole
+    * encoded corpus via [[pqSqErrorFromCodes]] during its codes write
+    * (nearest cell ≡ assigned code, so the two forms agree by
+    * construction). */
   private[pipeline] def meanPqError(vectors: DataFrame,
       coarse: Array[Array[Float]], books: Array[Array[Array[Float]]],
-      residual: Boolean, idCol: String, vecCol: String): (Long, Double) = {
+      residual: Boolean, vecCol: String): (Long, Double) = {
     import graft.functions.IvfExprs.nearestCentroids
     val vN = l2normalize(vectors, vecCol)
     val cid = element_at(nearestCentroids(col(vecCol), coarse, 1), 1)

@@ -562,6 +562,35 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.table.GraftTable.drop(dir)
   }
 
+  test("driftStats zero baseline still signals: ratio reads infinite, not None") {
+    // a legitimately-zero recorded baseline (PQ reconstructed the build
+    // corpus exactly) must not read as "no baseline": nonzero delta error
+    // over it is an INFINITE ratio (rebuild now). The interpretation is
+    // what's under test, so the meta file is rewritten with the zero —
+    // training a genuinely zero-error index is fixture-hostile (duplicate
+    // k-means seeds keep cells merged).
+    val vecs = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift0_").toString
+    try {
+      AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
+      val meta = java.nio.file.Paths.get(dir, "ivfpq_meta.json")
+      val zeroed = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
+        .replaceAll(""""train_err":[0-9.Ee+-]+""", "\"train_err\":0.0")
+      java.nio.file.Files.write(meta, zeroed.getBytes("UTF-8"))
+      val on = AnnIndex.driftStats(dir, vecs)
+      assert(on.trainMeanSqError.contains(0.0))
+      assert(on.meanSqError > 0)
+      assert(on.ratio.contains(Double.PositiveInfinity),
+        s"zero baseline + nonzero error must read infinite, got ${on.ratio}")
+      // and a baseline-less meta (the non-finite-mean build path) is the
+      // only shape that reads None
+      val noBase = zeroed.replaceAll(""","train_err":0.0""", "")
+      java.nio.file.Files.write(meta, noBase.getBytes("UTF-8"))
+      val pre = AnnIndex.driftStats(dir, vecs)
+      assert(pre.trainMeanSqError.isEmpty && pre.ratio.isEmpty)
+    } finally graft.table.GraftTable.drop(dir)
+  }
+
   test("persisted IVF-PQ: delete is the takedown path — removed vectors never surface") {
     import spark.implicits._
     val vecs = Tables.embeddings(spark, sf)
