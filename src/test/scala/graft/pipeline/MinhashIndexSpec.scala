@@ -227,6 +227,27 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("consistent reconcile never evaluates corpus text: poisoned column proves pruning") {
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhrec_").toString
+    try {
+      MinhashIndex.build(seed, dir, n = 3, numHashes = 32, bands = 8)
+      // text that THROWS if any plan evaluates it: the consistent path's
+      // id-only anti-join must prune the column away entirely
+      val poisoned = seed.select(col("doc_id"),
+        raise_error(lit("reconcile read text on the consistent path"))
+          .cast("string").as("text"))
+      assert(MinhashIndex.reconcile(dir, poisoned) === 0L)
+      // and the repair path DOES read text — but only after the id-only
+      // probe found something missing
+      import spark.implicits._
+      MinhashIndex.delete(dir, Seq(7L).toDF("doc_id"))
+      assert(MinhashIndex.reconcile(dir, seed) === 1L)
+      assert(MinhashIndex.reconcile(dir, seed) === 0L, "repair must converge")
+    } finally GraftTable.drop(dir)
+  }
+
   test("commitRows serves build counts from write stats, not a table scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cr_").toString

@@ -14,6 +14,44 @@ class ContinuousIngestSpec extends AnyFunSuite {
 
   private def tmp(): String = Files.createTempDirectory("graft_ci_").toString
 
+  test("onBatchCommitted: hook sees the transformed batch post-commit; a hook failure fails the step AFTER the commit") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("ci_hook", CopyOnWrite,
+      keyFields = Seq("o_orderkey")))
+    val batch = Tables.orders(spark, sf).filter(col("o_orderkey") < 100)
+      .select("o_orderkey", "o_totalprice")
+    var hookSeen: Option[(String, Long)] = None
+    var src1 = List(("cp1", batch))
+    val ok = new ContinuousIngest(t,
+      () => src1.headOption.map { b => src1 = src1.tail; b },
+      transforms = Seq(_.withColumn("o_totalprice", lit(0L))),
+      compactEvery = 0,
+      onBatchCommitted = (instant, df) => hookSeen = Some((instant, df.count())))
+    try {
+      val instant = ok.step()
+      assert(instant.isDefined)
+      // the hook received the TRANSFORM OUTPUT (post-SQL), tied to the commit
+      assert(hookSeen.map(_._1) === instant, "hook instant must be the commit's")
+      assert(hookSeen.map(_._2) === Some(batch.count()))
+    } finally ok.close()
+    // a throwing hook fails the step, but the commit (and its checkpoint)
+    // already landed — the documented contract hook consumers reconcile from
+    var src2 = List(("cp2", batch.withColumn("o_orderkey", col("o_orderkey") + 1000)))
+    val bad = new ContinuousIngest(t,
+      () => src2.headOption.map { b => src2 = src2.tail; b },
+      compactEvery = 0,
+      onBatchCommitted = (_, _) => sys.error("hook down"))
+    try {
+      val before = t.snapshot().count()
+      intercept[RuntimeException](bad.step())
+      assert(GraftTable.load(spark, dir).snapshot().count() === before + batch.count(),
+        "the commit must precede (and survive) the hook failure")
+      assert(ContinuousIngest.lastCheckpoint(GraftTable.load(spark, dir)) ===
+        Some("cp2"), "checkpoint rides the commit, so the batch never replays")
+    } finally bad.close()
+    GraftTable.drop(dir)
+  }
+
   test("ingest loop: batches land exactly once, checkpoint resumes, compaction keeps up") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("ci_t", MergeOnRead,
