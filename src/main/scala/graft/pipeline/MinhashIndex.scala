@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
  *   - `buckets` (bucket, doc_id, band) — `bands` rows per corpus document,
  *     partitioned by band (bounded: `bands` partitions) and GLOBAL-SORTED
  *     on (bucket, doc_id), the same posture as [[AnnIndex.buildLsh]]: each
- *     file within a band partition covers a disjoint bucket range, so
- *     key-range stats prune a probe to the few colliding files.
+ *     file within a band partition covers a disjoint bucket range, and
+ *     [[gate]]'s small-batch branch pushes the batch's probed
+ *     (band, bucket) pairs into the scan, so file stats prune the probe
+ *     to the few colliding files.
  *
  * The banding parameters (n, numHashes, bands) ride in a meta file so a
  * gate can't silently probe with mismatched shingling. Signatures and
@@ -45,15 +47,19 @@ object MinhashIndex {
     * index-scale read-back. */
   def build(corpus: DataFrame, indexDir: String, n: Int = 3,
       numHashes: Int = 32, bands: Int = 8, idCol: String = "doc_id",
-      textCol: String = "text"): Long = {
+      textCol: String = "text", targetFileSizeRows: Int = 100000): Long = {
     val spark = corpus.sparkSession
     val t = GraftTable.create(spark, s"$indexDir/buckets",
       TableConfig("minhash_buckets", CopyOnWrite,
         keyFields = Seq("bucket", "doc_id"),
         partitioning = PartitionByColumns(Seq("band")),
-        targetFileSizeRows = 100000))
+        targetFileSizeRows = targetFileSizeRows))
+    // range on the RAW (bucket, doc_id) columns, not the record-key
+    // string: the gate probes the numeric bucket column, and decimal
+    // string slicing would leave its per-file numeric stats useless
     val instant = t.bulkInsert(bandRows(corpus, n, numHashes, bands,
-      idCol, textCol), sortMode = "global_sort")
+      idCol, textCol), sortMode = "global_sort",
+      sortCols = Seq("bucket", "doc_id"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "minhash_meta.json"),
       s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
@@ -114,18 +120,74 @@ object MinhashIndex {
     * survivor selection are shared code. The corpus contributes only (a)
     * this table's (bucket, doc_id) rows on the candidate join and (b) its
     * text for CANDIDATE docs on the verification semi-join — no full
-    * corpus shingle or signature pass exists in any plan. The index is
-    * authoritative for the corpus's membership in band space: a corpus doc
-    * not yet upserted here is invisible to the gate until refreshed. */
+    * corpus shingle or signature pass exists in any plan.
+    *
+    * Size-aware probe (the [[AnnIndex.queryLsh]] shape): a SMALL batch —
+    * judged by the same plan-time estimate every ANN query side uses —
+    * collects its own probed (band, bucket) pairs (|batch|·bands rows,
+    * driver-tiny, hard-capped) and pushes the per-band disjunction
+    * `(band=b AND bucket IN (b's buckets)) OR …` into the index scan, so
+    * the build's global (bucket, doc_id) sort turns key-range file stats
+    * into file pruning: a trickle batch against a many-file index reads
+    * ~one file per probed pair, not the whole table (see [[indexBands]]
+    * for why the pairing must ride the predicate). A LARGE batch keeps
+    * the full-scan shuffle join (its probe set would be as big as the
+    * index). Outputs are bit-identical either way — pruning only drops
+    * (band, bucket) rows the candidate equi-join could never match;
+    * `probeBuckets` overrides the estimate like `broadcastQueries` does
+    * for ANN.
+    *
+    * The index is authoritative for the corpus's membership in band
+    * space: a corpus doc not yet upserted here is invisible to the gate
+    * until refreshed. */
   def gate(indexDir: String, existing: DataFrame, batch: DataFrame,
       tau: Double = 0.5, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val spark = batch.sparkSession
+      textCol: String = "text",
+      probeBuckets: Option[Boolean] = None): DataFrame = {
     val (n, numHashes, bands) = meta(indexDir)
-    val cBands = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
-      .select(col("doc_id").as(idCol), col("band"), col("bucket"))
     Dedup.minhashIncremental(existing, batch, n, numHashes, bands, tau,
-      idCol, textCol, existingBands = Some(cBands))
+      idCol, textCol,
+      existingBands = Some(indexBands(indexDir, batch, n, numHashes,
+        bands, idCol, textCol, probeBuckets)))
+  }
+
+  /** The corpus side of the gate's candidate join: the persisted buckets
+    * snapshot, pruned — when the batch is small — to the batch's own
+    * probed (band, bucket) pairs. The probe set is computed from the FULL
+    * batch (a superset of the within-batch-deduped side the join actually
+    * uses), so pruning can never drop a matchable row: bit-identical by
+    * construction.
+    *
+    * The pushed predicate is [[Similarity.probePairPredicate]]'s
+    * per-band disjunction — see there for why the (band, bucket) pairing
+    * must ride the predicate itself (a raw bucket-only InSet barely
+    * skips anything under uniform 64-bit buckets). Files read ≈ probed
+    * pairs, not pairs × bands. Factored out so the pruning spec can pin
+    * files-read ≪ files-total on exactly the frame the gate joins. */
+  private[pipeline] def indexBands(indexDir: String, batch: DataFrame,
+      n: Int, numHashes: Int, bands: Int, idCol: String, textCol: String,
+      probeBuckets: Option[Boolean]): DataFrame = {
+    val base = GraftTable.load(batch.sparkSession, s"$indexDir/buckets")
+      .snapshot()
+      .select(col("doc_id").as(idCol), col("band"), col("bucket"))
+    // the probe's driver footprint is |batch|·bands (int, long) pairs —
+    // estimate on the id projection, not the text-carrying batch frame
+    // (text bytes would overstate the probe ~100× and never prune)
+    if (!Similarity.queryBroadcastDecision(batch.select(col(idCol)), bands,
+        probeBuckets)) base
+    else {
+      // one batch-scale signature pass (the gate re-shingles the batch
+      // anyway) collapsed to a driver-tiny distinct pair set; the
+      // limit(cap+1) probe bounds the collect no matter what the
+      // plan-time estimate claimed (the HotInlineCap posture)
+      val pairs = bandRows(batch, n, numHashes, bands, idCol, textCol)
+        .select(col("band"), col("bucket")).distinct()
+        .limit(Similarity.ProbePairCap + 1).collect()
+      if (pairs.length > Similarity.ProbePairCap) base
+      else if (pairs.isEmpty) base.filter(lit(false)) // nothing to collide
+      else base.filter(Similarity.probePairPredicate(
+        pairs.toSeq.map(r => (r.getInt(0), r.getLong(1))), "band", "bucket"))
+    }
   }
 
   /** One crawl-loop step: gate `batch` against the index, upsert the
@@ -157,13 +219,19 @@ object MinhashIndex {
     * batch never replays — [[continuousIngest]]'s restart path), and it
     * also absorbs an index lagging any out-of-band corpus write. Cost: an
     * id-only anti-join (corpus ids vs index doc_ids — both single-column,
-    * COLUMN-PRUNED scans), and only when something is missing, one text
-    * pass semi-joined to the missing ids; the consistent pair — every
-    * clean restart — never reads a byte of text and is a no-op (no
-    * commit, returns 0). Returns the number of docs added. */
+    * COLUMN-PRUNED scans), and only when that probe finds ids missing, one
+    * text pass semi-joined to THOSE ids; a consistent pair — every clean
+    * restart of a fully-bandable corpus — never reads a byte of text and
+    * is a no-op (no commit, returns 0). UN-bandable docs (shorter than
+    * `n` tokens, whitespace-only, null — zero shingle windows, so no
+    * band rows CAN exist for them) are excluded on the repair path: they
+    * are structurally absent from the index, not missing, and counting
+    * them would re-run an empty upsert on every restart forever. Returns
+    * the number of docs actually added. */
   def reconcile(indexDir: String, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val spark = corpus.sparkSession
+    val (n, _, _) = meta(indexDir)
     val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
       .select(col("doc_id").as(idCol)).distinct()
     // id-ONLY anti-join first (a column-pruned scan — the consistent
@@ -172,11 +240,16 @@ object MinhashIndex {
     val missingIds = corpus.select(col(idCol))
       .join(indexed, Seq(idCol), "left_anti")
       .localCheckpoint(true)
-    val n = missingIds.count()
-    if (n > 0)
-      upsert(indexDir, corpus.join(missingIds, Seq(idCol), "left_semi"),
-        idCol, textCol)
-    n
+    if (missingIds.isEmpty) return 0L
+    // repair path only: read text for just the missing ids and keep the
+    // docs that actually band — the SAME windowing kernel the build uses,
+    // so "bandable" here is by construction "produces index rows"
+    val addable = corpus.join(missingIds, Seq(idCol), "left_semi")
+      .filter(size(graft.functions.ShingleHashes(col(textCol), n)) > 0)
+      .localCheckpoint(true)
+    val added = addable.count()
+    if (added > 0) upsert(indexDir, addable, idCol, textCol)
+    added
   }
 
   /** The persisted gate wired into the DeltaStreamer-style continuous

@@ -54,6 +54,31 @@ object Similarity {
       threshold > 0 && est <= BigInt(threshold)
     }
 
+  /** ONE probe-predicate shape for every persisted bucket index
+    * ([[AnnIndex.queryLsh]]'s (table, bucket), [[MinhashIndex]]'s
+    * (band, bucket)): the per-partition disjunction
+    * `(part=p AND bucket IN (p's buckets)) OR …`. The pairing must ride
+    * the PREDICATE, not just the later equi-join: a raw bucket-only InSet
+    * is stats-tested against every partition's files, so with uniformly
+    * distributed hash buckets each value may-match ~one file per
+    * (value, partition) — barely any skipping — while here the
+    * materialized partition column's [p, p] file stats kill every
+    * wrong-partition branch and each bucket value then lands in ~one
+    * file of that partition's bucket-range sort. */
+  /** Hard cap on a pushed probe predicate's pair count: beyond it the
+    * expression tree stops paying for itself (the plan-time may-match
+    * walk visits every node per candidate file) and callers keep the
+    * full-scan shuffle join. 4096 pairs = a 512-doc batch at 8 bands, or
+    * 512 query vectors at 8 hash tables — well past any trickle probe. */
+  private[pipeline] val ProbePairCap = 4096
+
+  private[pipeline] def probePairPredicate(pairs: Seq[(Int, Long)],
+      partCol: String, bucketCol: String): org.apache.spark.sql.Column =
+    pairs.groupBy(_._1).map { case (p, ps) =>
+      col(partCol) === p &&
+        col(bucketCol).isin(ps.map(x => Long.box(x._2)): _*)
+    }.reduce(_ || _)
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors (self-pairs excluded). Small query sets ride broadcast so
     * the corpus never shuffles; a corpus-sized query frame falls back to

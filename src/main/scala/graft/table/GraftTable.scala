@@ -1708,14 +1708,28 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     *     the right on-ramp layout for a large keyed table.
     *   The reference's PARTITION_SORT has no separate graft mode: files are
     *   always key-sorted internally by the staged write. Ignored for
-    *   bucket-index tables (the bucket hash IS the layout invariant). */
+    *   bucket-index tables (the bucket hash IS the layout invariant).
+    * @param sortCols global_sort range columns overriding the record-key
+    *   STRING. The string key range-slices lexicographically — fine for
+    *   tagging (keys compare as strings everywhere) but useless for a
+    *   NUMERIC probe column whose decimal rendering interleaves
+    *   magnitudes ("2" > "10"): per-file numeric [min,max] then overlap
+    *   wall-to-wall and stats pruning dies. An index table probed by a
+    *   numeric column (MinhashIndex/AnnIndex bucket tables) ranges on the
+    *   raw columns instead: tight disjoint numeric ranges per file, and
+    *   upsert tagging falls back to the bloom sidecars it writes anyway. */
   def bulkInsert(df: DataFrame, sortMode: String = "hash",
-      extra: Map[String, String] = Map.empty): String = {
+      extra: Map[String, String] = Map.empty,
+      sortCols: Seq[String] = Nil): String = {
     require(Set("hash", "global_sort")(sortMode),
       s"unknown bulk-insert sort mode '$sortMode' (hash | global_sort)")
+    require(sortCols.isEmpty || sortMode == "global_sort",
+      "sortCols applies to global_sort only")
     writeBatch(df, "bulk_insert",
       extra = extra ++ (if (sortMode == "hash") Map.empty
-                        else Map("sort.mode" -> sortMode)))
+                        else Map("sort.mode" -> sortMode) ++
+                          (if (sortCols.isEmpty) Map.empty
+                           else Map("sort.cols" -> sortCols.mkString(",")))))
   }
 
   /** Insert with precombine dedup and small-file bin-packing; does not
@@ -1862,8 +1876,14 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
           batchRows = total
           val nFiles = math.max(1,
             math.ceil(total.toDouble / config.targetFileSizeRows)).toInt
+          // range columns: the record-key string by default; explicit raw
+          // columns when the caller's probe column is numeric (see
+          // bulkInsert's sortCols doc — decimal strings interleave
+          // magnitudes, so string slicing leaves numeric stats useless)
+          val rangeCols = extra.get("sort.cols")
+            .map(_.split(',').toSeq.map(col)).getOrElse(Seq(col(KEY)))
           val ranged = cached
-            .repartitionByRange(nFiles, col(PART), col(KEY))
+            .repartitionByRange(nFiles, (col(PART) +: rangeCols): _*)
             .withColumn(FILE_ID,
               format_string(s"g$instant-r%05d", spark_partition_id()))
           (ranged.filter(!col(DELETED)), Set.empty[String], Set.empty[String],

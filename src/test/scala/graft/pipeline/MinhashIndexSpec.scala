@@ -248,6 +248,82 @@ class MinhashIndexSpec extends AnyFunSuite {
     } finally GraftTable.drop(dir)
   }
 
+  test("small-batch gate pushes its probed buckets: files read << files total, output bit-identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Tables.documents(spark, sf)
+    val existing = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhprobe_").toString
+    try {
+      // tiny files force a many-file layout: ~150 rows per band partition
+      // at 10 rows/file ≈ 15 files per band × 8 bands ≈ 120 files
+      MinhashIndex.build(existing, dir, n = 3, numHashes = 32, bands = 8,
+        targetFileSizeRows = 10)
+      val batch = docs.filter(col("doc_id") === 7 || col("doc_id") === 42)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" graft extra")).as("text"))
+      def filesRead(probe: Option[Boolean]): Long = {
+        val frame = MinhashIndex.indexBands(dir, batch, 3, 32, 8,
+          "doc_id", "text", probe)
+        frame.collect()
+        frame.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.metrics("numFiles").value
+        }.sum
+      }
+      val total = filesRead(Some(false))
+      val pruned = filesRead(Some(true))
+      assert(total >= 80, s"fixture must be many-file (got $total)")
+      // 2 docs × 8 bands = ≤16 probed (band, bucket) pairs; the per-band
+      // disjunction means ~1 colliding file per pair — far under the
+      // full scan (a raw bucket-only InSet would touch ~1 file per
+      // (value, band) = ~every file, which is why the pairing must ride
+      // the pushed predicate)
+      assert(pruned <= 16 && pruned * 4 < total,
+        s"probe must prune files: read $pruned of $total")
+      // and the DEFAULT branch prunes for a trickle batch too
+      assert(filesRead(None) === pruned,
+        "size-aware default must take the pruned branch for a small batch")
+      // pruning is physics, not semantics: outputs bit-identical both ways
+      val g1 = gateRows(MinhashIndex.gate(dir, existing, batch,
+        probeBuckets = Some(true)))
+      val g2 = gateRows(MinhashIndex.gate(dir, existing, batch,
+        probeBuckets = Some(false)))
+      assert(g1 === g2, "pruned gate diverged from the full-scan gate")
+      assert(g1.isEmpty, "near-copies of indexed docs must be gated")
+      // novel docs survive through the pruned path as well
+      val novel = docs.filter(col("doc_id") >= 250 && col("doc_id") < 255)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+      assert(gateRows(MinhashIndex.gate(dir, existing, novel,
+        probeBuckets = Some(true))) ===
+        gateRows(novel.toDF()), "novel docs must pass the pruned gate")
+    } finally GraftTable.drop(dir)
+  }
+
+  test("un-bandable corpus docs are structurally absent, not missing: reconcile converges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val seed = docs.filter(col("doc_id") < 150).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhub_").toString
+    try {
+      MinhashIndex.build(seed, dir, n = 3, numHashes = 32, bands = 8)
+      // docs with < n tokens, whitespace-only and null text produce ZERO
+      // shingle windows — no band rows can exist for them
+      val unbandable = Seq((90001L, "two words"), (90002L, "   "),
+        (90003L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val corpus = seed.unionByName(unbandable)
+      val t = GraftTable.load(spark, s"$dir/buckets")
+      val commitsBefore = t.timeline.completed().size
+      assert(MinhashIndex.reconcile(dir, corpus) === 0L,
+        "un-bandable docs must not count as missing")
+      assert(MinhashIndex.reconcile(dir, corpus) === 0L, "must stay 0 on replay")
+      assert(t.timeline.completed().size === commitsBefore,
+        "a converged reconcile must not write empty upsert commits")
+      // a REAL gap still heals with the un-bandable docs present
+      MinhashIndex.delete(dir, Seq(7L).toDF("doc_id"))
+      assert(MinhashIndex.reconcile(dir, corpus) === 1L)
+      assert(MinhashIndex.reconcile(dir, corpus) === 0L, "repair must converge")
+    } finally GraftTable.drop(dir)
+  }
+
   test("commitRows serves build counts from write stats, not a table scan") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cr_").toString
