@@ -45,6 +45,21 @@ object AnnIndex {
       m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
       trainSampleMod: Long = 1, idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = true): Long = {
+    val (count, trainErr) = buildIvfPqTables(corpus, indexDir, nlist, m,
+      ksub, trainIters, trainSampleMod, idCol, vecCol, residual)
+    writeIvfPqMeta(indexDir, residual, trainErr, dir = None)
+    count
+  }
+
+  /** Train + encode + land the three index tables under `tablesRoot`.
+    * Shared by [[buildIvfPq]] (tables at the index root) and
+    * [[rebuildIvfPq]] (tables in a fresh version subdir) — one build
+    * definition, so a rebuilt index is a fresh build by construction.
+    * Returns (indexed vectors, build mean-sq reconstruction error —
+    * NaN when unmeasurable). */
+  private def buildIvfPqTables(corpus: DataFrame, tablesRoot: String,
+      nlist: Int, m: Int, ksub: Int, trainIters: Int, trainSampleMod: Long,
+      idCol: String, vecCol: String, residual: Boolean): (Long, Double) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cN = Similarity.l2normalize(corpus, vecCol)
@@ -55,12 +70,12 @@ object AnnIndex {
     val (books, enc) = Similarity.encodeIvfPq(cN, coarse, m, ksub,
       trainIters, trainSampleMod, residual, idCol, vecCol,
       errAs = Some("_err"))
-    val centroidsT = GraftTable.create(spark, s"$indexDir/centroids",
+    val centroidsT = GraftTable.create(spark, s"$tablesRoot/centroids",
       TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
     centroidsT.bulkInsert(
       coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("cid", "vec"))
-    val codebooksT = GraftTable.create(spark, s"$indexDir/codebooks",
+    val codebooksT = GraftTable.create(spark, s"$tablesRoot/codebooks",
       TableConfig("ann_codebooks", CopyOnWrite, keyFields = Seq("sub", "cell")))
     codebooksT.bulkInsert(
       books.zipWithIndex.flatMap { case (book, s) =>
@@ -68,7 +83,7 @@ object AnnIndex {
       }.toSeq.toDF("sub", "cell", "vec"))
     // codes landed partitioned by cid — the inverted file IS the
     // partition layout
-    val codesT = GraftTable.create(spark, s"$indexDir/codes",
+    val codesT = GraftTable.create(spark, s"$tablesRoot/codes",
       TableConfig("ann_codes", CopyOnWrite, keyFields = Seq("vec_id"),
         partitioning = PartitionByColumns(Seq("cid"))))
     // drift baseline: mean squared reconstruction error of the WHOLE
@@ -76,27 +91,206 @@ object AnnIndex {
     // the just-assigned codes + a CollectMetrics node — zero extra jobs,
     // zero extra corpus reads), persisted so driftStats can compare
     // future deltas against what the index achieved at build time
-    val obs = org.apache.spark.sql.Observation("pq_train_err")
+    val obs = org.apache.spark.sql.Observation()
     val instant = codesT.bulkInsert(enc
       .observe(obs, avg(col("_err")).as("err"))
       .select(col("neighbor_id").as("vec_id"), col("cid"), col("codes")))
     val trainErr = obs.get.get("err") match {
       case Some(v: java.lang.Double) => v.doubleValue
-      case _ => 0.0
+      // a MISSING metric (zero-row write: avg over nothing is null) is not
+      // a zero baseline — zero would read every later nonzero delta as
+      // ratio ∞ ("rebuild now"); NaN routes through the isFinite guard in
+      // writeIvfPqMeta to the honest pre-baseline (None) path
+      case _ => Double.NaN
     }
+    // indexed-row count from the commit's write stats — no corpus-scale
+    // read-back of the table we just wrote
+    (codesT.commitRows(instant), trainErr)
+  }
+
+  /** Persist the index meta — the ONE pointer every reader resolves: the
+    * encoding flag, the drift baseline, and (versioned indexes) the
+    * subdir the live tables occupy. Written to a temp sibling and
+    * atomically renamed over `ivfpq_meta.json`, so a concurrent reader
+    * sees the old complete meta or the new complete meta, never a torn
+    * write — this rename IS [[rebuildIvfPq]]'s commit point. */
+  private def writeIvfPqMeta(indexDir: String, residual: Boolean,
+      trainErr: Double, dir: Option[String]): Unit = {
     // a NaN/Infinity mean (one poisoned embedding) must not write invalid
     // JSON that bricks every later read of the index — such a build simply
     // records no baseline (driftStats reports it as pre-baseline)
     val errField =
       if (java.lang.Double.isFinite(trainErr)) s""","train_err":$trainErr"""
       else ""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexDir, "ivfpq_meta.json"),
+    val dirField = dir.map(d => s""","dir":"$d"""").getOrElse("")
+    val body =
       (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"""" +
-        s"""$errField}""").getBytes("UTF-8"))
-    // indexed-row count from the commit's write stats — no corpus-scale
-    // read-back of the table we just wrote
-    codesT.commitRows(instant)
+        s"""$errField$dirField}""").getBytes("UTF-8")
+    val target = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
+    val tmp = java.nio.file.Paths.get(indexDir, ".ivfpq_meta.json.tmp")
+    java.nio.file.Files.write(tmp, body)
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Directory the live index tables occupy: the meta's `dir` subdir for
+    * a rebuilt (versioned) index, the index root otherwise — resolved
+    * from ONE parsed meta so an operation that already read the meta
+    * can't race a concurrent rebuild into mixing versions. */
+  private def ivfPqRootOf(indexDir: String,
+      meta: Option[com.fasterxml.jackson.databind.JsonNode]): String =
+    meta.map(_.path("dir")).filter(!_.isMissingNode)
+      .map(d => s"$indexDir/${d.asText}").getOrElse(indexDir)
+
+  /** Atomic full rebuild — what acting on [[driftStats]] means: retrain +
+    * re-encode `corpus` into a FRESH version subdir (`v1`, `v2`, …; the
+    * live tables are never touched), then atomically re-point the meta.
+    * Queries running during the rebuild serve the old version end to end
+    * (their one meta read pins it); queries planned after the rename see
+    * the new one — never a half-built mix. The drift baseline resets to
+    * the new build's observed error. Replaces nothing on disk: old
+    * versions stay queryable via their own tables until [[vacuumIvfPq]]
+    * reclaims them. Returns the number of indexed vectors. */
+  def rebuildIvfPq(indexDir: String, corpus: DataFrame, nlist: Int = 16,
+      m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
+      trainSampleMod: Long = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", residual: Boolean = true): Long = {
+    // next version = 1 + highest existing v<N> subdir (NOT the meta's
+    // current pointer: a crashed rebuild leaves an orphan dir that must
+    // never be re-entered — it may hold a half-built table set)
+    val existing = versionDirs(indexDir).map(_.drop(1).toInt)
+      .foldLeft(0)(math.max)
+    val sub = s"v${existing + 1}"
+    val (count, trainErr) = buildIvfPqTables(corpus, s"$indexDir/$sub",
+      nlist, m, ksub, trainIters, trainSampleMod, idCol, vecCol, residual)
+    writeIvfPqMeta(indexDir, residual, trainErr, dir = Some(sub))
+    count
+  }
+
+  /** Reclaim index versions the meta no longer points at — the cleanup
+    * policy [[rebuildIvfPq]] defers (old versions must outlive in-flight
+    * queries; run this on the same cadence as table cleaning). Drops
+    * superseded version subdirs AND the root table set once a versioned
+    * dir is live. Returns the number of table sets dropped. */
+  def vacuumIvfPq(indexDir: String): Int = {
+    val live = ivfPqRootOf(indexDir, ivfPqMeta(indexDir))
+    val staleVersions =
+      versionDirs(indexDir).map(v => s"$indexDir/$v").filterNot(_ == live)
+    // once a versioned dir is live, the pre-rebuild root table set is a
+    // superseded version too
+    val staleRoot =
+      if (live != indexDir && java.nio.file.Files.exists(
+          java.nio.file.Paths.get(indexDir, "codes"))) Seq(indexDir)
+      else Nil
+    val doomed = staleVersions ++ staleRoot
+    doomed.foreach { root =>
+      Seq("centroids", "codebooks", "codes").foreach { t =>
+        val p = java.nio.file.Paths.get(root, t)
+        if (java.nio.file.Files.exists(p)) GraftTable.drop(p.toString)
+      }
+      if (root != indexDir) // version subdir itself (root keeps the meta)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root))
+    }
+    doomed.size
+  }
+
+  /** Repair the IVF-PQ index to cover the corpus — the vector sibling of
+    * [[graft.pipeline.MinhashIndex.reconcile]]: encode + upsert codes for
+    * every corpus vector MISSING from the codes table. The divergence
+    * this heals is structural in any loop whose checkpoint rides the
+    * corpus commit (a crash between the corpus write and the post-commit
+    * [[upsertIvfPq]] means the batch never replays —
+    * [[continuousIngestIvfPq]]'s restart path), and it also absorbs an
+    * index lagging any out-of-band corpus write. Cost: an id-only
+    * anti-join (corpus ids vs codes vec_ids — both single-column,
+    * COLUMN-PRUNED scans; the codes side reads m-byte code rows' ids,
+    * never raw floats), and only when ids are missing, one
+    * delta-scale encode of THOSE vectors. UN-codable rows (null or empty
+    * embedding — no code row CAN exist for them) are excluded on the
+    * repair path so a corpus that permanently carries them still
+    * converges to 0 / no-commit. Returns the number of vectors added. */
+  def reconcileIvfPq(indexDir: String, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val root = ivfPqRootOf(indexDir, ivfPqMeta(indexDir))
+    val indexed = GraftTable.load(spark, s"$root/codes").snapshot()
+      .select(col("vec_id").as(idCol)).distinct()
+    val missingIds = corpus.select(col(idCol))
+      .join(indexed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    if (missingIds.isEmpty) return 0L
+    val addable = corpus.join(missingIds, Seq(idCol), "left_semi")
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .localCheckpoint(true)
+    val added = addable.count()
+    if (added > 0) upsertIvfPq(indexDir, addable, idCol, vecCol)
+    added
+  }
+
+  /** [[reconcileIvfPq]] for the persisted LSH index — same crash window
+    * ([[upsertLsh]] after an external corpus commit), same id-only probe
+    * (here against the buckets table's vec_ids), same un-codable-row
+    * exclusion, same converge-to-no-op contract. */
+  def reconcileLsh(indexDir: String, corpus: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
+    val spark = corpus.sparkSession
+    val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+      .select(col("vec_id").as(idCol)).distinct()
+    val missingIds = corpus.select(col(idCol))
+      .join(indexed, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+    if (missingIds.isEmpty) return 0L
+    val addable = corpus.join(missingIds, Seq(idCol), "left_semi")
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .localCheckpoint(true)
+    val added = addable.count()
+    if (added > 0) upsertLsh(indexDir, addable, idCol, vecCol)
+    added
+  }
+
+  /** The embeddings ingest lane wired the way
+    * [[graft.pipeline.MinhashIndex.continuousIngest]] wires the text
+    * lane: each pulled batch of vectors upserts into the corpus table
+    * (checkpoint riding the commit), and the post-commit hook encodes +
+    * upserts the batch's codes so queries see the new vectors without a
+    * rebuild. Crash semantics are the minhash lane's exactly: a batch
+    * that committed never replays, so the one gap — corpus committed,
+    * codes upsert lost — is healed by running [[reconcileIvfPq]] BEFORE
+    * the first pull; a crashed hook leaves ids ABSENT from the index
+    * (invisible as neighbors, never wrong) until that restart repair. */
+  def continuousIngestIvfPq(corpus: GraftTable, indexDir: String,
+      source: () => Option[(String, DataFrame)],
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      compactEvery: Int = 5): graft.streaming.ContinuousIngest = {
+    reconcileIvfPq(indexDir, corpus.snapshot(), idCol, vecCol)
+    new graft.streaming.ContinuousIngest(corpus, source,
+      // pin the batch so the post-commit hook encodes EXACTLY the rows
+      // that committed, not a re-pull of a possibly-moving source frame
+      transforms = Seq(_.localCheckpoint(true)),
+      compactEvery = compactEvery,
+      onBatchCommitted = (_, batch) => {
+        // the corpus takes every row; the index takes only codable ones
+        // (same exclusion as reconcileIvfPq — no code row can exist for a
+        // null/empty embedding)
+        val codable =
+          batch.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+        if (!codable.isEmpty) upsertIvfPq(indexDir, codable, idCol, vecCol)
+      })
+  }
+
+  /** Names of `v<N>` version subdirs under the index root. */
+  private def versionDirs(indexDir: String): Seq[String] = {
+    val d = java.nio.file.Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(d)) Nil
+    else {
+      val s = java.nio.file.Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("v\\d+")).toList
+      } finally s.close()
+    }
   }
 
   /** The parsed meta file, or None for a pre-meta (v1) index — ONE read
@@ -106,11 +300,6 @@ object AnnIndex {
     if (!java.nio.file.Files.exists(p)) None
     else Some(graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p)))
   }
-
-  /** Whether `indexDir` holds residual-encoded codes: v2 meta says;
-    * a missing meta file IS the v1 raw-vector format. */
-  private def ivfPqResidual(indexDir: String): Boolean =
-    ivfPqMeta(indexDir).exists(_.path("encoding").asText == "residual")
 
   /** Incremental index refresh — the operational complement of
     * [[buildIvfPq]] (FAISS's add()/remove-and-re-add shape): encode new
@@ -126,13 +315,19 @@ object AnnIndex {
   def upsertIvfPq(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
     val spark = vectors.sparkSession
-    val (coarse, books) = loadTrained(spark, indexDir)
+    // ONE meta read pins the version: root, encoding and trained state
+    // all come from it, so a concurrent rebuild can't split this write
+    // across versions
+    val meta = ivfPqMeta(indexDir)
+    val root = ivfPqRootOf(indexDir, meta)
+    val (coarse, books) = loadTrained(spark, root)
     val vN = Similarity.l2normalize(vectors, vecCol)
     // encoding (residual vs raw) comes from the index's versioned meta —
     // a refresh can never mix encodings with the build
     val enc = Similarity.assignCodes(vN, coarse, books,
-      ivfPqResidual(indexDir), idCol, vecCol, "vec_id")
-    GraftTable.load(spark, s"$indexDir/codes").upsertGlobal(enc)
+      meta.exists(_.path("encoding").asText == "residual"),
+      idCol, vecCol, "vec_id")
+    GraftTable.load(spark, s"$root/codes").upsertGlobal(enc)
   }
 
   /** Quantization-drift report for the persisted IVF-PQ index: mean
@@ -146,21 +341,26 @@ object AnnIndex {
     * warranted: `ratio` near 1 means the delta still matches the training
     * distribution; a sustained climb means recall is silently decaying
     * and the index should be rebuilt. One delta-scale map pass + scalar
-    * aggregate — never a corpus or index scan. `trainMeanSqError` and
-    * `ratio` are None only for a pre-baseline index (v1/early-v2, or a
-    * build whose mean was non-finite); a legitimate ZERO baseline (PQ
-    * reconstructs the build corpus exactly) still signals — any delta
+    * aggregate — never a corpus or index scan. `trainMeanSqError` is None
+    * only for a pre-baseline index (v1/early-v2, or a build whose mean was
+    * non-finite); `ratio` is additionally None for an EMPTY probe (nothing
+    * was measured — not "maximally healthy"). A legitimate ZERO baseline
+    * (PQ reconstructs the build corpus exactly) still signals — any delta
     * error above it reads as ratio ∞, never as "no baseline". */
   def driftStats(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DriftStats = {
     val meta = ivfPqMeta(indexDir)
     val residual = meta.exists(_.path("encoding").asText == "residual")
-    val (coarse, books) = loadTrained(vectors.sparkSession, indexDir)
+    val (coarse, books) = loadTrained(vectors.sparkSession,
+      ivfPqRootOf(indexDir, meta))
     val (n, err) = Similarity.meanPqError(vectors, coarse, books,
       residual, vecCol)
     val trainErr = meta.map(_.path("train_err"))
       .filter(!_.isMissingNode).map(_.asDouble)
-    DriftStats(n, err, trainErr, trainErr.map { t =>
+    // an EMPTY probe measured nothing: ratio None (same as pre-baseline),
+    // never 0.0 — a monitoring caller keying rebuilds off ratio must not
+    // read an empty delta as "reconstructing perfectly"
+    DriftStats(n, err, trainErr, if (n == 0) None else trainErr.map { t =>
       if (t > 0) err / t
       else if (err == 0) 1.0
       else Double.PositiveInfinity
@@ -185,7 +385,8 @@ object AnnIndex {
     * instant. */
   def deleteIvfPq(indexDir: String, ids: DataFrame,
       idCol: String = "vec_id"): String = {
-    val t = GraftTable.load(ids.sparkSession, s"$indexDir/codes")
+    val t = GraftTable.load(ids.sparkSession,
+      s"${ivfPqRootOf(indexDir, ivfPqMeta(indexDir))}/codes")
     val doomed = t.snapshot().select("vec_id", "cid")
       .join(ids.select(col(idCol).as("vec_id")).distinct(),
         Seq("vec_id"), "left_semi")
@@ -214,10 +415,13 @@ object AnnIndex {
         keyFields = Seq("bucket", "vec_id"),
         partitioning = PartitionByColumns(Seq("table")),
         targetFileSizeRows = 100000))
+    // range on the RAW (bucket, vec_id) columns — the probe predicate is
+    // numeric, and decimal-string key slicing would wreck its file stats
+    // (see GraftTable.bulkInsert's sortCols doc)
     val instant = t.bulkInsert(
       Similarity.lshBuckets(corpus, planes, tables, idCol, vecCol,
         "vec_id", "vec"),
-      sortMode = "global_sort")
+      sortMode = "global_sort", sortCols = Seq("bucket", "vec_id"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(indexDir, "lsh_meta.json"),
       s"""{"planes":$planes,"tables":$tables}""".getBytes("UTF-8"))
@@ -286,7 +490,7 @@ object AnnIndex {
       "query_id", "q_vec")
     // size-aware like lshTopK (same estimate, same override knob): a
     // corpus-sized query frame shuffle-joins on (table, bucket) instead
-    // of OOMing the driver as a broadcast — and then the bucket InSet
+    // of OOMing the driver as a broadcast — and then the probe-predicate
     // file-pruning below is skipped too (its driver collect has the same
     // |queries|·tables footprint as the broadcast it accompanies)
     val doBroadcast = Similarity.queryBroadcastDecision(
@@ -295,27 +499,33 @@ object AnnIndex {
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
         col("vec").as("c_vec"))
     val enc = if (!doBroadcast) base else {
-      // probed buckets: one tiny driver-side set feeding a plain
-      // `bucket IN (...)` predicate — a RAW-column InSet the scan's
-      // key-range file stats can act on (a composite (table, bucket)
-      // expression would defeat stats pruning); the equi-join right after
-      // enforces the exact (table, bucket) pairing anyway
-      val probed = qb.select(col("bucket")).distinct()
-        .collect().map(_.getLong(0))
-      base.filter(col("bucket").isin(probed.map(Long.box): _*))
+      // probed (table, bucket) pairs: one tiny driver-side set feeding
+      // the shared per-partition disjunction — see
+      // Similarity.probePairPredicate for why the pairing rides the
+      // predicate; the limit probe bounds the collect regardless of what
+      // the plan-time estimate claimed
+      val pairs = qb.select(col("table"), col("bucket")).distinct()
+        .limit(Similarity.ProbePairCap + 1).collect()
+      if (pairs.length > Similarity.ProbePairCap) base
+      else if (pairs.isEmpty) base.filter(lit(false))
+      else base.filter(Similarity.probePairPredicate(
+        pairs.toSeq.map(r => (r.getInt(0), r.getLong(1))), "table", "bucket"))
     }
     Similarity.rankLshCollisions(
       enc.join(if (doBroadcast) broadcast(qb) else qb,
         Seq("table", "bucket")), k)
   }
 
-  /** Load the two metadata-sized tables back as driver arrays. */
-  private def loadTrained(spark: SparkSession, indexDir: String)
+  /** Load the two metadata-sized tables back as driver arrays.
+    * `tablesRoot` is the META-RESOLVED version dir ([[ivfPqRootOf]]), not
+    * the index root — callers resolve once so version reads stay
+    * consistent. */
+  private def loadTrained(spark: SparkSession, tablesRoot: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val coarse = GraftTable.load(spark, s"$indexDir/centroids").snapshot()
+    val coarse = GraftTable.load(spark, s"$tablesRoot/centroids").snapshot()
       .select("cid", "vec").collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray)
-    val rows = GraftTable.load(spark, s"$indexDir/codebooks").snapshot()
+    val rows = GraftTable.load(spark, s"$tablesRoot/codebooks").snapshot()
       .select("sub", "cell", "vec").collect()
     val m = rows.map(_.getInt(0)).max + 1
     val books = Array.tabulate(m)(s =>
@@ -335,7 +545,12 @@ object AnnIndex {
       broadcastQueries: Option[Boolean] = None): DataFrame = {
     import graft.functions.IvfExprs.nearestCentroids
     val spark = corpus.sparkSession
-    val (coarse, books) = loadTrained(spark, indexDir)
+    // ONE meta read pins the version for the whole query: a rebuild that
+    // lands mid-plan re-points the meta, but this query keeps serving the
+    // version it opened — never a half-built or mixed index
+    val meta = ivfPqMeta(indexDir)
+    val root = ivfPqRootOf(indexDir, meta)
+    val (coarse, books) = loadTrained(spark, root)
     val cN = Similarity.l2normalize(corpus, vecCol)
     val qN = Similarity.l2normalize(queries, vecCol)
     // probed cells across all queries: the distinct cid set is bounded by
@@ -345,10 +560,11 @@ object AnnIndex {
     val probed = qN
       .select(explode(nearestCentroids(col(vecCol), coarse, nprobe)).as("cid"))
       .distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
-    val enc = GraftTable.load(spark, s"$indexDir/codes")
+    val enc = GraftTable.load(spark, s"$root/codes")
       .snapshot(partitionPred = probed.contains)
       .select(col("vec_id").as("neighbor_id"), col("codes"), col("cid"))
     Similarity.ivfPqSearch(enc, cN, qN, coarse, books, k, nprobe, rerank,
-      idCol, vecCol, broadcastQueries, residual = ivfPqResidual(indexDir))
+      idCol, vecCol, broadcastQueries,
+      residual = meta.exists(_.path("encoding").asText == "residual"))
   }
 }

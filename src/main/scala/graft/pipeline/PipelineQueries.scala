@@ -158,6 +158,26 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Drift-triggered operational rebuild exercised end to end: build the
+    * persisted IVF-PQ index on HALF the corpus, atomically rebuild it from
+    * the full corpus (fresh version subdir + atomic meta re-point — the
+    * old version serves queries until the swap), vacuum the superseded
+    * version, and answer from the rebuilt index — spec-pinned
+    * bit-identical to a fresh full-corpus build (rows-only here: the
+    * training is not SQL-expressible). */
+  def annIvfPqRebuilt(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann/ivfpqr_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    graft.table.GraftTable.drop(dir)
+    AnnIndex.buildIvfPq(vecs.filter(col("vec_id") % 2 === 0), dir, nlist = 16)
+    AnnIndex.rebuildIvfPq(dir, vecs, nlist = 16)
+    AnnIndex.vacuumIvfPq(dir)
+    AnnIndex.queryIvfPq(dir, vecs, vecs.filter(col("vec_id") % 50 === 0),
+      k = 5, nprobe = 6)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   def textTokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -669,6 +689,7 @@ object PipelineQueries {
     "ann_pq_topk" -> (annPqTopk _),
     "ann_ivfpq_topk" -> (annIvfPqTopk _),
     "ann_ivfpq_persisted" -> (annIvfPqPersisted _),
+    "ann_ivfpq_rebuilt" -> (annIvfPqRebuilt _),
     "ann_lsh_persisted" -> (annLshPersisted _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "embed_quantize" -> (embedQuantize _),

@@ -30,7 +30,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val rowsOnly = Set("dedup_minhash", "dedup_minhash_incremental",
       "dedup_minhash_persisted", "dedup_simhash", "ann_lsh_topk",
       "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_persisted",
-      "ann_lsh_persisted", "text_fingerprint",
+      "ann_ivfpq_rebuilt", "ann_lsh_persisted", "text_fingerprint",
       "dedup_semantic", "pack_bestfit", "text_entropy", "embed_pca",
       "bpe_train", "bpe_encode")
     assert(noOracle.subsetOf(rowsOnly), s"missing oracle for: $noOracle")
