@@ -869,7 +869,99 @@ object GraftProcedures {
           val i = kv.indexOf('=')
           require(i > 0, s"bad property pair '$kv': expected k=v")
           kv.substring(0, i).trim -> kv.substring(i + 1).trim
-        }.toMap)))
+        }.toMap))),
+
+    // ---- persisted pipeline-index lifecycle (graft.pipeline.AnnIndex /
+    // MinhashIndex): the same ops surface every table service gets, for
+    // the index family. `index_dir` is the index root path; `table` is
+    // the corpus the index covers.
+    Proc("show_index_drift",
+      "Quantization-drift report for a persisted IVF-PQ index: mean-sq PQ " +
+        "reconstruction error of the corpus table's vectors under the " +
+        "persisted codebooks vs the build-time baseline — ratio is the " +
+        "WHEN-to-rebuild signal (null = no baseline or empty probe).",
+      Seq(in("index_dir", StringType), in("table", StringType),
+        in("id_col", StringType, "'vec_id'"),
+        in("vec_col", StringType, "'embedding'")),
+      (cat, a) => {
+        val ds = graft.pipeline.AnnIndex.driftStats(a.str(0),
+          tableOf(cat, a.str(1)).snapshot(), a.str(2), a.str(3))
+        one(StructType(Seq(
+          StructField("n", LongType),
+          StructField("mean_sq_error", DoubleType),
+          StructField("train_mean_sq_error", DoubleType),
+          StructField("ratio", DoubleType))),
+          ds.n, ds.meanSqError,
+          ds.trainMeanSqError.map(Double.box).orNull,
+          ds.ratio.map(Double.box).orNull)
+      }),
+
+    Proc("rebuild_index",
+      "Atomic full rebuild of a persisted IVF-PQ index from the corpus " +
+        "table: retrain + re-encode into a fresh version dir, then " +
+        "atomically re-point the meta — queries serve the old version " +
+        "until the swap; the drift baseline resets. if_ratio_above > 0 " +
+        "makes it drift-TRIGGERED: score the corpus with show_index_" +
+        "drift's statistic first and rebuild only when ratio >= the " +
+        "threshold (a no-baseline index never auto-triggers).",
+      Seq(in("index_dir", StringType), in("table", StringType),
+        in("nlist", IntegerType, "16"), in("m", IntegerType, "8"),
+        in("ksub", IntegerType, "16"),
+        in("id_col", StringType, "'vec_id'"),
+        in("vec_col", StringType, "'embedding'"),
+        in("if_ratio_above", DoubleType, "0.0")),
+      (cat, a) => {
+        val corpus = tableOf(cat, a.str(1)).snapshot()
+        val threshold = a.double(7)
+        val ratio =
+          if (threshold <= 0) None
+          else graft.pipeline.AnnIndex.driftStats(a.str(0), corpus,
+            a.str(5), a.str(6)).ratio
+        val fire = threshold <= 0 || ratio.exists(_ >= threshold)
+        val indexed =
+          if (fire) graft.pipeline.AnnIndex.rebuildIvfPq(a.str(0), corpus,
+            nlist = a.int(2), m = a.int(3), ksub = a.int(4),
+            idCol = a.str(5), vecCol = a.str(6))
+          else 0L
+        one(StructType(Seq(
+          StructField("rebuilt", BooleanType),
+          StructField("indexed", LongType),
+          StructField("ratio", DoubleType))),
+          fire, indexed, ratio.map(Double.box).orNull)
+      }),
+
+    Proc("reconcile_index",
+      "Heal a persisted index to cover its corpus table (the crash window " +
+        "between a corpus commit and the index refresh): id-only anti-join " +
+        "probe, then encode/band ONLY the missing rows. kind => minhash | " +
+        "ivfpq | lsh. Returns the number of rows added (0 = consistent).",
+      Seq(in("index_dir", StringType), in("table", StringType),
+        in("kind", StringType, "'minhash'"),
+        in("id_col", StringType, "''"), in("payload_col", StringType, "''")),
+      (cat, a) => {
+        val corpus = tableOf(cat, a.str(1)).snapshot()
+        val added = a.str(2).toLowerCase match {
+          case "minhash" => graft.pipeline.MinhashIndex.reconcile(a.str(0),
+            corpus, Some(a.str(3)).filter(_.nonEmpty).getOrElse("doc_id"),
+            Some(a.str(4)).filter(_.nonEmpty).getOrElse("text"))
+          case "ivfpq" => graft.pipeline.AnnIndex.reconcileIvfPq(a.str(0),
+            corpus, Some(a.str(3)).filter(_.nonEmpty).getOrElse("vec_id"),
+            Some(a.str(4)).filter(_.nonEmpty).getOrElse("embedding"))
+          case "lsh" => graft.pipeline.AnnIndex.reconcileLsh(a.str(0),
+            corpus, Some(a.str(3)).filter(_.nonEmpty).getOrElse("vec_id"),
+            Some(a.str(4)).filter(_.nonEmpty).getOrElse("embedding"))
+          case other => throw new IllegalArgumentException(
+            s"unknown index kind '$other': use minhash | ivfpq | lsh")
+        }
+        one(StructType(Seq(StructField("added", LongType))), added)
+      }),
+
+    Proc("vacuum_index",
+      "Reclaim IVF-PQ index versions the meta no longer points at " +
+        "(superseded by rebuild_index); returns table sets dropped.",
+      Seq(in("index_dir", StringType)),
+      (cat, a) => one(StructType(Seq(StructField("dropped", IntegerType))),
+        graft.pipeline.AnnIndex.vacuumIvfPq(a.str(0))))
   ).map(p => p.procName -> p).toMap
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =

@@ -663,6 +663,99 @@ class GraftProcedureSpec extends AnyFunSuite {
     sql("DROP TABLE graft.p_metrics")
   }
 
+  test("index lifecycle procedures: show_index_drift / reconcile_index / rebuild_index / vacuum_index") {
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select("vec_id", "embedding")
+    vecs.createOrReplaceTempView("p_emb_src")
+    sql("DROP TABLE IF EXISTS graft.p_embcorp")
+    sql("""CREATE TABLE graft.p_embcorp (vec_id BIGINT, embedding ARRAY<FLOAT>)
+      |USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'vec_id')""".stripMargin)
+    sql("INSERT INTO graft.p_embcorp SELECT * FROM p_emb_src WHERE vec_id < 400")
+    val dir = java.nio.file.Files.createTempDirectory("graft_procidx_").toString
+    try {
+      graft.pipeline.AnnIndex.buildIvfPq(
+        vecs.filter(col("vec_id") < 400), dir, nlist = 16)
+      // drift: corpus == training corpus -> ratio at baseline
+      val drift = sql(s"CALL graft.show_index_drift(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp')").collect()
+      assert(drift.length === 1)
+      assert(drift(0).schema.fieldNames.toSeq ===
+        Seq("n", "mean_sq_error", "train_mean_sq_error", "ratio"))
+      assert(drift(0).getLong(0) === 400)
+      assert(math.abs(drift(0).getDouble(3) - 1.0) < 1e-6)
+      // the corpus moves ahead of the index; reconcile heals, then no-ops
+      sql("INSERT INTO graft.p_embcorp SELECT * FROM p_emb_src WHERE vec_id >= 400")
+      val healed = sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp', `kind` => 'ivfpq')").collect()
+      assert(healed(0).schema.fieldNames.toSeq === Seq("added"))
+      assert(healed(0).getLong(0) === 100)
+      assert(sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp', `kind` => 'ivfpq')").collect()(0)
+        .getLong(0) === 0)
+      // drift-TRIGGERED rebuild: a healthy index under an absurd threshold
+      // does NOT fire (and reports the observed ratio)
+      val skipped = sql(s"CALL graft.rebuild_index(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp', `if_ratio_above` => 1000.0)").collect()
+      assert(skipped(0).schema.fieldNames.toSeq ===
+        Seq("rebuilt", "indexed", "ratio"))
+      assert(!skipped(0).getBoolean(0) && skipped(0).getLong(1) === 0)
+      assert(skipped(0).getDouble(2) > 0)
+      // unconditional rebuild retrains on the full corpus, resets baseline
+      val rebuilt = sql(s"CALL graft.rebuild_index(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp')").collect()
+      assert(rebuilt(0).getBoolean(0) && rebuilt(0).getLong(1) === 500)
+      val drift2 = sql(s"CALL graft.show_index_drift(`index_dir` => '$dir', " +
+        "`table` => 'p_embcorp')").collect()
+      assert(drift2(0).getLong(0) === 500)
+      assert(math.abs(drift2(0).getDouble(3) - 1.0) < 1e-6,
+        "rebuild must reset the drift baseline")
+      // vacuum reclaims the superseded pre-rebuild table set
+      val vac = sql(s"CALL graft.vacuum_index(`index_dir` => '$dir')").collect()
+      assert(vac(0).schema.fieldNames.toSeq === Seq("dropped"))
+      assert(vac(0).getInt(0) === 1)
+      assert(sql(s"CALL graft.vacuum_index(`index_dir` => '$dir')")
+        .collect()(0).getInt(0) === 0)
+      // unknown kind is an actionable error
+      val err = intercept[Exception] {
+        sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +
+          "`table` => 'p_embcorp', `kind` => 'btree')") }
+      val messages = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(messages.contains("unknown index kind"))
+    } finally {
+      graft.table.GraftTable.drop(dir)
+      sql("DROP TABLE IF EXISTS graft.p_embcorp")
+    }
+  }
+
+  test("reconcile_index kind => minhash heals a documents corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    docs.createOrReplaceTempView("p_doc_src")
+    sql("DROP TABLE IF EXISTS graft.p_doccorp")
+    sql("""CREATE TABLE graft.p_doccorp (doc_id BIGINT, text STRING)
+      |USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'doc_id')""".stripMargin)
+    sql("INSERT INTO graft.p_doccorp SELECT * FROM p_doc_src WHERE doc_id < 160")
+    val dir = java.nio.file.Files.createTempDirectory("graft_procmh_").toString
+    try {
+      graft.pipeline.MinhashIndex.build(
+        docs.filter(col("doc_id") < 150), dir)
+      val healed = sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +
+        "`table` => 'p_doccorp', `kind` => 'minhash')").collect()
+      assert(healed(0).getLong(0) === 10)
+      assert(sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +
+        "`table` => 'p_doccorp', `kind` => 'minhash')").collect()(0)
+        .getLong(0) === 0)
+    } finally {
+      graft.table.GraftTable.drop(dir)
+      sql("DROP TABLE IF EXISTS graft.p_doccorp")
+    }
+  }
+
   test("unknown procedure fails with the known-procedure list") {
     val err = intercept[Exception] { sql("CALL graft.run_nonsense('t')") }
     // Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE; the
