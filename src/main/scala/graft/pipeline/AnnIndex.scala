@@ -408,13 +408,14 @@ object AnnIndex {
     * hyperplanes. Returns the number of index rows (vectors × tables). */
   def buildLsh(corpus: DataFrame, indexDir: String, planes: Int = 4,
       tables: Int = 8, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Long = {
+      vecCol: String = "embedding",
+      targetFileSizeRows: Int = 100000): Long = {
     val spark = corpus.sparkSession
     val t = GraftTable.create(spark, s"$indexDir/buckets",
       TableConfig("ann_lsh_buckets", CopyOnWrite,
         keyFields = Seq("bucket", "vec_id"),
         partitioning = PartitionByColumns(Seq("table")),
-        targetFileSizeRows = 100000))
+        targetFileSizeRows = targetFileSizeRows))
     // range on the RAW (bucket, vec_id) columns — the probe predicate is
     // numeric, and decimal-string key slicing would wreck its file stats
     // (see GraftTable.bulkInsert's sortCols doc)

@@ -139,6 +139,61 @@ class AnnIndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH probe predicate prunes files: reads ~probed pairs, not the whole index") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshpr_").toString
+    try {
+      // wide hash space (planes=16 → 2^16 buckets) + tiny files force a
+      // many-file layout with ~distinct buckets per file; exact-duplicate
+      // vectors guarantee the probe COLLIDES (zero collisions would let
+      // AQE fold the whole join to an EmptyRelation and erase the scan)
+      val corpus = vecs.unionByName(
+        vecs.withColumn("vec_id", col("vec_id") + 100000L))
+      AnnIndex.buildLsh(corpus, dir, planes = 16, tables = 8,
+        targetFileSizeRows = 10)
+      val q = vecs.filter(col("vec_id") === 123L)
+      // AQE hides scans inside query stages — walk through the adaptive
+      // wrappers to the index-table FileSourceScanExec nodes
+      def indexScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = {
+        import org.apache.spark.sql.execution.adaptive.{
+          AdaptiveSparkPlanExec, QueryStageExec}
+        val self = p match {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains(dir)) => Seq(f)
+          case _ => Nil
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(indexScans)
+      }
+      def filesRead(b: Option[Boolean]): Long = {
+        val df = AnnIndex.queryLsh(dir, q, k = 5, broadcastQueries = b)
+        df.collect()
+        indexScans(df.queryExecution.executedPlan)
+          .map(_.metrics("numFiles").value).sum
+      }
+      val total = filesRead(Some(false))
+      val pruned = filesRead(Some(true))
+      assert(total >= 200, s"fixture must be many-file (got $total)")
+      // 1 query × 8 tables = 8 probed (table, bucket) pairs; the shared
+      // per-table disjunction lands each pair in ~one file of that
+      // table's raw-column range sort
+      assert(pruned <= 16 && pruned * 4 < total,
+        s"probe must prune files: read $pruned of $total")
+      // pruning is physics, not semantics
+      assert(resultSet(AnnIndex.queryLsh(dir, q, k = 5,
+        broadcastQueries = Some(true))) ===
+        resultSet(AnnIndex.queryLsh(dir, q, k = 5,
+          broadcastQueries = Some(false))),
+        "pruned LSH query diverged from the full-scan one")
+    } finally GraftTable.drop(dir)
+  }
+
   test("continuous embeddings ingest: codes follow commits, restart reconciles the crash window") {
     val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val seed = vecs.filter(col("vec_id") < 400)
