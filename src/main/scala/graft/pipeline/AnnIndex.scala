@@ -499,7 +499,12 @@ object AnnIndex {
     val base = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
       .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
         col("vec").as("c_vec"))
-    val enc = if (!doBroadcast) base else {
+    // the pruning probe re-computes qb (a hash job over the queries), so
+    // it additionally gates on the PAIR-CAP-sized estimate — a query set
+    // that would blow the cap must not pay the probe only to full-scan
+    val doProbe = doBroadcast && Similarity.probeDecision(
+      queries.select(col(idCol)), tables, broadcastQueries)
+    val enc = if (!doProbe) base else {
       // probed (table, bucket) pairs: one tiny driver-side set feeding
       // the shared per-partition disjunction — see
       // Similarity.probePairPredicate for why the pairing rides the

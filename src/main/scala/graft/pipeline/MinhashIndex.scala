@@ -170,10 +170,11 @@ object MinhashIndex {
     val base = GraftTable.load(batch.sparkSession, s"$indexDir/buckets")
       .snapshot()
       .select(col("doc_id").as(idCol), col("band"), col("bucket"))
-    // the probe's driver footprint is |batch|·bands (int, long) pairs —
-    // estimate on the id projection, not the text-carrying batch frame
-    // (text bytes would overstate the probe ~100× and never prune)
-    if (!Similarity.queryBroadcastDecision(batch.select(col(idCol)), bands,
+    // sized to the PAIR CAP, not the broadcast threshold: the probe costs
+    // a batch shingle+signature job, so a batch that would blow the cap
+    // anyway must skip straight to the full-scan join (estimated on the
+    // id projection — text bytes would overstate the probe ~100×)
+    if (!Similarity.probeDecision(batch.select(col(idCol)), bands,
         probeBuckets)) base
     else {
       // one batch-scale signature pass (the gate re-shingles the batch

@@ -72,6 +72,23 @@ object Similarity {
     * 512 query vectors at 8 hash tables — well past any trickle probe. */
   private[pipeline] val ProbePairCap = 4096
 
+  /** Whether a probe-pruning branch should even COMPUTE its pair set:
+    * the probe costs a real job over the batch (a shingle+signature pass
+    * for the MinHash gate), so a batch whose plan-time size estimate
+    * already says the pair count will blow [[ProbePairCap]] must not pay
+    * it only to fall back to the full scan — that is a pure regression
+    * on large batches. The bound is `est(id frame bytes) · factor ≤
+    * cap · 64` (a generous per-pair byte allowance): only genuinely
+    * trickle-sized probes proceed, and the limit(cap+1) collect still
+    * backstops an under-estimate. `overrideOpt` (probeBuckets /
+    * broadcastQueries) wins when set. */
+  private[pipeline] def probeDecision(idFrame: DataFrame, factor: Long,
+      overrideOpt: Option[Boolean]): Boolean =
+    overrideOpt.getOrElse {
+      val est = idFrame.queryExecution.optimizedPlan.stats.sizeInBytes
+      est * factor <= BigInt(ProbePairCap) * 64
+    }
+
   private[pipeline] def probePairPredicate(pairs: Seq[(Int, Long)],
       partCol: String, bucketCol: String): org.apache.spark.sql.Column =
     pairs.groupBy(_._1).map { case (p, ps) =>
