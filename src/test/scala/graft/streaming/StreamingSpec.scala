@@ -506,7 +506,20 @@ class StreamingSpec extends AnyFunSuite {
     val back = spark.read.format("graft").load(dir)
     assert(back.count() === 3)
     assert(back.select(sum("value")).collect()(0).getDouble(0) === 6.0)
-    GraftTable.drop(dir)
+    // q.stop() does not await the sink's daemon service thread (the Sink
+    // API has no close hook; an interrupted service is swept by rollback,
+    // not awaited — the async contract). With every=1 a SECOND clustering
+    // plan may still be draining its staging dir here, so teardown retries
+    // until the thread exits instead of racing the recursive delete.
+    val dropBy = System.currentTimeMillis() + 30000
+    var dropped = false
+    while (!dropped) {
+      try { GraftTable.drop(dir); dropped = true }
+      catch {
+        case _: java.nio.file.DirectoryNotEmptyException
+            if System.currentTimeMillis() < dropBy => Thread.sleep(200)
+      }
+    }
   }
 
   test("optimistic concurrency: overlapping commit since start is detected") {
