@@ -44,18 +44,36 @@ SCALED_LINE=$(run "$SCALED")
 python3 - "$K" "$BASE_LINE" "$SCALED_LINE" <<'EOF'
 import json, sys, pathlib
 k, base_line, scaled_line = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-b = {q: t for q, t in json.loads(base_line)["queries"].items() if t >= 0}
-s = {q: t for q, t in json.loads(scaled_line)["queries"].items() if t >= 0}
+bdoc, sdoc = json.loads(base_line), json.loads(scaled_line)
+b = {q: t for q, t in bdoc["queries"].items() if t >= 0}
+s = {q: t for q, t in sdoc["queries"].items() if t >= 0}
+brows, srows = bdoc.get("rows", {}), sdoc.get("rows", {})
 common = sorted(set(b) & set(s))
 per_query = {q: (round(s[q] / b[q], 3) if b[q] > 0 else None) for q in common}
+# OUTPUT-NORMALIZED ratio: time-per-output-row at k·sf over time-per-
+# output-row at sf. A growing-output operator (dedup_clusters: near-dup
+# candidate PAIRS, its own output, grow ~quadratically in the replica
+# count) is legitimately super-linear on wall time — the normalized
+# ratio is what exposes a genuine plan regression on it, and conversely
+# an output-constant query can't hide behind it.
+def norm(q):
+    if per_query[q] is None: return None
+    br, sr = brows.get(q, -1), srows.get(q, -1)
+    if br is None or sr is None or br <= 0 or sr <= 0: return None
+    return round((s[q] / sr) / (b[q] / br), 3)
+normalized = {q: norm(q) for q in common}
 ratios = [r for r in per_query.values() if r is not None]
 max_q = max((q for q in common if per_query[q] is not None),
             key=lambda q: per_query[q], default=None)
 scaling = {"factor": k, "queries": common,
            "base_sec": {q: b[q] for q in common},
            "scaled_sec": {q: s[q] for q in common},
+           "base_rows": {q: brows.get(q) for q in common},
+           "scaled_rows": {q: srows.get(q) for q in common},
            "per_query_ratio": per_query,
-           "max_ratio": per_query.get(max_q), "max_query": max_q}
+           "normalized_ratio": normalized,
+           "max_ratio": per_query.get(max_q), "max_query": max_q,
+           "max_normalized_ratio": normalized.get(max_q)}
 p = pathlib.Path("bench_bisect.json")
 doc = json.loads(p.read_text()) if p.is_file() else {}
 doc["scaling"] = scaling
@@ -65,8 +83,9 @@ print(f"[scaling] factor {k}: per-query ratios "
       f"/ max {max(ratios):.2f} ({max_q})")
 OUTLIER_MULT = 1.67
 for q in common:
-    r = per_query[q]
+    r, nr = per_query[q], normalized[q]
     if r is not None and r > OUTLIER_MULT * k:
+        extra = f", {nr}x per output row" if nr is not None else ""
         print(f"[scaling] OUTLIER {q}: {r}x at {k}x data "
-              f"({b[q]:.2f}s -> {s[q]:.2f}s) — super-linear plan?")
+              f"({b[q]:.2f}s -> {s[q]:.2f}s{extra}) — super-linear plan?")
 EOF

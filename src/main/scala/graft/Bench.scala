@@ -5,22 +5,41 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   import scala.jdk.CollectionConverters._
 
+  /** The checkout root this bench run measures: SPARK_GRAFT_REPO_ROOT if
+    * set, else the nearest ancestor of the CWD holding a build.sbt, else
+    * the CWD. The durable artifacts (bench_results.json, the .git/src
+    * digests) anchor HERE — a bench launched from a subdirectory must not
+    * silently write the canonical record somewhere else or read a foreign
+    * .git. (A bisect worktree resolves to ITS OWN root — correct: its
+    * digest must describe the code it ran.) */
+  private val repoRoot: java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    sys.env.get("SPARK_GRAFT_REPO_ROOT")
+        .map(Paths.get(_).toAbsolutePath).getOrElse {
+      val cwd = Paths.get("").toAbsolutePath
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => Files.isRegularFile(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+    }
+  }
+
   /** Current git HEAD commit, read straight from .git (no subprocess):
     * used to mark an embedded bench_bisect.json as stale when it was
     * produced at a different commit. */
   private def gitHead(): Option[String] = try {
     import java.nio.file.{Files, Paths}
-    val head = new String(Files.readAllBytes(Paths.get(".git", "HEAD")),
+    val head = new String(
+      Files.readAllBytes(repoRoot.resolve(".git").resolve("HEAD")),
       java.nio.charset.StandardCharsets.UTF_8).trim
     if (!head.startsWith("ref: ")) Some(head)
     else {
       val ref = head.drop(5)
-      val refPath = Paths.get(".git").resolve(ref)
+      val refPath = repoRoot.resolve(".git").resolve(ref)
       if (Files.isRegularFile(refPath))
         Some(new String(Files.readAllBytes(refPath),
           java.nio.charset.StandardCharsets.UTF_8).trim)
       else {
-        val packed = Paths.get(".git", "packed-refs")
+        val packed = repoRoot.resolve(".git").resolve("packed-refs")
         if (!Files.isRegularFile(packed)) None
         else Files.readAllLines(packed).asScala
           .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
@@ -36,17 +55,22 @@ object Bench {
     * and test-only commits. Must mirror scripts/bisect_bench.sh's
     * src_digest computation byte-for-byte. */
   private def srcDigest(): Option[String] = try {
-    import java.nio.file.{Files, Paths}
-    val base = Paths.get("src", "main")
+    import java.nio.file.Files
+    val base = repoRoot.resolve("src").resolve("main")
     if (!Files.isDirectory(base)) return None
     val md = java.security.MessageDigest.getInstance("SHA-256")
     // graft.table.Fs.walk closes the underlying stream (Files.walk holds
     // an OS fd until closed)
+    // REPO-RELATIVE path strings ("src/main/..."), exactly what the
+    // script hashes from its own checkout root — an absolute path here
+    // would mismatch every bisect digest
     val files = graft.table.Fs.walk(base)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".scala"))
-      .sortBy(_.toString.replace('\\', '/'))
-    files.foreach { p =>
-      md.update(p.toString.replace('\\', '/').getBytes("UTF-8"))
+      .map(p => (repoRoot.relativize(p.toAbsolutePath).toString
+        .replace('\\', '/'), p))
+      .sortBy(_._1)
+    files.foreach { case (rel, p) =>
+      md.update(rel.getBytes("UTF-8"))
       md.update(Files.readAllBytes(p))
     }
     Some(md.digest().map("%02x".format(_)).mkString)
@@ -97,15 +121,25 @@ object Bench {
     val sweeps = (1 to passes).map { _ =>
       sorted.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
+        // output row count rides along: scaling analysis divides time by
+        // it, so a growing-output operator (dedup_clusters' candidate
+        // pairs grow with the near-dup population) is judged on
+        // time-per-output-row — a real plan regression can't hide behind
+        // "the output grew", and an output-constant query can't be
+        // excused by it
+        val rows = try fn(spark, sfDir).count()
+                   catch { case _: Throwable => -1L }
         // a crashed query must not masquerade as a fast one: negative marker
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (rows >= 0) (System.nanoTime() - t0) / 1e9 else -1.0,
+          rows)
       }
     }
     val results = sorted.map { case (name, _) =>
-      val ts = sweeps.map(_.toMap.apply(name))
+      val ts = sweeps.map(_.toMap.apply(name)._1)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }
+    val rowCounts = sorted.map { case (name, _) =>
+      name -> sweeps.map(_.toMap.apply(name)._2).max
     }
     // the driver records only the LAST ~2000 chars of this line; order the
     // map so the lake_* queries (the like-for-like perf comparison) sit at
@@ -125,7 +159,7 @@ object Bench {
     // the code-vs-code ratio into the per-round BENCH artifact (recorded
     // tails compared across rounds have twice been confounded by box drift)
     val bisect = try {
-      val p = java.nio.file.Paths.get("bench_bisect.json")
+      val p = repoRoot.resolve("bench_bisect.json")
       if (!java.nio.file.Files.isRegularFile(p)) ""
       else {
         // compact summary only — the full per-query detail stays in the
@@ -167,7 +201,13 @@ object Bench {
           scaling
       }
     } catch { case _: Exception => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",$bisect"queries":$qs,"sf":"$sfDir"}"""
+    // output rows per query, BEFORE the queries map (the console line is
+    // tail-truncated; the timings must stay at the end)
+    val rs = rowCounts
+      .sortBy { case (k, _) => (if (k.startsWith("lake_")) 1 else 0, k) }
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",$bisect"rows":$rs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // self-reported machine-readable artifact: the console line gets tail-
     // truncated by log capture, so round-over-round comparison needs a file
@@ -177,9 +217,11 @@ object Bench {
     // log-tail artifact lost the first ~44 queries in round 13) ONLY for
     // full sweeps: subset runs (the bisect/scaling scripts' SPARK_GRAFT_ONLY
     // invocations) must not overwrite the canonical all-queries line
+    // both anchored at the resolved repo root (a bench launched from any
+    // other directory must not scatter the canonical artifact)
     val fullSweep = sys.env.get("SPARK_GRAFT_ONLY").forall(_.trim.isEmpty)
-    for (out <- Seq(Some(java.nio.file.Paths.get("target", "bench.json")),
-        if (fullSweep) Some(java.nio.file.Paths.get("bench_results.json"))
+    for (out <- Seq(Some(repoRoot.resolve("target").resolve("bench.json")),
+        if (fullSweep) Some(repoRoot.resolve("bench_results.json"))
         else None).flatten) {
       try {
         Option(out.getParent)

@@ -876,53 +876,107 @@ object GraftProcedures {
     // the index family. `index_dir` is the index root path; `table` is
     // the corpus the index covers.
     Proc("show_index_drift",
-      "Quantization-drift report for a persisted IVF-PQ index: mean-sq PQ " +
-        "reconstruction error of the corpus table's vectors under the " +
-        "persisted codebooks vs the build-time baseline — ratio is the " +
-        "WHEN-to-rebuild signal (null = no baseline or empty probe).",
-      Seq(in("index_dir", StringType), in("table", StringType),
+      "WHEN-to-rebuild report for a persisted index. kind => ivfpq " +
+        "(default): mean-sq PQ reconstruction error of the corpus table's " +
+        "vectors under the persisted codebooks vs the build-time baseline. " +
+        "kind => minhash | lsh (table unused): rows-per-bucket occupancy " +
+        "p99 vs the build-time baseline — the corpus-outgrew-the-bands/" +
+        "planes signal. ratio null = no baseline or empty probe.",
+      Seq(in("index_dir", StringType), in("table", StringType, "''"),
         in("id_col", StringType, "'vec_id'"),
-        in("vec_col", StringType, "'embedding'")),
-      (cat, a) => {
-        val ds = graft.pipeline.AnnIndex.driftStats(a.str(0),
-          tableOf(cat, a.str(1)).snapshot(), a.str(2), a.str(3))
-        one(StructType(Seq(
-          StructField("n", LongType),
-          StructField("mean_sq_error", DoubleType),
-          StructField("train_mean_sq_error", DoubleType),
-          StructField("ratio", DoubleType))),
-          ds.n, ds.meanSqError,
-          ds.trainMeanSqError.map(Double.box).orNull,
-          ds.ratio.map(Double.box).orNull)
+        in("vec_col", StringType, "'embedding'"),
+        in("kind", StringType, "'ivfpq'")),
+      (cat, a) => a.str(4).toLowerCase match {
+        case "ivfpq" =>
+          val ds = graft.pipeline.AnnIndex.driftStats(a.str(0),
+            tableOf(cat, a.str(1)).snapshot(), a.str(2), a.str(3))
+          one(StructType(Seq(
+            StructField("n", LongType),
+            StructField("mean_sq_error", DoubleType),
+            StructField("train_mean_sq_error", DoubleType),
+            StructField("ratio", DoubleType))),
+            ds.n, ds.meanSqError,
+            ds.trainMeanSqError.map(Double.box).orNull,
+            ds.ratio.map(Double.box).orNull)
+        case k @ ("minhash" | "lsh") =>
+          val os =
+            if (k == "minhash")
+              graft.pipeline.MinhashIndex.occupancyStats(
+                SparkSession.active, a.str(0))
+            else graft.pipeline.AnnIndex.occupancyStatsLsh(
+              SparkSession.active, a.str(0))
+          one(StructType(Seq(
+            StructField("buckets", LongType),
+            StructField("mean", DoubleType),
+            StructField("p99", DoubleType),
+            StructField("max", LongType),
+            StructField("build_p99", DoubleType),
+            StructField("ratio", DoubleType))),
+            os.buckets, os.mean, os.p99, os.max,
+            os.buildP99.map(Double.box).orNull,
+            os.ratio.map(Double.box).orNull)
+        case other => throw new IllegalArgumentException(
+          s"unknown index kind '$other': use ivfpq | minhash | lsh")
       }),
 
     Proc("rebuild_index",
-      "Atomic full rebuild of a persisted IVF-PQ index from the corpus " +
-        "table: retrain + re-encode into a fresh version dir, then " +
-        "atomically re-point the meta — queries serve the old version " +
-        "until the swap; the drift baseline resets. if_ratio_above > 0 " +
-        "makes it drift-TRIGGERED: score the corpus with show_index_" +
-        "drift's statistic first and rebuild only when ratio >= the " +
-        "threshold (a no-baseline index never auto-triggers).",
+      "Atomic full rebuild of a persisted index from the corpus table " +
+        "into a fresh version dir, then an atomic meta re-point (through " +
+        "the index timeline) — queries serve the old version until the " +
+        "swap; the drift/occupancy baseline resets. kind => ivfpq " +
+        "(default; retrain + re-encode with nlist/m/ksub) | minhash " +
+        "(re-band with n/num_hashes/bands) | lsh (re-bucket with planes/" +
+        "tables_n). if_ratio_above > 0 makes it drift-TRIGGERED: score " +
+        "show_index_drift's kind-matched statistic first and rebuild " +
+        "only when ratio >= the threshold (a no-baseline index never " +
+        "auto-triggers). id_col/payload_col default per kind " +
+        "(vec_id/embedding; doc_id/text for minhash).",
       Seq(in("index_dir", StringType), in("table", StringType),
         in("nlist", IntegerType, "16"), in("m", IntegerType, "8"),
         in("ksub", IntegerType, "16"),
-        in("id_col", StringType, "'vec_id'"),
-        in("vec_col", StringType, "'embedding'"),
-        in("if_ratio_above", DoubleType, "0.0")),
+        in("id_col", StringType, "''"),
+        in("vec_col", StringType, "''"),
+        in("if_ratio_above", DoubleType, "0.0"),
+        in("kind", StringType, "'ivfpq'"),
+        in("n", IntegerType, "3"), in("num_hashes", IntegerType, "32"),
+        in("bands", IntegerType, "8"),
+        in("planes", IntegerType, "4"), in("tables_n", IntegerType, "8")),
       (cat, a) => {
         val corpus = tableOf(cat, a.str(1)).snapshot()
+        val kind = a.str(8).toLowerCase
+        val idCol = Some(a.str(5)).filter(_.nonEmpty)
+          .getOrElse(if (kind == "minhash") "doc_id" else "vec_id")
+        val payloadCol = Some(a.str(6)).filter(_.nonEmpty)
+          .getOrElse(if (kind == "minhash") "text" else "embedding")
         val threshold = a.double(7)
         val ratio =
           if (threshold <= 0) None
-          else graft.pipeline.AnnIndex.driftStats(a.str(0), corpus,
-            a.str(5), a.str(6)).ratio
+          else kind match {
+            case "ivfpq" => graft.pipeline.AnnIndex.driftStats(a.str(0),
+              corpus, idCol, payloadCol).ratio
+            case "minhash" => graft.pipeline.MinhashIndex.occupancyStats(
+              SparkSession.active, a.str(0)).ratio
+            case "lsh" => graft.pipeline.AnnIndex.occupancyStatsLsh(
+              SparkSession.active, a.str(0)).ratio
+            case other => throw new IllegalArgumentException(
+              s"unknown index kind '$other': use ivfpq | minhash | lsh")
+          }
         val fire = threshold <= 0 || ratio.exists(_ >= threshold)
         val indexed =
-          if (fire) graft.pipeline.AnnIndex.rebuildIvfPq(a.str(0), corpus,
-            nlist = a.int(2), m = a.int(3), ksub = a.int(4),
-            idCol = a.str(5), vecCol = a.str(6))
-          else 0L
+          if (!fire) 0L
+          else kind match {
+            case "ivfpq" => graft.pipeline.AnnIndex.rebuildIvfPq(a.str(0),
+              corpus, nlist = a.int(2), m = a.int(3), ksub = a.int(4),
+              idCol = idCol, vecCol = payloadCol)
+            case "minhash" => graft.pipeline.MinhashIndex.rebuild(a.str(0),
+              corpus, n = a.int(9), numHashes = a.int(10),
+              bands = a.int(11), idCol = idCol, textCol = payloadCol)
+            case "lsh" => graft.pipeline.AnnIndex.rebuildLsh(a.str(0),
+              corpus, planes = a.int(12), tables = a.int(13),
+              idCol = idCol, vecCol = payloadCol)
+            case other => throw new IllegalArgumentException(
+              s"unknown index kind '$other': use ivfpq | minhash | lsh")
+          }
         one(StructType(Seq(
           StructField("rebuilt", BooleanType),
           StructField("indexed", LongType),
@@ -957,11 +1011,20 @@ object GraftProcedures {
       }),
 
     Proc("vacuum_index",
-      "Reclaim IVF-PQ index versions the meta no longer points at " +
-        "(superseded by rebuild_index); returns table sets dropped.",
-      Seq(in("index_dir", StringType)),
+      "Reclaim index versions the meta no longer points at (superseded " +
+        "by rebuild_index); kind => ivfpq | minhash | lsh. Cadence must " +
+        "trail in-flight writers the way clean trails readers (a " +
+        "superseded-version write is healed by reconcile_index). Returns " +
+        "table sets dropped.",
+      Seq(in("index_dir", StringType), in("kind", StringType, "'ivfpq'")),
       (cat, a) => one(StructType(Seq(StructField("dropped", IntegerType))),
-        graft.pipeline.AnnIndex.vacuumIvfPq(a.str(0))))
+        a.str(1).toLowerCase match {
+          case "ivfpq" => graft.pipeline.AnnIndex.vacuumIvfPq(a.str(0))
+          case "minhash" => graft.pipeline.MinhashIndex.vacuum(a.str(0))
+          case "lsh" => graft.pipeline.AnnIndex.vacuumLsh(a.str(0))
+          case other => throw new IllegalArgumentException(
+            s"unknown index kind '$other': use ivfpq | minhash | lsh")
+        }))
   ).map(p => p.procName -> p).toMap
 
   def load(cat: GraftCatalog, ident: Identifier): UnboundProcedure =

@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
  * is a table write like any other — upsert new vectors' codes into their
  * cid partition; the lake table's timeline gives the index versioning,
  * time travel and incremental reads for free.
+ *
+ * Lifecycle (all three index kinds — IVF-PQ, LSH, and the MinHash
+ * sibling): build → upsert/delete/refresh → drift watch ([[driftStats]]
+ * for the trained index, [[occupancyStatsLsh]] /
+ * [[MinhashIndex.occupancyStats]] for the train-free ones) → atomic
+ * versioned rebuild → vacuum, with [[reconcileIvfPq]]/[[reconcileLsh]]
+ * healing any corpus/index gap from the corpus as source of truth. The
+ * version pointer commits through the index root's own timeline
+ * ([[IndexMeta]]).
  */
 object AnnIndex {
 
@@ -110,10 +119,13 @@ object AnnIndex {
 
   /** Persist the index meta — the ONE pointer every reader resolves: the
     * encoding flag, the drift baseline, and (versioned indexes) the
-    * subdir the live tables occupy. Written to a temp sibling and
-    * atomically renamed over `ivfpq_meta.json`, so a concurrent reader
-    * sees the old complete meta or the new complete meta, never a torn
-    * write — this rename IS [[rebuildIvfPq]]'s commit point. */
+    * subdir the live tables occupy. The commit point is a
+    * `replacecommit` instant on the index root's own timeline
+    * ([[IndexMeta.commit]] — the lake's append-only commit protocol, so
+    * the swap is atomic on object stores too, not just under POSIX
+    * rename); a concurrent reader sees the old complete meta or the new
+    * complete meta, never a torn write. The `ivfpq_meta.json` file is a
+    * cache/compat shim. */
   private def writeIvfPqMeta(indexDir: String, residual: Boolean,
       trainErr: Double, dir: Option[String]): Unit = {
     // a NaN/Infinity mean (one poisoned embedding) must not write invalid
@@ -123,15 +135,9 @@ object AnnIndex {
       if (java.lang.Double.isFinite(trainErr)) s""","train_err":$trainErr"""
       else ""
     val dirField = dir.map(d => s""","dir":"$d"""").getOrElse("")
-    val body =
-      (s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"""" +
-        s"""$errField$dirField}""").getBytes("UTF-8")
-    val target = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
-    val tmp = java.nio.file.Paths.get(indexDir, ".ivfpq_meta.json.tmp")
-    java.nio.file.Files.write(tmp, body)
-    java.nio.file.Files.move(tmp, target,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    IndexMeta.commit(indexDir, "ivfpq_meta.json",
+      s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"""" +
+        s"""$errField$dirField}""")
   }
 
   /** Directory the live index tables occupy: the meta's `dir` subdir for
@@ -140,8 +146,7 @@ object AnnIndex {
     * can't race a concurrent rebuild into mixing versions. */
   private def ivfPqRootOf(indexDir: String,
       meta: Option[com.fasterxml.jackson.databind.JsonNode]): String =
-    meta.map(_.path("dir")).filter(!_.isMissingNode)
-      .map(d => s"$indexDir/${d.asText}").getOrElse(indexDir)
+    IndexMeta.liveRoot(indexDir, meta)
 
   /** Atomic full rebuild — what acting on [[driftStats]] means: retrain +
     * re-encode `corpus` into a FRESH version subdir (`v1`, `v2`, …; the
@@ -156,12 +161,12 @@ object AnnIndex {
       m: Int = 8, ksub: Int = 16, trainIters: Int = 3,
       trainSampleMod: Long = 1, idCol: String = "vec_id",
       vecCol: String = "embedding", residual: Boolean = true): Long = {
-    // next version = 1 + highest existing v<N> subdir (NOT the meta's
-    // current pointer: a crashed rebuild leaves an orphan dir that must
-    // never be re-entered — it may hold a half-built table set)
-    val existing = versionDirs(indexDir).map(_.drop(1).toInt)
-      .foldLeft(0)(math.max)
-    val sub = s"v${existing + 1}"
+    // exclusive-create version allocation: past every existing v<N> (a
+    // crashed rebuild's orphan is never re-entered — it may hold a
+    // half-built table set), and two CONCURRENT rebuilds get different
+    // dirs — neither can corrupt the other; the later meta commit wins
+    // and the loser's version is vacuumable garbage
+    val sub = IndexMeta.allocateVersion(indexDir)
     val (count, trainErr) = buildIvfPqTables(corpus, s"$indexDir/$sub",
       nlist, m, ksub, trainIters, trainSampleMod, idCol, vecCol, residual)
     writeIvfPqMeta(indexDir, residual, trainErr, dir = Some(sub))
@@ -169,31 +174,19 @@ object AnnIndex {
   }
 
   /** Reclaim index versions the meta no longer points at — the cleanup
-    * policy [[rebuildIvfPq]] defers (old versions must outlive in-flight
-    * queries; run this on the same cadence as table cleaning). Drops
-    * superseded version subdirs AND the root table set once a versioned
-    * dir is live. Returns the number of table sets dropped. */
-  def vacuumIvfPq(indexDir: String): Int = {
-    val live = ivfPqRootOf(indexDir, ivfPqMeta(indexDir))
-    val staleVersions =
-      versionDirs(indexDir).map(v => s"$indexDir/$v").filterNot(_ == live)
-    // once a versioned dir is live, the pre-rebuild root table set is a
-    // superseded version too
-    val staleRoot =
-      if (live != indexDir && java.nio.file.Files.exists(
-          java.nio.file.Paths.get(indexDir, "codes"))) Seq(indexDir)
-      else Nil
-    val doomed = staleVersions ++ staleRoot
-    doomed.foreach { root =>
-      Seq("centroids", "codebooks", "codes").foreach { t =>
-        val p = java.nio.file.Paths.get(root, t)
-        if (java.nio.file.Files.exists(p)) GraftTable.drop(p.toString)
-      }
-      if (root != indexDir) // version subdir itself (root keeps the meta)
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(root))
-    }
-    doomed.size
-  }
+    * policy [[rebuildIvfPq]] defers. Drops superseded version subdirs AND
+    * the root table set once a versioned dir is live. Cadence rule, the
+    * one [[IndexMeta]] documents: old versions must outlive in-flight
+    * READERS (run on the table-clean cadence) and must also trail
+    * in-flight WRITERS — an [[upsertIvfPq]] that pinned the meta just
+    * before a rebuild lands its codes in the superseded version, and
+    * vacuuming before [[reconcileIvfPq]] has closed that corpus/index gap
+    * discards them (the corpus stays the source of truth; reconcile
+    * re-encodes the lost rows — spec-pinned). Returns the number of
+    * table sets dropped. */
+  def vacuumIvfPq(indexDir: String): Int =
+    IndexMeta.vacuum(indexDir, "ivfpq_meta.json",
+      Seq("centroids", "codebooks", "codes"))
 
   /** Repair the IVF-PQ index to cover the corpus — the vector sibling of
     * [[graft.pipeline.MinhashIndex.reconcile]]: encode + upsert codes for
@@ -235,7 +228,8 @@ object AnnIndex {
   def reconcileLsh(indexDir: String, corpus: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Long = {
     val spark = corpus.sparkSession
-    val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+    val indexed = GraftTable.load(spark,
+        s"${lshMeta(indexDir)._3}/buckets").snapshot()
       .select(col("vec_id").as(idCol)).distinct()
     val missingIds = corpus.select(col(idCol))
       .join(indexed, Seq(idCol), "left_anti")
@@ -279,27 +273,11 @@ object AnnIndex {
       })
   }
 
-  /** Names of `v<N>` version subdirs under the index root. */
-  private def versionDirs(indexDir: String): Seq[String] = {
-    val d = java.nio.file.Paths.get(indexDir)
-    if (!java.nio.file.Files.isDirectory(d)) Nil
-    else {
-      val s = java.nio.file.Files.list(d)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("v\\d+")).toList
-      } finally s.close()
-    }
-  }
-
-  /** The parsed meta file, or None for a pre-meta (v1) index — ONE read
-    * serving both the encoding flag and the drift baseline. */
-  private def ivfPqMeta(indexDir: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
-    val p = java.nio.file.Paths.get(indexDir, "ivfpq_meta.json")
-    if (!java.nio.file.Files.exists(p)) None
-    else Some(graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(p)))
-  }
+  /** The parsed meta (timeline-committed, with the legacy-file fallback
+    * [[IndexMeta.read]] documents), or None for a pre-meta (v1) index —
+    * ONE read serving both the encoding flag and the drift baseline. */
+  private def ivfPqMeta(indexDir: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    IndexMeta.read(indexDir, "ivfpq_meta.json")
 
   /** Incremental index refresh — the operational complement of
     * [[buildIvfPq]] (FAISS's add()/remove-and-re-add shape): encode new
@@ -410,8 +388,24 @@ object AnnIndex {
       tables: Int = 8, idCol: String = "vec_id",
       vecCol: String = "embedding",
       targetFileSizeRows: Int = 100000): Long = {
+    val (rows, occ) = buildLshTable(corpus, indexDir, planes, tables,
+      idCol, vecCol, targetFileSizeRows)
+    writeLshMeta(indexDir, planes, tables, occ, dir = None)
+    rows
+  }
+
+  /** Bucket + land the LSH table under `tablesRoot` — shared by
+    * [[buildLsh]] (table at the index root) and [[rebuildLsh]] (table in
+    * a fresh version subdir), so a rebuilt index is a fresh build by
+    * construction. Returns (index rows, occupancy baseline — the
+    * rows-per-(table, bucket) distribution of the just-written index,
+    * read back as one column-pruned two-int-column aggregate; the
+    * rebuild-trigger baseline [[occupancyStatsLsh]] compares against). */
+  private def buildLshTable(corpus: DataFrame, tablesRoot: String,
+      planes: Int, tables: Int, idCol: String, vecCol: String,
+      targetFileSizeRows: Int): (Long, Option[(Long, Double, Double, Long)]) = {
     val spark = corpus.sparkSession
-    val t = GraftTable.create(spark, s"$indexDir/buckets",
+    val t = GraftTable.create(spark, s"$tablesRoot/buckets",
       TableConfig("ann_lsh_buckets", CopyOnWrite,
         keyFields = Seq("bucket", "vec_id"),
         partitioning = PartitionByColumns(Seq("table")),
@@ -423,11 +417,69 @@ object AnnIndex {
       Similarity.lshBuckets(corpus, planes, tables, idCol, vecCol,
         "vec_id", "vec"),
       sortMode = "global_sort", sortCols = Seq("bucket", "vec_id"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexDir, "lsh_meta.json"),
-      s"""{"planes":$planes,"tables":$tables}""".getBytes("UTF-8"))
     // row count from the commit's write stats — no index-scale read-back
-    t.commitRows(instant)
+    // of the PAYLOAD; the occupancy baseline reads back only the two
+    // grouping columns
+    (t.commitRows(instant),
+      IndexMeta.occupancyOf(t.snapshot().select("table", "bucket"), "table"))
+  }
+
+  private def writeLshMeta(indexDir: String, planes: Int, tables: Int,
+      occ: Option[(Long, Double, Double, Long)], dir: Option[String]): Unit =
+    IndexMeta.commit(indexDir, "lsh_meta.json",
+      s"""{"planes":$planes,"tables":$tables""" +
+        IndexMeta.occupancyJson(occ) +
+        dir.map(d => s""","dir":"$d"""").getOrElse("") + "}")
+
+  /** The parsed LSH meta plus the live table root — resolved from ONE
+    * read, same posture as [[ivfPqMeta]]/[[ivfPqRootOf]]. */
+  private def lshMeta(indexDir: String)
+      : (Int, Int, String, Option[com.fasterxml.jackson.databind.JsonNode]) = {
+    val meta = IndexMeta.read(indexDir, "lsh_meta.json")
+    val m = meta.getOrElse(throw new IllegalStateException(
+      s"no LSH index meta under $indexDir"))
+    (m.path("planes").asInt, m.path("tables").asInt,
+      IndexMeta.liveRoot(indexDir, meta), meta)
+  }
+
+  /** Atomic full rebuild of the LSH index with NEW (planes, tables) —
+    * the parameter change a grown corpus actually needs (more planes
+    * re-shrink the buckets [[occupancyStatsLsh]] watched balloon; more
+    * tables buy the recall back): re-bucket the corpus into a fresh
+    * `v<N>` subdir, then atomically re-point the meta through the index
+    * timeline. Queries running during the rebuild serve the old version
+    * end to end; the occupancy baseline resets to the new build's.
+    * Returns the number of index rows. */
+  def rebuildLsh(indexDir: String, corpus: DataFrame, planes: Int = 4,
+      tables: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      targetFileSizeRows: Int = 100000): Long = {
+    val sub = IndexMeta.allocateVersion(indexDir)
+    val (rows, occ) = buildLshTable(corpus, s"$indexDir/$sub", planes,
+      tables, idCol, vecCol, targetFileSizeRows)
+    writeLshMeta(indexDir, planes, tables, occ, dir = Some(sub))
+    rows
+  }
+
+  /** [[vacuumIvfPq]] for the LSH index — same contract, same writer-
+    * trailing cadence rule ([[reconcileLsh]] heals a discarded
+    * superseded-version upsert from the corpus). */
+  def vacuumLsh(indexDir: String): Int =
+    IndexMeta.vacuum(indexDir, "lsh_meta.json", Seq("buckets"))
+
+  /** Bucket-occupancy drift for the LSH index — the train-free analog of
+    * [[driftStats]]: rows-per-(table, bucket) p99 now vs the build-time
+    * baseline in the meta. A climbing ratio means the corpus outgrew the
+    * plane count — candidate sets (and every probe's cost) are ballooning
+    * — and [[rebuildLsh]] with more planes is warranted. One
+    * column-pruned aggregate over the buckets table; never touches
+    * vectors. */
+  def occupancyStatsLsh(spark: SparkSession,
+      indexDir: String): IndexMeta.OccupancyStats = {
+    val (_, _, root, meta) = lshMeta(indexDir)
+    IndexMeta.occupancyStats(
+      GraftTable.load(spark, s"$root/buckets").snapshot()
+        .select("table", "bucket"), "table", meta)
   }
 
   /** Incremental add for the LSH index: bucket ONLY the new vectors with
@@ -439,11 +491,12 @@ object AnnIndex {
     * different keys that a bare upsert would leave stale. */
   def upsertLsh(indexDir: String, vectors: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): String = {
-    val meta = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "lsh_meta.json")))
-    GraftTable.load(vectors.sparkSession, s"$indexDir/buckets").upsertGlobal(
-      Similarity.lshBuckets(vectors, meta.path("planes").asInt,
-        meta.path("tables").asInt, idCol, vecCol, "vec_id", "vec"))
+    // ONE meta read pins version + parameters together — a concurrent
+    // rebuild can't split this write across versions or hyperplane sets
+    val (planes, tables, root, _) = lshMeta(indexDir)
+    GraftTable.load(vectors.sparkSession, s"$root/buckets").upsertGlobal(
+      Similarity.lshBuckets(vectors, planes, tables, idCol, vecCol,
+        "vec_id", "vec"))
   }
 
   /** Delete vectors from the persisted LSH index — see [[deleteIvfPq]]
@@ -451,7 +504,8 @@ object AnnIndex {
     * (bucket, vec_id) keys, so the semi-join locates all of them. */
   def deleteLsh(indexDir: String, ids: DataFrame,
       idCol: String = "vec_id"): String = {
-    val t = GraftTable.load(ids.sparkSession, s"$indexDir/buckets")
+    val t = GraftTable.load(ids.sparkSession,
+      s"${lshMeta(indexDir)._3}/buckets")
     val doomed = t.snapshot().select("bucket", "vec_id", "table")
       .join(ids.select(col(idCol).as("vec_id")).distinct(),
         Seq("vec_id"), "left_semi")
@@ -484,11 +538,7 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Option[Boolean] = None): DataFrame = {
     val spark = queries.sparkSession
-    val meta = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "lsh_meta.json")))
-    val (planes, tables) = (meta.path("planes").asInt, meta.path("tables").asInt)
-    val qb = Similarity.lshBuckets(queries, planes, tables, idCol, vecCol,
-      "query_id", "q_vec")
+    val (planes, tables, root, _) = lshMeta(indexDir)
     // size-aware like lshTopK (same estimate, same override knob): a
     // corpus-sized query frame shuffle-joins on (table, bucket) instead
     // of OOMing the driver as a broadcast — and then the probe-predicate
@@ -496,14 +546,21 @@ object AnnIndex {
     // |queries|·tables footprint as the broadcast it accompanies)
     val doBroadcast = Similarity.queryBroadcastDecision(
       queries, tables, broadcastQueries)
-    val base = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
-      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
-        col("vec").as("c_vec"))
     // the pruning probe re-computes qb (a hash job over the queries), so
     // it additionally gates on the PAIR-CAP-sized estimate — a query set
     // that would blow the cap must not pay the probe only to full-scan
     val doProbe = doBroadcast && Similarity.probeDecision(
       queries.select(col(idCol)), tables, broadcastQueries)
+    // when probing, PIN the (trickle-sized) queries first: the probe
+    // collect and the collision join must bucket the SAME rows — a
+    // non-deterministic query frame bucketed twice could push a pair set
+    // that misses rows the join would match (the MinhashIndex.gate pin)
+    val qb = Similarity.lshBuckets(
+      if (doProbe) queries.localCheckpoint(true) else queries,
+      planes, tables, idCol, vecCol, "query_id", "q_vec")
+    val base = GraftTable.load(spark, s"$root/buckets").snapshot()
+      .select(col("vec_id").as("neighbor_id"), col("table"), col("bucket"),
+        col("vec").as("c_vec"))
     val enc = if (!doProbe) base else {
       // probed (table, bucket) pairs: one tiny driver-side set feeding
       // the shared per-partition disjunction — see

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
  *     (band, bucket) pairs into the scan, so file stats prune the probe
  *     to the few colliding files.
  *
- * The banding parameters (n, numHashes, bands) ride in a meta file so a
- * gate can't silently probe with mismatched shingling. Signatures and
+ * The banding parameters (n, numHashes, bands) ride in the
+ * timeline-committed index meta ([[IndexMeta]]) so a gate can't silently
+ * probe with mismatched shingling — and since a parameter change
+ * invalidates every persisted row, changing them on a LIVE index is
+ * [[rebuild]]: a fresh `v<N>` version + an atomic meta re-point, with
+ * [[vacuum]] as the deferred cleanup and [[occupancyStats]] (bucket p99
+ * vs the build baseline) as the WHEN-to-rebuild signal. Signatures and
  * banding are the module's ONE shared definition
  * ([[Dedup.signaturesFrom]] / [[Dedup.bandBuckets]]), so the persisted
  * gate is bit-identical to the inline one by construction (both are
@@ -48,8 +53,24 @@ object MinhashIndex {
   def build(corpus: DataFrame, indexDir: String, n: Int = 3,
       numHashes: Int = 32, bands: Int = 8, idCol: String = "doc_id",
       textCol: String = "text", targetFileSizeRows: Int = 100000): Long = {
+    val (rows, occ) = buildTable(corpus, indexDir, n, numHashes, bands,
+      idCol, textCol, targetFileSizeRows)
+    writeMeta(indexDir, n, numHashes, bands, occ, dir = None)
+    rows
+  }
+
+  /** Band + land the buckets table under `tablesRoot` — shared by
+    * [[build]] (table at the index root) and [[rebuild]] (fresh version
+    * subdir), so a rebuilt index is a fresh build by construction.
+    * Returns (index rows, occupancy baseline — rows-per-(band, bucket)
+    * of the just-written index, read back as one column-pruned
+    * two-int-column aggregate for [[occupancyStats]] to compare
+    * against). */
+  private def buildTable(corpus: DataFrame, tablesRoot: String, n: Int,
+      numHashes: Int, bands: Int, idCol: String, textCol: String,
+      targetFileSizeRows: Int): (Long, Option[(Long, Double, Double, Long)]) = {
     val spark = corpus.sparkSession
-    val t = GraftTable.create(spark, s"$indexDir/buckets",
+    val t = GraftTable.create(spark, s"$tablesRoot/buckets",
       TableConfig("minhash_buckets", CopyOnWrite,
         keyFields = Seq("bucket", "doc_id"),
         partitioning = PartitionByColumns(Seq("band")),
@@ -60,10 +81,58 @@ object MinhashIndex {
     val instant = t.bulkInsert(bandRows(corpus, n, numHashes, bands,
       idCol, textCol), sortMode = "global_sort",
       sortCols = Seq("bucket", "doc_id"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexDir, "minhash_meta.json"),
-      s"""{"n":$n,"numHashes":$numHashes,"bands":$bands}""".getBytes("UTF-8"))
-    t.commitRows(instant)
+    (t.commitRows(instant),
+      IndexMeta.occupancyOf(t.snapshot().select("band", "bucket"), "band"))
+  }
+
+  private def writeMeta(indexDir: String, n: Int, numHashes: Int,
+      bands: Int, occ: Option[(Long, Double, Double, Long)],
+      dir: Option[String]): Unit =
+    IndexMeta.commit(indexDir, "minhash_meta.json",
+      s"""{"n":$n,"numHashes":$numHashes,"bands":$bands""" +
+        IndexMeta.occupancyJson(occ) +
+        dir.map(d => s""","dir":"$d"""").getOrElse("") + "}")
+
+  /** Atomic full rebuild with NEW banding parameters — what acting on
+    * [[occupancyStats]] means for this index: a grown corpus needs more
+    * hashes/bands to keep buckets (and so every gate's candidate set)
+    * small, and those parameters are baked into every persisted row, so
+    * the change is a full re-band. The corpus is re-signed into a fresh
+    * `v<N>` subdir (live tables never touched), then the meta is
+    * atomically re-pointed through the index timeline ([[IndexMeta]]):
+    * gates running during the rebuild serve the old version end to end;
+    * gates planned after see the new one. The occupancy baseline resets.
+    * Old versions stay queryable until [[vacuum]] reclaims them. Returns
+    * the number of index rows. */
+  def rebuild(indexDir: String, corpus: DataFrame, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text", targetFileSizeRows: Int = 100000): Long = {
+    val sub = IndexMeta.allocateVersion(indexDir)
+    val (rows, occ) = buildTable(corpus, s"$indexDir/$sub", n, numHashes,
+      bands, idCol, textCol, targetFileSizeRows)
+    writeMeta(indexDir, n, numHashes, bands, occ, dir = Some(sub))
+    rows
+  }
+
+  /** [[graft.pipeline.AnnIndex.vacuumIvfPq]] for this index — same
+    * contract, same writer-trailing cadence rule ([[reconcile]] heals a
+    * discarded superseded-version upsert from the corpus). */
+  def vacuum(indexDir: String): Int =
+    IndexMeta.vacuum(indexDir, "minhash_meta.json", Seq("buckets"))
+
+  /** Bucket-occupancy drift — the train-free analog of
+    * [[graft.pipeline.AnnIndex.driftStats]]: rows-per-(band, bucket) p99
+    * now vs the build-time baseline in the meta. A climbing ratio means
+    * the corpus outgrew the banding — hot buckets are ballooning every
+    * gate's candidate join — and [[rebuild]] with more hashes/bands is
+    * warranted. One column-pruned aggregate over the buckets table;
+    * never touches text. */
+  def occupancyStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IndexMeta.OccupancyStats = {
+    val (_, _, _, root, meta) = metaAndRoot(indexDir)
+    IndexMeta.occupancyStats(
+      GraftTable.load(spark, s"$root/buckets").snapshot()
+        .select("band", "bucket"), "band", meta)
   }
 
   /** Incremental refresh — the append step of the crawl loop: signature +
@@ -77,8 +146,8 @@ object MinhashIndex {
   def upsert(indexDir: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): String = {
     val spark = newDocs.sparkSession
-    val (n, numHashes, bands) = meta(indexDir)
-    GraftTable.load(spark, s"$indexDir/buckets")
+    val (n, numHashes, bands, root, _) = metaAndRoot(indexDir)
+    GraftTable.load(spark, s"$root/buckets")
       .upsertGlobal(bandRows(newDocs, n, numHashes, bands, idCol, textCol))
   }
 
@@ -91,7 +160,8 @@ object MinhashIndex {
     * pass. Replay is a same-key tombstone — idempotent. */
   def delete(indexDir: String, docIds: DataFrame,
       idCol: String = "doc_id"): String = {
-    val t = GraftTable.load(docIds.sparkSession, s"$indexDir/buckets")
+    val t = GraftTable.load(docIds.sparkSession,
+      s"${metaAndRoot(indexDir)._4}/buckets")
     val doomed = t.snapshot().select("bucket", "doc_id", "band")
       .join(docIds.select(col(idCol).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
@@ -144,11 +214,25 @@ object MinhashIndex {
       tau: Double = 0.5, idCol: String = "doc_id",
       textCol: String = "text",
       probeBuckets: Option[Boolean] = None): DataFrame = {
-    val (n, numHashes, bands) = meta(indexDir)
-    Dedup.minhashIncremental(existing, batch, n, numHashes, bands, tau,
+    val (n, numHashes, bands, root, _) = metaAndRoot(indexDir)
+    // probe decision sized to the PAIR CAP, not the broadcast threshold:
+    // the probe costs a batch shingle+signature job, so a batch that
+    // would blow the cap anyway must skip straight to the full-scan join
+    // (estimated on the id projection — text bytes would overstate the
+    // probe ~100×)
+    val probe = Similarity.probeDecision(batch.select(col(idCol)), bands,
+      probeBuckets)
+    // when probing, PIN the (trickle-sized) batch first: the probe's
+    // pair collect and the gate's candidate join are separate actions,
+    // and a non-deterministic batch frame (a sampled or moving source —
+    // continuousIngest gates the RAW batch; only the gate OUTPUT is
+    // checkpointed) banded twice could push a pair set missing rows the
+    // join would match, silently admitting a near-duplicate
+    val b = if (probe) batch.localCheckpoint(true) else batch
+    Dedup.minhashIncremental(existing, b, n, numHashes, bands, tau,
       idCol, textCol,
-      existingBands = Some(indexBands(indexDir, batch, n, numHashes,
-        bands, idCol, textCol, probeBuckets)))
+      existingBands = Some(indexBands(root, b, n, numHashes,
+        bands, idCol, textCol, probe)))
   }
 
   /** The corpus side of the gate's candidate join: the persisted buckets
@@ -164,18 +248,15 @@ object MinhashIndex {
     * skips anything under uniform 64-bit buckets). Files read ≈ probed
     * pairs, not pairs × bands. Factored out so the pruning spec can pin
     * files-read ≪ files-total on exactly the frame the gate joins. */
-  private[pipeline] def indexBands(indexDir: String, batch: DataFrame,
+  private[pipeline] def indexBands(bucketsRoot: String, batch: DataFrame,
       n: Int, numHashes: Int, bands: Int, idCol: String, textCol: String,
-      probeBuckets: Option[Boolean]): DataFrame = {
-    val base = GraftTable.load(batch.sparkSession, s"$indexDir/buckets")
+      probe: Boolean): DataFrame = {
+    val base = GraftTable.load(batch.sparkSession, s"$bucketsRoot/buckets")
       .snapshot()
       .select(col("doc_id").as(idCol), col("band"), col("bucket"))
-    // sized to the PAIR CAP, not the broadcast threshold: the probe costs
-    // a batch shingle+signature job, so a batch that would blow the cap
-    // anyway must skip straight to the full-scan join (estimated on the
-    // id projection — text bytes would overstate the probe ~100×)
-    if (!Similarity.probeDecision(batch.select(col(idCol)), bands,
-        probeBuckets)) base
+    // the probe decision is the CALLER's ([[gate]] makes it once, pins
+    // the batch, and passes the same pinned frame here and to the join)
+    if (!probe) base
     else {
       // one batch-scale signature pass (the gate re-shingles the batch
       // anyway) collapsed to a driver-tiny distinct pair set; the
@@ -232,8 +313,8 @@ object MinhashIndex {
   def reconcile(indexDir: String, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Long = {
     val spark = corpus.sparkSession
-    val (n, _, _) = meta(indexDir)
-    val indexed = GraftTable.load(spark, s"$indexDir/buckets").snapshot()
+    val (n, _, _, root, _) = metaAndRoot(indexDir)
+    val indexed = GraftTable.load(spark, s"$root/buckets").snapshot()
       .select(col("doc_id").as(idCol)).distinct()
     // id-ONLY anti-join first (a column-pruned scan — the consistent
     // case, every loop restart, never touches corpus text), pinned so the
@@ -288,9 +369,16 @@ object MinhashIndex {
       bands, numHashes / bands, idCol)
       .select(col(idCol).as("doc_id"), col("band"), col("bucket"))
 
-  private def meta(indexDir: String): (Int, Int, Int) = {
-    val j = graft.table.Json.mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(indexDir, "minhash_meta.json")))
-    (j.path("n").asInt, j.path("numHashes").asInt, j.path("bands").asInt)
+  /** Banding parameters + live table root + raw meta, from ONE
+    * timeline-backed read ([[IndexMeta.read]]) — parameters and version
+    * resolve together, so a concurrent [[rebuild]] (which changes BOTH)
+    * can never split one operation across banding sets. */
+  private def metaAndRoot(indexDir: String)
+      : (Int, Int, Int, String, Option[com.fasterxml.jackson.databind.JsonNode]) = {
+    val meta = IndexMeta.read(indexDir, "minhash_meta.json")
+    val j = meta.getOrElse(throw new IllegalStateException(
+      s"no MinHash index meta under $indexDir"))
+    (j.path("n").asInt, j.path("numHashes").asInt, j.path("bands").asInt,
+      IndexMeta.liveRoot(indexDir, meta), meta)
   }
 }

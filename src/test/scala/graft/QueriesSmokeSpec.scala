@@ -28,7 +28,8 @@ class QueriesSmokeSpec extends AnyFunSuite {
   test("every declared query has an oracle or is knowingly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val rowsOnly = Set("dedup_minhash", "dedup_minhash_incremental",
-      "dedup_minhash_persisted", "dedup_simhash", "ann_lsh_topk",
+      "dedup_minhash_persisted", "dedup_minhash_gate", "dedup_simhash",
+      "ann_lsh_topk",
       "ann_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_persisted",
       "ann_ivfpq_rebuilt", "ann_lsh_persisted", "text_fingerprint",
       "dedup_semantic", "pack_bestfit", "text_entropy", "embed_pca",

@@ -730,6 +730,67 @@ class GraftProcedureSpec extends AnyFunSuite {
     }
   }
 
+  test("index lifecycle procedures for the train-free kinds: occupancy drift, guarded rebuild, vacuum") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text")
+    docs.createOrReplaceTempView("p_doc_src2")
+    sql("DROP TABLE IF EXISTS graft.p_mhcorp")
+    sql("""CREATE TABLE graft.p_mhcorp (doc_id BIGINT, text STRING)
+      |USING graft
+      |TBLPROPERTIES ('graft.recordkey.field' = 'doc_id')""".stripMargin)
+    sql("INSERT INTO graft.p_mhcorp SELECT * FROM p_doc_src2 WHERE doc_id < 200")
+    val dir = java.nio.file.Files.createTempDirectory("graft_procmh2_").toString
+    val dirL = java.nio.file.Files.createTempDirectory("graft_proclsh_").toString
+    try {
+      graft.pipeline.MinhashIndex.build(
+        docs.filter(col("doc_id") < 200), dir)
+      // occupancy drift: fresh index reads ratio 1 under the kind-matched
+      // statistic (table unused for the train-free kinds)
+      val occ = sql(s"CALL graft.show_index_drift(`index_dir` => '$dir', " +
+        "`kind` => 'minhash')").collect()
+      assert(occ(0).schema.fieldNames.toSeq ===
+        Seq("buckets", "mean", "p99", "max", "build_p99", "ratio"))
+      assert(occ(0).getLong(0) > 0)
+      assert(math.abs(occ(0).getDouble(5) - 1.0) < 1e-9)
+      // guarded rebuild under an absurd threshold does NOT fire
+      val skipped = sql(s"CALL graft.rebuild_index(`index_dir` => '$dir', " +
+        "`table` => 'p_mhcorp', `kind` => 'minhash', " +
+        "`if_ratio_above` => 1000.0)").collect()
+      assert(!skipped(0).getBoolean(0) && skipped(0).getLong(1) === 0)
+      assert(math.abs(skipped(0).getDouble(2) - 1.0) < 1e-9)
+      // unconditional rebuild with NEW banding; vacuum reclaims the root set
+      val rebuilt = sql(s"CALL graft.rebuild_index(`index_dir` => '$dir', " +
+        "`table` => 'p_mhcorp', `kind` => 'minhash', `num_hashes` => 64)")
+        .collect()
+      assert(rebuilt(0).getBoolean(0))
+      assert(rebuilt(0).getLong(1) ===
+        docs.filter(col("doc_id") < 200).count() * 8)
+      assert(sql(s"CALL graft.vacuum_index(`index_dir` => '$dir', " +
+        "`kind` => 'minhash')").collect()(0).getInt(0) === 1)
+      // the lsh kind reads its own occupancy statistic
+      graft.pipeline.AnnIndex.buildLsh(
+        graft.Tables.embeddings(spark, TestSpark.sf)
+          .select("vec_id", "embedding"), dirL, planes = 4, tables = 8)
+      val occL = sql(s"CALL graft.show_index_drift(`index_dir` => '$dirL', " +
+        "`kind` => 'lsh')").collect()
+      assert(math.abs(occL(0).getDouble(5) - 1.0) < 1e-9)
+      assert(sql(s"CALL graft.vacuum_index(`index_dir` => '$dirL', " +
+        "`kind` => 'lsh')").collect()(0).getInt(0) === 0)
+      // unknown kind is an actionable error on every surface
+      val err = intercept[Exception] {
+        sql(s"CALL graft.show_index_drift(`index_dir` => '$dir', " +
+          "`kind` => 'btree')") }
+      val messages = Iterator.iterate(err: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+      assert(messages.contains("unknown index kind"))
+    } finally {
+      graft.table.GraftTable.drop(dir)
+      graft.table.GraftTable.drop(dirL)
+      sql("DROP TABLE IF EXISTS graft.p_mhcorp")
+    }
+  }
+
   test("reconcile_index kind => minhash heals a documents corpus") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, TestSpark.sf)

@@ -32,6 +32,25 @@ class MinhashIndexSpec extends AnyFunSuite {
     } finally GraftTable.drop(dir)
   }
 
+  test("[q:dedup_minhash_gate] the gate-only bench entry ≡ the build+gate one, fresh and cached") {
+    // the bench split (VERDICT r14 #5): dedup_minhash_gate reuses a
+    // cached index so min-of-N passes time the GATE path, not build IO.
+    // Its oracle: bit-identical rows to dedup_minhash_persisted (which
+    // drops + rebuilds every run), on the first call (fresh build) AND
+    // the second (cache reuse) — the build being a deterministic
+    // transform of `existing` is what licenses the cache.
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ann/mhg_n3h32b8_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_")
+    GraftTable.drop(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val reference = rows(PipelineQueries.dedupMinhashPersisted(spark, sf))
+    assert(rows(PipelineQueries.dedupMinhashGate(spark, sf)) === reference,
+      "fresh-build gate query diverged from the combined fixture")
+    assert(rows(PipelineQueries.dedupMinhashGate(spark, sf)) === reference,
+      "cached-index gate query diverged from the combined fixture")
+  }
+
   test("index is authoritative: corpus text is never re-signatured per batch") {
     // a corpus doc NOT yet in the index must be invisible to the gate —
     // its near-copy passes. If the gate ever recomputed corpus signatures
@@ -261,7 +280,7 @@ class MinhashIndexSpec extends AnyFunSuite {
       val batch = docs.filter(col("doc_id") === 7 || col("doc_id") === 42)
         .select((col("doc_id") + 10000).as("doc_id"),
           concat(col("text"), lit(" graft extra")).as("text"))
-      def filesRead(probe: Option[Boolean]): Long = {
+      def filesRead(probe: Boolean): Long = {
         val frame = MinhashIndex.indexBands(dir, batch, 3, 32, 8,
           "doc_id", "text", probe)
         frame.collect()
@@ -269,8 +288,8 @@ class MinhashIndexSpec extends AnyFunSuite {
           case f: FileSourceScanExec => f.metrics("numFiles").value
         }.sum
       }
-      val total = filesRead(Some(false))
-      val pruned = filesRead(Some(true))
+      val total = filesRead(false)
+      val pruned = filesRead(true)
       assert(total >= 80, s"fixture must be many-file (got $total)")
       // 2 docs × 8 bands = ≤16 probed (band, bucket) pairs; the per-band
       // disjunction means ~1 colliding file per pair — far under the
@@ -279,8 +298,9 @@ class MinhashIndexSpec extends AnyFunSuite {
       // the pushed predicate)
       assert(pruned <= 16 && pruned * 4 < total,
         s"probe must prune files: read $pruned of $total")
-      // and the DEFAULT branch prunes for a trickle batch too
-      assert(filesRead(None) === pruned,
+      // and the size-aware DEFAULT (gate's own decision, now made once
+      // before the batch pin) says probe for a trickle batch
+      assert(Similarity.probeDecision(batch.select("doc_id"), 8, None),
         "size-aware default must take the pruned branch for a small batch")
       // pruning is physics, not semantics: outputs bit-identical both ways
       val g1 = gateRows(MinhashIndex.gate(dir, existing, batch,

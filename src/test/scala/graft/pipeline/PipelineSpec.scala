@@ -426,9 +426,13 @@ class PipelineSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_respq_").toString
     try {
       AnnIndex.buildIvfPq(vecs, dir, nlist = 16, residual = false)
-      // raw build + meta deleted == pre-residual index layout
+      // raw build + meta stripped == pre-residual index layout (both the
+      // timeline commit and the legacy cache file must go — the timeline
+      // is the commit point now, the file just a shim)
       java.nio.file.Files.delete(
         java.nio.file.Paths.get(dir, "ivfpq_meta.json"))
+      graft.table.Fs.walk(java.nio.file.Paths.get(dir, ".graft"))
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       val v1 = AnnIndex.queryIvfPq(dir, vecs, queries, k = 5, nprobe = 6)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val inMemoryRaw = Similarity.ivfPqTopK(vecs, queries, 5, nlist = 16,
@@ -574,6 +578,11 @@ class PipelineSpec extends AnyFunSuite {
     try {
       AnnIndex.buildIvfPq(vecs, dir, nlist = 16)
       val meta = java.nio.file.Paths.get(dir, "ivfpq_meta.json")
+      // rewrite through the LEGACY path: drop the timeline commit so the
+      // doctored file is what readers resolve (this doubles as coverage
+      // of the pre-timeline-index fallback)
+      graft.table.Fs.walk(java.nio.file.Paths.get(dir, ".graft"))
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
       val zeroed = new String(java.nio.file.Files.readAllBytes(meta), "UTF-8")
         .replaceAll(""""train_err":[0-9.Ee+-]+""", "\"train_err\":0.0")
       java.nio.file.Files.write(meta, zeroed.getBytes("UTF-8"))
