@@ -73,9 +73,16 @@ private[pipeline] object IndexMeta {
     val fromTimeline = {
       val tlDir = Paths.get(indexDir, ".graft", "timeline")
       if (!Files.isDirectory(tlDir)) None
-      else new Timeline(indexDir).metasSlim(None).reverseIterator
-        .flatMap(_.extra.get("index_meta")).nextOption()
-        .map(graft.table.Json.mapper.readTree)
+      else {
+        // newest-first over the LISTING, parsing lazily — a meta read
+        // costs one instant-file read no matter how many rebuilds the
+        // index has accumulated
+        val tl = new Timeline(indexDir)
+        tl.completed().reverseIterator
+          .map { case (i, a) => tl.readSlim(i, a) }
+          .flatMap(_.extra.get("index_meta")).nextOption()
+          .map(graft.table.Json.mapper.readTree)
+      }
     }
     fromTimeline.orElse {
       val p = Paths.get(indexDir, legacyName)
@@ -144,8 +151,19 @@ private[pipeline] object IndexMeta {
       if (root != indexDir) // version subdir itself (root keeps the meta)
         Files.deleteIfExists(Paths.get(root))
     }
+    // the meta timeline is vacuum's to bound too: keep the newest
+    // KeepMetaInstants commits (readers resolve only the newest; the rest
+    // are debugging history, the same trade table archival makes)
+    if (Files.isDirectory(Paths.get(indexDir, ".graft", "timeline"))) {
+      val tl = new Timeline(indexDir)
+      tl.completed().dropRight(KeepMetaInstants)
+        .foreach { case (i, a) => tl.remove(i, a) }
+    }
     doomed.size
   }
+
+  /** Meta commits [[vacuum]] retains beyond the live one. */
+  private val KeepMetaInstants = 10
 
   /** Bucket-occupancy report for the train-free indexes (MinHash bands /
     * LSH tables) — their analog of [[AnnIndex.driftStats]]'s "recall is

@@ -212,6 +212,20 @@ class IndexRebuildSpec extends AnyFunSuite {
       assert(resultSet(AnnIndex.queryIvfPq(dir, vecs, queries, k = 5,
         nprobe = 6)) === res,
         "a torn legacy meta file must be ignored while the timeline exists")
+      // vacuum bounds the meta history: readers resolve only the newest
+      // instant, so older ones are droppable debugging history
+      val liveJson = {
+        // package-private access: re-commit the live meta verbatim
+        val m = IndexMeta.read(dir, "ivfpq_meta.json").get
+        (1 to 15).foreach(_ =>
+          IndexMeta.commit(dir, "ivfpq_meta.json", m.toString))
+      }
+      AnnIndex.vacuumIvfPq(dir)
+      assert(new graft.table.Timeline(dir).completed().size <= 10,
+        "vacuum must trim the meta-instant history")
+      assert(resultSet(AnnIndex.queryIvfPq(dir, vecs, queries, k = 5,
+        nprobe = 6)) === res,
+        "meta-history trimming must not move a bit of any query")
       // the minhash sibling, through a rebuild (version pointer in play)
       val docs = Tables.documents(spark, sf).select("doc_id", "text")
       val batch = docs.select((col("doc_id") + 10000).as("doc_id"),
