@@ -1010,6 +1010,24 @@ object GraftProcedures {
         one(StructType(Seq(StructField("added", LongType))), added)
       }),
 
+    Proc("show_index_versions",
+      "One row per index version still on disk: version ('root' or " +
+        "'v<N>'), whether it is the live one the meta points at, whether " +
+        "its table set is complete (an incomplete non-live row is a " +
+        "crashed rebuild's orphan), and bytes held — what vacuum_index " +
+        "would reclaim. kind => ivfpq | minhash | lsh.",
+      Seq(in("index_dir", StringType), in("kind", StringType, "'ivfpq'")),
+      (cat, a) => {
+        val rows = graft.pipeline.AnnIndex.indexVersions(a.str(0), a.str(1))
+        (StructType(Seq(
+          StructField("version", StringType),
+          StructField("live", BooleanType),
+          StructField("complete", BooleanType),
+          StructField("bytes", LongType))),
+          rows.map(r => InternalRow.fromSeq(Seq(
+            UTF8String.fromString(r._1), r._2, r._3, r._4))).toArray)
+      }),
+
     Proc("vacuum_index",
       "Reclaim index versions the meta no longer points at (superseded " +
         "by rebuild_index); kind => ivfpq | minhash | lsh. Cadence must " +

@@ -56,7 +56,7 @@ object AnnIndex {
       vecCol: String = "embedding", residual: Boolean = true): Long = {
     val (count, trainErr) = buildIvfPqTables(corpus, indexDir, nlist, m,
       ksub, trainIters, trainSampleMod, idCol, vecCol, residual)
-    writeIvfPqMeta(indexDir, residual, trainErr, dir = None)
+    writeIvfPqMeta(indexDir, residual, trainErr, nlist, m, ksub, dir = None)
     count
   }
 
@@ -127,7 +127,8 @@ object AnnIndex {
     * complete meta, never a torn write. The `ivfpq_meta.json` file is a
     * cache/compat shim. */
   private def writeIvfPqMeta(indexDir: String, residual: Boolean,
-      trainErr: Double, dir: Option[String]): Unit = {
+      trainErr: Double, nlist: Int, m: Int, ksub: Int,
+      dir: Option[String]): Unit = {
     // a NaN/Infinity mean (one poisoned embedding) must not write invalid
     // JSON that bricks every later read of the index — such a build simply
     // records no baseline (driftStats reports it as pre-baseline)
@@ -135,10 +136,21 @@ object AnnIndex {
       if (java.lang.Double.isFinite(trainErr)) s""","train_err":$trainErr"""
       else ""
     val dirField = dir.map(d => s""","dir":"$d"""").getOrElse("")
+    // build parameters make the index self-describing: a drift-triggered
+    // rebuild (the ingest lane's, or anyone's) retrains at the LIVE
+    // shape without the caller re-stating it
     IndexMeta.commit(indexDir, "ivfpq_meta.json",
       s"""{"version":2,"encoding":"${if (residual) "residual" else "raw"}"""" +
-        s"""$errField$dirField}""")
+        s""","nlist":$nlist,"m":$m,"ksub":$ksub$errField$dirField}""")
   }
+
+  /** The live index's (nlist, m, ksub) from the meta — defaults for a
+    * pre-round-15 meta match the build defaults everywhere. */
+  private def ivfPqParams(
+      meta: Option[com.fasterxml.jackson.databind.JsonNode]): (Int, Int, Int) =
+    (meta.map(_.path("nlist").asInt(16)).getOrElse(16),
+      meta.map(_.path("m").asInt(8)).getOrElse(8),
+      meta.map(_.path("ksub").asInt(16)).getOrElse(16))
 
   /** Directory the live index tables occupy: the meta's `dir` subdir for
     * a rebuilt (versioned) index, the index root otherwise — resolved
@@ -169,7 +181,8 @@ object AnnIndex {
     val sub = IndexMeta.allocateVersion(indexDir)
     val (count, trainErr) = buildIvfPqTables(corpus, s"$indexDir/$sub",
       nlist, m, ksub, trainIters, trainSampleMod, idCol, vecCol, residual)
-    writeIvfPqMeta(indexDir, residual, trainErr, dir = Some(sub))
+    writeIvfPqMeta(indexDir, residual, trainErr, nlist, m, ksub,
+      dir = Some(sub))
     count
   }
 
@@ -256,8 +269,19 @@ object AnnIndex {
   def continuousIngestIvfPq(corpus: GraftTable, indexDir: String,
       source: () => Option[(String, DataFrame)],
       idCol: String = "vec_id", vecCol: String = "embedding",
-      compactEvery: Int = 5): graft.streaming.ContinuousIngest = {
+      compactEvery: Int = 5, rebuildIfDriftAbove: Double = 0.0,
+      driftCheckEvery: Int = 8): graft.streaming.ContinuousIngest = {
     reconcileIvfPq(indexDir, corpus.snapshot(), idCol, vecCol)
+    // self-driving maintenance (rebuildIfDriftAbove > 0): every
+    // driftCheckEvery committed batches, score THAT batch's PQ
+    // reconstruction error against the build baseline (a delta-scale map
+    // pass — the probe driftStats documents) and, at/above the
+    // threshold, retrain from the corpus snapshot at the meta's own
+    // (nlist, m, ksub). The rebuild resets the baseline, so a
+    // one-time distribution shift triggers ONE rebuild, not a storm.
+    // Vacuum stays on the ops cadence (CALL vacuum_index) — in-flight
+    // readers elsewhere may still hold the superseded version.
+    var sinceCheck = 0
     new graft.streaming.ContinuousIngest(corpus, source,
       // pin the batch so the post-commit hook encodes EXACTLY the rows
       // that committed, not a re-pull of a possibly-moving source frame
@@ -270,8 +294,42 @@ object AnnIndex {
         val codable =
           batch.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
         if (!codable.isEmpty) upsertIvfPq(indexDir, codable, idCol, vecCol)
+        if (rebuildIfDriftAbove > 0) {
+          sinceCheck += 1
+          if (sinceCheck >= driftCheckEvery) {
+            sinceCheck = 0
+            val ds = driftStats(indexDir, codable, idCol, vecCol)
+            if (ds.ratio.exists(_ >= rebuildIfDriftAbove)) {
+              // retrain at the LIVE shape — parameters AND encoding come
+              // from the meta, never re-stated (or silently defaulted)
+              val meta = ivfPqMeta(indexDir)
+              val (nlist, m, ksub) = ivfPqParams(meta)
+              rebuildIvfPq(indexDir, corpus.snapshot(), nlist, m, ksub,
+                idCol = idCol, vecCol = vecCol,
+                residual = meta.exists(_.path("encoding").asText == "residual"))
+            }
+          }
+        }
       })
   }
+
+  /** Version inventory for any persisted index kind — one row per
+    * version root still on disk: (name, live?, complete table set?,
+    * bytes). The introspection behind `CALL show_index_versions`: what a
+    * vacuum would reclaim, whether a crashed rebuild left an orphan,
+    * per-version disk held. */
+  def indexVersions(indexDir: String,
+      kind: String): Seq[(String, Boolean, Boolean, Long)] =
+    kind.toLowerCase match {
+      case "ivfpq" => IndexMeta.versions(indexDir, "ivfpq_meta.json",
+        Seq("centroids", "codebooks", "codes"))
+      case "minhash" => IndexMeta.versions(indexDir, "minhash_meta.json",
+        Seq("buckets"))
+      case "lsh" => IndexMeta.versions(indexDir, "lsh_meta.json",
+        Seq("buckets"))
+      case other => throw new IllegalArgumentException(
+        s"unknown index kind '$other': use ivfpq | minhash | lsh")
+    }
 
   /** The parsed meta (timeline-committed, with the legacy-file fallback
     * [[IndexMeta.read]] documents), or None for a pre-meta (v1) index —

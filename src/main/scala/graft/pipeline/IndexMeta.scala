@@ -165,6 +165,32 @@ private[pipeline] object IndexMeta {
   /** Meta commits [[vacuum]] retains beyond the live one. */
   private val KeepMetaInstants = 10
 
+  /** One row per version root still on disk: (version name — "root" or
+    * "v<N>" —, is the live one, has a COMPLETE table set, total bytes).
+    * The ops introspection behind `CALL show_index_versions`: what would
+    * a vacuum reclaim, did a crashed rebuild leave an orphan, how much
+    * disk does each version hold. Driver-side directory walk —
+    * file-count-scale, the same class as a table's file listing. */
+  def versions(indexDir: String,
+      legacyName: String, tables: Seq[String]): Seq[(String, Boolean, Boolean, Long)] = {
+    val live = liveRoot(indexDir, read(indexDir, legacyName))
+    val roots = (indexDir, "root") +:
+      versionDirs(indexDir).sorted.map(v => (s"$indexDir/$v", v))
+    roots.flatMap { case (root, name) =>
+      val present = tables.filter(t => Files.exists(Paths.get(root, t)))
+      // the root row only exists while it HOLDS tables (or is live):
+      // after a vacuum it's just the meta's mailbox, not a version
+      if (present.isEmpty && root != live) None
+      else {
+        val bytes = present.map { t =>
+          graft.table.Fs.walk(Paths.get(root, t))
+            .filter(Files.isRegularFile(_)).map(Files.size).sum
+        }.sum
+        Some((name, root == live, present.size == tables.size, bytes))
+      }
+    }
+  }
+
   /** Bucket-occupancy report for the train-free indexes (MinHash bands /
     * LSH tables) — their analog of [[AnnIndex.driftStats]]'s "recall is
     * silently decaying": the hyperplane/band count was sized for the

@@ -611,6 +611,24 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
     case (IntegerType, DoubleType) | (DoubleType, IntegerType) => DoubleType
     case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
     case _ if a == b => a
+    // containers widen ELEMENT-wise with nullability unioned: a Dataset
+    // built from Scala tuples/case classes carries containsNull=false
+    // where the parquet-read table says true — that is the SAME type,
+    // not a conflict, and stringifying an array<float> column because
+    // one writer was typed tighter would silently wreck it (hit by the
+    // embeddings ingest lane: upserting an in-memory batch turned the
+    // corpus embedding column into strings)
+    case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+      ArrayType(widen(ea, eb), na || nb)
+    case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+      MapType(widen(ka, kb), widen(va, vb), na || nb)
+    case (sa: StructType, sb: StructType)
+        if sa.fieldNames.sorted.sameElements(sb.fieldNames.sorted) =>
+      StructType(sa.fields.map { f =>
+        val nf = sb(f.name)
+        f.copy(dataType = widen(f.dataType, nf.dataType),
+          nullable = f.nullable || nf.nullable)
+      })
     case _ => StringType
   }
 

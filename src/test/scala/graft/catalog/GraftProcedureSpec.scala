@@ -711,12 +711,25 @@ class GraftProcedureSpec extends AnyFunSuite {
       assert(drift2(0).getLong(0) === 500)
       assert(math.abs(drift2(0).getDouble(3) - 1.0) < 1e-6,
         "rebuild must reset the drift baseline")
+      // version inventory: the superseded root set + the live v1
+      val vers = sql(s"CALL graft.show_index_versions(`index_dir` => '$dir')")
+        .collect()
+      assert(vers(0).schema.fieldNames.toSeq ===
+        Seq("version", "live", "complete", "bytes"))
+      assert(vers.map(r => (r.getString(0), r.getBoolean(1),
+        r.getBoolean(2))).toSeq ===
+        Seq(("root", false, true), ("v1", true, true)))
+      assert(vers.forall(_.getLong(3) > 0), "every version holds bytes")
       // vacuum reclaims the superseded pre-rebuild table set
       val vac = sql(s"CALL graft.vacuum_index(`index_dir` => '$dir')").collect()
       assert(vac(0).schema.fieldNames.toSeq === Seq("dropped"))
       assert(vac(0).getInt(0) === 1)
       assert(sql(s"CALL graft.vacuum_index(`index_dir` => '$dir')")
         .collect()(0).getInt(0) === 0)
+      // post-vacuum inventory: only the live version remains
+      assert(sql(s"CALL graft.show_index_versions(`index_dir` => '$dir')")
+        .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+        Seq(("v1", true)))
       // unknown kind is an actionable error
       val err = intercept[Exception] {
         sql(s"CALL graft.reconcile_index(`index_dir` => '$dir', " +

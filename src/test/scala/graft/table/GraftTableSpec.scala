@@ -882,6 +882,36 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(dir)
   }
 
+  test("schema merge: container nullability mismatch is the same type, not a string fold") {
+    // a Dataset built from Scala tuples/case classes types its arrays
+    // containsNull=false where the parquet-read table says true; the
+    // merge must union the nullability, NOT take widen's conflicting-
+    // types fallback — which used to silently turn an array<float>
+    // embedding column into strings on the first in-memory upsert
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("emb_merge",
+      CopyOnWrite, keyFields = Seq("vec_id"), precombineField = None))
+    // seed THROUGH parquet so the table schema carries containsNull=true
+    val pq = tmp()
+    Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").parquet(pq)
+    t.bulkInsert(spark.read.parquet(pq))
+    // the in-memory batch: containsNull=false
+    t.upsert(Seq((3L, Array(5.0f, 6.0f))).toDF("vec_id", "embedding"))
+    val snap = t.snapshot()
+    assert(snap.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = true),
+      s"got ${snap.schema("embedding").dataType}")
+    assert(snap.select(org.apache.spark.sql.functions.aggregate(
+      col("embedding"), lit(0.0f), (acc, x) => acc + x).as("s"))
+      .collect().map(_.getFloat(0)).sorted === Array(3.0f, 7.0f, 11.0f),
+      "array payload must survive the merge intact")
+    GraftTable.drop(dir)
+    GraftTable.drop(pq)
+  }
+
   test("column-stats pruning: snapshotPruned reads matching slices only") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("o2", CopyOnWrite,
