@@ -912,6 +912,52 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.drop(pq)
   }
 
+  test("schema merge: map and nested-struct nullability union, payload intact") {
+    // same premise as the array case for the other two container kinds:
+    // literal-built batches type map values valueContainsNull=false and
+    // struct fields nullable=false where the table side says true — the
+    // merge must union nullability element-wise, not string-fold
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, TableConfig("cont_merge",
+      CopyOnWrite, keyFields = Seq("vec_id"), precombineField = None))
+    val loose = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("attrs", MapType(StringType, FloatType,
+        valueContainsNull = true)),
+      StructField("meta", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))))))
+    t.bulkInsert(spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Map("p" -> 1.0f), Row(5L, "u")),
+        Row(2L, Map("q" -> 2.0f), Row(6L, "v"))),
+      loose))
+    // literal-built batch: valueContainsNull=false / nullable=false
+    t.upsert(Seq(3L).toDF("vec_id")
+      .withColumn("attrs", map(lit("r"), lit(3.0f)))
+      .withColumn("meta", struct(lit(7L).as("a"), lit("w").as("b"))))
+    val snap = t.snapshot()
+    assert(snap.schema("attrs").dataType ===
+      MapType(StringType, FloatType, valueContainsNull = true),
+      s"got ${snap.schema("attrs").dataType}")
+    assert(snap.schema("meta").dataType ===
+      StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))),
+      s"got ${snap.schema("meta").dataType}")
+    val rows = snap.selectExpr("vec_id", "map_values(attrs)[0]",
+        "meta.a", "meta.b")
+      .collect().map(r => (r.getLong(0), r.getFloat(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    assert(rows === Array((1L, 1.0f, 5L, "u"), (2L, 2.0f, 6L, "v"),
+      (3L, 3.0f, 7L, "w")),
+      "map and struct payloads must survive the merge intact")
+    GraftTable.drop(dir)
+  }
+
   test("column-stats pruning: snapshotPruned reads matching slices only") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, TableConfig("o2", CopyOnWrite,
