@@ -14,6 +14,12 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE re-plan (coalesce) the output partitioning of CACHED
+      // plans too: the engine pins hot intermediates (tag joins, shingle
+      // frames), and without this every consumer of a cached frame
+      // inherits the raw shuffle partition count however tiny the data —
+      // scale-adaptive everywhere, not a local-mode tune
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")

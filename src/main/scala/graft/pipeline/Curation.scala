@@ -403,8 +403,11 @@ object Curation {
    * corpus-linear, partial-aggregated; the scoring join is an equi-join
    * on term. Returns (id, n_tokens, nats_u).
    */
-  def unigramSurprisal(docs: DataFrame, textCol: Column,
+  def unigramSurprisal(docs0: DataFrame, textCol: Column,
       idCol: String = "doc_id"): DataFrame = {
+    // integer micro-nat sums are order-insensitive, so the parallelism
+    // floor ([[Dedup.spread]]) is bit-safe here
+    val docs = Dedup.spread(docs0, idCol)
     val toks = docs.select(col(idCol),
       explode(split(lower(textCol), "[^a-z0-9]+")).as("term"))
       .filter(col("term") =!= "")
@@ -436,8 +439,10 @@ object Curation {
    * an equi-join on (w1,w2) plus a (w1) join. Docs with <2 tokens keep a
    * zero row. Returns (id, n_bigrams, nats2_u).
    */
-  def bigramSurprisal(docs: DataFrame, textCol: Column,
+  def bigramSurprisal(docs0: DataFrame, textCol: Column,
       idCol: String = "doc_id"): DataFrame = {
+    // integer micro-nat sums are order-insensitive — spread is bit-safe
+    val docs = Dedup.spread(docs0, idCol)
     val withArr = docs.select(col(idCol),
       array_remove(split(lower(textCol), "[^a-z0-9]+"), "").as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -479,8 +484,10 @@ object Curation {
    * shuffle carries (doc, term) pairs once, corpus-linear.
    * Returns (id, n_tokens, n_oov, oov_frac).
    */
-  def vocabCoverage(docs: DataFrame, textCol: Column, k: Int,
+  def vocabCoverage(docs0: DataFrame, textCol: Column, k: Int,
       idCol: String = "doc_id"): DataFrame = {
+    // long counts only — spread is bit-safe
+    val docs = Dedup.spread(docs0, idCol)
     val toks = docs.select(col(idCol),
       explode(array_remove(split(lower(textCol), "[^a-z0-9]+"), "")).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -14,6 +14,25 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Scale-adaptive parallelism floor for the per-row-kernel-heavy inputs
+    * (shingling, simhash, window explodes): a frame whose PLAN-TIME size
+    * estimate (`optimizedPlan.stats`, no job — the same source every ANN
+    * broadcast decision uses) says its scan cannot fill the session's
+    * default parallelism is hash-repartitioned by `key` so the kernel
+    * runs on every core; a corpus-scale frame passes through untouched —
+    * no extra shuffle where the scan already parallelizes. The threshold
+    * is one scan-split (8 MB) per core: below it the whole input came
+    * from a handful of splits (a small parquet file is ONE task no matter
+    * the cluster — guide §2.5 "input skew"), and the repartition moves
+    * at most that many bytes. ONLY for operators whose aggregates are
+    * order-insensitive (counts / min / integer sums): hash partitioning
+    * reorders rows, so a float-summing operator must not ride this. */
+  private[pipeline] def spread(df: DataFrame, key: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(p) * (8L << 20)) df.repartition(p, col(key)) else df
+  }
+
   /** Exact dedup on content hash: keep the lowest id per md5(text).
     * Null text hashes to a per-document sentinel — unknown content is not
     * equal to other unknown content, so null-text docs are all kept.
@@ -170,9 +189,10 @@ object Dedup {
     * join), a (window → distinct-doc-count) partial agg, one equi-join
     * back; the shuffle carries (window, doc) pairs, nothing is pairwise.
     * Returns (id, n_windows, dup_windows). */
-  def substringDupSignal(docs: DataFrame, n: Int = 10,
+  def substringDupSignal(docs0: DataFrame, n: Int = 10,
       idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
+    val docs = spread(docs0, idCol)
     val toks = wsToks(col(textCol))
     val windows = when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n), i =>
@@ -245,9 +265,10 @@ object Dedup {
     * selection consumes it TWICE (agg side + probe side) — without the
     * cache the scan + kernel + posexplode lineage executes twice, which
     * is exactly the premium a single-pass window plan never paid. */
-  private[graft] def substringRemovePlan(docs: DataFrame, n: Int,
+  private[graft] def substringRemovePlan(docs0: DataFrame, n: Int,
       idCol: String, textCol: String,
       hashed: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val docs = spread(docs0, idCol)
     val withToks = docs
       .select(col(idCol), wsToks(col(textCol)).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -300,9 +321,11 @@ object Dedup {
     * dedup_incremental posture); the batch pays the same skew-safe
     * first-occurrence agg+join as the batch variant plus one
     * semi-join-shaped membership mark against the corpus keys. */
-  def substringRemoveIncremental(corpus: DataFrame, batch: DataFrame,
+  def substringRemoveIncremental(corpus0: DataFrame, batch0: DataFrame,
       n: Int = 10, idCol: String = "doc_id", textCol: String = "text",
       hashed: Boolean = false): DataFrame = {
+    val corpus = spread(corpus0, idCol)
+    val batch = spread(batch0, idCol)
     def windowsOf(docs: DataFrame) =
       if (hashed)
         docs.select(col(idCol), posexplode(
@@ -368,7 +391,7 @@ object Dedup {
     * token arrays or shingle strings. */
   def shingleHashes(docs: DataFrame, n: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol),
+    spread(docs, idCol).select(col(idCol),
       explode(graft.functions.ShingleHashes(col(textCol), n)).as("shingle"))
 
   /** All pairs with shingle-Jaccard ≥ tau. The join key is the shingle
@@ -744,7 +767,7 @@ object Dedup {
     // materialization instead of re-running upstream lineage, and the
     // candidate self-join reuses the hashes instead of re-shingling the
     // text on each side.
-    val sh0 = simhash64(docs, idCol, textCol)
+    val sh0 = simhash64(spread(docs, idCol), idCol, textCol)
     val (sh, n) = corpusSize match {
       case Some(c) => (sh0, c)
       case None =>
@@ -762,8 +785,10 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorExprs._
     // norms once per vector, native codegen dot per pair — the O(n²) inner
-    // loop never allocates
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+    // loop never allocates. The stream (a) side rides [[spread]]: a small
+    // corpus arrives as ~one scan split, and the broadcast-nested-loop
+    // join would otherwise run its whole O(n²) loop in ONE task.
+    val a = spread(vecs, idCol).select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       normF(col(vecCol)).as("n_a"))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       normF(col(vecCol)).as("n_b"))

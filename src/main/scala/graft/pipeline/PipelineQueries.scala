@@ -648,21 +648,34 @@ object PipelineQueries {
   def pipelineCurate3(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
     def linify(c: Column): Column = regexp_replace(c, "\\. ", ".\n")
-    val corpus = base.select(col("doc_id"), linify(col("text")).as("gtext"))
-      .unionByName(base.filter(col("doc_id") % 3 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"),
-          linify(concat(col("text"), lit(" graft extra"))).as("gtext")))
+    // spread BEFORE the regex/gopher kernels: this lineage is recomputed
+    // by several consumers (dup-signal, the semi-join, line dedup, pack),
+    // and a small corpus arrives as ~one scan split — without the
+    // parallelism floor every recompute runs its regexes on 1-2 cores
+    val corpus = Dedup.spread(
+      base.select(col("doc_id"), linify(col("text")).as("gtext"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            linify(concat(col("text"), lit(" graft extra"))).as("gtext"))),
+      "doc_id")
     val keep = TextFunctions.gopherColumns(col("gtext")).toMap.apply("keep")
+    // the gopher-kept corpus is consumed by FOUR actions (the dup-signal's
+    // explode + its id projection, the semi-join, line dedup, packing) —
+    // pinned so the linify regex + gopher rules run once, not per action
     val g = corpus.filter(keep === 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cleanIds = Dedup.substringDupSignal(g, n = 10, textCol = "gtext",
       hashed = true)
       .filter(col("dup_windows") * 10L <= col("n_windows")).select("doc_id")
     val kept = g.join(cleanIds, Seq("doc_id"), "left_semi")
     val lines = Curation.dedupLinesWithin(kept, col("gtext"))
-    Curation.packTokenShards(lines.select(col("doc_id"), col("clean")),
+    val packed = Curation.packTokenShards(lines.select(col("doc_id"), col("clean")),
       TextFunctions.wsTokenCount(col("clean")), budget = 1500L, orderCol = "doc_id")
       .select(col("doc_id"), col("tokens"), col("shard"))
-      .orderBy(col("doc_id"))
+    // materialize the (tiny) result, then release the corpus pin
+    val out = packed.localCheckpoint(eager = true)
+    g.unpersist(blocking = false)
+    out.orderBy(col("doc_id"))
   }
 
   /** Corpus curation report: per-source doc counts, exact-duplicate doc

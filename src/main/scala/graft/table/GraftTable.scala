@@ -1875,7 +1875,22 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
         df
       }
       try {
-      val cached = pin(batch1)
+      // parallelism floor for the pinned batch: a small batch arrives as
+      // ~one scan split, and everything downstream (key/meta expressions,
+      // the counts agg, the tag join's stream side, the staged write's
+      // shuffle map) would run 1-2 tasks wide however many cores exist.
+      // Plan-time size estimate (no job); file contents are invariant —
+      // FILE_ID is a pure function of the key (assignInserts pmod-hash)
+      // and stageWrite re-shuffles by (partition, fileId) + key-sorts, so
+      // the landed bytes don't depend on upstream partitioning. Skipped
+      // at scale: a real batch brings its own scan parallelism.
+      val batchSpread = {
+        val p = spark.sparkContext.defaultParallelism
+        val est = batch1.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= BigInt(p) * (8L << 20)) batch1.repartition(p, col(KEY))
+        else batch1
+      }
+      val cached = pin(batchSpread)
       val curByKey = cur.map(s => s.partition + "|" + s.fileId -> s).toMap
       val globalSort = op == "bulk_insert" &&
         extra.get("sort.mode").contains("global_sort") &&
