@@ -85,6 +85,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // small-reduce-side SQL shuffles route to the Tungsten serialized
+      // shuffle writer (ONE output file per map task) instead of the
+      // bypass-merge writer (numPartitions files per map task + an NIO
+      // concat): stack sampling showed shuffle-file creation as the top
+      // runnable frame across the lake/index write paths
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // let AQE re-plan (coalesce) the output partitioning of CACHED
       // plans too: the engine pins hot intermediates (tag joins, shingle
       // frames), and without this every consumer of a cached frame

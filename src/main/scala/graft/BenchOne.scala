@@ -14,6 +14,9 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Tungsten serialized shuffle for small reduce counts — one output
+      // file per map task instead of numPartitions files (see Bench.scala)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       // let AQE re-plan (coalesce) the output partitioning of CACHED
       // plans too: the engine pins hot intermediates (tag joins, shingle
       // frames), and without this every consumer of a cached frame

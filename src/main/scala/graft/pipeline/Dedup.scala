@@ -29,7 +29,12 @@ object Dedup {
     * reorders rows, so a float-summing operator must not ride this. */
   private[pipeline] def spread(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // ANALYZED-plan stats, deliberately not optimizedPlan: running the
+    // optimizer here would fire ConvertToLocalRelation, which EVALUATES
+    // projections over local relations on the driver — a caller's
+    // side-effecting expression would run an extra time (and local test
+    // fixtures are exactly such plans). Analysis triggers no evaluation.
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
     if (est <= BigInt(p) * (8L << 20)) df.repartition(p, col(key)) else df
   }
 

@@ -210,13 +210,12 @@ object Similarity {
   /** Per-row L2 normalization (zero vectors pass through), so dot product
     * over the normalized space IS cosine — the precondition for comparing
     * PQ-ADC rankings against the cosine brute force. */
-  private[pipeline] def l2normalize(df: DataFrame, vecCol: String): DataFrame = {
-    import graft.functions.VectorExprs._
-    df.withColumn(vecCol,
-      when(normF(col(vecCol)) === 0.0f, col(vecCol))
-        .otherwise(transform(col(vecCol), v =>
-          (v.cast("double") / normF(col(vecCol)).cast("double")).cast("float"))))
-  }
+  private[pipeline] def l2normalize(df: DataFrame, vecCol: String): DataFrame =
+    // native kernel (PqExprs.L2NormalizeExpr): same arithmetic as the
+    // when/transform formulation it replaces — (float)((double)v/norm),
+    // zero-norm pass-through — but one O(d) codegen'd loop instead of a
+    // per-ELEMENT interpreted lambda that re-derived the norm (O(d²))
+    df.withColumn(vecCol, graft.functions.PqExprs.l2normalize(col(vecCol)))
 
   /** Train product-quantization codebooks (Jégou et al. 2011 "Product
     * Quantization for Nearest Neighbor Search"): the d-dim space splits
@@ -277,13 +276,10 @@ object Similarity {
     * index fit in executor memory. */
   /** The m-sub-code array expression for one vector column. */
   private[pipeline] def pqCodes(books: Array[Array[Array[Float]]],
-      vecCol: String): org.apache.spark.sql.Column = {
-    import graft.functions.IvfExprs.nearestCentroids
-    val dsub = books(0)(0).length
-    array(books.indices.map(s =>
-      element_at(nearestCentroids(
-        slice(col(vecCol), s * dsub + 1, dsub), books(s), 1), 1)): _*)
-  }
+      vecCol: String): org.apache.spark.sql.Column =
+    // native kernel: the exact per-subspace assign() loop, no slice
+    // materialization (PqExprs.PqCodesExpr)
+    graft.functions.PqExprs.pqCodes(col(vecCol), books)
 
   def pqEncode(vecs: DataFrame, books: Array[Array[Array[Float]]],
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
@@ -297,38 +293,19 @@ object Similarity {
     * above it (the codebooks were trained before those vectors existed —
     * the rebuild signal [[AnnIndex.driftStats]] serves). */
   private[pipeline] def pqSqError(books: Array[Array[Array[Float]]],
-      resCol: String): org.apache.spark.sql.Column = {
-    import graft.functions.IvfExprs.nearestCentroids
-    val dsub = books(0)(0).length
-    books.indices.map { s =>
-      val sub = slice(col(resCol), s * dsub + 1, dsub)
-      subSqError(books, s, sub,
-        element_at(nearestCentroids(sub, books(s), 1), 1))
-    }.reduce(_ + _)
-  }
+      resCol: String): org.apache.spark.sql.Column =
+    // nearest cell ≡ assigned code (same assign() loop), so decoding from
+    // freshly-computed codes is the same number — one native pass
+    graft.functions.PqExprs.pqSqErrorFromCodes(col(resCol),
+      graft.functions.PqExprs.pqCodes(col(resCol), books), books)
 
   /** [[pqSqError]] when the codes are ALREADY assigned (the build's encode
     * pass): decode each sub-cell by literal lookup instead of recomputing
     * the nearest centroid — the assigned code IS the nearest cell, so the
     * two forms are the same number by construction. */
   private[pipeline] def pqSqErrorFromCodes(books: Array[Array[Array[Float]]],
-      resCol: String, codesCol: String): org.apache.spark.sql.Column = {
-    val dsub = books(0)(0).length
-    books.indices.map { s =>
-      subSqError(books, s, slice(col(resCol), s * dsub + 1, dsub),
-        element_at(col(codesCol), s + 1))
-    }.reduce(_ + _)
-  }
-
-  /** ‖sub − books(s)(cell)‖² with the codebook inlined as a literal. */
-  private def subSqError(books: Array[Array[Array[Float]]], s: Int,
-      sub: org.apache.spark.sql.Column,
-      cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
-    aggregate(zip_with(sub, element_at(bookLit, cell + 1), (a, b) => {
-      val d = a.cast("double") - b.cast("double"); d * d
-    }), lit(0.0), _ + _)
-  }
+      resCol: String, codesCol: String): org.apache.spark.sql.Column =
+    graft.functions.PqExprs.pqSqErrorFromCodes(col(resCol), col(codesCol), books)
 
   /** Mean squared reconstruction error of `vectors` under an ALREADY-
     * TRAINED (coarse, books) pair — one map pass + a scalar aggregate,
@@ -351,43 +328,31 @@ object Similarity {
     (row.getLong(0), if (row.isNullAt(1)) 0.0 else row.getDouble(1))
   }
 
-  /** Per-query ADC lookup tables: one (ksub)-entry column of subspace dot
-    * products per subspace, the codebooks inlined as literals. */
+  /** Per-query ADC lookup tables as ONE array<array<double>> column
+    * (native kernel — same per-cell dot products and order as the
+    * per-subspace literal-codebook columns it replaces). */
   private def adcTables(books: Array[Array[Array[Float]]],
-      vecCol: String): Seq[org.apache.spark.sql.Column] = {
-    val dsub = books(0)(0).length
-    books.indices.map { s =>
-      val bookLit = array(books(s).map(cb => array(cb.map(c => lit(c)): _*)): _*)
-      transform(bookLit, cent =>
-        aggregate(zip_with(slice(col(vecCol), s * dsub + 1, dsub), cent,
-          (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _))
-        .as(s"_t$s")
-    }
-  }
+      vecCol: String): Seq[org.apache.spark.sql.Column] =
+    Seq(graft.functions.PqExprs.adcTables(col(vecCol), books).as("_t"))
 
-  /** ADC score of a `codes` row against the query's `_t*` tables. */
+  /** ADC score of a `codes` row against the query's `_t` tables. */
   private def adcScore(m: Int): org.apache.spark.sql.Column =
-    (0 until m).map(s =>
-      element_at(col(s"_t$s"), element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
-
-  /** The coarse-centroid matrix as a literal column. */
-  private def coarseLit(coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
-    array(coarse.map(c => array(c.map(lit): _*)): _*)
+    graft.functions.PqExprs.adcScore(col("codes"), col("_t"))
 
   /** Residual of `vec` against its cell's coarse centroid (float math,
-    * deterministic): the quantity residual PQ encodes. */
+    * deterministic): the quantity residual PQ encodes. Native kernel —
+    * same element-wise float subtraction as the zip_with it replaces. */
   private def residualOf(vec: org.apache.spark.sql.Column,
       cid: org.apache.spark.sql.Column,
       coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
-    zip_with(vec, element_at(coarseLit(coarse), cid + 1), (a, b) => a - b)
+    graft.functions.PqExprs.residual(vec, cid, coarse)
 
   /** q · coarse[cid] — the per-(query, probed-cell) constant residual ADC
     * adds back: q·x = q·c + q·r when x = c + r. */
   private def qDotCentroid(vec: org.apache.spark.sql.Column,
       cid: org.apache.spark.sql.Column,
       coarse: Array[Array[Float]]): org.apache.spark.sql.Column =
-    aggregate(zip_with(vec, element_at(coarseLit(coarse), cid + 1),
-      (a, b) => a.cast("double") * b.cast("double")), lit(0.0), _ + _)
+    graft.functions.PqExprs.qDotCentroid(vec, cid, coarse)
 
   /** FAISS-style IVF-PQ: coarse centroids prune candidates to the query's
     * `nprobe` cells (equi-join on cid, never a cross join), PQ-ADC ranks

@@ -1886,8 +1886,17 @@ class GraftTable(val spark: SparkSession, val basePath: String, val config: Tabl
       // at scale: a real batch brings its own scan parallelism.
       val batchSpread = {
         val p = spark.sparkContext.defaultParallelism
-        val est = batch1.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (est <= BigInt(p) * (8L << 20)) batch1.repartition(p, col(KEY))
+        // analyzed-plan stats: the optimizer's ConvertToLocalRelation would
+        // eagerly evaluate a local-relation batch on the driver (see
+        // Dedup.spread); analysis evaluates nothing
+        val est = batch1.queryExecution.analyzed.stats.sizeInBytes
+        // a precombined batch already shuffled through the (PART, KEY)
+        // window — it is as wide as the shuffle setting; a second
+        // repartition would be a pure extra exchange
+        val precombined =
+          combine && op != "bulk_insert" && config.precombineField.nonEmpty
+        if (!precombined && est <= BigInt(p) * (8L << 20))
+          batch1.repartition(p, col(KEY))
         else batch1
       }
       val cached = pin(batchSpread)
