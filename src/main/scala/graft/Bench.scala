@@ -85,6 +85,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep AQE's parallelism-first coalescing from SERIALIZING small
+      // CPU-bound stages: the default 1 MB minPartitionSize floor wins
+      // over the bytes/parallelism target on metadata-scale shuffles and
+      // collapses window/sort/write stages to a handful of tasks; a 64k
+      // floor still merges crumb partitions while the scale-adaptive
+      // bytes/parallelism target governs real data (unchanged at scale)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // small-reduce-side SQL shuffles route to the Tungsten serialized
       // shuffle writer (ONE output file per map task) instead of the
       // bypass-merge writer (numPartitions files per map task + an NIO

@@ -10,10 +10,17 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep AQE's parallelism-first coalescing from SERIALIZING small
+      // CPU-bound stages: the default 1 MB minPartitionSize floor wins
+      // over the bytes/parallelism target on metadata-scale shuffles and
+      // collapses window/sort/write stages to a handful of tasks; a 64k
+      // floor still merges crumb partitions while the scale-adaptive
+      // bytes/parallelism target governs real data (unchanged at scale)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // Tungsten serialized shuffle for small reduce counts — one output
       // file per map task instead of numPartitions files (see Bench.scala)
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
@@ -29,6 +36,12 @@ object BenchOne {
       .config("spark.sql.catalog.graft.warehouse",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .withExtensions(new graft.functions.GraftExtensions)
+    // dev A/B hook: SPARK_GRAFT_CONF="k=v;k=v" overrides any config above
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';').toSeq).filter(_.contains('='))
+      .foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val picked = args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
