@@ -79,17 +79,26 @@ object AnnIndex {
     val (books, enc) = Similarity.encodeIvfPq(cN, coarse, m, ksub,
       trainIters, trainSampleMod, residual, idCol, vecCol,
       errAs = Some("_err"))
-    val centroidsT = GraftTable.create(spark, s"$tablesRoot/centroids",
-      TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
-    centroidsT.bulkInsert(
-      coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("cid", "vec"))
-    val codebooksT = GraftTable.create(spark, s"$tablesRoot/codebooks",
-      TableConfig("ann_codebooks", CopyOnWrite, keyFields = Seq("sub", "cell")))
-    codebooksT.bulkInsert(
-      books.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (v, c) => (s, c, v) }
-      }.toSeq.toDF("sub", "cell", "vec"))
+    // centroids + codebooks are metadata-sized tables independent of the
+    // codes write: land them from a side thread so their commit machinery
+    // overlaps the corpus-scale encode+write below (guide §2.6 — Spark's
+    // scheduler happily runs jobs from several threads; the tables live in
+    // different dirs, so no commit can conflict)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sideTables = Future {
+      val centroidsT = GraftTable.create(spark, s"$tablesRoot/centroids",
+        TableConfig("ann_centroids", CopyOnWrite, keyFields = Seq("cid")))
+      centroidsT.bulkInsert(
+        coarse.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("cid", "vec"))
+      val codebooksT = GraftTable.create(spark, s"$tablesRoot/codebooks",
+        TableConfig("ann_codebooks", CopyOnWrite, keyFields = Seq("sub", "cell")))
+      codebooksT.bulkInsert(
+        books.zipWithIndex.flatMap { case (book, s) =>
+          book.zipWithIndex.map { case (v, c) => (s, c, v) }
+        }.toSeq.toDF("sub", "cell", "vec"))
+    }
     // codes landed partitioned by cid — the inverted file IS the
     // partition layout
     val codesT = GraftTable.create(spark, s"$tablesRoot/codes",
@@ -112,6 +121,9 @@ object AnnIndex {
       // writeIvfPqMeta to the honest pre-baseline (None) path
       case _ => Double.NaN
     }
+    // the side tables must be fully committed before the meta re-point
+    // makes this version live
+    Await.result(sideTables, scala.concurrent.duration.Duration.Inf)
     // indexed-row count from the commit's write stats — no corpus-scale
     // read-back of the table we just wrote
     (codesT.commitRows(instant), trainErr)
